@@ -1,0 +1,129 @@
+"""Multimodal-column extension operators (SURVEY.md §2.9).
+
+Treats non-text payloads as opaque ``binary`` columns with a typed
+metadata struct, the way a 100 TB training-data lake stores
+image/audio/video: parquet binary + metadata, decode on demand.
+
+The decode/feature-extract stage is real Spark plumbing — schema,
+Arrow-batched ``mapInPandas``, partition-preserving — with the codec
+itself STUBBED deterministically (image/audio libraries are not in
+this container): ``decode_stub`` derives features from the bytes
+(length, checksum, head bytes). Swapping in a real decoder is a
+one-function change; the distributed shape stays identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+#: Canonical multimodal record: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("byte_sum", LongType(), True),
+        StructField("head_hex", StringType(), True),
+    ]
+)
+
+
+def to_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """documents → multimodal records (payload = utf-8 bytes of text)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("text/plain").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decoder. A real image/audio decoder
+    (PIL/librosa/av) would be dropped in here; everything around it —
+    Arrow batching, schema, partitioning — is production-shaped.
+    """
+    if payload is None:
+        raise NotImplementedError("real codecs not available in this container")
+    return {
+        "byte_sum": int(sum(payload)),
+        "head_hex": payload[:8].hex(),
+    }
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over multimodal payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_sum": feats.map(lambda f: f["byte_sum"]),
+                    "head_hex": feats.map(lambda f: f["head_hex"]),
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+@query(
+    "ext_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    operator="ext_multimodal",
+    doc="Multimodal metadata projection: payload byte length + content "
+    "hash over the binary column (JVM-side, no decode).",
+)
+def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+@query(
+    "ext_multimodal_decode",
+    oracle=None,  # Pandas-UDF decode path — rows-only check by design
+    operator="ext_multimodal",
+    doc="Arrow-batched mapInPandas decode/feature-extract over binary "
+    "payloads (deterministic stub codec; real decoder drop-in).",
+)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(to_media(d))

@@ -1,0 +1,174 @@
+"""Similarity-search extension operators (SURVEY.md §2.9, ext_sim_*).
+
+Over the 64-dim float ``embeddings`` table:
+
+- ext_sim_search: brute-force cosine top-k of the corpus against a
+  query vector. The query side is a broadcast single-row join, the
+  corpus scan is embarrassingly parallel, and the top-k is
+  TakeOrderedAndProject (k rows per partition, no full sort). This is
+  the exact baseline ANN implementations are measured against.
+- ext_dedup_embed: embedding-cosine near-dup pairs via random-
+  hyperplane sign-LSH buckets → the pair join is per-bucket, never
+  O(n²) over the corpus. The hyperplanes are md5-derived integers so
+  both engines build the identical index.
+- ext_ann_lsh: ANN variant of sim_search that probes only the query's
+  LSH bucket — the 100 TB scale path (bucket join instead of full
+  scan).
+
+Determinism: all dot products are explicit left-folds over dimension
+indices with every term cast to double (Spark `aggregate`, DuckDB
+`list_reduce`), so accumulation order — and hence every float bit —
+matches across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+DIM = 64
+TOP_K = 10
+N_PLANES = 8
+COS_T = 0.8
+QUERY_VEC_ID = 0
+
+
+def _fold(dialect: str, term: str, init: str = "CAST(0 AS DOUBLE)") -> str:
+    """Left-fold of ``term`` (a function of index d, 1-based) over 1..DIM."""
+    if dialect == "spark":
+        return f"aggregate(sequence(1, {DIM}), {init}, (acc, d) -> acc + ({term}))"
+    return (
+        f"list_reduce(list_prepend({init}, "
+        f"list_transform(range(1, {DIM} + 1), d -> ({term}))), (a, b) -> a + b)"
+    )
+
+
+def _elem(dialect: str, col: str) -> str:
+    return f"CAST(element_at({col}, d) AS DOUBLE)" if dialect == "spark" else f"CAST({col}[d] AS DOUBLE)"
+
+
+def _dot(dialect: str, a: str, b: str) -> str:
+    return _fold(dialect, f"{_elem(dialect, a)} * {_elem(dialect, b)}")
+
+
+def _cos(dialect: str, a: str, b: str) -> str:
+    return (
+        f"{_dot(dialect, a, b)} / "
+        f"(sqrt({_dot(dialect, a, a)}) * sqrt({_dot(dialect, b, b)}))"
+    )
+
+
+@query(
+    "ext_sim_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, {_cos("duck", "e.embedding", "q.qe")} AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+    operator="ext_sim_search",
+    doc="Brute-force cosine top-k vs a fixed query vector; broadcast "
+    "single-row join + TakeOrderedAndProject.",
+)
+def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _plane_weight(dialect: str, j: str | int) -> str:
+    """md5-derived integer hyperplane weight w(j, d) in [-32768, 32767]."""
+    if dialect == "spark":
+        h = f"conv(substr(md5(concat('{j}', '_', CAST(d AS STRING))), 1, 4), 16, 10)"
+        return f"(CAST({h} AS INT) - 32768)"
+    h = f"concat('0x', substr(md5(concat('{j}', '_', CAST(d AS VARCHAR))), 1, 4))"
+    return f"(CAST({h} AS INT) - 32768)"
+
+
+def _sig_expr(dialect: str, col: str) -> str:
+    """LSH signature: bit j set iff dot(plane_j, embedding) > 0."""
+    bits = []
+    for j in range(N_PLANES):
+        term = f"{_plane_weight(dialect, j)} * {_elem(dialect, col)}"
+        bits.append(f"(CASE WHEN {_fold(dialect, term)} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+@query(
+    "ext_dedup_embed",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_sig_expr("duck", "embedding")} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos("duck", "a.embedding", "b.embedding")} AS cos_sim
+    FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_cos("duck", "a.embedding", "b.embedding")} >= {COS_T}
+    """,
+    operator="ext_dedup_near (embedding cosine)",
+    doc="Embedding near-dup pairs: sign-LSH bucket join (8 md5-derived "
+    "hyperplanes) then exact cosine ≥ threshold inside buckets.",
+)
+def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select("vec_id", "embedding", F.expr(_sig_expr("spark", "embedding")).alias("sig"))
+    a, b = s.alias("a"), s.alias("b")
+    cos = F.expr(_cos("spark", "a.embedding", "b.embedding"))
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COS_T)
+    )
+
+
+@query(
+    "ext_ann_lsh",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_sig_expr("duck", "embedding")} AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qe, sig AS qsig FROM s WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT s.vec_id, {_cos("duck", "s.embedding", "q.qe")} AS cos_sim
+    FROM s CROSS JOIN q
+    WHERE s.sig = q.qsig AND s.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, s.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+    operator="ext_sim_search (ANN/LSH scale path)",
+    doc="Approximate top-k: probe only the query's LSH bucket instead "
+    "of scanning the corpus — the partition-pruned ANN plan for "
+    "100 TB (bucket is a join key, not a filter over all rows).",
+)
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select("vec_id", "embedding", F.expr(_sig_expr("spark", "embedding")).alias("sig"))
+    q = s.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"), F.col("sig").alias("qsig")
+    )
+    return (
+        s.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("sig") == F.col("qsig"))
+        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

@@ -1,0 +1,214 @@
+"""Text-analysis extension operators (SURVEY.md §2.9, ext_text_*).
+
+LLM-training-data text pipeline over the ``documents`` table:
+statistics, language-ID (n-gram/marker heuristic), quality scoring,
+token counting (whitespace + BPE-ish regex), and document
+fingerprinting (md5 + rolling polynomial hash).
+
+All computations are JVM-side column expressions (no Python UDFs):
+higher-order array functions keep per-token loops inside codegen, so
+the hot path scales linearly with data and parallelizes per-partition
+with zero shuffle (the only shuffles are final groupBys).
+
+Float determinism: every double output is a ratio of exact integers
+(deterministic IEEE division), never a float sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+#: marker-word profile per language, checked in deterministic order.
+LANG_MARKERS = (("en", "the"), ("es", "el"), ("de", "der"), ("fr", "le"), ("zh", "的"))
+
+
+@query(
+    "ext_text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           sum(n_toks) AS total_tokens,
+           CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_tokens
+    FROM t GROUP BY lang
+    """,
+    operator="ext_text_stats",
+    doc="Per-language corpus statistics (doc counts, char totals, "
+    "token averages).",
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", F.expr("size(split(text, ' '))")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+def _marker_counts_sql(split_fn: str) -> list[str]:
+    """Per-language marker-hit count expressions (dialect-neutral body)."""
+    filt = "filter" if split_fn == "split" else "list_filter"
+    size = "size" if split_fn == "split" else "len"
+    return [
+        f"{size}({filt}({split_fn}(lower(text), ' '), t -> t = '{m}')) AS c_{lang}"
+        for lang, m in LANG_MARKERS
+    ]
+
+
+_PRED_CASE = (
+    "CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en' "
+    "WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es' "
+    "WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de' "
+    "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END"
+)
+
+
+@query(
+    "ext_lang_id",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, {", ".join(_marker_counts_sql("string_split"))}
+      FROM documents
+    )
+    SELECT lang, {_PRED_CASE} AS pred_lang, count(*) AS n_docs
+    FROM c GROUP BY lang, pred_lang
+    """,
+    operator="ext_lang_id",
+    doc="Marker-word language-ID heuristic; output is the "
+    "actual-vs-predicted confusion matrix.",
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    for expr in _marker_counts_sql("split"):
+        body, alias = expr.rsplit(" AS ", 1)
+        d = d.withColumn(alias, F.expr(body))
+    return (
+        d.withColumn("pred_lang", F.expr(_PRED_CASE))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "ext_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_other_tokens
+    FROM documents
+    """,
+    operator="ext_token_count",
+    doc="Token counting: whitespace tokens + BPE-ish regex classes "
+    "(word pieces vs non-alnum symbols).",
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_ws_tokens"),
+        F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").alias("n_word_tokens"),
+        F.expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").alias("n_other_tokens"),
+    )
+
+
+@query(
+    "ext_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_exact,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN {_STOP_IN})) AS n_stop,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, lang, n_toks, n_stop, n_punct,
+           CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars_exact AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_toks
+             - CAST(n_punct AS DOUBLE) / n_chars_exact
+             + CAST(least(n_toks, 100) AS DOUBLE) / 100 AS quality_score
+    FROM t
+    """,
+    operator="ext_quality_score",
+    doc="Heuristic doc quality: stopword ratio + length credit - "
+    "punctuation penalty (all deterministic rational arithmetic).",
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_exact"),
+        F.expr("size(split(text, ' '))").alias("n_toks"),
+        F.expr(f"size(filter(split(lower(text), ' '), t -> t IN {_STOP_IN}))").alias("n_stop"),
+        F.expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").alias("n_punct"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_toks")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_exact")
+    length_credit = F.least(F.col("n_toks"), F.lit(100)).cast("double") / F.lit(100)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "n_stop",
+        "n_punct",
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (stop_ratio - punct_ratio + length_credit).alias("quality_score"),
+    )
+
+
+_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "ext_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             md5({_NORM_DUCK}) AS fp_md5,
+             list_transform(string_split({_NORM_DUCK}, ' '),
+                            t -> length(t) * 7 + ascii(substr(t, 1, 1))) AS vals
+      FROM documents
+    )
+    SELECT doc_id, fp_md5,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+    FROM t
+    """,
+    operator="ext_fingerprint",
+    doc="Document fingerprinting: md5 of whitespace-normalized text + "
+    "order-sensitive polynomial rolling hash (explicit left-fold, so "
+    "Spark and the oracle accumulate in the same order).",
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"md5({_NORM})").alias("fp_md5"),
+        F.expr(
+            f"aggregate(transform(split({_NORM}, ' '), "
+            "t -> length(t) * 7 + ascii(substr(t, 1, 1))), "
+            "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)"
+        ).alias("fp_rolling"),
+    )

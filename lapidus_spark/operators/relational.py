@@ -1,0 +1,136 @@
+"""Relational capability proofs (SURVEY.md §2.5 gap → Spark-native).
+
+The reference has no joins/aggregations (grep-verified, SURVEY §2.5);
+the rebuild gets them from Catalyst. These queries prove the surface
+on the TPC-H-ish fixtures and pin the physical plans we want at scale:
+
+- ``join_enrich_dim``: events⋈customer is a shuffle join (both sides
+  large at 100 TB; AQE may still broadcast at small SF), while
+  nation/region are explicitly ``broadcast()`` — no shuffle for dims.
+- ``agg_rollup_revenue``: partial (map-side) aggregation before the
+  exchange — Catalyst does this automatically for sum/count.
+- ``top_k_entities``: groupBy + orderBy + limit → Spark plans
+  TakeOrderedAndProject, which keeps only k rows per partition.
+
+Float determinism: double sums are order-dependent, so every double
+aggregate here is computed as an *exact* DECIMAL sum (bit-identical
+regardless of partitioning) then cast to double; averages divide two
+exact quantities in IEEE double, which is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+TOP_K = 10
+
+
+def dec(col: str, scale: int = 2) -> F.Column:
+    """Exact-decimal view of a 2-dp double column (deterministic sum)."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@query(
+    "join_enrich_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id AS entity_id, e.event_type AS type,
+           e.value, c.c_name, c.c_mktsegment, n.n_name AS nation,
+           r.r_name AS region
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    operator="join_enrich_dim (win_schema at scale)",
+    doc="Debezium-style dimension enrichment: event entity → customer "
+    "→ nation → region; dims broadcast, fact never shuffled twice.",
+)
+def join_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            e.event_id,
+            e.user_id.alias("entity_id"),
+            e.event_type.alias("type"),
+            e.value,
+            c.c_name,
+            c.c_mktsegment,
+            n.n_name.alias("nation"),
+            r.r_name.alias("region"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    operator="agg_rollup (gap §2.5)",
+    doc="TPC-H-Q1-style rollup over lineitem; exact-decimal sums cast "
+    "to double for order-independent determinism.",
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (one - F.col("l_discount").cast("decimal(12,2)"))
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "top_k_entities",
+    oracle=f"""
+    SELECT user_id AS entity_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, entity_id ASC
+    LIMIT {TOP_K}
+    """,
+    operator="top_k (gap §2.5)",
+    doc="Top-N entities by activity; deterministic tie-break on key so "
+    "the result *set* is stable under any partitioning.",
+)
+def top_k_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("entity_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("entity_id"))
+        .limit(TOP_K)
+    )

@@ -1,0 +1,32 @@
+"""SparkSession factory tuned for the fixture scales and for scale-out.
+
+Settings chosen for 100 TB posture (and safe locally):
+- AQE on: runtime coalescing, skew-join splitting, dynamic broadcast.
+- shuffle.partitions sized to cores locally; on a real cluster AQE
+  coalesces from a high initial number, so this is a floor not a cap.
+- Arrow enabled for the few Pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lapidus_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
