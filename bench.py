@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Timing protocol: one warm JVM/session (the driver measures engine
+work, not JVM startup), each query materialized via a noop-style
+count()+collect-free action so results stream through the executors
+without driver-side row materialization skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from lapidus_spark.plans.registry import load_all
+from lapidus_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("lapidus_spark_bench", cpus=cpus)
+    reg = load_all()
+
+    # Warm pass at the smallest SF: triggers codegen/JIT of every
+    # query shape once, so the timed numbers measure engine work on
+    # the target data, not first-use compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in sorted(reg):
+        try:
+            reg[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — warmup must not kill the bench
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(reg):
+        fn = reg[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lapidus_spark.functions.exprs import let_
 from lapidus_spark.plans.registry import query
 from lapidus_spark.sources.tables import load_table
 
@@ -50,7 +51,7 @@ LENGTH_BAND = 100
     "doc_id (deterministic rank-pick).",
 )
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return (
         d.select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_hash"))
         .groupBy("text_hash")
@@ -73,8 +74,15 @@ _SH_DUCK = (
 
 
 def _mh_exprs(dialect: str) -> list[str]:
-    t, m = ("transform", "array_min") if dialect == "spark" else ("list_transform", "list_min")
-    return [f"{m}({t}(sh, s -> md5(concat('{i}#', s)))) AS mh{i}" for i in range(N_MINHASH)]
+    """8 minhashes from ONE md5 per shingle: the 32-hex digest is
+    sliced into eight 4-hex (16-bit) independent hash values — 8×
+    fewer digest computations than hashing per-function, same LSH
+    semantics. `hs` is the per-shingle digest array."""
+    m = "array_min" if dialect == "spark" else "list_min"
+    t = "transform" if dialect == "spark" else "list_transform"
+    return [
+        f"{m}({t}(hs, h -> substr(h, {4 * i + 1}, 4))) AS mh{i}" for i in range(N_MINHASH)
+    ]
 
 
 def _band_hash(b: int) -> str:
@@ -88,9 +96,12 @@ def _band_hash(b: int) -> str:
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
     ), s AS (
       SELECT doc_id, {_SH_DUCK} AS sh FROM t
+    ), hd AS (
+      SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs
+      FROM s WHERE len(sh) > 0
     ), m AS (
       SELECT doc_id, {", ".join(_mh_exprs("duck"))}
-      FROM s WHERE len(sh) > 0
+      FROM hd
     ), b AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_hash(b)} AS band_hash FROM m" for b in range(N_BANDS))}
     )
@@ -104,29 +115,39 @@ def _band_hash(b: int) -> str:
     "md5-minhashes → 4 bands of 2 → band-bucket equi-join.",
 )
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    m = (
-        d.select("doc_id", F.expr("split(lower(text), ' ')").alias("toks"))
-        .select("doc_id", F.expr(_SH_SPARK).alias("sh"))
-        .filter(F.expr("size(sh) > 0"))
+    # Single let-bound expression tree: split → shingle → one md5 pass
+    # → 8 minhash slices → 4 band hashes. Without let_, CollapseProject
+    # would inline the md5 pass into every minhash projection (8×
+    # recompute, measured 10× slower). substr positions: minhash i
+    # slices hex [4i+1, 4i+4]; band b pairs minhashes 2b and 2b+1 →
+    # positions 8b+1 and 8b+5.
+    sh_body = (
+        "transform(sequence(1, size(toks) - 2), i -> "
+        "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
     )
-    for e in _mh_exprs("spark"):
-        body, alias = e.rsplit(" AS ", 1)
-        m = m.withColumn(alias, F.expr(body))
-    bands = m.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(_band_hash(b)).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    bands_expr = let_(
+        "split(lower(text), ' ')",
+        "toks",
+        let_(
+            sh_body,
+            "sh",
+            let_(
+                "transform(sh, s -> md5(s))",
+                "hsv",
+                f"transform(sequence(0, {N_BANDS - 1}), b -> named_struct("
+                "'band_id', b, "
+                "'band_hash', md5(concat("
+                "array_min(transform(hsv, h -> substr(h, 8 * b + 1, 4))), '|', "
+                "array_min(transform(hsv, h -> substr(h, 8 * b + 5, 4)))))))",
+            ),
+        ),
+    )
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    bands = (
+        d.filter(F.expr("size(split(lower(text), ' ')) >= 3"))
+        .select("doc_id", F.explode(F.expr(bands_expr)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -187,13 +208,19 @@ def _simhash_exprs(dialect: str) -> tuple[str, list[str], str]:
     "signatures (grouping on `simhash` buckets them).",
 )
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    hvs, bits, sig = _simhash_exprs("spark")
-    h = d.select("doc_id", F.expr(hvs).alias("hvs"))
-    for e in bits:
-        body, alias = e.rsplit(" AS ", 1)
-        h = h.withColumn(alias, F.expr(body))
-    return h.select("doc_id", F.expr(sig).alias("simhash"))
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    hvs_expr, _, _ = _simhash_exprs("spark")
+    # let-bind the md5-derived token-hash array so the 16 per-bit vote
+    # sums share ONE hashing pass (CollapseProject would re-inline it
+    # into each bit otherwise).
+    votes = " + ".join(
+        f"(CASE WHEN aggregate(hv, 0, (a, h) -> a + "
+        f"(CASE WHEN shiftright(h, {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = f"CAST({let_(hvs_expr, 'hv', votes)} AS BIGINT)"
+    return d.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 # ---------------------------------------------------------------- ngram jaccard
@@ -206,13 +233,17 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars // {LENGTH_BAND} AS len_band,
              list_distinct(string_split(lower(text), ' ')) AS ts
       FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, len_band, len(ts) AS n_toks, unnest(ts) AS token
+      FROM t
     ), p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS n_inter,
-             len(a.ts) + len(b.ts) AS n_sum
-      FROM t a JOIN t b
-        ON a.lang = b.lang AND a.len_band = b.len_band
-           AND a.doc_id < b.doc_id
+             count(*) AS n_inter,
+             any_value(a.n_toks) + any_value(b.n_toks) AS n_sum
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang
+           AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
            CAST(n_inter AS DOUBLE) / (n_sum - n_inter) AS jaccard
@@ -220,29 +251,37 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_inter AS DOUBLE) / (n_sum - n_inter) >= {JACCARD_T}
     """,
     operator="ext_dedup_near (ngram jaccard)",
-    doc="Token-set Jaccard near-dup pairs with candidate blocking on "
-    "(lang, length band) — the pair join is bounded per block, never "
-    "whole-corpus O(n²).",
+    doc="Token-set Jaccard near-dup pairs via inverted index: explode "
+    "distinct tokens, equi-join on (token, block), count shared "
+    "tokens per pair — the scalable formulation (one shuffle on the "
+    "token key, no quadratic array intersection; blocking on "
+    "lang × length band bounds candidate fan-out).",
 )
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     t = d.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
         F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
     )
-    a, b = t.alias("a"), t.alias("b")
-    p = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.len_band") == F.col("b.len_band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.expr("size(filter(a.ts, x -> array_contains(b.ts, x)))").alias("n_inter"),
-        (F.expr("size(a.ts)") + F.expr("size(b.ts)")).alias("n_sum"),
+    tok = t.select(
+        "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"), F.explode("ts").alias("token")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            (F.any_value(F.col("a.n_toks")) + F.any_value(F.col("b.n_toks"))).alias("n_sum"),
+        )
     )
     jac = F.col("n_inter").cast("double") / (F.col("n_sum") - F.col("n_inter"))
     return p.select("doc_a", "doc_b", jac.alias("jaccard")).filter(jac >= JACCARD_T)

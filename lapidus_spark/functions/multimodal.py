@@ -125,5 +125,5 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads (deterministic stub codec; real decoder drop-in).",
 )
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return decode_features(to_media(d))

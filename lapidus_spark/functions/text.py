@@ -94,7 +94,7 @@ _PRED_CASE = (
     "actual-vs-predicted confusion matrix.",
 )
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     for expr in _marker_counts_sql("split"):
         body, alias = expr.rsplit(" AS ", 1)
         d = d.withColumn(alias, F.expr(body))
@@ -119,7 +119,7 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(word pieces vs non-alnum symbols).",
 )
 def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return d.select(
         "doc_id",
         F.expr("size(split(text, ' '))").alias("n_ws_tokens"),
@@ -153,7 +153,7 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "punctuation penalty (all deterministic rational arithmetic).",
 )
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     t = d.select(
         "doc_id",
         "lang",
@@ -202,7 +202,7 @@ _NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     "Spark and the oracle accumulate in the same order).",
 )
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallel=True)
     return d.select(
         "doc_id",
         F.expr(f"md5({_NORM})").alias("fp_md5"),

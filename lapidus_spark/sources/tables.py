@@ -29,7 +29,19 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Load a fixture table.
+
+    ``parallel=True`` repartitions the scan to the session's default
+    parallelism. Use it for CPU-heavy per-row work (hashing, shingling,
+    LSH signatures): the small fixture tables are single parquet files
+    → a single input split → one task, which serializes the whole
+    stage on one core. At real scale the same operator needs the same
+    property — compute-bound stages must not inherit the file layout's
+    partitioning.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; valid: {TABLES}")
     # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
@@ -39,6 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if parallel:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
