@@ -1,0 +1,146 @@
+"""Streaming transaction assembly (agg_tx → applyInPandasWithState).
+
+The reference buffers DML envelopes between begin/commit in an
+in-memory ``DatabaseTransaction`` (postgresql.js:18-33, buffer at
+427-429/482-484, commit-emit at 451-465/487-501) and its author flags
+the unbounded buffer for spill rework (postgresql.js:14-17). The
+Spark rebuild keys the stream by ``tx_id`` and holds per-transaction
+state in the state store (spillable, checkpointed, resumable), with a
+processing-time timeout for abandoned transactions — two upgrades the
+reference never had, stated as upgrades in SURVEY §2.4.
+
+Emission contract (matches DatabaseTransaction.commit):
+- on a ``commitTransaction`` marker: emit one row
+  {tx_id, n_items, item_types (statement order), first_seq, last_seq,
+  commit_ts} and clear state;
+- items are ordered by event_seq, NOT arrival order — the reference
+  assumes a totally-ordered pipe; a distributed stream cannot, so we
+  sort within the transaction (same result on ordered input).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TX_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("tx_id", LongType(), False),
+        StructField("n_items", LongType(), False),
+        StructField("first_seq", LongType(), True),
+        StructField("last_seq", LongType(), True),
+        StructField("item_types", StringType(), True),
+        StructField("commit_ts", TimestampType(), True),
+    ]
+)
+
+#: state: (seqs, types, committed_flag, commit_ts)
+TX_STATE_SCHEMA = StructType(
+    [
+        StructField("seqs", StringType(), True),  # csv of event_seq
+        StructField("types", StringType(), True),  # csv of type, parallel to seqs
+    ]
+)
+
+COMMIT_TYPE = "commitTransaction"
+BEGIN_TYPE = "beginTransaction"
+
+
+def _assemble_tx(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int | None,
+) -> Iterator[pd.DataFrame]:
+    """Per-tx_id stateful assembler (applyInPandasWithState handler)."""
+    if state.hasTimedOut:
+        # abandoned transaction: drop buffered items (the reference
+        # would leak them forever — postgresql.js:14-17 TODO)
+        state.remove()
+        return
+
+    seqs: list[int] = []
+    types: list[str] = []
+    if state.exists:
+        s_seqs, s_types = state.get
+        if s_seqs:
+            seqs = [int(x) for x in s_seqs.split(",")]
+            types = s_types.split(",")
+
+    committed = False
+    commit_ts: Any = None
+    tx_id = int(key[0])
+    for pdf in pdf_iter:
+        for _, row in pdf.iterrows():
+            typ = row["type"]
+            if typ == COMMIT_TYPE:
+                committed = True
+                commit_ts = row["ts"]
+            elif typ != BEGIN_TYPE:
+                seqs.append(int(row["event_seq"]))
+                types.append(str(typ))
+
+    if committed:
+        order = sorted(range(len(seqs)), key=lambda i: seqs[i])
+        yield pd.DataFrame(
+            {
+                "tx_id": [tx_id],
+                "n_items": [len(seqs)],
+                "first_seq": [min(seqs) if seqs else None],
+                "last_seq": [max(seqs) if seqs else None],
+                "item_types": ["|".join(types[i] for i in order)],
+                "commit_ts": [commit_ts],
+            }
+        )
+        state.remove()
+    else:
+        state.update((",".join(str(s) for s in seqs), ",".join(types)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+
+
+def assemble_transactions(
+    envelopes: DataFrame, abandoned_tx_timeout_ms: int | None = None
+) -> DataFrame:
+    """Group the envelope stream by tx_id and assemble transactions.
+
+    Input must carry (tx_id, type, event_seq, ts). Output one row per
+    committed transaction.
+
+    ``abandoned_tx_timeout_ms`` evicts never-committed transactions
+    from the state store after a processing-time delay (an upgrade on
+    the reference's unbounded buffer, postgresql.js:14-17). Leave
+    ``None`` for replay / availableNow runs: with a processing-time
+    timeout armed, Spark keeps scheduling state-cleanup batches and an
+    availableNow trigger never terminates.
+    """
+    import functools
+
+    fn = functools.partial(_assemble_tx, timeout_ms=abandoned_tx_timeout_ms)
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if abandoned_tx_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        envelopes.select("tx_id", "type", "event_seq", "ts")
+        .groupBy("tx_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TX_OUTPUT_SCHEMA,
+            stateStructType=TX_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )

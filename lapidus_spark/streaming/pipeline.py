@@ -1,0 +1,92 @@
+"""Streaming pipeline orchestration (§3.1 daemon lifecycle, Spark-first).
+
+config → N backend streams → envelope normalization → filters →
+sink fan-out → ``awaitAnyTermination``. The reference forks one OS
+process per backend and one JS event loop per process
+(lapidus.js:88-109); here every backend is a StreamingQuery inside
+one SparkSession — Spark owns parallelism, checkpointing, and
+restart.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from lapidus_spark.config import BackendConfig, EngineConfig, SinkConfig
+from lapidus_spark.sources.cdc import normalize_events
+from lapidus_spark.streaming import sinks as sink_mod
+from lapidus_spark.streaming.sources import stream_events
+
+
+def envelope_stream(spark: SparkSession, backend: BackendConfig) -> DataFrame:
+    """Build the normalized envelope stream for one backend, with the
+    reference's pre-dispatch filters applied early (pushed to the
+    scan): pg_temp system tables (postgresql.js:386-391) and
+    excludeTables (postgresql.js:393-397)."""
+    if backend.type != "file":
+        raise NotImplementedError(
+            f"backend type {backend.type!r}: live capture is external "
+            "(Debezium->Kafka); only the 'file' replay backend runs in "
+            "this container"
+        )
+    raw = stream_events(spark, backend.path)
+    env = normalize_events(raw, source=backend.name)
+    env = env.filter(~F.col("table_name").contains("pg_temp_"))
+    if backend.exclude_tables:
+        env = env.filter(~F.col("table_name").isin(backend.exclude_tables))
+    return env
+
+
+def start_sink(
+    env: DataFrame, backend: BackendConfig, sink: SinkConfig, checkpoint_root: str, idx: int
+) -> StreamingQuery:
+    enabled = sink.enabled_types if sink.enabled_types is not None else backend.enabled_types()
+    ckpt = os.path.join(checkpoint_root, f"{backend.name}-{sink.type}-{idx}")
+    if sink.type == "console":
+        writer = sink_mod.console_sink(env, enabled)
+    elif sink.type == "parquet":
+        writer = sink_mod.subject_file_sink(
+            env,
+            path=sink.options["path"],
+            checkpoint=ckpt,
+            enabled_types=enabled,
+            cache_prefix=sink.cache_prefix,
+        )
+    elif sink.type == "memory":
+        writer = sink_mod.memory_sink(
+            sink_mod.gate_types(env, enabled), sink.options.get("table", backend.name)
+        )
+    else:  # pragma: no cover — validated upstream
+        raise ValueError(sink.type)
+    if sink.type != "parquet":
+        writer = writer.option("checkpointLocation", ckpt)
+    trigger = sink.options.get("trigger", "availableNow")
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def run(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    checkpoint_root: str | None = None,
+    await_termination: bool = True,
+) -> list[StreamingQuery]:
+    """Start one query per (backend, sink); optionally block."""
+    checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="lapidus_ckpt_")
+    queries: list[StreamingQuery] = []
+    for backend in cfg.backends:
+        env = envelope_stream(spark, backend)
+        for i, sink in enumerate(backend.sinks or cfg.sinks):
+            queries.append(start_sink(env, backend, sink, checkpoint_root, i))
+    if await_termination:
+        for q in queries:
+            q.awaitTermination()
+    return queries

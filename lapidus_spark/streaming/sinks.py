@@ -1,0 +1,97 @@
+"""Sink factories (SURVEY.md §2.7).
+
+The reference fans one event stream out to an EventEmitter, per-type
+callbacks, NATS subjects, cache-invalidation topics, and a console
+logger (dispatch block postgresql.js:487-547; src/plugins/nats.js;
+src/plugins/debug.js). Spark-side each sink is a ``writeStream``
+built from the same envelope DataFrame; per-type gating
+(emitInsert/emitUpdate/... postgresql.js:88-97,153-170) is a filter
+on the sink's input, so disabled types cost nothing downstream.
+
+A sink factory is ``make(df, **cfg) -> DataStreamWriter``; the
+pipeline starts them and ``awaitAnyTermination()`` (the rebuild's
+ctl_fork: one query per backend/sink inside one SparkSession instead
+of one OS process per backend, lapidus.js:88-109).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+#: cache-action intent (nats.js:25-28) — documented intent, not the
+#: reference's `event.action` bug that routed deletes to populate.
+CACHE_ACTION = (
+    "CASE type WHEN 'update' THEN 'invalidate' "
+    "WHEN 'delete' THEN 'purge' ELSE 'populate' END"
+)
+
+
+def with_subject(df: DataFrame) -> DataFrame:
+    """NATS-style routing subject schema.table.pk (nats.js:17-21)."""
+    return df.withColumn(
+        "subject",
+        F.concat_ws(".", F.col("schema_name"), F.col("table_name"), F.col("pk")),
+    )
+
+
+def with_cache_topic(df: DataFrame, cache_prefix: str = "cache") -> DataFrame:
+    """Second publish topic {prefix}.{action}.{subject} (nats.js:25-28)."""
+    df = with_subject(df)
+    return df.withColumn(
+        "cache_topic",
+        F.concat_ws(".", F.lit(cache_prefix), F.expr(CACHE_ACTION), F.col("subject")),
+    )
+
+
+def gate_types(df: DataFrame, enabled_types: list[str] | None) -> DataFrame:
+    """flt_evtype per-sink gating; None = all types enabled."""
+    if enabled_types is None:
+        return df
+    return df.filter(F.col("type").isin(enabled_types))
+
+
+def console_sink(df: DataFrame, enabled_types: list[str] | None = None) -> DataStreamWriter:
+    """sink_debug (src/plugins/debug.js): log events to console."""
+    return gate_types(df, enabled_types).writeStream.format("console").outputMode("append")
+
+
+def subject_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    enabled_types: list[str] | None = None,
+    cache_prefix: str | None = None,
+) -> DataStreamWriter:
+    """sink_nats analog without a broker: events keyed by subject (+
+    optional cache topic) to a parquet stream. On a cluster this is
+    ``format("kafka")`` with key=subject, value=to_json(struct(*)) —
+    the column layout is already Kafka-shaped."""
+    out = gate_types(df, enabled_types)
+    out = with_cache_topic(out, cache_prefix) if cache_prefix else with_subject(out)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def memory_sink(df: DataFrame, table_name: str) -> DataStreamWriter:
+    """In-memory sink for tests / the driver's batch-compare."""
+    return df.writeStream.format("memory").queryName(table_name).outputMode("append")
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    enabled_types: list[str] | None = None,
+) -> DataStreamWriter:
+    """sink_cb (onInsert/onUpdate/... postgresql.js:99-106): user
+    callback per micro-batch. The reference's per-event-wrapper
+    machinery (onEventsWrapper, postgresql.js:108-122) has no analog —
+    Spark owns scheduling."""
+    return gate_types(df, enabled_types).writeStream.foreachBatch(handler)

@@ -1,0 +1,73 @@
+"""Streaming sources (SURVEY.md §2.1 → Structured Streaming).
+
+The reference captures changes by tailing pg_recvlogical / binlog /
+oplog (src/postgresql.js:550-619, src/mysql.js:272-289,
+src/mongo.js:108-286). In the rebuild, capture stays external
+(Debezium→Kafka in production, per BASELINE.json); the engine's
+contract starts at "an ordered stream of change records". Locally we
+replay the ``events`` fixture as a file-source stream — the same
+envelope pipeline runs unchanged on a Kafka source (swap
+``readStream.format``; the normalizer only needs columns).
+
+Slot semantics (src_slot, postgresql.js:290-354): the replication
+slot is a durable cursor ⇒ Spark ``checkpointLocation``. Restart
+resumes from the checkpoint — at-least-once upgraded to effectively
+exactly-once with idempotent sinks, vs the reference's
+at-most-once MySQL restart (`startAtEnd: true`, mysql.js:282).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lapidus_spark.sources.tables import load_table
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay the events table as a file-source stream.
+
+    Schema comes from the batch loader (single source of truth, incl.
+    the nanos→long handling); the file source needs a directory-or-glob
+    path and an explicit schema.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    reader = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        # file source requires a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_json_dir(spark: SparkSession, path: str, schema) -> DataFrame:
+    """LDJSON directory source — the streaming analog of the
+    reference's one-JSON-object-per-line wire format (src_decode,
+    postgresql.js:607-611 via ldjson-stream)."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic rate source for soak/throughput testing (the
+    reference's TPC-C-generator role, README.md:241-245)."""
+    return (
+        spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load()
+    )
+
+
+def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_events — identical schema and semantics,
+    used to verify stream/batch parity."""
+    return load_table(spark, sf_dir, "events")

@@ -1,0 +1,280 @@
+"""Streaming parity tests (SURVEY.md §2.4/§2.7 rebuild plan §M3).
+
+Strategy mirrors the reference's integration suite (SURVEY §5): drive
+real events through the pipeline end-to-end and assert emitted
+envelopes — but with file-replay micro-batches instead of live DBs.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lapidus_spark.config import ConfigError, parse_config
+from lapidus_spark.sources.cdc import ENVELOPE_SCHEMA, normalize_events
+from lapidus_spark.sources.tables import load_table
+from lapidus_spark.streaming.assembler import assemble_transactions
+from lapidus_spark.streaming.pipeline import envelope_stream, run
+from tests.conftest import SF_DIR
+
+
+def _await_all(spark):
+    for q in spark.streams.active:
+        q.awaitTermination()
+
+
+def test_envelope_stream_matches_batch(spark, tmp_path):
+    """Stream and batch produce identical envelopes (same normalizer)."""
+    from lapidus_spark.streaming.sources import stream_events
+
+    env = normalize_events(stream_events(spark, SF_DIR))
+    q = (
+        env.writeStream.format("memory")
+        .queryName("env_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("env_stream")
+    batch = normalize_events(load_table(spark, SF_DIR, "events"))
+    assert streamed.schema == batch.schema
+    assert streamed.count() == batch.count() == 1000
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_envelope_schema_is_canonical(spark):
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    assert [f.name for f in env.schema.fields] == [f.name for f in ENVELOPE_SCHEMA.fields]
+
+
+@pytest.fixture()
+def tx_stream_dir(spark, tmp_path):
+    """Two micro-batch files of envelope events with begin/commit
+    markers, modeling the jsoncdc line stream (postgresql.js:400-469):
+    tx 1 commits in batch 1, tx 2 spans both batches (state carry),
+    tx 3 never commits (stays buffered until timeout)."""
+    d = tmp_path / "txin"
+    d.mkdir()
+
+    def ev(seq, typ, tx):
+        ts = "2024-01-01T00:00:0%d" % (seq % 10)
+        return {
+            "event_seq": seq,
+            "source": "pg_main",
+            "type": typ,
+            "schema_name": "public",
+            "table_name": "users",
+            "pk": str(seq),
+            "item": None,
+            "tx_id": tx,
+            "ts": ts,
+        }
+
+    batch1 = [
+        ev(1, "beginTransaction", 1),
+        ev(2, "insert", 1),
+        ev(3, "update", 1),
+        ev(4, "commitTransaction", 1),
+        ev(5, "beginTransaction", 2),
+        ev(6, "insert", 2),
+    ]
+    batch2 = [
+        ev(7, "delete", 2),
+        ev(8, "commitTransaction", 2),
+        ev(9, "beginTransaction", 3),
+        ev(10, "insert", 3),
+    ]
+    for i, batch in enumerate([batch1, batch2]):
+        with open(d / f"batch{i}.json", "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+    return str(d)
+
+
+def test_transaction_assembly_streaming(spark, tx_stream_dir, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_seq", LongType()),
+            StructField("source", StringType()),
+            StructField("type", StringType()),
+            StructField("schema_name", StringType()),
+            StructField("table_name", StringType()),
+            StructField("pk", StringType()),
+            StructField("item", StringType()),
+            StructField("tx_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    env = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tx_stream_dir)
+    )
+    txs = assemble_transactions(env)
+    q = (
+        txs.writeStream.format("memory")
+        .queryName("tx_out")
+        .option("checkpointLocation", str(tmp_path / "txckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["tx_id"]: r for r in spark.table("tx_out").collect()}
+    # tx 1: committed within batch 1, statement order preserved
+    assert out[1]["n_items"] == 2
+    assert out[1]["item_types"] == "insert|update"
+    assert out[1]["first_seq"] == 2 and out[1]["last_seq"] == 3
+    # tx 2: spans micro-batches — state carried across triggers
+    assert out[2]["n_items"] == 2
+    assert out[2]["item_types"] == "insert|delete"
+    # tx 3: never committed — must NOT be emitted
+    assert 3 not in out
+
+
+def test_pipeline_fanout_and_gating(spark, tmp_path):
+    """End-to-end daemon run: file backend → two sinks with different
+    type gates (per-sink emit flags, postgresql.js:88-97)."""
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "pg_main",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "sinks": [
+                            {"type": "memory", "options": {"table": "all_events"}},
+                            {
+                                "type": "memory",
+                                "options": {"table": "inserts_only"},
+                                "enabledTypes": ["insert"],
+                            },
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    run(spark, cfg, checkpoint_root=str(tmp_path / "ckpts"))
+    all_n = spark.table("all_events").count()
+    ins_n = spark.table("inserts_only").count()
+    assert all_n == 1000
+    batch = normalize_events(load_table(spark, SF_DIR, "events"))
+    assert ins_n == batch.filter("type = 'insert'").count() > 0
+
+
+def test_pipeline_exclude_tables(spark, tmp_path):
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "pg2",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "excludeTables": ["users"],
+                        "sinks": [{"type": "memory", "options": {"table": "excluded_out"}}],
+                    }
+                ]
+            }
+        )
+    )
+    run(spark, cfg, checkpoint_root=str(tmp_path / "ckpts2"))
+    assert spark.table("excluded_out").count() == 0  # all fixture rows are table 'users'
+
+
+def test_parquet_sink_subject_and_cache_topic(spark, tmp_path):
+    out = tmp_path / "out"
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "pg3",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "sinks": [
+                            {
+                                "type": "parquet",
+                                "options": {"path": str(out)},
+                                "cachePrefix": "cache",
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    run(spark, cfg, checkpoint_root=str(tmp_path / "ckpts3"))
+    written = spark.read.parquet(str(out))
+    assert written.count() == 1000
+    row = written.filter("type = 'delete'").first()
+    assert row["subject"] == f"public.users.{row['pk']}"
+    assert row["cache_topic"] == f"cache.purge.public.users.{row['pk']}"
+    row = written.filter("type = 'insert'").first()
+    assert row["cache_topic"].startswith("cache.populate.")
+
+
+# ---- config validation (ctl_config, mirrors test/config.test.js) ----
+
+
+def test_config_parse_error_mentions_parse():
+    with pytest.raises(ConfigError, match="Parse"):
+        parse_config("{not json")
+
+
+def test_config_requires_backend():
+    with pytest.raises(ConfigError, match="at least one backend"):
+        parse_config('{"backends": []}')
+
+
+def test_config_unknown_backend_type():
+    with pytest.raises(ConfigError, match="unknown type"):
+        parse_config('{"backends": [{"type": "oracle"}]}')
+
+
+def test_config_pg_slot_required():
+    with pytest.raises(ConfigError, match="slot"):
+        parse_config('{"backends": [{"type": "postgresql"}]}')
+    with pytest.raises(ConfigError, match="slot"):
+        parse_config('{"backends": [{"type": "postgresql", "slot": "bad slot!"}]}')
+
+
+def test_config_global_sink_inheritance():
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [{"type": "file", "path": "/x"}],
+                "sinks": [{"type": "console"}],
+            }
+        )
+    )
+    assert cfg.backends[0].sinks[0].type == "console"  # lapidus.js:96
+
+
+def test_config_emit_flag_cascade():
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {"type": "file", "path": "/x", "emitEvents": False},
+                    {"type": "file", "path": "/x", "emitTypes": ["insert"]},
+                ],
+                "sinks": [{"type": "console"}],
+            }
+        )
+    )
+    assert cfg.backends[0].enabled_types() == []  # master switch off
+    assert cfg.backends[1].enabled_types() == ["insert"]  # explicit wins
