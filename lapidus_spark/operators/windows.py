@@ -1,0 +1,189 @@
+"""Window / analytic / sessionization operators (SURVEY.md §2.5 gap).
+
+The reference has no window functions (grep-verified, SURVEY §2.5),
+but its stream semantics imply them everywhere: before/after-image
+diffing (prj_after, mysql.js:229-236), running per-entity state, the
+implicit begin→commit session (agg_tx, postgresql.js:437-465), and
+per-backend ordered delivery (agg_order, lapidus.js:88-109). These
+queries give the rebuild that surface as first-class, scale-safe
+operators.
+
+Scale notes (100 TB posture):
+- every window here partitions by the entity key (``user_id``) —
+  one shuffle, then per-partition streaming evaluation; no unbounded
+  frames over the whole dataset, no ``collect``.
+- tumbling windows are a pure projection before a hash aggregate
+  (map-side partials apply); they are the batch analog of the
+  streaming windowed aggregation (see streaming/queries.py).
+- running double sums would be order-dependent across engines, so the
+  frame is pinned (ROWS UNBOUNDED PRECEDING .. CURRENT ROW over a
+  total per-partition order) and summed in exact DECIMAL, cast to
+  double at the end — bit-identical left folds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+#: session gap, seconds (30 min) — agg_tx's begin→commit session made
+#: explicit as an inactivity-gap sessionization.
+SESSION_GAP_S = 1800
+
+
+@query(
+    "win_lag_delta",
+    oracle="""
+    SELECT event_id, user_id AS entity_id, value,
+           lag(value) OVER w AS prev_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    operator="prj_after (gap §2.5 analytic)",
+    doc="Before/after-image diff per entity: the update event's "
+    "after-image vs the previous event (mysql.js:229-236 row.after) "
+    "as lag() over the per-entity sequence.",
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("entity_id"),
+        F.col("value"),
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+    SELECT event_id, user_id AS entity_id,
+           count(*) OVER w AS n_so_far,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    operator="agg_txid_tag (gap §2.5 analytic)",
+    doc="Per-entity running state carried between events — the "
+    "currentTxId-style running stamp (postgresql.js:55,479) as a "
+    "cumulative window over the entity's ordered history.",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").alias("entity_id"),
+        F.count("*").over(w).alias("n_so_far"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM gaps
+    )
+    SELECT user_id AS entity_id, session_no,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    operator="agg_tx (gap §2.5 sessionization)",
+    doc="Inactivity-gap sessionization: the begin→commit implicit "
+    "session (postgresql.js:437-465) generalized to a 30-min gap "
+    "session per entity; streaming analog is session_window.",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_S),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(cum))
+        .groupBy(F.col("user_id").alias("entity_id"), F.col("session_no"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "win_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    operator="streaming windowed agg, batch analog (SURVEY §2.4 scorecard)",
+    doc="Tumbling 1-hour event-time windows — the batch twin of the "
+    "streaming windowed aggregation (the reference has no windows at "
+    "all; SURVEY §2.4 scorecard). F.window aligns to the epoch, so "
+    "window.start == date_trunc('hour').",
+)
+def win_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "agg_rollup_hierarchy",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    operator="grouping sets/rollup (gap §2.5)",
+    doc="Hierarchical rollup (status → priority → grand total) — "
+    "grouping-sets surface the reference lacks; Catalyst expands to "
+    "one Expand + hash aggregate (single shuffle).",
+)
+def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

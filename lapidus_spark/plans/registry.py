@@ -51,12 +51,15 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their registrations run."""
     import lapidus_spark.operators.filters  # noqa: F401
+    import lapidus_spark.operators.joins  # noqa: F401
     import lapidus_spark.operators.projections  # noqa: F401
     import lapidus_spark.operators.relational  # noqa: F401
     import lapidus_spark.operators.stateful  # noqa: F401
+    import lapidus_spark.operators.windows  # noqa: F401
     import lapidus_spark.functions.dedup  # noqa: F401
     import lapidus_spark.functions.multimodal  # noqa: F401
     import lapidus_spark.functions.similarity  # noqa: F401
     import lapidus_spark.functions.text  # noqa: F401
+    import lapidus_spark.streaming.queries  # noqa: F401
 
     return REGISTRY

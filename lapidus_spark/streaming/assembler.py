@@ -82,14 +82,14 @@ def _assemble_tx(
     commit_ts: Any = None
     tx_id = int(key[0])
     for pdf in pdf_iter:
-        for _, row in pdf.iterrows():
-            typ = row["type"]
-            if typ == COMMIT_TYPE:
-                committed = True
-                commit_ts = row["ts"]
-            elif typ != BEGIN_TYPE:
-                seqs.append(int(row["event_seq"]))
-                types.append(str(typ))
+        # vectorized: one mask per micro-batch chunk, no per-row loop
+        commits = pdf.loc[pdf["type"] == COMMIT_TYPE, "ts"]
+        if len(commits):
+            committed = True
+            commit_ts = commits.iloc[-1]
+        mask = ~pdf["type"].isin((COMMIT_TYPE, BEGIN_TYPE))
+        seqs.extend(int(s) for s in pdf.loc[mask, "event_seq"])
+        types.extend(str(t) for t in pdf.loc[mask, "type"])
 
     if committed:
         order = sorted(range(len(seqs)), key=lambda i: seqs[i])

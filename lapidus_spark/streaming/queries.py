@@ -1,0 +1,223 @@
+"""Streaming operators surfaced through the driver's correctness gate.
+
+Each query here runs a real Structured Streaming job (availableNow
+trigger → memory sink) and returns the materialized result, so the
+DuckDB oracle verifies *streaming* execution — not just the batch
+twin. This is the rebuild's answer to the reference's live-DB
+integration suite (SURVEY §5): drive events through the actual
+pipeline and assert what comes out.
+
+Replay is micro-batched (maxFilesPerTrigger=1 over multiple files
+where state carry-over matters), so stateful operators demonstrably
+survive trigger boundaries via the state store — the property the
+reference's in-memory buffer lacked (postgresql.js:14-17).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.cdc import CDC_TYPE_EXPR, normalize_events
+from lapidus_spark.sources.tables import load_table
+from lapidus_spark.streaming.assembler import assemble_transactions
+from lapidus_spark.streaming.sources import stream_events
+
+
+#: state partitions for local/replay streaming runs. Stateful streams
+#: pay a fixed per-partition-per-batch cost (one state store instance,
+#: delta file, commit) — with a vanilla session's 200 shuffle
+#: partitions that overhead dwarfs the work at replay scale. On a real
+#: cluster this should track executor cores (state partitioning is
+#: fixed at first checkpoint).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Start an availableNow query into a memory sink, await, return
+    the result table (driver-side harness; the data path is
+    executor-distributed)."""
+    spark = df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"lapidus_{name}_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+@query(
+    "stream_envelope_replay",
+    oracle=f"""
+    SELECT event_id AS event_seq,
+           'pg_main' AS source,
+           {CDC_TYPE_EXPR} AS type,
+           'public' AS schema_name,
+           'users' AS table_name,
+           CAST(user_id AS VARCHAR) AS pk,
+           CASE WHEN {CDC_TYPE_EXPR} = 'delete' THEN NULL ELSE props END AS item,
+           user_id AS tx_id,
+           ts
+    FROM events
+    """,
+    operator="src_pg/src_decode/prj_envelope (streaming execution)",
+    doc="The envelope pipeline run as a real stream (file replay → "
+    "readStream → normalize → sink) and verified against the same "
+    "oracle as the batch twin: stream/batch parity is a checked "
+    "invariant, not an assumption.",
+)
+def stream_envelope_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = normalize_events(stream_events(spark, sf_dir))
+    return _run_to_memory(env, "stream_envelope_replay_out")
+
+
+@query(
+    "stream_tx_assembly",
+    oracle="""
+    SELECT user_id AS tx_id,
+           count(*) AS n_items,
+           min(event_id) * 10 AS first_seq,
+           max(event_id) * 10 AS last_seq,
+           string_agg(event_type, '|' ORDER BY event_id) AS item_types,
+           max(ts) AS commit_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    operator="agg_tx (streaming execution, applyInPandasWithState)",
+    doc="Transaction assembly run as a real stateful stream: per-"
+    "entity begin/commit markers are synthesized around the event "
+    "history (begin before the first statement, commit after the "
+    "last, stamped with the max ts — the reference's commit-ts rule, "
+    "postgresql.js:457-464), replayed in TWO micro-batches so "
+    "transactions provably span trigger boundaries through the state "
+    "store, then assembled by the applyInPandasWithState operator "
+    "(DatabaseTransaction, postgresql.js:18-33).",
+)
+def stream_tx_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Synthesize the marker stream: item seq = event_id*10; begin/commit
+    # bracket each entity's history at min*10-1 / max*10+1.
+    items = ev.select(
+        (F.col("event_id") * 10).alias("event_seq"),
+        F.col("event_type").alias("type"),
+        F.col("user_id").alias("tx_id"),
+        F.col("ts"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.max("ts").alias("commit_ts"),
+    )
+    begins = bounds.select(
+        (F.col("min_id") * 10 - 1).alias("event_seq"),
+        F.lit("beginTransaction").alias("type"),
+        F.col("user_id").alias("tx_id"),
+        F.col("commit_ts").alias("ts"),
+    )
+    commits = bounds.select(
+        (F.col("max_id") * 10 + 1).alias("event_seq"),
+        F.lit("commitTransaction").alias("type"),
+        F.col("user_id").alias("tx_id"),
+        F.col("commit_ts").alias("ts"),
+    )
+    marked = items.unionByName(begins).unionByName(commits)
+
+    # Write the marker stream as two parquet micro-batch directories
+    # split at the midpoint seq — every commit seq is its tx's max, so
+    # a commit never precedes its items across the batch boundary, and
+    # transactions straddling the midpoint exercise cross-trigger
+    # state carry. One distributed write job via partitionBy; one file
+    # per batch dir ⇒ exactly one micro-batch each; distinct mtimes
+    # pin replay order (the file source orders by modification time
+    # and breaks ties arbitrarily).
+    import time
+
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    half = (int(lo) + int(hi)) * 10 // 2
+    replay_dir = tempfile.mkdtemp(prefix="lapidus_txreplay_")
+    (
+        marked.withColumn("batch", (F.col("event_seq") > half).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(replay_dir)
+    )
+    now = time.time()
+    for i in (0, 1):
+        sub = os.path.join(replay_dir, f"batch={i}")
+        for fn in os.listdir(sub):
+            os.utime(os.path.join(sub, fn), (now + i * 10, now + i * 10))
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_seq", LongType()),
+            StructField("type", StringType()),
+            StructField("tx_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    env = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    txs = assemble_transactions(env)
+    out = _run_to_memory(txs, "stream_tx_assembly_out")
+    # item seqs are event_id*10 → report back in event_id units is
+    # wrong; oracle states seqs in *10 units to match exactly.
+    return out.select(
+        "tx_id",
+        "n_items",
+        "first_seq",
+        "last_seq",
+        "item_types",
+        "commit_ts",
+    )
+
+
+@query(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    operator="streaming windowed agg (SURVEY §2.4 scorecard upgrade)",
+    doc="Tumbling 1-hour event-time aggregation run as a real stream "
+    "(complete output mode ⇒ the final state equals the batch "
+    "answer); the watermarked append-mode variant is exercised in "
+    "tests/test_streaming.py.",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, "stream_windowed_counts_out", output_mode="complete")

@@ -87,10 +87,18 @@ def tx_stream_dir(spark, tmp_path):
         ev(9, "beginTransaction", 3),
         ev(10, "insert", 3),
     ]
+    import os
+    import time
+
+    now = time.time()
     for i, batch in enumerate([batch1, batch2]):
-        with open(d / f"batch{i}.json", "w") as f:
+        p = d / f"batch{i}.json"
+        with open(p, "w") as f:
             for e in batch:
                 f.write(json.dumps(e) + "\n")
+        # distinct mtimes: the file source orders by modification time
+        # and breaks ties arbitrarily — pin replay order explicitly
+        os.utime(p, (now + i * 10, now + i * 10))
     return str(d)
 
 
