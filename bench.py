@@ -47,6 +47,33 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        # streaming queries materialize through memory sinks; drop the
+        # result tables so retained rows don't pressure later timings
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name.endswith("_out"):
+                spark.catalog.dropTempView(t.name)
+
+    # Streaming throughput (BASELINE.md bench protocol): replay the
+    # events table through the envelope pipeline as a real stream into
+    # a noop sink; report rows/sec. Cold streaming-machinery cost was
+    # absorbed by the warmup pass above.
+    import tempfile
+
+    from lapidus_spark.sources.cdc import normalize_events
+    from lapidus_spark.streaming.sources import stream_events
+
+    n_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    env = normalize_events(stream_events(spark, sf_dir))
+    t0 = time.perf_counter()
+    q = (
+        env.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_wall = time.perf_counter() - t0
+    print(f"# streaming envelope replay: {n_rows} rows in {stream_wall:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(
@@ -56,6 +83,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "streaming": {
+                    "envelope_replay_rows": n_rows,
+                    "envelope_replay_wall_s": round(stream_wall, 4),
+                    "envelope_replay_rows_per_sec": round(n_rows / stream_wall, 1),
+                },
             }
         )
     )
