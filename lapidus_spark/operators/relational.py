@@ -109,6 +109,50 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_join_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+    operator="fact-fact shuffle join (gap §2.5)",
+    doc="TPC-H-Q3-style revenue by market segment: lineitem⋈orders is "
+    "a fact-fact join (sort-merge at scale — neither side broadcasts "
+    "at 100 TB), the date filter pushes into the orders scan ahead of "
+    "the shuffle, and customer joins after the heavy join to keep the "
+    "exchange thin.",
+)
+def agg_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-01-01 00:00:00"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (one - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "top_k_entities",
     oracle=f"""
     SELECT user_id AS entity_id,

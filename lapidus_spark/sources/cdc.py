@@ -53,6 +53,73 @@ def cdc_type_col() -> Column:
     return F.expr(CDC_TYPE_EXPR)
 
 
+def normalize_mysql(df: DataFrame, pk_columns: dict[str, str], source: str = "mysql_main") -> DataFrame:
+    """MySQL binlog rows → canonical envelope.
+
+    Input columns: ``seq, op ('insert'|'update'|'delete'), db, table,
+    before, after`` (before/after: MapType(string,string) row images).
+    Reference semantics (src/mysql.js:144-269):
+    - pk column name comes from binlog tablemap PRIMARY-KEY metadata,
+      per table (``constraints.PRIMARY[0]``, mysql.js:119-140) —
+      modeled as the ``pk_columns`` table→column map;
+    - update carries the after-image only (row.after, mysql.js:235);
+    - delete carries pk only, no row image (mysql.js:148-152);
+    - MySQL has no transaction ids in this path → tx_id null.
+    """
+    pk_col = F.lit(None).cast("string")
+    for table, col in pk_columns.items():
+        image = F.when(F.col("op") == "delete", F.col("before")).otherwise(F.col("after"))
+        pk_col = F.when(F.col("table") == table, image.getItem(col)).otherwise(pk_col)
+    return df.select(
+        F.col("seq").alias("event_seq"),
+        F.lit(source).alias("source"),
+        F.col("op").alias("type"),
+        F.col("db").alias("schema_name"),
+        F.col("table").alias("table_name"),
+        pk_col.alias("pk"),
+        F.when(F.col("op") == "delete", F.lit(None).cast("string"))
+        .otherwise(F.to_json(F.col("after")))
+        .alias("item"),
+        F.lit(None).cast("long").alias("tx_id"),
+        F.col("ts"),
+    )
+
+
+def normalize_mongo(df: DataFrame, source: str = "mongo_main") -> DataFrame:
+    """Mongo oplog docs → canonical envelope.
+
+    Input columns: ``seq, op ('i'|'u'|'d'), db, collection, o, o2``
+    (o/o2: MapType(string,string) — the oplog document and the
+    update-target doc). Reference semantics (src/mongo.js:133-272):
+    - ns = "db.collection" (mongo.js:141) → split across
+      schema_name/table_name in the canonical envelope;
+    - pk = o._id || o2._id (mongo.js:139,195,239);
+    - update carries the update *operation* doc, not the resulting
+      row: item = o2 || o (mongo.js:197, caveat README.md:10-12);
+    - delete carries no item at all (mongo.js:237-240, asserted in
+      test/mongo.test.js:288,317).
+    """
+    op_type = (
+        F.when(F.col("op") == "i", F.lit("insert"))
+        .when(F.col("op") == "u", F.lit("update"))
+        .otherwise(F.lit("delete"))
+    )
+    return df.select(
+        F.col("seq").alias("event_seq"),
+        F.lit(source).alias("source"),
+        op_type.alias("type"),
+        F.col("db").alias("schema_name"),
+        F.col("collection").alias("table_name"),
+        F.coalesce(F.col("o").getItem("_id"), F.col("o2").getItem("_id")).alias("pk"),
+        F.when(F.col("op") == "d", F.lit(None).cast("string"))
+        .when(F.col("op") == "u", F.to_json(F.coalesce(F.col("o2"), F.col("o"))))
+        .otherwise(F.to_json(F.col("o")))
+        .alias("item"),
+        F.lit(None).cast("long").alias("tx_id"),
+        F.col("ts"),
+    )
+
+
 def normalize_events(
     df: DataFrame,
     source: str = "pg_main",

@@ -221,3 +221,28 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return _run_to_memory(agg, "stream_windowed_counts_out", output_mode="complete")
+
+
+@query(
+    "stream_schema_cache",
+    oracle="""
+    SELECT event_type AS table_name,
+           arg_max(props, event_id) AS latest_schema,
+           max(event_id) AS schema_seq
+    FROM events
+    GROUP BY event_type
+    """,
+    operator="win_schema (streaming execution)",
+    doc="The last-schema-per-table cache (schemaCache, "
+    "postgresql.js:56,430-436) maintained by a running stream: "
+    "max_by per key in complete mode — the stream's final state "
+    "equals the batch answer. In production this state is what gets "
+    "broadcast-joined onto later envelopes.",
+)
+def stream_schema_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    cache = ev.groupBy(F.col("event_type").alias("table_name")).agg(
+        F.max_by("props", "event_id").alias("latest_schema"),
+        F.max("event_id").alias("schema_seq"),
+    )
+    return _run_to_memory(cache, "stream_schema_cache_out", output_mode="complete")
