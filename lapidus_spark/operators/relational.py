@@ -153,6 +153,48 @@ def agg_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_brand_nation_margin",
+    oracle="""
+    SELECT p.p_brand, n.n_name AS supplier_nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY p.p_brand, n.n_name
+    """,
+    operator="star-schema multi-dim join (gap §2.5)",
+    doc="Revenue by part brand × supplier nation: the classic "
+    "star-schema shape — one fact scan, every dimension broadcast, "
+    "zero fact shuffles before the final aggregation exchange.",
+)
+def agg_brand_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("p_brand"), F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (one - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
     "top_k_entities",
     oracle=f"""
     SELECT user_id AS entity_id,

@@ -372,6 +372,43 @@ def test_foreach_batch_callback_sink(spark, tmp_path):
     assert sum(n for _, n in seen) == expected > 0
 
 
+def test_pipeline_monitor_listener(spark, tmp_path):
+    """ctl-plane health events (src_stderr analog): the listener sees
+    start, progress with row counts, and clean termination."""
+    import time
+
+    from lapidus_spark.sources.cdc import normalize_events
+    from lapidus_spark.streaming.monitor import PipelineMonitor, probe_source
+    from lapidus_spark.streaming.sources import stream_events
+
+    # start-up probe (src_probe): source exists and has the schema
+    assert probe_source(spark, f"{SF_DIR}/events.parquet").count() == 1
+
+    mon = PipelineMonitor()
+    spark.streams.addListener(mon)
+    try:
+        env = normalize_events(stream_events(spark, SF_DIR))
+        q = (
+            env.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "monckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener callbacks are async — wait for the terminated event
+        for _ in range(50):
+            if any(e.kind in ("terminated", "error") for e in mon.events):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(mon)
+
+    kinds = [e.kind for e in mon.events]
+    assert "started" in kinds and "terminated" in kinds
+    assert not mon.errors()
+    assert mon.total_input_rows() == 1000
+
+
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
