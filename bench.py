@@ -36,6 +36,9 @@ def main() -> None:
             reg[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — warmup must not kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.endswith("_out"):
+            spark.catalog.dropTempView(t.name)
 
     timings: dict[str, float] = {}
     total = 0.0

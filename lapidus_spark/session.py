@@ -25,6 +25,12 @@ def get_spark(app_name: str = "lapidus_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # replay/bench sessions run many short availableNow streams;
+        # loaded state-store providers linger after query stop and the
+        # default 60s maintenance cycle steals cores from later batch
+        # work — push it out (a long-running cluster job would tune
+        # this per stream instead)
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

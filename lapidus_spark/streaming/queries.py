@@ -224,6 +224,54 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM gaps
+    )
+    SELECT user_id AS entity_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 1800 SECOND AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    operator="agg_tx session semantics (streaming session_window)",
+    doc="Native streaming session windows (30-min inactivity gap) per "
+    "entity in complete mode — the begin→commit implicit session "
+    "(postgresql.js:437-465) as Spark's session_window operator; the "
+    "oracle rebuilds sessions with lag + cumulative-flag windows "
+    "(session end = last event + gap, both formulations).",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sess, "stream_sessionize_out", output_mode="complete")
+
+
+@query(
     "stream_schema_cache",
     oracle="""
     SELECT event_type AS table_name,

@@ -121,3 +121,20 @@ def test_empty_tx_commit_emits_zero_items():
     assert len(out) == 1
     assert out.iloc[0]["n_items"] == 0
     assert pd.isna(out.iloc[0]["first_seq"])
+
+
+def test_abandoned_tx_timeout_drops_state():
+    """The eviction path (upgrade over the reference's forever-leaked
+    buffer, postgresql.js:14-17): on timeout the state is dropped and
+    nothing is emitted."""
+
+    class TimedOutState(FakeState):
+        @property
+        def hasTimedOut(self):
+            return True
+
+    state = TimedOutState()
+    state.update(("2,3", "insert|update"))
+    out = list(_assemble_tx((1,), iter([]), state, timeout_ms=60_000))
+    assert out == []
+    assert state.removed and not state.exists
