@@ -22,6 +22,11 @@ BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file")
 SINK_TYPES = ("console", "parquet", "memory")
 EVENT_TYPES = ("insert", "update", "delete")
 
+#: plugin sink types (sink_plugin, lapidus.js:28-49): factories
+#: registered via lapidus_spark.streaming.sinks.register_sink add
+#: their config type name here to pass validation.
+EXTRA_SINK_TYPES: set[str] = set()
+
 
 class ConfigError(ValueError):
     pass
@@ -105,8 +110,10 @@ def validate_config(raw: dict) -> EngineConfig:
 
 def _sink(s: dict) -> SinkConfig:
     stype = s.get("type")
-    if stype not in SINK_TYPES:
-        raise ConfigError(f"sink: unknown type {stype!r}; valid: {SINK_TYPES}")
+    if stype not in SINK_TYPES and stype not in EXTRA_SINK_TYPES:
+        raise ConfigError(
+            f"sink: unknown type {stype!r}; valid: {SINK_TYPES + tuple(sorted(EXTRA_SINK_TYPES))}"
+        )
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

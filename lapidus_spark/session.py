@@ -10,6 +10,7 @@ Settings chosen for 100 TB posture (and safe locally):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +32,12 @@ def get_spark(app_name: str = "lapidus_spark", cpus: int | None = None) -> Spark
         # work — push it out (a long-running cluster job would tune
         # this per stream instead)
         .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+        # writable warehouse for bucketed tables (static conf — must be
+        # set at session build time)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "lapidus_warehouse"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

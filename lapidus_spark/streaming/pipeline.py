@@ -61,8 +61,10 @@ def start_sink(
         writer = sink_mod.memory_sink(
             sink_mod.gate_types(env, enabled), sink.options.get("table", backend.name)
         )
-    else:  # pragma: no cover — validated upstream
-        raise ValueError(sink.type)
+    else:
+        # plugin sink (sink_plugin): resolved from the factory registry
+        opts = {k: v for k, v in sink.options.items() if k != "trigger"}
+        writer = sink_mod.make_sink(sink.type, sink_mod.gate_types(env, enabled), **opts)
     if sink.type != "parquet":
         writer = writer.option("checkpointLocation", ckpt)
     trigger = sink.options.get("trigger", "availableNow")

@@ -95,3 +95,37 @@ def foreach_batch_sink(
     machinery (onEventsWrapper, postgresql.js:108-122) has no analog —
     Spark owns scheduling."""
     return gate_types(df, enabled_types).writeStream.foreachBatch(handler)
+
+
+# ---------------------------------------------------------------- plugins
+#: sink factory registry (sink_plugin, lapidus.js:28-49): third-party
+#: sinks register a factory ``(df, **options) -> DataStreamWriter``
+#: under a name usable in config ``sinks: [{"type": "<name>", ...}]``.
+#: Replaces the reference's require()-by-filename plugin loading with
+#: an explicit registry (no file-existence checks, validated upfront).
+SINK_FACTORIES: dict[str, Callable[..., DataStreamWriter]] = {}
+
+
+def register_sink(name: str):
+    """Decorator: register a sink factory under ``name``."""
+
+    def deco(fn: Callable[..., DataStreamWriter]):
+        SINK_FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+def make_sink(name: str, df: DataFrame, **options) -> DataStreamWriter:
+    """Instantiate a registered sink (plugin init, lapidus.js:66-79)."""
+    if name not in SINK_FACTORIES:
+        raise KeyError(
+            f"unknown sink {name!r}; registered: {sorted(SINK_FACTORIES)}"
+        )
+    return SINK_FACTORIES[name](df, **options)
+
+
+register_sink("console")(console_sink)
+register_sink("subject_file")(subject_file_sink)
+register_sink("memory")(memory_sink)
+register_sink("foreach_batch")(foreach_batch_sink)

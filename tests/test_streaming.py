@@ -412,6 +412,59 @@ def test_pipeline_monitor_listener(spark, tmp_path):
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
+def test_plugin_sink_registry(spark, tmp_path):
+    """sink_plugin (lapidus.js:28-49): a third-party sink factory
+    registered by name, validated in config, driven by the pipeline."""
+    from lapidus_spark import config as cfg_mod
+    from lapidus_spark.streaming.sinks import SINK_FACTORIES, register_sink
+
+    @register_sink("upper_memory")
+    def upper_memory(df, table="plugin_out"):
+        from pyspark.sql import functions as F
+
+        return (
+            df.withColumn("table_name", F.upper("table_name"))
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+        )
+
+    cfg_mod.EXTRA_SINK_TYPES.add("upper_memory")
+    try:
+        cfg = parse_config(
+            json.dumps(
+                {
+                    "backends": [
+                        {
+                            "name": "pgp",
+                            "type": "file",
+                            "path": SF_DIR,
+                            "sinks": [
+                                {"type": "upper_memory", "options": {"table": "plugin_out"}}
+                            ],
+                        }
+                    ]
+                }
+            )
+        )
+        run(spark, cfg, checkpoint_root=str(tmp_path / "plugckpt"))
+        out = spark.table("plugin_out")
+        assert out.count() == 1000
+        assert out.select("table_name").first()[0] == "USERS"
+    finally:
+        cfg_mod.EXTRA_SINK_TYPES.discard("upper_memory")
+        SINK_FACTORIES.pop("upper_memory", None)
+
+    # unregistered type still rejected (ctl_config parity)
+    with pytest.raises(ConfigError, match="unknown type"):
+        parse_config(
+            json.dumps(
+                {"backends": [{"type": "file", "path": "/x",
+                               "sinks": [{"type": "upper_memory"}]}]}
+            )
+        )
+
+
 def test_config_parse_error_mentions_parse():
     with pytest.raises(ConfigError, match="Parse"):
         parse_config("{not json")
