@@ -76,6 +76,10 @@ def main() -> None:
     )
     q.awaitTermination()
     stream_wall = time.perf_counter() - t0
+    # micro-batch latency from the engine's own progress metrics (the
+    # reference's 1-3 ms end-to-end claim analog, BASELINE.md)
+    last = q.lastProgress or {}
+    batch_ms = (last.get("durationMs") or {}).get("triggerExecution")
     print(f"# streaming envelope replay: {n_rows} rows in {stream_wall:.3f}s", file=sys.stderr)
 
     print(
@@ -90,6 +94,7 @@ def main() -> None:
                     "envelope_replay_rows": n_rows,
                     "envelope_replay_wall_s": round(stream_wall, 4),
                     "envelope_replay_rows_per_sec": round(n_rows / stream_wall, 1),
+                    "micro_batch_ms": batch_ms,
                 },
             }
         )

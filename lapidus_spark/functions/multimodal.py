@@ -94,6 +94,88 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("target_w", LongType(), False),
+        StructField("target_h", LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image resize (PIL not in this
+    container): truncate/tile the byte stream to w*h bytes so batch
+    shapes and sizes behave like a real thumbnail pass."""
+    if payload is None:
+        raise NotImplementedError("real codecs not available in this container")
+    need = w * h
+    reps = need // max(len(payload), 1) + 1
+    return (payload * reps)[:need]
+
+
+def resize_images(media: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
+    """Arrow-batched resize pass (drop-in point for a real decoder)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id", "media_type"]].copy()
+            out["payload"] = pdf["payload"].map(lambda p: resize_stub(p, w, h))
+            out["n_bytes"] = out["payload"].map(len)
+            out["target_w"] = w
+            out["target_h"] = h
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (video →
+    frames explode). The stub slices the byte stream at fixed strides;
+    a real build swaps in a container demuxer — the row-explosion
+    shape, schema, and partitioning are what the pipeline depends on."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    raise NotImplementedError("real codecs not available")
+                for i in range(min(max_frames, max(len(payload) // every_n_bytes, 1))):
+                    frame = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append((doc_id, i, frame, len(frame)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_payload", "n_bytes"]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@query(
+    "ext_multimodal_frames",
+    oracle=None,  # Pandas-UDF explode path — rows-only check by design
+    operator="ext_multimodal",
+    doc="Frame-sampling over binary payloads: mapInPandas row "
+    "explosion (≤4 frames per doc at a fixed byte stride, stub "
+    "demuxer) — the video→frames shape of a training-data pipeline.",
+)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    return sample_frames(to_media(d))
+
+
 @query(
     "ext_multimodal_meta",
     oracle="""

@@ -412,6 +412,44 @@ def test_pipeline_monitor_listener(spark, tmp_path):
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
+def test_multi_backend_union(spark, tmp_path):
+    """ctl_fork/agg_order: two backends running side by side in one
+    session (the reference forks one OS process per backend,
+    lapidus.js:88-109), envelopes distinguishable by source and
+    unionable downstream."""
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "pg_a",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "sinks": [{"type": "memory", "options": {"table": "union_a"}}],
+                    },
+                    {
+                        "name": "pg_b",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "emitTypes": ["delete"],
+                        "sinks": [{"type": "memory", "options": {"table": "union_b"}}],
+                    },
+                ]
+            }
+        )
+    )
+    run(spark, cfg, checkpoint_root=str(tmp_path / "mbckpt"))
+    a, b = spark.table("union_a"), spark.table("union_b")
+    merged = a.unionByName(b)
+    assert a.count() == 1000
+    assert set(r["source"] for r in merged.select("source").distinct().collect()) == {
+        "pg_a",
+        "pg_b",
+    }
+    # per-backend gating independent (flag cascade per backend)
+    assert set(r["type"] for r in b.select("type").distinct().collect()) == {"delete"}
+
+
 def test_plugin_sink_registry(spark, tmp_path):
     """sink_plugin (lapidus.js:28-49): a third-party sink factory
     registered by name, validated in config, driven by the pipeline."""
