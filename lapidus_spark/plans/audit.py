@@ -73,6 +73,17 @@ EXPECTATIONS: dict[str, dict] = {
     # crutch for the single-split fixture file; at scale the scan has
     # thousands of splits and the repartition is dropped
     "ext_dedup_exact": {"max_exchanges": 2},
+    # union + cumulative window: ONE shuffle on the key — the whole
+    # point of the formulation vs the quadratic oracle
+    "join_asof_order": {"max_exchanges": 1},
+    # window analytics: one shuffle on the entity key, sort within
+    "win_lag_delta": {"max_exchanges": 1},
+    "win_running_total": {"max_exchanges": 1},
+    # fact-fact join + agg: ≤3 exchanges (2 join sides + final agg;
+    # AQE usually folds the agg into the join exchange)
+    "agg_join_revenue": {"max_exchanges": 3},
+    # rollup expands grouping sets through a single exchange
+    "agg_rollup_hierarchy": {"max_exchanges": 1},
 }
 
 

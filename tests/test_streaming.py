@@ -412,6 +412,34 @@ def test_pipeline_monitor_listener(spark, tmp_path):
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
+def test_query_stop_lifecycle(spark, tmp_path):
+    """ctl_lifecycle (stop/kill semantics, postgresql.js:356-371):
+    a continuously-triggered query stops cleanly on stop() — no
+    exception, no re-processing loss (state is in the checkpoint)."""
+    import time
+
+    from lapidus_spark.sources.cdc import normalize_events
+    from lapidus_spark.streaming.sources import stream_events
+
+    env = normalize_events(stream_events(spark, SF_DIR))
+    q = (
+        env.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "stopckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and (q.lastProgress or {}).get("numInputRows") is None:
+        time.sleep(0.3)
+    q.stop()
+    for _ in range(50):
+        if not q.isActive:
+            break
+        time.sleep(0.2)
+    assert not q.isActive
+    assert q.exception() is None
+
+
 def test_multi_backend_union(spark, tmp_path):
     """ctl_fork/agg_order: two backends running side by side in one
     session (the reference forks one OS process per backend,
