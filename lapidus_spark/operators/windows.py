@@ -167,6 +167,61 @@ def win_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ("click", "purchase", "signup", "view", "error")
+
+
+@query(
+    "agg_pivot_type_matrix",
+    oracle=f"""
+    SELECT user_id % 10 AS cohort,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in PIVOT_TYPES)}
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    operator="pivot (gap §2.5)",
+    doc="Event-type × cohort pivot matrix — groupBy().pivot() with "
+    "explicit value list (no discovery pass), one shuffle; oracle is "
+    "the equivalent conditional aggregation.",
+)
+def agg_pivot_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        # explicit values: skips the extra distinct-discovery job AND
+        # keeps the output schema stable under data drift
+        .pivot("event_type", list(PIVOT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    renamed = out.select(
+        "cohort", *[F.col(t).alias(f"n_{t}") for t in PIVOT_TYPES]
+    )
+    return renamed
+
+
+@query(
+    "prj_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           count(*) AS n_events,
+           min(event_id) AS first_seq
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+    """,
+    operator="src_decode schema-on-read (postgresql.js:607-611)",
+    doc="Dynamic JSON payload field promoted to a typed column at "
+    "query time (get_json_object) and aggregated — the schema-on-read "
+    "path for envelopes whose row image is kept as a raw JSON string.",
+)
+def prj_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.floor(F.get_json_object("props", "$.k").cast("bigint") / 10)
+    return ev.groupBy(k.alias("k_decile")).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_seq"),
+    )
+
+
 @query(
     "agg_rollup_hierarchy",
     oracle="""
