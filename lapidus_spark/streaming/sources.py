@@ -52,11 +52,16 @@ def stream_events(
     return df
 
 
-def stream_json_dir(spark: SparkSession, path: str, schema) -> DataFrame:
+def stream_json_dir(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """LDJSON directory source — the streaming analog of the
     reference's one-JSON-object-per-line wire format (src_decode,
     postgresql.js:607-611 via ldjson-stream)."""
-    return spark.readStream.schema(schema).json(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
 
 
 def stream_rate(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

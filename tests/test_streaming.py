@@ -26,7 +26,7 @@ def _await_all(spark):
 
 def test_envelope_stream_matches_batch(spark, tmp_path):
     """Stream and batch produce identical envelopes (same normalizer)."""
-    from lapidus_spark.streaming.sources import stream_events
+    from lapidus_spark.streaming.sources import batch_events, stream_events
 
     env = normalize_events(stream_events(spark, SF_DIR))
     q = (
@@ -38,7 +38,7 @@ def test_envelope_stream_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     streamed = spark.table("env_stream")
-    batch = normalize_events(load_table(spark, SF_DIR, "events"))
+    batch = normalize_events(batch_events(spark, SF_DIR))
     assert streamed.schema == batch.schema
     assert streamed.count() == batch.count() == 1000
     assert streamed.exceptAll(batch).count() == 0
@@ -124,11 +124,9 @@ def test_transaction_assembly_streaming(spark, tx_stream_dir, tmp_path):
             StructField("ts", TimestampType()),
         ]
     )
-    env = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .json(tx_stream_dir)
-    )
+    from lapidus_spark.streaming.sources import stream_json_dir
+
+    env = stream_json_dir(spark, tx_stream_dir, schema, max_files_per_trigger=1)
     txs = assemble_transactions(env)
     q = (
         txs.writeStream.format("memory")
@@ -410,6 +408,55 @@ def test_pipeline_monitor_listener(spark, tmp_path):
 
 
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
+
+
+def test_rate_source_soak(spark, tmp_path):
+    """Synthetic load soak (the reference's TPC-C-generator role,
+    README.md:241-245): a rate stream through an envelope-shaped
+    transform sustains processing with no errors."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.sources import stream_rate
+
+    src = stream_rate(spark, rows_per_second=5000)
+    env = src.select(
+        F.col("value").alias("event_seq"),
+        F.lit("rate").alias("source"),
+        (F.col("value") % 3).cast("string").alias("type"),
+        F.col("timestamp").alias("ts"),
+    )
+    q = (
+        env.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "rateckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 30
+    rows = 0
+    while time.time() < deadline:
+        p = q.lastProgress
+        rows = (p or {}).get("numInputRows", 0) or rows
+        if rows > 0:
+            break
+        time.sleep(0.3)
+    q.stop()
+    assert q.exception() is None
+    assert rows > 0
+
+
+def test_sql_views_api(spark):
+    """register_views: the SQL-first API surface — every fixture
+    queryable via spark.sql (ctl parity: spark-submit + SQL configs)."""
+    from lapidus_spark.sources.tables import register_views
+
+    register_views(spark, SF_DIR)
+    out = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )
+    assert out.count() == 5
+    assert spark.sql("SELECT count(*) FROM lineitem").first()[0] > 0
 
 
 def test_query_stop_lifecycle(spark, tmp_path):
