@@ -195,6 +195,54 @@ def agg_brand_nation_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_distinct_users",
+    oracle="""
+    SELECT event_type AS type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    operator="distinct aggregation (gap §2.5)",
+    doc="Distinct entities per event type — count(DISTINCT) plans a "
+    "two-phase aggregate (partial distinct per partition before the "
+    "exchange); at 100 TB the approximate twin is approx_count_"
+    "distinct (HLL) when exactness isn't required.",
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("type")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "set_except_intersect",
+    oracle="""
+    SELECT user_id AS entity_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    operator="set operations (gap §2.5)",
+    doc="INTERSECT/EXCEPT surface: clicking purchasers minus errored "
+    "entities — the audience-segmentation set algebra the reference "
+    "has no analog for.",
+)
+def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            F.col("user_id").alias("entity_id")
+        )
+
+    return users("click").intersect(users("purchase")).exceptAll(users("error")).distinct()
+
+
+@query(
     "top_k_entities",
     oracle=f"""
     SELECT user_id AS entity_id,
