@@ -410,6 +410,58 @@ def test_pipeline_monitor_listener(spark, tmp_path):
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
+def test_materialized_snapshot_matches_batch(spark, tmp_path):
+    """The canonical CDC consumer (cache semantics, nats.js:25-28):
+    a streaming last-write-wins snapshot merged by an idempotent
+    upsert sink over TWO micro-batches equals the batch snapshot —
+    deletes purge their entities."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.sources.cdc import normalize_events
+    from lapidus_spark.streaming.materialize import materialize
+
+    # two micro-batch files of the envelope stream, split by seq
+    env_batch = normalize_events(load_table(spark, SF_DIR, "events"))
+    pdf = env_batch.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    ).toPandas()
+    d = tmp_path / "matin"
+    d.mkdir()
+    half = pdf["event_seq"].median()
+    now = time.time()
+    for i, part in enumerate([pdf[pdf.event_seq <= half], pdf[pdf.event_seq > half]]):
+        p = d / f"b{i}.json"
+        part.to_json(p, orient="records", lines=True, date_format="iso")
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    from lapidus_spark.sources.cdc import ENVELOPE_SCHEMA
+    from lapidus_spark.streaming.sources import stream_json_dir
+
+    env = stream_json_dir(spark, str(d), ENVELOPE_SCHEMA, max_files_per_trigger=1)
+    store: dict = {}
+    wait = materialize(env, store, checkpoint=str(tmp_path / "matckpt"))
+    wait()
+
+    # expected: batch last-write-wins per pk, deletes dropped
+    expected = {
+        r["entity_id"]: r
+        for r in env_batch.groupBy(F.col("pk").alias("entity_id"))
+        .agg(
+            F.max_by(F.struct("event_seq", "type"), F.struct("ts", "event_seq")).alias("l")
+        )
+        .select("entity_id", F.col("l.event_seq").alias("last_seq"), F.col("l.type").alias("last_type"))
+        .filter(F.col("last_type") != "delete")
+        .collect()
+    }
+    assert set(store) == set(expected)
+    for k, v in expected.items():
+        assert store[k]["last_seq"] == v["last_seq"]
+
+
 def test_rate_source_soak(spark, tmp_path):
     """Synthetic load soak (the reference's TPC-C-generator role,
     README.md:241-245): a rate stream through an envelope-shaped
