@@ -149,6 +149,75 @@ def test_transaction_assembly_streaming(spark, tx_stream_dir, tmp_path):
     assert 3 not in out
 
 
+def test_tx_state_survives_restart(spark, tmp_path, tx_stream_dir):
+    """Stateful restart: an open transaction buffered in the state
+    store survives a full query stop/start cycle (checkpoint resume —
+    the durable-cursor upgrade over the reference's in-memory buffer,
+    postgresql.js:14-17). Batch file 1 is processed in run 1; the
+    query is then torn down; run 2 picks up batch file 2 and emits
+    the transaction that spans both runs."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from lapidus_spark.streaming.sources import stream_json_dir
+
+    schema = StructType(
+        [
+            StructField("event_seq", LongType()),
+            StructField("source", StringType()),
+            StructField("type", StringType()),
+            StructField("schema_name", StringType()),
+            StructField("table_name", StringType()),
+            StructField("pk", StringType()),
+            StructField("item", StringType()),
+            StructField("tx_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    # run 1 sees only batch0 (tx 1 commits; tx 2 left open in state)
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    live = tmp_path / "live"
+    live.mkdir()
+    shutil.copy(os.path.join(tx_stream_dir, "batch0.json"), live / "batch0.json")
+    ckpt = str(tmp_path / "restartckpt")
+    out = str(tmp_path / "restartout")
+
+    def run_once():
+        env = stream_json_dir(spark, str(live), schema, max_files_per_trigger=1)
+        q = (
+            assemble_transactions(env)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {r["tx_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(first) == {1}  # tx 2 still open, held in the checkpointed state
+
+    # query fully stopped; new data arrives; a NEW query resumes from
+    # the checkpoint and completes the cross-restart transaction
+    shutil.copy(os.path.join(tx_stream_dir, "batch1.json"), live / "batch1.json")
+    run_once()
+    second = {r["tx_id"]: r for r in spark.read.parquet(out).collect()}
+    assert second[2]["n_items"] == 2
+    assert second[2]["item_types"] == "insert|delete"
+    assert 3 not in second  # still uncommitted
+
+
 def test_pipeline_fanout_and_gating(spark, tmp_path):
     """End-to-end daemon run: file backend → two sinks with different
     type gates (per-sink emit flags, postgresql.js:88-97)."""
