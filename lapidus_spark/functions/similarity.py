@@ -168,6 +168,53 @@ def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 2  # cells probed per query
+
+
+@query(
+    "ext_ann_ivf",
+    oracle=None,  # KMeans quantizer — not SQL-expressible; rows-only
+    operator="ext_sim_search (ANN/IVF scale path)",
+    doc="IVF-style ANN: a KMeans coarse quantizer (k=16, fixed seed) "
+    "partitions the corpus into cells; a query probes its n_probe=2 "
+    "nearest centroids and exact-cosine re-ranks only those cells — "
+    "at 100 TB the cell id is a partition key, so a probe reads "
+    "~n_probe/k of the corpus (partition pruning), the IVF analog of "
+    "the LSH bucket join in ext_ann_lsh.",
+)
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
+        "features", array_to_vector("embedding")
+    )
+    model = KMeans(k=N_CELLS, seed=42, maxIter=5, featuresCol="features").fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", F.col("prediction").alias("cell"))
+
+    # query vector + its n_probe nearest cells (tiny driver-side math
+    # on k centroids — the index metadata, not the data)
+    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    qe = qrow["embedding"]
+    centers = model.clusterCenters()
+    d2 = [(i, float(sum((c[j] - qe[j]) ** 2 for j in range(DIM)))) for i, c in enumerate(centers)]
+    probe_cells = [i for i, _ in sorted(d2, key=lambda t: t[1])[:N_PROBE]]
+
+    q = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 @query(
     "ext_ann_lsh",
     oracle=f"""
