@@ -167,6 +167,71 @@ def win_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "win_scd2_history",
+    oracle="""
+    SELECT user_id AS entity_id,
+           event_id AS version_seq,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    operator="temporal/SCD2 history (win_cdc_snapshot generalization)",
+    doc="Slowly-changing-dimension type-2 history: every change event "
+    "becomes a version row with a [valid_from, valid_to) range via "
+    "lead() — the full-history materialization where win_cdc_snapshot "
+    "keeps only the current version.",
+)
+def win_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").alias("version_seq"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+@query(
+    "win_dedup_consecutive",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, ts, props,
+             lag(props) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_props
+      FROM events
+    )
+    SELECT event_id, user_id AS entity_id, ts, props AS item
+    FROM d
+    WHERE prev_props IS NULL OR props IS DISTINCT FROM prev_props
+    """,
+    operator="changelog compaction (prj_envelope noise suppression)",
+    doc="Consecutive-duplicate suppression: drop change events whose "
+    "row image equals the entity's previous image (echo writes, "
+    "touch updates) — the compaction a CDC consumer applies before "
+    "fan-out to cut sink traffic.",
+)
+def win_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("props").over(w)
+    return (
+        ev.withColumn("prev_props", prev)
+        .filter(F.col("prev_props").isNull() | ~F.col("props").eqNullSafe(F.col("prev_props")))
+        .select(
+            "event_id",
+            F.col("user_id").alias("entity_id"),
+            "ts",
+            F.col("props").alias("item"),
+        )
+    )
+
+
 PIVOT_TYPES = ("click", "purchase", "signup", "view", "error")
 
 
