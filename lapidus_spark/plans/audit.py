@@ -79,6 +79,8 @@ EXPECTATIONS: dict[str, dict] = {
     # window analytics: one shuffle on the entity key, sort within
     "win_lag_delta": {"max_exchanges": 1},
     "win_running_total": {"max_exchanges": 1},
+    "win_scd2_history": {"max_exchanges": 1},
+    "win_dedup_consecutive": {"max_exchanges": 1},
     # fact-fact join + agg: ≤3 exchanges (2 join sides + final agg;
     # AQE usually folds the agg into the join exchange)
     "agg_join_revenue": {"max_exchanges": 3},
