@@ -476,6 +476,47 @@ def test_pipeline_monitor_listener(spark, tmp_path):
     assert mon.total_input_rows() == 1000
 
 
+def test_cli_daemon_end_to_end(spark, tmp_path):
+    """ctl_cli (index.js:5-53): the daemon entry point drives a config
+    through parse → validate → pipeline → sink, end to end (the
+    reference's spawnSync smoke test, test/postgresql.test.js:43-51 —
+    ours reuses the live session instead of forking)."""
+    import json as _json
+
+    from lapidus_spark.__main__ import main
+
+    out = tmp_path / "cliout"
+    cfg_file = tmp_path / "cli.json"
+    cfg_file.write_text(
+        _json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "cli_pg",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "sinks": [
+                            {"type": "parquet", "options": {"path": str(out)},
+                             "cachePrefix": "cache"}
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    # validate-only path (the reference's -t flag)
+    assert main(["-c", str(cfg_file), "--validate-only"]) == 0
+    # bad config path
+    assert main(["-c", str(tmp_path / "missing.json"), "--validate-only"]) == 1
+
+    # full run: the daemon builds its own session via get_spark —
+    # getOrCreate reuses the test session, so the run is in-process
+    assert main(["-c", str(cfg_file)]) == 0
+    written = spark.read.parquet(str(out))
+    assert written.count() == 1000
+    assert "cache_topic" in written.columns
+
+
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
