@@ -243,6 +243,31 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_value_percentiles",
+    oracle="""
+    SELECT event_type AS type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           max(value) AS vmax
+    FROM events
+    GROUP BY event_type
+    """,
+    operator="percentiles (gap §2.5)",
+    doc="Exact interpolated percentiles per event type — Spark's "
+    "percentile() and DuckDB's quantile_cont share the linear-"
+    "interpolation definition, so values match bit-for-bit. At "
+    "100 TB the one-pass sketch twin is percentile_approx (KLL).",
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("type")).agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
     "top_k_entities",
     oracle=f"""
     SELECT user_id AS entity_id,
