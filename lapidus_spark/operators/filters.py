@@ -94,6 +94,24 @@ def flt_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flt_drop_blank",
+    oracle="""
+    SELECT event_id, props
+    FROM events
+    WHERE props IS NOT NULL AND trim(props) <> ''
+    """,
+    operator="flt_empty",
+    doc="Blank-payload skip (postgresql.js:199-201 ignores empty "
+    "lines): drop events with null/whitespace-only row images.",
+)
+def flt_drop_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("props").isNotNull() & (F.trim(F.col("props")) != "")
+    ).select("event_id", "props")
+
+
+@query(
     "flt_event_gate",
     oracle=f"""
     SELECT event_id, event_type, user_id, ts
