@@ -272,6 +272,40 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_enrich_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id AS entity_id, e.event_type AS type,
+           c.c_name, n.n_name AS nation
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    operator="join_enrich_dim (streaming execution, stream-static join)",
+    doc="Debezium-style enrichment in the streaming path: the "
+    "envelope stream joined per micro-batch against static broadcast "
+    "dimensions (stream-static join — the dims re-resolve each "
+    "trigger, so a slowly-changing dim picks up updates between "
+    "batches; the streaming form of win_schema's attach-latest).",
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    enriched = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "event_id",
+            F.col("user_id").alias("entity_id"),
+            F.col("event_type").alias("type"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return _run_to_memory(enriched, "stream_enrich_dim_out")
+
+
+@query(
     "stream_schema_cache",
     oracle="""
     SELECT event_type AS table_name,
