@@ -268,6 +268,38 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sort_global_events",
+    oracle="""
+    SELECT event_id, user_id AS entity_id, value,
+           row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank
+    FROM events
+    WHERE value > 100
+    """,
+    operator="global sort (gap §2.5)",
+    doc="Total order over the filtered stream with dense global ranks "
+    "— Spark samples the sort key to build a RangePartitioning "
+    "exchange, so the sort itself is distributed (per-partition sort "
+    "after range exchange); the filter still pushes into the scan.",
+)
+def sort_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 100)
+    # global row_number needs a single ordering; Window with no
+    # partition spec is the semantic — Spark warns (single-partition
+    # window) which is exactly what a global rank costs on ANY engine;
+    # the alternative at scale is zipWithIndex-style rank via
+    # range-partitioned sort + per-partition offsets.
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        "value",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+@query(
     "top_k_entities",
     oracle=f"""
     SELECT user_id AS entity_id,

@@ -306,6 +306,29 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_id AS event_seq, user_id AS entity_id, event_type AS type
+    FROM events
+    """,
+    operator="ext_dedup_exact (streaming execution, dropDuplicates)",
+    doc="Streaming exact dedup: the source unioned with itself (every "
+    "record delivered twice — modeling at-least-once redelivery) is "
+    "restored to exactly-once by stateful dropDuplicates on the "
+    "sequence key. Bounded replay here; unbounded streams use "
+    "dropDuplicatesWithinWatermark so the dedup state expires.",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select(
+        F.col("event_id").alias("event_seq"),
+        F.col("user_id").alias("entity_id"),
+        F.col("event_type").alias("type"),
+    )
+    doubled = ev.unionByName(ev)  # at-least-once: every record twice
+    return _run_to_memory(doubled.dropDuplicates(["event_seq"]), "stream_dedup_exact_out")
+
+
+@query(
     "stream_schema_cache",
     oracle="""
     SELECT event_type AS table_name,
