@@ -177,6 +177,45 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT lang, token, count(*) AS n
+      FROM tok WHERE token <> '' GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC)
+               AS rank
+      FROM freq
+    )
+    SELECT lang, token, n, rank FROM ranked WHERE rank <= 3
+    """,
+    operator="explode + rank (gap §2.5 lateral view; ext_text corpus stats)",
+    doc="Top-3 tokens per language: explode the token stream (lateral "
+    "view), frequency-aggregate, rank per language with deterministic "
+    "ties (count desc, token asc) — the vocabulary report a corpus "
+    "pipeline runs; one shuffle per stage, rank never globalizes.",
+)
+def ext_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "token", "n", "rank")
+    )
+
+
 _NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
 _NORM_DUCK = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 

@@ -120,6 +120,56 @@ def prj_cache_action(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prj_scalar_battery",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS type_u,
+           substr(event_type, 1, 3) AS type_3,
+           length(event_type) AS type_len,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_novowel,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+           date_trunc('day', ts) AS day_ts,
+           abs(value) AS v_abs,
+           floor(value) AS v_floor,
+           ceil(value) AS v_ceil,
+           sqrt(abs(value)) AS v_sqrt,
+           greatest(value, 100.0) AS v_hi,
+           least(value, 100.0) AS v_lo,
+           coalesce(nullif(event_type, 'error'), 'redacted') AS type_safe
+    FROM events
+    """,
+    operator="scalar function library (gap §2.5)",
+    doc="Scalar-function battery: string, date-part, math, and "
+    "conditional functions with engine-identical semantics (sqrt is "
+    "IEEE correctly-rounded; floor/ceil exact; regexp_replace global "
+    "on both sides) — all inside one whole-stage-codegen projection.",
+)
+def prj_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_u"),
+        F.substring("event_type", 1, 3).alias("type_3"),
+        F.length("event_type").cast("long").alias("type_len"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias("tag"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_novowel"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.abs("value").alias("v_abs"),
+        F.floor("value").cast("double").alias("v_floor"),
+        F.ceil("value").cast("double").alias("v_ceil"),
+        F.sqrt(F.abs("value")).alias("v_sqrt"),
+        F.greatest("value", F.lit(100.0)).alias("v_hi"),
+        F.least("value", F.lit(100.0)).alias("v_lo"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("redacted")).alias("type_safe"),
+    )
+
+
+@query(
     "set_union_streams",
     oracle="""
     SELECT user_id AS entity_id, event_type AS type FROM events
