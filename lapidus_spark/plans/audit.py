@@ -86,6 +86,25 @@ EXPECTATIONS: dict[str, dict] = {
     "agg_join_revenue": {"max_exchanges": 3},
     # rollup expands grouping sets through a single exchange
     "agg_rollup_hierarchy": {"max_exchanges": 1},
+    # semi/anti broadcast at fixture scale (0 shuffles); 2 allows the
+    # at-scale sort-merge form without weakening the no-explosion claim
+    "join_semi_active": {"max_exchanges": 2},
+    "join_anti_silent": {"max_exchanges": 2},
+    # pure projection: no exchange at any scale
+    "prj_scalar_battery": {"max_exchanges": 0},
+    # single-partition global rank: exactly one exchange
+    "sort_global_events": {"max_exchanges": 1},
+    # sessionize: window + groupBy share the entity-key exchange
+    "win_sessionize": {"max_exchanges": 1},
+    # two-phase distinct aggregate
+    "agg_distinct_users": {"max_exchanges": 2},
+    "agg_value_percentiles": {"max_exchanges": 1},
+    "set_union_streams": {"max_exchanges": 1},
+    "set_except_intersect": {"max_exchanges": 3},
+    "prj_json_extract": {"max_exchanges": 1},
+    "agg_pivot_type_matrix": {"max_exchanges": 2},
+    # repartition(parallel) + freq agg + per-lang rank window
+    "ext_top_tokens": {"max_exchanges": 3},
 }
 
 
