@@ -38,9 +38,12 @@ LANG_MARKERS = (("en", "the"), ("es", "el"), ("de", "der"), ("fr", "le"), ("zh",
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           -- BIGINT casts: DuckDB sum() yields HUGEINT, which a
+           -- pandas round-trip silently widens to float64 ("123.0"
+           -- vs "123") and breaks value-hash parity.
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-           sum(n_toks) AS total_tokens,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
            CAST(sum(n_toks) AS DOUBLE) / count(*) AS avg_tokens
     FROM t GROUP BY lang
     """,

@@ -103,9 +103,12 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_no
+             -- BIGINT cast: DuckDB sum() yields HUGEINT, which a
+             -- pandas round-trip silently widens to float64 ("3.0"
+             -- vs "3") and breaks value-hash parity.
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_no
       FROM gaps
     )
     SELECT user_id AS entity_id, session_no,
@@ -123,9 +126,14 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
+    # Full-precision gap test: unix_timestamp() truncates to whole
+    # seconds, so a 1800.4s gap would read as 1800 and fail the strict
+    # > while the oracle's exact-interval compare passes it. Every
+    # fixture timestamp has a sub-second component — compare in
+    # microseconds, matching the oracle's `ts - lag(ts) > INTERVAL`.
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     is_new = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_S),
+        prev_ts.isNull() | (gap_us > SESSION_GAP_S * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (

@@ -228,8 +228,11 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT user_id, event_id, ts,
+             -- >= (not >): session_window merges only when windows
+             -- OVERLAP, so an event landing exactly at the previous
+             -- window's end (gap == 1800s) starts a new session.
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                  OR ts - lag(ts) OVER w >= INTERVAL 1800 SECOND
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -32,6 +32,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    # The driver hashes STRINGIFIED values, so int 3 vs float 3.0
+    # ("3" vs "3.0") is a hash mismatch even though Python == says
+    # equal. Mirror that: numeric kind must match exactly. (DuckDB
+    # sum() yields HUGEINT, which pandas widens to float64 — the
+    # round-1 win_sessionize/ext_text_stats failure mode.)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if isinstance(a, float) != isinstance(b, float):
+            return False
+        if isinstance(a, bool) != isinstance(b, bool):
+            return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
