@@ -32,6 +32,92 @@ class ConfigError(ValueError):
     pass
 
 
+#: the reference's full emit-gate kind list (postgresql.js:90-97).
+EMIT_KINDS = (
+    "insert",
+    "update",
+    "delete",
+    "schema",
+    "transaction",
+    "beginTransaction",
+    "commitTransaction",
+    "event",
+)
+
+
+class EmitFlags:
+    """Per-kind emit gates with the reference's master cascade.
+
+    Construction (postgresql.js:88-97): each kind resolves to its
+    explicit boolean when given, else to the ``emitEvents`` master
+    (default True). Re-assigning ``master`` afterwards mirrors the
+    reference's ``emitEvents`` *setter* (postgresql.js:153-170): it
+    overwrites EVERY per-kind flag, including explicitly-set ones.
+    """
+
+    def __init__(self, master: bool = True, explicit: dict[str, bool] | None = None):
+        explicit = explicit or {}
+        unknown = set(explicit) - set(EMIT_KINDS)
+        if unknown:
+            raise ConfigError(f"unknown emit kinds: {sorted(unknown)}; valid: {EMIT_KINDS}")
+        self._master = bool(master)
+        self._flags = {
+            k: bool(explicit[k]) if isinstance(explicit.get(k), bool) else self._master
+            for k in EMIT_KINDS
+        }
+
+    @property
+    def master(self) -> bool:
+        return self._master
+
+    @master.setter
+    def master(self, val: bool) -> None:
+        val = bool(val)
+        for k in EMIT_KINDS:
+            self._flags[k] = val
+        self._master = val
+
+    def __getitem__(self, kind: str) -> bool:
+        return self._flags[kind]
+
+    def enabled(self) -> list[str]:
+        return [k for k in EMIT_KINDS if self._flags[k]]
+
+
+class WrapperCascade:
+    """``onEventsWrapper`` cascade (postgresql.js:108-142).
+
+    Per-kind wrappers default to the master wrapper; re-assigning the
+    master re-points ONLY the kinds still equal to the old master —
+    explicitly-overridden kinds keep their value. (Deliberately the
+    opposite retention rule from ``EmitFlags.master``, matching the
+    reference's two setters.) Wrapper values are opaque (the JSON
+    config carries registry names; programmatic use carries
+    callables)."""
+
+    def __init__(self, master=None, explicit: dict | None = None):
+        explicit = explicit or {}
+        unknown = set(explicit) - set(EMIT_KINDS)
+        if unknown:
+            raise ConfigError(f"unknown wrapper kinds: {sorted(unknown)}; valid: {EMIT_KINDS}")
+        self._master = master
+        self._wrappers = {k: explicit.get(k, master) for k in EMIT_KINDS}
+
+    @property
+    def master(self):
+        return self._master
+
+    @master.setter
+    def master(self, val) -> None:
+        for k in EMIT_KINDS:
+            if self._wrappers[k] is self._master:
+                self._wrappers[k] = val
+        self._master = val
+
+    def __getitem__(self, kind: str):
+        return self._wrappers[kind]
+
+
 @dataclass
 class SinkConfig:
     type: str
@@ -48,15 +134,19 @@ class BackendConfig:
     slot: str | None = None  # postgresql only
     exclude_tables: list[str] = field(default_factory=list)
     emit_events: bool = True
-    emit_types: list[str] | None = None  # None → derived from emit_events
+    emit_types: list[str] | None = None  # None → derived from emit flags
+    emit: EmitFlags = field(default_factory=EmitFlags)
+    wrappers: WrapperCascade = field(default_factory=WrapperCascade)
     sinks: list[SinkConfig] = field(default_factory=list)
 
     def enabled_types(self) -> list[str] | None:
-        """Flag cascade (postgresql.js:153-170): explicit per-type list
-        wins; otherwise the master switch enables all or none."""
+        """Flag cascade: an explicit ``emitTypes`` list wins; otherwise
+        the per-kind emit gates decide — ``None`` (no gating) when
+        every DML kind is enabled, else the enabled subset."""
         if self.emit_types is not None:
             return self.emit_types
-        return None if self.emit_events else []
+        dml = [t for t in EVENT_TYPES if self.emit[t]]
+        return None if len(dml) == len(EVENT_TYPES) else dml
 
 
 @dataclass
@@ -92,7 +182,30 @@ def validate_config(raw: dict) -> EngineConfig:
                 raise ConfigError(
                     f"backend[{i}]: postgresql requires slot matching \\w+"
                 )  # postgresql.js:680-699
+        if btype == "file" and not b.get("path"):
+            # friendly error at validate time instead of a TypeError
+            # deep inside stream_events (mirrors the pg slot check)
+            raise ConfigError(f"backend[{i}]: file backend requires a 'path'")
         sinks = [_sink(s) for s in b.get("sinks", [])] or global_sinks  # lapidus.js:96
+        master = b.get("emitEvents", True)
+        if not isinstance(master, bool):
+            master = True  # reference: non-boolean → default (postgresql.js:88)
+        emit = EmitFlags(
+            master=master,
+            explicit={
+                k: b[f"emit{k[0].upper()}{k[1:]}"]
+                for k in EMIT_KINDS
+                if isinstance(b.get(f"emit{k[0].upper()}{k[1:]}"), bool)
+            },
+        )
+        wrappers = WrapperCascade(
+            master=b.get("onEventsWrapper"),
+            explicit={
+                k: b[f"on{k[0].upper()}{k[1:]}Wrapper"]
+                for k in EMIT_KINDS
+                if f"on{k[0].upper()}{k[1:]}Wrapper" in b
+            },
+        )
         backends.append(
             BackendConfig(
                 name=b.get("name", f"backend{i}"),
@@ -100,8 +213,10 @@ def validate_config(raw: dict) -> EngineConfig:
                 path=b.get("path"),
                 slot=b.get("slot"),
                 exclude_tables=list(b.get("excludeTables", [])),
-                emit_events=bool(b.get("emitEvents", True)),
+                emit_events=emit.master,
                 emit_types=b.get("emitTypes"),
+                emit=emit,
+                wrappers=wrappers,
                 sinks=sinks,
             )
         )

@@ -45,7 +45,9 @@ TX_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-#: state: (seqs, types, committed_flag, commit_ts)
+#: state: (seqs, types) — commit is emit-or-buffer, never persisted:
+#: a commit marker in the batch drains the state immediately, so only
+#: uncommitted item buffers live in the store between triggers.
 TX_STATE_SCHEMA = StructType(
     [
         StructField("seqs", StringType(), True),  # csv of event_seq
@@ -124,6 +126,13 @@ def assemble_transactions(
     ``None`` for replay / availableNow runs: with a processing-time
     timeout armed, Spark keeps scheduling state-cleanup batches and an
     availableNow trigger never terminates.
+
+    Out-of-order caveat: an item arriving AFTER its transaction's
+    commit marker (at-least-once redelivery across triggers) finds no
+    state — its transaction already emitted — and silently re-creates
+    a buffer that only the optional timeout ever evicts. Upstream
+    must not split a transaction across a commit boundary; the
+    replay harness guarantees it by batching on the seq midpoint.
     """
     import functools
 

@@ -9,17 +9,31 @@ by an idempotent upsert sink — together with checkpointed offsets
 this is the exactly-once delivery story (re-delivered batches
 overwrite with identical values instead of duplicating).
 
-At scale the upsert target is Kafka-compacted / a key-value store /
-MERGE INTO a table format; locally it's any dict-like store. The
-update-mode aggregation emits only entities whose state changed in
-the micro-batch — O(changed keys) per trigger, not O(all keys).
+Two sink shapes:
+
+- ``partitioned_upsert_sink`` — the SCALE path. Each executor
+  partition opens its own store connection from a picklable factory
+  and applies only its rows; the driver never sees the data. The
+  update-mode aggregation hash-partitions output by the group key, so
+  within one micro-batch a key is written by exactly one task (no
+  cross-partition write conflicts), and across batches last-write-wins
+  replays make the merge idempotent. At 100 TB the target is a KV
+  service / Kafka-compacted topic / MERGE INTO a table format; the
+  per-partition connection amortizes over the partition's rows.
+- ``upsert_sink`` — dict-backed driver-side variant for tests and
+  demos ONLY (a plain dict lives in the driver process, so the rows
+  must cross to the driver by construction). Kept because the
+  idempotency/restart tests want to inspect the final map in-process.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable, MutableMapping
+import json
+import os
+import tempfile
+from collections.abc import Callable, Iterable, MutableMapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
@@ -42,18 +56,87 @@ def snapshot_stream(envelopes: DataFrame) -> DataFrame:
     )
 
 
+class DirKVStore:
+    """Filesystem-backed KV store: one JSON file per key, atomic
+    tmp+rename writes. A stand-in for a real KV service that is valid
+    from *executor* processes (no shared driver memory) — proves the
+    partitioned upsert path without a database in the container.
+    Picklable by construction (holds only the root path)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, key) -> str:
+        return os.path.join(self.root, f"{key}.json")
+
+    def put(self, key, value: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(value, f, default=str, sort_keys=True)
+        os.replace(tmp, self._path(key))
+
+    def delete(self, key) -> None:
+        try:
+            os.remove(self._path(key))
+        except FileNotFoundError:
+            pass
+
+    def close(self) -> None:
+        pass
+
+    # driver-side inspection helpers (tests)
+    def keys(self) -> list[str]:
+        return sorted(os.path.splitext(f)[0] for f in os.listdir(self.root) if f.endswith(".json"))
+
+    def get(self, key) -> dict:
+        with open(self._path(key)) as f:
+            return json.load(f)
+
+
+def partitioned_upsert_sink(
+    snapshot: DataFrame,
+    store_factory: Callable[[], object],
+    on_delete: str = "purge",
+) -> DataStreamWriter:
+    """Distributed idempotent upsert: ``foreachBatch`` →
+    ``foreachPartition``, so every executor task opens its own store
+    via ``store_factory()`` (must be picklable; returned object needs
+    ``put(key, dict)`` / ``delete(key)`` / ``close()``) and applies
+    its slice of the changed keys. Updates replace, deletes purge
+    (the cache-intent mapping, nats.js:25-28); replayed micro-batches
+    re-apply identical upserts — exactly-once effect on the target
+    without transactional coordination, and no driver-side collect."""
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        def write_partition(rows: Iterable[Row]) -> None:
+            store = store_factory()
+            try:
+                for row in rows:
+                    if row["last_type"] == "delete" and on_delete == "purge":
+                        store.delete(row["entity_id"])
+                    else:
+                        store.put(row["entity_id"], row.asDict())
+            finally:
+                store.close()
+
+        batch_df.foreachPartition(write_partition)
+
+    return snapshot.writeStream.foreachBatch(merge).outputMode("update")
+
+
 def upsert_sink(
     snapshot: DataFrame,
     store: MutableMapping,
     on_delete: str = "purge",
 ) -> DataStreamWriter:
-    """foreachBatch idempotent upsert into ``store``: updates replace,
-    deletes purge (the cache-intent mapping, nats.js:25-28). Replayed
-    micro-batches re-apply identical upserts — exactly-once effect on
-    the target without transactional coordination."""
+    """Driver-side dict upsert for tests/demos ONLY — a plain dict
+    lives in the driver, so rows must cross to the driver by
+    construction (streamed via ``toLocalIterator``, never a full
+    ``collect``). Production targets use ``partitioned_upsert_sink``."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        for row in batch_df.collect():
+        for row in batch_df.toLocalIterator():
             if row["last_type"] == "delete" and on_delete == "purge":
                 store.pop(row["entity_id"], None)
             else:
@@ -64,15 +147,23 @@ def upsert_sink(
 
 def materialize(
     envelopes: DataFrame,
-    store: MutableMapping,
-    checkpoint: str,
+    store: MutableMapping | None = None,
+    checkpoint: str = "",
     trigger_available_now: bool = True,
+    store_factory: Callable[[], object] | None = None,
 ) -> Callable[[], None]:
-    """Wire snapshot_stream → upsert_sink and start; returns a join
-    function that blocks until the stream drains."""
-    writer = upsert_sink(snapshot_stream(envelopes), store).option(
-        "checkpointLocation", checkpoint
-    )
+    """Wire snapshot_stream → upsert sink and start; returns a join
+    function that blocks until the stream drains. Pass ``store`` (a
+    dict-like, driver-side, test path) or ``store_factory`` (picklable
+    factory, partition-parallel scale path) — exactly one."""
+    if (store is None) == (store_factory is None):
+        raise ValueError("pass exactly one of store / store_factory")
+    snap = snapshot_stream(envelopes)
+    if store_factory is not None:
+        writer = partitioned_upsert_sink(snap, store_factory)
+    else:
+        writer = upsert_sink(snap, store)
+    writer = writer.option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()

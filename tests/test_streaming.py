@@ -520,21 +520,18 @@ def test_cli_daemon_end_to_end(spark, tmp_path):
 # ---- config validation (ctl_config, mirrors test/config.test.js) ----
 
 
-def test_materialized_snapshot_matches_batch(spark, tmp_path):
-    """The canonical CDC consumer (cache semantics, nats.js:25-28):
-    a streaming last-write-wins snapshot merged by an idempotent
-    upsert sink over TWO micro-batches equals the batch snapshot —
-    deletes purge their entities."""
-    import json as _json
+def _envelope_replay_setup(spark, tmp_path):
+    """Two-micro-batch envelope replay stream + the batch expectation:
+    last-write-wins per pk with deletes dropped (shared by the dict
+    and partitioned upsert-sink tests)."""
     import os
     import time
 
     from pyspark.sql import functions as F
 
-    from lapidus_spark.sources.cdc import normalize_events
-    from lapidus_spark.streaming.materialize import materialize
+    from lapidus_spark.sources.cdc import ENVELOPE_SCHEMA, normalize_events
+    from lapidus_spark.streaming.sources import stream_json_dir
 
-    # two micro-batch files of the envelope stream, split by seq
     env_batch = normalize_events(load_table(spark, SF_DIR, "events"))
     pdf = env_batch.withColumn(
         "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -548,15 +545,7 @@ def test_materialized_snapshot_matches_batch(spark, tmp_path):
         part.to_json(p, orient="records", lines=True, date_format="iso")
         os.utime(p, (now + i * 10, now + i * 10))
 
-    from lapidus_spark.sources.cdc import ENVELOPE_SCHEMA
-    from lapidus_spark.streaming.sources import stream_json_dir
-
     env = stream_json_dir(spark, str(d), ENVELOPE_SCHEMA, max_files_per_trigger=1)
-    store: dict = {}
-    wait = materialize(env, store, checkpoint=str(tmp_path / "matckpt"))
-    wait()
-
-    # expected: batch last-write-wins per pk, deletes dropped
     expected = {
         r["entity_id"]: r
         for r in env_batch.groupBy(F.col("pk").alias("entity_id"))
@@ -567,9 +556,69 @@ def test_materialized_snapshot_matches_batch(spark, tmp_path):
         .filter(F.col("last_type") != "delete")
         .collect()
     }
+    return env, expected
+
+
+def test_materialized_snapshot_matches_batch(spark, tmp_path):
+    """The canonical CDC consumer (cache semantics, nats.js:25-28):
+    a streaming last-write-wins snapshot merged by an idempotent
+    upsert sink over TWO micro-batches equals the batch snapshot —
+    deletes purge their entities."""
+    from lapidus_spark.streaming.materialize import materialize
+
+    env, expected = _envelope_replay_setup(spark, tmp_path)
+    store: dict = {}
+    wait = materialize(env, store, checkpoint=str(tmp_path / "matckpt"))
+    wait()
+
     assert set(store) == set(expected)
     for k, v in expected.items():
         assert store[k]["last_seq"] == v["last_seq"]
+
+
+def test_partitioned_upsert_matches_batch(spark, tmp_path):
+    """The SCALE path of the CDC consumer: foreachPartition upsert —
+    every executor task opens its own store connection and writes only
+    its slice of the changed keys (no driver-side collect). Asserts
+    (a) the materialized snapshot equals the batch answer and (b) the
+    writes actually came from multiple partition-level store
+    connections."""
+    import os
+
+    from lapidus_spark.streaming.materialize import DirKVStore, materialize
+
+    env, expected = _envelope_replay_setup(spark, tmp_path)
+    root = str(tmp_path / "kv")
+    markers = str(tmp_path / "conn_markers")
+    os.makedirs(markers, exist_ok=True)
+
+    # closure (not module-level) so cloudpickle ships it by VALUE —
+    # executors can't import the test module by name
+    def marker_store():
+        import os as _os
+        import tempfile as _tf
+
+        from lapidus_spark.streaming.materialize import DirKVStore
+
+        store = DirKVStore(root)
+        fd, _ = _tf.mkstemp(dir=markers, prefix="conn-")
+        _os.close(fd)
+        return store
+
+    wait = materialize(
+        env,
+        checkpoint=str(tmp_path / "pmatckpt"),
+        store_factory=marker_store,
+    )
+    wait()
+
+    store = DirKVStore(root)
+    assert set(store.keys()) == {str(k) for k in expected}
+    for k, v in expected.items():
+        assert store.get(k)["last_seq"] == v["last_seq"]
+    # >1 store connection ⇒ the merge ran per-partition, not on the
+    # driver (update-mode output is hash-partitioned by entity key)
+    assert len(os.listdir(markers)) > 1
 
 
 def test_rate_source_soak(spark, tmp_path):
@@ -788,3 +837,93 @@ def test_config_emit_flag_cascade():
     )
     assert cfg.backends[0].enabled_types() == []  # master switch off
     assert cfg.backends[1].enabled_types() == ["insert"]  # explicit wins
+
+
+def test_config_per_kind_emit_flags():
+    """Constructor cascade (postgresql.js:88-97): explicit per-kind
+    boolean wins, unset kinds inherit the master."""
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {"type": "file", "path": "/x", "emitDelete": False},
+                    {"type": "file", "path": "/x", "emitEvents": False,
+                     "emitInsert": True},
+                ],
+                "sinks": [{"type": "console"}],
+            }
+        )
+    )
+    b0, b1 = cfg.backends
+    assert b0.emit["insert"] and b0.emit["update"] and not b0.emit["delete"]
+    assert b0.enabled_types() == ["insert", "update"]
+    assert b1.emit["insert"] and not b1.emit["update"] and not b1.emit["delete"]
+    assert not b1.emit["schema"] and not b1.emit["commitTransaction"]
+    assert b1.enabled_types() == ["insert"]
+
+
+def test_config_emit_master_setter_overwrites_all():
+    """emitEvents SETTER cascade (postgresql.js:153-170): assigning the
+    master after construction overwrites every per-kind flag, explicit
+    ones included."""
+    from lapidus_spark.config import EmitFlags
+
+    flags = EmitFlags(master=True, explicit={"delete": False})
+    assert not flags["delete"]
+    flags.master = False
+    assert flags.enabled() == []
+    flags.master = True
+    assert flags["delete"]  # explicit override NOT preserved — by design
+
+
+def test_config_wrapper_cascade_preserves_explicit():
+    """onEventsWrapper setter (postgresql.js:108-142): re-assigning the
+    master re-points only kinds still tracking the old master;
+    explicitly-set wrappers keep their value."""
+    from lapidus_spark.config import WrapperCascade
+
+    cascade = WrapperCascade(master="gzip", explicit={"delete": "audit"})
+    assert cascade["insert"] == "gzip" and cascade["delete"] == "audit"
+    cascade.master = "zstd"
+    assert cascade["insert"] == "zstd"  # tracked the master → re-pointed
+    assert cascade["delete"] == "audit"  # explicit → preserved
+    # parse path: wrapper names from JSON config
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {"type": "file", "path": "/x",
+                     "onEventsWrapper": "gzip", "onSchemaWrapper": "raw"}
+                ],
+                "sinks": [{"type": "console"}],
+            }
+        )
+    )
+    w = cfg.backends[0].wrappers
+    assert w["insert"] == "gzip" and w["schema"] == "raw"
+
+
+def test_config_file_backend_requires_path():
+    """validate-time error instead of a TypeError deep in
+    stream_events (mirrors the pg slot check)."""
+    with pytest.raises(ConfigError, match="path"):
+        parse_config('{"backends": [{"type": "file"}], "sinks": [{"type": "console"}]}')
+
+
+def test_config_backend_sinks_override_global():
+    """lapidus.js:96: a backend with its own sinks does NOT inherit the
+    global list; one without any does."""
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {"type": "file", "path": "/x",
+                     "sinks": [{"type": "memory"}]},
+                    {"type": "file", "path": "/y"},
+                ],
+                "sinks": [{"type": "console"}],
+            }
+        )
+    )
+    assert [s.type for s in cfg.backends[0].sinks] == ["memory"]
+    assert [s.type for s in cfg.backends[1].sinks] == ["console"]
