@@ -27,6 +27,14 @@ def main() -> None:
     spark = get_spark("lapidus_spark_bench", cpus=cpus)
     reg = load_all()
 
+    # Pre-build harness inputs for the streaming replay queries at the
+    # TARGET sf: stream_tx_assembly replays a generated marker dir —
+    # building it is setup, not operator work, and must not land in
+    # the timed pass.
+    from lapidus_spark.streaming.queries import build_tx_replay_input
+
+    build_tx_replay_input(spark, sf_dir)
+
     # Warm pass at the smallest SF: triggers codegen/JIT of every
     # query shape once, so the timed numbers measure engine work on
     # the target data, not first-use compilation.

@@ -35,6 +35,16 @@ SIMHASH_BITS = 16
 JACCARD_T = 0.5
 LENGTH_BAND = 100
 
+#: skew guard: LSH buckets larger than this are degenerate (empty/
+#: boilerplate text collapsing to one signature) and are DROPPED
+#: before the pair join — one hot bucket of m docs would otherwise
+#: emit m² candidate pairs into a single task at 100 TB. Identical
+#: documents are ext_dedup_exact's job (one shuffle, no pair
+#: explosion); near-dup candidate generation prunes them as LSH
+#: stop-buckets. Fixture max bucket ≈ 9, so the cap never fires on
+#: real data — it exists for the adversarial tail.
+MAX_BUCKET_DOCS = 1000
+
 
 @query(
     "ext_dedup_exact",
@@ -104,15 +114,22 @@ def _band_hash(b: int) -> str:
       FROM hd
     ), b AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_id, {_band_hash(b)} AS band_hash FROM m" for b in range(N_BANDS))}
+    ), bf AS (
+      -- skew guard: degenerate buckets (> MAX_BUCKET_DOCS) dropped
+      SELECT doc_id, band_id, band_hash
+      FROM (SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bucket_n FROM b)
+      WHERE bucket_n <= {MAX_BUCKET_DOCS}
     )
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM b x JOIN b y
+    FROM bf x JOIN bf y
       ON x.band_id = y.band_id AND x.band_hash = y.band_hash
          AND x.doc_id < y.doc_id
     """,
     operator="ext_dedup_near (minhash+LSH)",
     doc="MinHash+LSH near-dup candidates: 3-word shingles → 8 "
-    "md5-minhashes → 4 bands of 2 → band-bucket equi-join.",
+    "md5-minhashes → 4 bands of 2 → band-bucket equi-join. Buckets "
+    "over MAX_BUCKET_DOCS are pruned pre-join (skew guard: no "
+    "quadratic task from a degenerate bucket).",
 )
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single let-bound expression tree: split → shingle → one md5 pass
@@ -142,11 +159,22 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents", parallel=True)
     bands = (
         d.filter(F.expr("size(split(lower(text), ' ')) >= 3"))
         .select("doc_id", F.explode(F.expr(bands_expr)).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
+    )
+    # skew guard: count per bucket (window on the SAME key as the
+    # join, so the exchange is shared) and drop degenerate buckets
+    # before any pair is formed.
+    wb = Window.partitionBy("band_id", "band_hash")
+    bands = (
+        bands.withColumn("bucket_n", F.count("*").over(wb))
+        .filter(F.col("bucket_n") <= MAX_BUCKET_DOCS)
+        .drop("bucket_n")
     )
     x, y = bands.alias("x"), bands.alias("y")
     return (

@@ -35,6 +35,10 @@ N_PLANES = 8
 ANN_PLANES = 4  # coarser buckets for ANN probing (≈corpus/16 per probe)
 COS_T = 0.4  # fixture embeddings are near-orthogonal (max pair cos ≈ 0.6)
 QUERY_VEC_ID = 0
+#: skew guard for the sign-LSH pair join — same rationale as
+#: dedup.MAX_BUCKET_DOCS: a degenerate bucket (e.g. zero vectors all
+#: hashing to one signature) would emit m² pairs into one task.
+MAX_BUCKET_VECS = 1000
 
 
 def _fold(dialect: str, term: str, init: str = "CAST(0 AS DOUBLE)") -> str:
@@ -128,10 +132,15 @@ def _sig_expr(dialect: str, col: str, n_planes: int = N_PLANES) -> str:
 @query(
     "ext_dedup_embed",
     oracle=f"""
-    WITH s AS (
+    WITH s0 AS (
       SELECT vec_id, embedding, {_sig_expr("duck", "embedding")} AS sig,
              sqrt({_dot("duck", "embedding", "embedding")}) AS norm
       FROM embeddings
+    ), s AS (
+      -- skew guard: degenerate sign-buckets (> MAX_BUCKET_VECS) dropped
+      SELECT vec_id, embedding, sig, norm
+      FROM (SELECT *, count(*) OVER (PARTITION BY sig) AS bucket_n FROM s0)
+      WHERE bucket_n <= {MAX_BUCKET_VECS}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_dot("duck", "a.embedding", "b.embedding")} / (a.norm * b.norm) AS cos_sim
@@ -143,15 +152,23 @@ def _sig_expr(dialect: str, col: str, n_planes: int = N_PLANES) -> str:
     "hyperplanes) then exact cosine ≥ threshold inside buckets. Norms "
     "are computed once per vector on the build side of the shuffle "
     "(the exchange materializes them), so each candidate pair costs "
-    "one dot product, not three.",
+    "one dot product, not three. Buckets over MAX_BUCKET_VECS are "
+    "pruned pre-join (skew guard — see dedup.MAX_BUCKET_DOCS).",
 )
 def ext_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     s = e.select(
         "vec_id",
         "embedding",
         F.expr(_sig_expr("spark", "embedding")).alias("sig"),
         F.expr(f"sqrt({_dot('spark', 'embedding', 'embedding')})").alias("norm"),
+    )
+    s = (
+        s.withColumn("bucket_n", F.count("*").over(Window.partitionBy("sig")))
+        .filter(F.col("bucket_n") <= MAX_BUCKET_VECS)
+        .drop("bucket_n")
     )
     a, b = s.alias("a"), s.alias("b")
     cos = F.expr(
@@ -172,43 +189,95 @@ N_CELLS = 16  # IVF coarse-quantizer cells
 N_PROBE = 2  # cells probed per query
 
 
+def _ivf_weight(i: int, d: int) -> int:
+    """md5-derived integer centroid component c(i, d) in [-32768, 32767].
+
+    Like the LSH hyperplanes above: computed once in Python and
+    inlined as literals, so the quantizer is a compile-time constant —
+    the IVF index is \"built once\" by construction, never refit per
+    query (the round-1 KMeans version refit on every invocation, a
+    scale anti-pattern, and was un-oracle-able)."""
+    import hashlib
+
+    return int(hashlib.md5(f"ivf_{i}_{d}".encode()).hexdigest()[:4], 16) - 32768
+
+
+def _cell_scores(dialect: str, col: str) -> list[str]:
+    """Per-cell L2 proxy scores: argmin_i |e - c_i|^2 == argmin_i
+    (|c_i|^2 - 2*c_i.e) — |e|^2 is constant per row and drops out.
+    |c_i|^2 is an integer literal and each dot is an explicit
+    left-to-right 64-term sum, so both engines produce bit-identical
+    doubles."""
+    scores = []
+    for i in range(N_CELLS):
+        norm2 = sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1))
+        dot = " + ".join(
+            f"{_ivf_weight(i, d)} * {_elem_at(dialect, col, d)}" for d in range(1, DIM + 1)
+        )
+        scores.append(f"(CAST({norm2} AS DOUBLE) - 2.0 * ({dot}))")
+    return scores
+
+
+def _cell_expr(dialect: str, col: str) -> str:
+    """Nearest-centroid cell id (0-based; first-minimum tie-break is
+    deterministic because the scores themselves are bit-identical).
+
+    The 16×64-term scores array is let-bound so it is evaluated ONCE
+    per row — inlining it into both array_position and array_min
+    doubles the dominant cost (measured 4× slower end-to-end)."""
+    arr = ", ".join(_cell_scores(dialect, col))
+    if dialect == "spark":
+        from lapidus_spark.functions.exprs import let_
+
+        return f"CAST({let_(f'array({arr})', 'sc', 'array_position(sc, array_min(sc)) - 1')} AS INT)"
+    return f"CAST(list_position([{arr}], list_aggregate([{arr}], 'min')) - 1 AS INT)"
+
+
+def _scores_arr(dialect: str, col: str) -> str:
+    arr = ", ".join(_cell_scores(dialect, col))
+    return f"array({arr})" if dialect == "spark" else f"[{arr}]"
+
+
 @query(
     "ext_ann_ivf",
-    oracle=None,  # KMeans quantizer — not SQL-expressible; rows-only
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_cell_expr("duck", "embedding")} AS cell
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qe,
+             {_scores_arr("duck", "embedding")} AS qscores
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT s.vec_id, {_cos("duck", "s.embedding", "q.qe")} AS cos_sim
+    FROM s CROSS JOIN q
+    WHERE q.qscores[s.cell + 1] <= list_sort(q.qscores)[{N_PROBE}]
+      AND s.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, s.vec_id ASC
+    LIMIT {TOP_K}
+    """,
     operator="ext_sim_search (ANN/IVF scale path)",
-    doc="IVF-style ANN: a KMeans coarse quantizer (k=16, fixed seed) "
-    "partitions the corpus into cells; a query probes its n_probe=2 "
-    "nearest centroids and exact-cosine re-ranks only those cells — "
-    "at 100 TB the cell id is a partition key, so a probe reads "
-    "~n_probe/k of the corpus (partition pruning), the IVF analog of "
-    "the LSH bucket join in ext_ann_lsh.",
+    doc="IVF-style ANN with a deterministic coarse quantizer: 16 "
+    "md5-derived integer centroids (compile-time literals — the index "
+    "is built once, never refit), nearest-centroid cell per vector, "
+    "query probes its n_probe=2 nearest cells and exact-cosine "
+    "re-ranks only those. At 100 TB the cell id is the partition key "
+    "written at ingest, so a probe is a partition-pruned scan of "
+    "~n_probe/k of the corpus — the IVF analog of ext_ann_lsh's "
+    "bucket join.",
 )
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    e = load_table(spark, sf_dir, "embeddings", parallel=True).withColumn(
-        "features", array_to_vector("embedding")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    s = e.select("vec_id", "embedding", F.expr(_cell_expr("spark", "embedding")).alias("cell"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        F.expr(_scores_arr("spark", "embedding")).alias("qscores"),
     )
-    model = KMeans(k=N_CELLS, seed=42, maxIter=5, featuresCol="features").fit(e)
-    assigned = model.transform(e).select("vec_id", "embedding", F.col("prediction").alias("cell"))
-
-    # query vector + its n_probe nearest cells (tiny driver-side math
-    # on k centroids — the index metadata, not the data)
-    qrow = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    qe = qrow["embedding"]
-    centers = model.clusterCenters()
-    d2 = [(i, float(sum((c[j] - qe[j]) ** 2 for j in range(DIM)))) for i, c in enumerate(centers)]
-    probe_cells = [i for i, _ in sorted(d2, key=lambda t: t[1])[:N_PROBE]]
-
-    q = (
-        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qe"))
-    )
+    probe_threshold = F.expr(f"element_at(array_sort(qscores), {N_PROBE})")
     return (
-        assigned.filter(F.col("cell").isin(probe_cells))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        s.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
+        .filter(F.expr("element_at(qscores, cell + 1)") <= probe_threshold)
         .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)

@@ -28,6 +28,10 @@ from lapidus_spark.sources.tables import load_table
 
 TOP_K = 10
 
+#: range partitions for the distributed global rank — tracks cluster
+#: parallelism at scale (one range slice per concurrent task wave).
+RANK_PARTITIONS = 32
+
 
 def dec(col: str, scale: int = 2) -> F.Column:
     """Exact-decimal view of a 2-dp double column (deterministic sum)."""
@@ -276,26 +280,47 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE value > 100
     """,
     operator="global sort (gap §2.5)",
-    doc="Total order over the filtered stream with dense global ranks "
-    "— Spark samples the sort key to build a RangePartitioning "
-    "exchange, so the sort itself is distributed (per-partition sort "
-    "after range exchange); the filter still pushes into the scan.",
+    doc="Total order over the filtered stream with dense global ranks, "
+    "computed WITHOUT a single-partition window: a range exchange on "
+    "the sort key spreads the order across partitions, each partition "
+    "ranks locally, and per-partition row counts (k rows of metadata) "
+    "turn local ranks into global ones via cumulative offsets — the "
+    "classic zipWithIndex formulation, fully distributed at 100 TB. "
+    "The filter still pushes into the scan.",
 )
 def sort_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    order = [F.desc("value"), F.asc("event_id")]
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 100)
-    # global row_number needs a single ordering; Window with no
-    # partition spec is the semantic — Spark warns (single-partition
-    # window) which is exactly what a global rank costs on ANY engine;
-    # the alternative at scale is zipWithIndex-style rank via
-    # range-partitioned sort + per-partition offsets.
-    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
-    return ev.select(
-        "event_id",
-        F.col("user_id").alias("entity_id"),
-        "value",
-        F.row_number().over(w).alias("rank"),
+    # Pass 1: range-partition on the sort key — partition i holds
+    # strictly higher-ranked rows than partition i+1, so the partition
+    # id is the coarse rank. (RANK_PARTITIONS tracks cluster
+    # parallelism at scale; the fixture uses the test session's 32.)
+    parts = ev.repartitionByRange(RANK_PARTITIONS, *order).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # Pass 2a: per-partition row counts → cumulative offsets. ≤k rows
+    # of metadata; the triangular join stays broadcast (never a
+    # single-partition window, which would serialize the whole rank).
+    counts = parts.groupBy("pid").agg(F.count("*").alias("n"))
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.n"), F.lit(0)).alias("offset"))
+    )
+    # Pass 2b: local rank within each range partition + offset.
+    w = Window.partitionBy("pid").orderBy(*order)
+    return (
+        parts.withColumn("local_rank", F.row_number().over(w))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "event_id",
+            F.col("user_id").alias("entity_id"),
+            "value",
+            (F.col("offset") + F.col("local_rank")).cast("int").alias("rank"),
+        )
     )
 
 

@@ -26,6 +26,7 @@ class PlanFacts:
     joins: list[str]
     n_exchanges: int
     n_broadcast_exchanges: int
+    n_single_partition: int  # Exchange SinglePartition — serialization points
     codegen_spans: int
     has_take_ordered: bool
 
@@ -53,6 +54,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         ),
         n_exchanges=len(re.findall(r"\n\(\d+\) Exchange", plan)),
         n_broadcast_exchanges=len(re.findall(r"BroadcastExchange", plan)),
+        n_single_partition=len(re.findall(r"Exchange SinglePartition", plan)),
         codegen_spans=len(set(re.findall(r"\*\((\d+)\)", executed))),
         has_take_ordered="TakeOrderedAndProject" in plan,
     )
@@ -92,8 +94,10 @@ EXPECTATIONS: dict[str, dict] = {
     "join_anti_silent": {"max_exchanges": 2},
     # pure projection: no exchange at any scale
     "prj_scalar_battery": {"max_exchanges": 0},
-    # single-partition global rank: exactly one exchange
-    "sort_global_events": {"max_exchanges": 1},
+    # distributed global rank: range exchange + per-pid window + tiny
+    # count/offset aggs — NEVER an Exchange SinglePartition (the
+    # round-1 single-partition Window was the scale-killer here)
+    "sort_global_events": {"max_exchanges": 6, "no_single_partition": True},
     # sessionize: window + groupBy share the entity-key exchange
     "win_sessionize": {"max_exchanges": 1},
     # two-phase distinct aggregate
@@ -122,6 +126,10 @@ def check(name: str, facts: PlanFacts, exp: dict) -> list[str]:
         )
     if exp.get("take_ordered") and not facts.has_take_ordered:
         errors.append("expected TakeOrderedAndProject")
+    if exp.get("no_single_partition") and facts.n_single_partition > 0:
+        errors.append(
+            f"expected no Exchange SinglePartition, got {facts.n_single_partition}"
+        )
     for j in exp.get("joins", []):
         if j not in facts.joins:
             errors.append(f"expected {j}, got {facts.joins}")

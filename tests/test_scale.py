@@ -88,3 +88,95 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---- skew guards: degenerate LSH buckets must not form m² pair tasks ----
+
+
+def test_minhash_skew_guard_drops_degenerate_bucket(spark, tmp_path):
+    """Adversarial duplicate-heavy corpus: 2000 identical docs collapse
+    into ONE band bucket in every band — without the guard that is
+    ~2M candidate pairs in a single task. The guard drops the bucket
+    (identical docs are ext_dedup_exact's job), keeps genuine small
+    near-dup groups, and the DuckDB oracle applies the same cap so
+    parity holds."""
+    import duckdb
+    import pandas as pd
+
+    from lapidus_spark.plans.registry import load_all
+
+    mega = "the quick brown fox jumps over the lazy dog again and again"
+    pair_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pair_b = "one two three four five six seven eight nine ten eleven"
+    uniq = [
+        f"unique document number {i} with distinct tokens w{i} x{i} y{i} z{i}"
+        for i in range(5)
+    ]
+    texts = [mega] * 2000 + [pair_a, pair_a, pair_b, pair_b] + uniq
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["adv"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sfdir = tmp_path / "adv"
+    sfdir.mkdir()
+    pdf.to_parquet(str(sfdir / "documents.parquet"))
+
+    reg = load_all()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in reg["ext_dedup_minhash"].fn(spark, str(sfdir)).collect()
+    }
+    # genuine small dup groups survive
+    assert (2000, 2001) in pairs and (2002, 2003) in pairs
+    # the degenerate 2000-doc bucket emitted NO pairs
+    assert not any(a < 2000 and b < 2000 for a, b in pairs)
+
+    # oracle applies the identical cap → engines agree exactly
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sfdir}/documents.parquet')"
+    )
+    opairs = {
+        tuple(r)
+        for r in con.sql(
+            f"SELECT doc_a, doc_b FROM ({reg['ext_dedup_minhash'].oracle})"
+        ).fetchall()
+    }
+    con.close()
+    assert pairs == opairs
+
+
+def test_embed_skew_guard_drops_degenerate_bucket(spark, tmp_path):
+    """Same guard on the sign-LSH vector buckets: 1500 zero vectors all
+    hash to one signature (every hyperplane dot is 0); the bucket is
+    pruned before the pair join, while a genuine identical-vector pair
+    in a small bucket is still found."""
+    import pandas as pd
+
+    from lapidus_spark.functions.similarity import DIM
+    from lapidus_spark.plans.registry import load_all
+
+    zero = [0.0] * DIM
+    # exactly float32-representable values → bit-identical across engines
+    v = [0.5 if d % 3 == 0 else -0.25 for d in range(DIM)]
+    vecs = [zero] * 1500 + [v, v]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": vecs,
+            "label": [0] * len(vecs),
+        }
+    )
+    sfdir = tmp_path / "advv"
+    sfdir.mkdir()
+    pdf.to_parquet(str(sfdir / "embeddings.parquet"))
+
+    reg = load_all()
+    rows = reg["ext_dedup_embed"].fn(spark, str(sfdir)).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert pairs == {(1500, 1501)}
