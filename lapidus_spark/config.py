@@ -18,7 +18,7 @@ import json
 import re
 from dataclasses import dataclass, field
 
-BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file")
+BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file", "jsoncdc")
 SINK_TYPES = ("console", "parquet", "memory")
 EVENT_TYPES = ("insert", "update", "delete")
 
@@ -182,10 +182,10 @@ def validate_config(raw: dict) -> EngineConfig:
                 raise ConfigError(
                     f"backend[{i}]: postgresql requires slot matching \\w+"
                 )  # postgresql.js:680-699
-        if btype == "file" and not b.get("path"):
+        if btype in ("file", "jsoncdc") and not b.get("path"):
             # friendly error at validate time instead of a TypeError
             # deep inside stream_events (mirrors the pg slot check)
-            raise ConfigError(f"backend[{i}]: file backend requires a 'path'")
+            raise ConfigError(f"backend[{i}]: {btype} backend requires a 'path'")
         sinks = [_sink(s) for s in b.get("sinks", [])] or global_sinks  # lapidus.js:96
         master = b.get("emitEvents", True)
         if not isinstance(master, bool):

@@ -53,6 +53,8 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: the reference's live product (the streaming pipeline) or are the
 #: newest text/decode operators — they get verified slots first.
 _VERIFY_FIRST = (
+    "src_jsoncdc_decode",
+    "stream_jsoncdc_decode",
     "stream_envelope_replay",
     "stream_tx_assembly",
     "stream_windowed_counts",
@@ -105,6 +107,7 @@ def load_all() -> dict[str, QuerySpec]:
     import lapidus_spark.functions.multimodal  # noqa: F401
     import lapidus_spark.functions.similarity  # noqa: F401
     import lapidus_spark.functions.text  # noqa: F401
+    import lapidus_spark.sources.jsoncdc  # noqa: F401
     import lapidus_spark.streaming.queries  # noqa: F401
 
     last = set(_VERIFY_LAST)

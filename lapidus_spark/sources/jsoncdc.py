@@ -1,0 +1,355 @@
+"""Faithful jsoncdc wire-format decode (src_decode, the real thing).
+
+The reference consumes ``pg_recvlogical --plugin jsoncdc`` stdout: an
+LDJSON stream whose line shapes are (src/postgresql.js:373-485,
+607-611):
+
+- ``{"begin": <txid>}`` — transaction open; sets the running
+  ``currentTxId`` stamped onto every following DML line,
+- ``{"commit": <txid>, "t": <ts>}`` — transaction close,
+- ``{"table": t, "schema": {...}}`` — DDL; cached per table
+  (``schemaCache[tableName] = line.schema``) and attached to every
+  later DML envelope for that table,
+- ``{"table": t, "insert"|"update": {cols...}}`` — row image; pk =
+  ``line[action].id || line[action].ID`` (src/postgresql.js:472),
+- ``{"table": t, "delete": {...}, "@": {...}}`` — replica-identity
+  keys; item = ``line['@']``, pk = first non-null value of the ``@``
+  object (src/postgresql.js:416-425),
+- lines whose table contains ``pg_temp_`` are dropped (the
+  materialized-view-refresh HACK, src/postgresql.js:386-390).
+
+The rebuild decodes those shapes with pure column expressions
+(``get_json_object`` returns the raw compact JSON substring — no
+re-serialization drift) and replaces the reference's two pieces of
+mutable decoder state with per-file analytic windows:
+
+- running tx stamp:  ``last(begin_id) IGNORE NULLS`` over line order,
+- schema cache:      ``last(schema_json) IGNORE NULLS`` per table.
+
+Scale shape: the window partition key is the source FILE (one WAL
+segment / micro-batch capture per file, transaction-aligned — the
+same contract the reference gets from one ordered pg_recvlogical
+pipe per slot). Decoding is embarrassingly parallel across files;
+within a file, line order is the parquet of record. A transaction
+never spans capture files (pg_recvlogical flushes on commit), so the
+per-file window is both correct and distributed.
+
+The replay fixture is GENERATED from the ``events`` table (cached per
+process, untimed harness setup), so the DuckDB oracle can state the
+expected envelope directly from ``events`` — the parity check proves
+decode ∘ encode == identity over the real line shapes, including
+interleaved schema epochs and pg_temp noise lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+#: capture files in a replay dir (scale knob: decode parallelism).
+N_FILES = 8
+#: tables the synthetic stream writes to.
+N_TABLES = 3
+#: schema epoch 2 starts at the file's 3rd transaction (user_id//8 >= 2).
+SCHEMA_V2_AT = 2
+
+_V1 = '{"id":"integer","k":"text","v":1}'
+_V2 = '{"id":"integer","k":"text","v":2}'
+
+#: fixture event_type → jsoncdc action (same mapping as CDC_TYPE_EXPR).
+_ACTION = {"signup": "insert", "error": "delete"}
+
+_REPLAY_DIRS: dict[str, str] = {}
+
+
+def build_jsoncdc_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process per sf_dir) a jsoncdc LDJSON replay dir
+    derived from the events table: N_FILES files, each a sequence of
+    schema / begin / DML / commit lines for the transactions (users)
+    it owns, plus pg_temp noise lines the decoder must drop."""
+    if sf_dir in _REPLAY_DIRS:
+        return _REPLAY_DIRS[sf_dir]
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id", "props")
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+    replay_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_")
+    files = [[] for _ in range(N_FILES)]
+    for f in range(N_FILES):
+        # epoch-1 schema lines for every table, then a noise line
+        for t in range(N_TABLES):
+            files[f].append(json.dumps({"table": f"tbl_{t}", "schema": json.loads(_V1)},
+                                       separators=(",", ":")))
+        files[f].append(json.dumps({"table": f"pg_temp_{9000 + f}", "insert": {"id": -1}},
+                                   separators=(",", ":")))
+
+    emitted_v2 = [False] * N_FILES
+    for user_id, grp in ev.groupby("user_id", sort=True):
+        f = int(user_id) % N_FILES
+        tbl = f"tbl_{int(user_id) % N_TABLES}"
+        if int(user_id) // N_FILES >= SCHEMA_V2_AT and not emitted_v2[f]:
+            for t in range(N_TABLES):
+                files[f].append(json.dumps({"table": f"tbl_{t}", "schema": json.loads(_V2)},
+                                           separators=(",", ":")))
+            emitted_v2[f] = True
+        files[f].append(json.dumps({"begin": int(user_id)}, separators=(",", ":")))
+        for row in grp.sort_values("event_id").itertuples():
+            eid = int(row.event_id)
+            k = json.loads(row.props)["k"]
+            action = _ACTION.get(row.event_type, "update")
+            if action == "delete":
+                line = {"table": tbl, "delete": {}, "@": {"id": eid}}
+            elif action == "update":
+                line = {"table": tbl, "update": {"id": eid, "k": k}, "@": {"id": eid}}
+            else:
+                line = {"table": tbl, "insert": {"id": eid, "k": k}}
+            files[f].append(json.dumps(line, separators=(",", ":")))
+        files[f].append(json.dumps({"commit": int(user_id), "t": "2026-01-01T00:00:00Z"},
+                                   separators=(",", ":")))
+
+    for f, lines in enumerate(files):
+        with open(os.path.join(replay_dir, f"segment_{f:03d}.ldjson"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    _REPLAY_DIRS[sf_dir] = replay_dir
+    return replay_dir
+
+
+#: first non-null value of the ``@`` replica-identity object — the
+#: reference's delete-pk rule (Object.keys(...).filter(non-null).shift()).
+_AT_PK = (
+    "element_at(filter(map_entries(from_json("
+    "get_json_object(value, \"$['@']\"), 'map<string,string>')), "
+    "e -> e.value IS NOT NULL), 1).value"
+)
+
+_TYPE_CASE = (
+    "CASE WHEN get_json_object(value, '$.insert') IS NOT NULL THEN 'insert' "
+    "WHEN get_json_object(value, '$.update') IS NOT NULL THEN 'update' "
+    "WHEN get_json_object(value, '$.delete') IS NOT NULL THEN 'delete' "
+    "WHEN get_json_object(value, '$.schema') IS NOT NULL THEN 'schema' "
+    "WHEN get_json_object(value, '$.begin') IS NOT NULL THEN 'beginTransaction' "
+    "WHEN get_json_object(value, '$.commit') IS NOT NULL THEN 'commitTransaction' "
+    "ELSE 'unknown' END"
+)
+
+
+def decode_jsoncdc(lines: DataFrame) -> DataFrame:
+    """Stateless per-line decode: raw text lines → typed jsoncdc
+    records. Works on batch and streaming DataFrames alike (no
+    window/state); tx stamping and schema attachment are the stateful
+    layer added by ``decode_jsoncdc_stream_of_files``."""
+    item = (
+        "CASE WHEN get_json_object(value, '$.delete') IS NOT NULL "
+        "THEN get_json_object(value, \"$['@']\") "
+        "WHEN get_json_object(value, '$.insert') IS NOT NULL "
+        "THEN get_json_object(value, '$.insert') "
+        "ELSE get_json_object(value, '$.update') END"
+    )
+    pk = (
+        "CASE WHEN get_json_object(value, '$.delete') IS NOT NULL "
+        f"THEN {_AT_PK} "
+        "ELSE coalesce(get_json_object(value, '$.insert.id'), "
+        "get_json_object(value, '$.insert.ID'), "
+        "get_json_object(value, '$.update.id'), "
+        "get_json_object(value, '$.update.ID')) END"
+    )
+    return lines.select(
+        "*",
+        F.expr(_TYPE_CASE).alias("type"),
+        F.get_json_object("value", "$.table").alias("table_name"),
+        F.expr(item).alias("item"),
+        F.expr(pk).alias("pk"),
+        F.get_json_object("value", "$.begin").cast("long").alias("begin_id"),
+        F.get_json_object("value", "$.commit").cast("long").alias("commit_id"),
+        F.get_json_object("value", "$.schema").alias("schema_json"),
+    ).filter(
+        # the pg_temp HACK (src/postgresql.js:386-390): contains-match
+        F.col("table_name").isNull() | ~F.col("table_name").contains("pg_temp_")
+    )
+
+
+def normalize_jsoncdc(decoded: DataFrame, source: str = "pg_main") -> DataFrame:
+    """Decoded jsoncdc records → canonical envelope (ENVELOPE_SCHEMA).
+
+    Stateless, so it works on batch and streaming inputs alike. All
+    six line kinds flow through as envelope rows — the reference emits
+    ``schema`` / ``beginTransaction`` / ``commitTransaction`` as
+    events in their own right (src/postgresql.js:427-484), and the
+    per-kind emit gates (EmitFlags) decide per sink what survives:
+
+    - DML rows carry item/pk; ``tx_id`` is left null here because the
+      running-stamp state belongs to the assembler layer
+      (stream_tx_assembly) — in batch decode ``decode_jsoncdc_dir``
+      stamps it with the per-file window instead,
+    - schema lines carry the schema JSON as their item,
+    - begin/commit carry the transaction id in ``tx_id``; commit also
+      carries the commit timestamp (``t`` key, src/postgresql.js:432).
+
+    ``event_seq``: batch decode gets per-partition-monotonic arrival
+    ids (the reference has no global sequence either — its order IS
+    the single pg_recvlogical pipe; one ordered capture file is the
+    distributed equivalent). Streaming relations can't host
+    ``monotonically_increasing_id`` (it is plan-instance state), so
+    the stream gets a stable line fingerprint instead — an identifier,
+    not an order; ordering guarantees for stateful consumers come
+    from the capture segmentation (one transaction-aligned file per
+    micro-batch), same as the reference's one-pipe-per-slot contract.
+    """
+    if decoded.isStreaming:
+        seq = F.xxhash64("value").alias("event_seq")
+    else:
+        seq = F.monotonically_increasing_id().alias("event_seq")
+    qualified = F.col("table_name").contains(".")
+    return decoded.select(
+        seq,
+        F.lit(source).alias("source"),
+        F.col("type"),
+        F.when(qualified, F.split("table_name", r"\.").getItem(0))
+        .otherwise(F.lit("public"))
+        .alias("schema_name"),
+        F.when(qualified, F.split("table_name", r"\.").getItem(1))
+        .otherwise(F.col("table_name"))
+        .alias("table_name"),
+        F.col("pk"),
+        F.when(F.col("type") == "schema", F.col("schema_json"))
+        .otherwise(F.col("item"))
+        .alias("item"),
+        F.coalesce("begin_id", "commit_id").alias("tx_id"),
+        F.get_json_object("value", "$.t").cast("timestamp").alias("ts"),
+    )
+
+
+def stream_jsoncdc_envelope(
+    spark: SparkSession, capture_dir: str, source: str = "pg_main",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a jsoncdc capture dir → envelope stream (the
+    pipeline backend entry point, ``type: "jsoncdc"`` in config)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return normalize_jsoncdc(decode_jsoncdc(reader.load(capture_dir)), source=source)
+
+
+def decode_jsoncdc_dir(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Batch decode of a jsoncdc capture dir → DML envelopes with the
+    running tx stamp and latest-schema attachment (the reference's
+    ``currentTxId`` / ``schemaCache`` state as per-file windows)."""
+    lines = spark.read.text(replay_dir).select(
+        "value",
+        F.input_file_name().alias("src_file"),
+        # per-partition-monotonic id: capture files are segment-sized
+        # (one scan split each), so this IS the line order per file
+        F.monotonically_increasing_id().alias("line_seq"),
+    )
+    rec = decode_jsoncdc(lines)
+    w_file = (
+        Window.partitionBy("src_file")
+        .orderBy("line_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tbl = (
+        Window.partitionBy("src_file", "table_name")
+        .orderBy("line_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rec.withColumn("tx_id", F.last("begin_id", ignorenulls=True).over(w_file))
+        .withColumn("table_schema", F.last("schema_json", ignorenulls=True).over(w_tbl))
+        .filter(F.col("type").isin("insert", "update", "delete"))
+        .select(
+            F.get_json_object("item", "$.id").cast("long").alias("event_id"),
+            "type",
+            "table_name",
+            "pk",
+            "item",
+            "tx_id",
+            "table_schema",
+        )
+    )
+
+
+@query(
+    "src_jsoncdc_decode",
+    oracle=f"""
+    SELECT event_id,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS type,
+           'tbl_' || CAST(user_id % {N_TABLES} AS VARCHAR) AS table_name,
+           CAST(event_id AS VARCHAR) AS pk,
+           CASE WHEN event_type = 'error'
+                THEN '{{"id":' || CAST(event_id AS VARCHAR) || '}}'
+                ELSE '{{"id":' || CAST(event_id AS VARCHAR) || ',"k":'
+                     || json_extract_string(props, '$.k') || '}}' END AS item,
+           user_id AS tx_id,
+           CASE WHEN user_id // {N_FILES} >= {SCHEMA_V2_AT}
+                THEN '{_V2}' ELSE '{_V1}' END AS table_schema
+    FROM events
+    """,
+    operator="src_decode (faithful jsoncdc wire format)",
+    doc="Decode of real jsoncdc LDJSON line shapes — insert/update/"
+    "delete with @-keyed replica identity, interleaved schema lines "
+    "feeding the per-table schema cache, begin/commit markers driving "
+    "the running tx_id stamp, pg_temp noise dropped. The replay dir "
+    "is generated from events, so the oracle states the expected "
+    "envelope from events directly: parity == decode∘encode is the "
+    "identity (src/postgresql.js:373-485).",
+)
+def src_jsoncdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_jsoncdc_dir(spark, build_jsoncdc_replay(spark, sf_dir))
+
+
+@query(
+    "stream_jsoncdc_decode",
+    oracle=f"""
+    SELECT event_id,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS type,
+           'tbl_' || CAST(user_id % {N_TABLES} AS VARCHAR) AS table_name,
+           CAST(event_id AS VARCHAR) AS pk,
+           CASE WHEN event_type = 'error'
+                THEN '{{"id":' || CAST(event_id AS VARCHAR) || '}}'
+                ELSE '{{"id":' || CAST(event_id AS VARCHAR) || ',"k":'
+                     || json_extract_string(props, '$.k') || '}}' END AS item
+    FROM events
+    """,
+    operator="src_decode + src_pg (streaming jsoncdc execution)",
+    doc="The jsoncdc line decode run as a real stream (readStream.text "
+    "over the capture dir, one micro-batch per segment file): "
+    "stateless per-line parse → DML envelope. The stateful layers "
+    "(tx assembly, schema cache) are their own streaming operators "
+    "(stream_tx_assembly, stream_schema_cache) fed by this decode — "
+    "the reference's lineHandler decomposed into Spark stages "
+    "(src/postgresql.js:607-611).",
+)
+def stream_jsoncdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.queries import _run_to_memory
+
+    replay_dir = build_jsoncdc_replay(spark, sf_dir)
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(replay_dir)
+    )
+    env = (
+        decode_jsoncdc(lines)
+        .filter(F.col("type").isin("insert", "update", "delete"))
+        .select(
+            F.get_json_object("item", "$.id").cast("long").alias("event_id"),
+            "type",
+            "table_name",
+            "pk",
+            "item",
+        )
+    )
+    return _run_to_memory(env, "stream_jsoncdc_decode_out")

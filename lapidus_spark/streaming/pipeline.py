@@ -28,17 +28,27 @@ def envelope_stream(spark: SparkSession, backend: BackendConfig) -> DataFrame:
     reference's pre-dispatch filters applied early (pushed to the
     scan): pg_temp system tables (postgresql.js:386-391) and
     excludeTables (postgresql.js:393-397)."""
-    if backend.type != "file":
+    if backend.type == "jsoncdc":
+        # faithful wire format: LDJSON capture dir (pg_recvlogical
+        # --plugin jsoncdc output) → stateless decode → envelope
+        from lapidus_spark.sources.jsoncdc import stream_jsoncdc_envelope
+
+        env = stream_jsoncdc_envelope(spark, backend.path, source=backend.name)
+    elif backend.type == "file":
+        raw = stream_events(spark, backend.path)
+        env = normalize_events(raw, source=backend.name)
+    else:
         raise NotImplementedError(
             f"backend type {backend.type!r}: live capture is external "
-            "(Debezium->Kafka); only the 'file' replay backend runs in "
-            "this container"
+            "(Debezium->Kafka); only the 'file' and 'jsoncdc' replay "
+            "backends run in this container"
         )
-    raw = stream_events(spark, backend.path)
-    env = normalize_events(raw, source=backend.name)
-    env = env.filter(~F.col("table_name").contains("pg_temp_"))
+    # null-safe: tx markers (begin/commit) carry no table_name and
+    # must pass table filters (they are events in their own right)
+    no_table = F.col("table_name").isNull()
+    env = env.filter(no_table | ~F.col("table_name").contains("pg_temp_"))
     if backend.exclude_tables:
-        env = env.filter(~F.col("table_name").isin(backend.exclude_tables))
+        env = env.filter(no_table | ~F.col("table_name").isin(backend.exclude_tables))
     return env
 
 
