@@ -31,11 +31,13 @@ def main() -> None:
     # TARGET sf: stream_tx_assembly replays a generated marker dir —
     # building it is setup, not operator work, and must not land in
     # the timed pass.
+    from lapidus_spark.functions.similarity import build_ivf_index
     from lapidus_spark.sources.jsoncdc import build_jsoncdc_replay
     from lapidus_spark.streaming.queries import build_tx_replay_input
 
     build_tx_replay_input(spark, sf_dir)
     build_jsoncdc_replay(spark, sf_dir)
+    build_ivf_index(spark, sf_dir)
 
     # Warm pass at the smallest SF: triggers codegen/JIT of every
     # query shape once, so the timed numbers measure engine work on

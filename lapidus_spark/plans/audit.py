@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class PlanFacts:
     pushed_filters: list[str]
+    partition_filters: list[str]  # non-empty ⇒ partition-pruned scan
     read_schemas: list[str]
     joins: list[str]
     n_exchanges: int
@@ -47,6 +48,9 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     return PlanFacts(
         pushed_filters=[
             m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()
+        ],
+        partition_filters=[
+            m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m.strip()
         ],
         read_schemas=re.findall(r"ReadSchema: (\S+)", plan),
         joins=re.findall(
@@ -109,6 +113,13 @@ EXPECTATIONS: dict[str, dict] = {
     "agg_pivot_type_matrix": {"max_exchanges": 2},
     # repartition(parallel) + freq agg + per-lang rank window
     "ext_top_tokens": {"max_exchanges": 3},
+    # IVF probe: literal cell IN (...) on the index's partition column
+    # → the scan itself is partition-pruned (reads n_probe/16 of the
+    # files); rerank is TakeOrderedAndProject, zero shuffles
+    "ext_ann_ivf": {"partition_pruned": True, "take_ordered": True, "max_exchanges": 0},
+    # per-file decode windows: one exchange per window key (file, then
+    # file×table) — decode parallelism is the capture-file count
+    "src_jsoncdc_decode": {"max_exchanges": 2, "no_single_partition": True},
 }
 
 
@@ -124,6 +135,8 @@ def check(name: str, facts: PlanFacts, exp: dict) -> list[str]:
         errors.append(
             f"expected ≥{exp['broadcasts']} broadcasts, got {facts.n_broadcast_exchanges}"
         )
+    if exp.get("partition_pruned") and not facts.partition_filters:
+        errors.append("expected partition-pruned scan (PartitionFilters), found none")
     if exp.get("take_ordered") and not facts.has_take_ordered:
         errors.append("expected TakeOrderedAndProject")
     if exp.get("no_single_partition") and facts.n_single_partition > 0:

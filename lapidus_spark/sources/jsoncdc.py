@@ -336,9 +336,13 @@ def stream_jsoncdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapidus_spark.streaming.queries import _run_to_memory
 
     replay_dir = build_jsoncdc_replay(spark, sf_dir)
+    # multi-micro-batch replay (4 segments per trigger): proves the
+    # decode crosses trigger boundaries without paying 8× per-batch
+    # commit overhead for a stateless parse — state-carry properties
+    # belong to the stateful layers' own queries (stream_tx_assembly).
     lines = (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "4")
         .load(replay_dir)
     )
     env = (
