@@ -1,0 +1,194 @@
+"""Corpus-hygiene extension operators (SURVEY.md §2.9 family):
+benchmark decontamination and within-document repetition signals —
+the two data-quality passes an LLM training pipeline runs between
+dedup and quality filtering.
+
+- ext_decontaminate: find training documents that share token
+  n-grams with a held-out benchmark set (here: ``doc_id % BENCH_MOD
+  == 0`` plays the benchmark). The join is an inverted index on the
+  n-gram — per-doc DISTINCT n-grams on both sides, boilerplate
+  n-grams (benchmark document frequency > MAX_BENCH_DF) dropped
+  before the join, so no n-gram can fan out quadratically. At 100 TB
+  the join key is the n-gram (hash it to xxhash64 to shrink the
+  shuffle; string keys kept here for oracle parity), the benchmark
+  side is tiny and broadcastable, and the skew cap is the same
+  document-frequency rule production decontamination uses to ignore
+  ubiquitous phrases.
+- ext_repetition: Gopher-style repetition ratios (duplicate-bigram
+  fraction, top-bigram coverage) as pure array expressions — zero
+  shuffle, whole-stage codegen, O(distinct × total) per document
+  which is bounded by ingest-time document length caps.
+
+Float determinism: every double is a ratio of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+NGRAM_N = 4  # decontamination n-gram width (tokens)
+BENCH_MOD = 25  # doc_id % BENCH_MOD == 0 → benchmark member
+#: skew guard / boilerplate rule: an n-gram present in more than this
+#: many benchmark docs is too common to indicate contamination.
+MAX_BENCH_DF = 20
+
+
+def _ngrams_spark(col: str, n: int) -> str:
+    """DISTINCT token n-grams of a text column (empty when shorter
+    than n tokens — sequence() would run backwards otherwise)."""
+    return (
+        f"array_distinct(CASE WHEN size(split({col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({col}, ' ')) - {n} + 1), "
+        f"i -> array_join(slice(split({col}, ' '), i, {n}), ' ')) "
+        f"ELSE array() END)"
+    )
+
+
+def _ngrams_duck(col: str, n: int) -> str:
+    return (
+        f"list_distinct(CASE WHEN len(string_split({col}, ' ')) >= {n} THEN "
+        f"list_transform(range(1, len(string_split({col}, ' ')) - {n} + 2), "
+        f"i -> array_to_string(list_slice(string_split({col}, ' '), i, i + {n} - 1), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+@query(
+    "ext_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_ngrams_duck("text", NGRAM_N)}) AS ng
+      FROM documents
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, ng FROM g WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    bench_rare AS (
+      SELECT ng FROM bench GROUP BY ng HAVING count(*) <= {MAX_BENCH_DF}
+    ),
+    hits AS (
+      SELECT t.doc_id, b.bench_id, b.ng
+      FROM g t
+      JOIN (SELECT * FROM bench WHERE ng IN (SELECT ng FROM bench_rare)) b
+        USING (ng)
+      WHERE t.doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+           CAST(count(DISTINCT ng) AS BIGINT) AS n_shared_ngrams
+    FROM hits GROUP BY doc_id
+    """,
+    operator="ext_decontaminate (benchmark decontamination)",
+    doc="Training docs sharing {n}-grams with the held-out benchmark "
+    "set: per-doc distinct n-grams, boilerplate n-grams (benchmark "
+    "df > cap) excluded, inverted-index equi-join, per-doc "
+    "contamination counts. The production pass that keeps eval sets "
+    "out of training data.".format(n=NGRAM_N),
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    g = d.select(
+        "doc_id", F.explode(F.expr(_ngrams_spark("text", NGRAM_N))).alias("ng")
+    )
+    bench = g.filter(F.col("doc_id") % BENCH_MOD == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    bench_rare = (
+        bench.groupBy("ng")
+        .agg(F.count("*").alias("df"), F.collect_list("bench_id").alias("bench_ids"))
+        .filter(F.col("df") <= MAX_BENCH_DF)
+        .select("ng", "bench_ids")
+    )
+    # The filtered benchmark index is small by construction (rare
+    # n-grams only) → broadcast; the training side never shuffles.
+    hits = (
+        g.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench_rare), "ng")
+        .select("doc_id", "ng", F.explode("bench_ids").alias("bench_id"))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+        F.countDistinct("ng").alias("n_shared_ngrams"),
+    )
+
+
+@query(
+    "ext_repetition",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+             ELSE [] END AS bg
+      FROM documents
+    ),
+    -- the oracle states top-bigram count relationally (unnest +
+    -- group + max); the Spark side computes the same number with a
+    -- run-length fold over the sorted array
+    cnt AS (
+      SELECT doc_id, max(c) AS mx FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+           ELSE CAST(0 AS DOUBLE) END AS dup_frac,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(cnt.mx AS DOUBLE) / len(bg)
+           ELSE CAST(0 AS DOUBLE) END AS top_frac
+    FROM b LEFT JOIN cnt ON b.doc_id = cnt.doc_id
+    """,
+    operator="ext_repetition (Gopher repetition signals)",
+    doc="Within-document repetition quality signals: duplicate-bigram "
+    "fraction and top-bigram coverage, as pure higher-order array "
+    "expressions — zero shuffle, embarrassingly parallel.",
+)
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.functions.exprs import let_
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    bg = (
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) ELSE array() END"
+    )
+    # top-bigram count is a run-length fold over the SORTED array —
+    # O(n log n) per doc, not the O(distinct × n) pairwise scan; bg
+    # and the distinct count are let_-bound so CollapseProject can't
+    # re-evaluate the bigram build once per output column
+    top = (
+        "aggregate(array_sort(bg), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'mx', 0), "
+        "(acc, x) -> named_struct('prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, 1), "
+        "'mx', greatest(acc.mx, IF(x <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.mx)"
+    )
+    body = (
+        "named_struct("
+        "'n_bigrams', CAST(size(bg) AS BIGINT), "
+        "'n_distinct', CAST(nd AS BIGINT), "
+        "'dup_frac', CASE WHEN size(bg) > 0 THEN "
+        "CAST(size(bg) - nd AS DOUBLE) / size(bg) ELSE CAST(0 AS DOUBLE) END, "
+        "'top_frac', CASE WHEN size(bg) > 0 THEN "
+        f"CAST({top} AS DOUBLE) / size(bg) ELSE CAST(0 AS DOUBLE) END)"
+    )
+    stats = let_(bg, "bg", let_("size(array_distinct(bg))", "nd", body))
+    return d.select("doc_id", F.expr(stats).alias("s")).select(
+        "doc_id",
+        F.col("s.n_bigrams").alias("n_bigrams"),
+        F.col("s.n_distinct").alias("n_distinct"),
+        F.col("s.dup_frac").alias("dup_frac"),
+        F.col("s.top_frac").alias("top_frac"),
+    )

@@ -120,6 +120,14 @@ EXPECTATIONS: dict[str, dict] = {
     # per-file decode windows: one exchange per window key (file, then
     # file×table) — decode parallelism is the capture-file count
     "src_jsoncdc_decode": {"max_exchanges": 2, "no_single_partition": True},
+    # decontamination: rare-benchmark-ngram index is BROADCAST — the
+    # training side shuffles only for the final per-doc distinct agg
+    # (2 exchanges) + bench-side df agg + parallel-load repartitions
+    "ext_decontaminate": {"broadcasts": 1, "max_exchanges": 5},
+    # repetition signals: pure array expressions — the 1 exchange is
+    # the load_table(parallel=True) repartition crutch for the
+    # single-split fixture file, dropped at scale (many scan splits)
+    "ext_repetition": {"max_exchanges": 1},
 }
 
 

@@ -241,30 +241,41 @@ def stream_jsoncdc_envelope(
     return normalize_jsoncdc(decode_jsoncdc(reader.load(capture_dir)), source=source)
 
 
-def decode_jsoncdc_dir(spark: SparkSession, replay_dir: str) -> DataFrame:
-    """Batch decode of a jsoncdc capture dir → DML envelopes with the
-    running tx stamp and latest-schema attachment (the reference's
-    ``currentTxId`` / ``schemaCache`` state as per-file windows)."""
-    lines = spark.read.text(replay_dir).select(
+def _with_file_order(lines: DataFrame) -> DataFrame:
+    """Attach (src_file, line_seq) to a batch text-lines DataFrame.
+    Capture files are segment-sized (one scan split each), so the
+    per-partition-monotonic id IS the line order per file."""
+    return lines.select(
         "value",
         F.input_file_name().alias("src_file"),
-        # per-partition-monotonic id: capture files are segment-sized
-        # (one scan split each), so this IS the line order per file
         F.monotonically_increasing_id().alias("line_seq"),
     )
-    rec = decode_jsoncdc(lines)
+
+
+def _stamped(rec: DataFrame) -> DataFrame:
+    """Decoded records (+src_file/line_seq) → records with the running
+    tx stamp (the reference's ``currentTxId`` as a per-file window)."""
     w_file = (
         Window.partitionBy("src_file")
         .orderBy("line_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return rec.withColumn("tx_id", F.last("begin_id", ignorenulls=True).over(w_file))
+
+
+def decode_jsoncdc_dir(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Batch decode of a jsoncdc capture dir → DML envelopes with the
+    running tx stamp and latest-schema attachment (the reference's
+    ``currentTxId`` / ``schemaCache`` state as per-file windows)."""
+    lines = _with_file_order(spark.read.text(replay_dir))
+    rec = decode_jsoncdc(lines)
     w_tbl = (
         Window.partitionBy("src_file", "table_name")
         .orderBy("line_seq")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        rec.withColumn("tx_id", F.last("begin_id", ignorenulls=True).over(w_file))
+        _stamped(rec)
         .withColumn("table_schema", F.last("schema_json", ignorenulls=True).over(w_tbl))
         .filter(F.col("type").isin("insert", "update", "delete"))
         .select(
@@ -357,3 +368,103 @@ def stream_jsoncdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(env, "stream_jsoncdc_decode_out")
+
+
+@query(
+    "stream_jsoncdc_tx",
+    oracle="""
+    SELECT user_id AS tx_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           min(event_id) AS first_seq,
+           max(event_id) AS last_seq,
+           string_agg(CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END,
+                ',' ORDER BY event_id) AS item_types,
+           TIMESTAMP '2026-01-01 00:00:00' AS commit_ts
+    FROM events GROUP BY user_id
+    """,
+    operator="src_decode → agg_tx (full product chain, streaming)",
+    doc="The reference's whole live path composed end to end as one "
+    "stream: jsoncdc capture dir → readStream → per-line decode → "
+    "running tx stamp → transaction assembly → assembled transactions "
+    "(src/postgresql.js:550-619 event loop + 18-33 DatabaseTransaction). "
+    "Assembly runs per micro-batch in foreachBatch: a micro-batch is "
+    "whole capture files and transactions never span files "
+    "(pg_recvlogical flushes on commit), so batch-local stamping + "
+    "groupBy is exact — the streaming shape that avoids unbounded "
+    "state for a source whose segments are transaction-aligned.",
+)
+def stream_jsoncdc_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.assembler import COMMIT_TYPE
+    from lapidus_spark.streaming.queries import STREAM_SHUFFLE_PARTITIONS
+
+    replay_dir = build_jsoncdc_replay(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_tx_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_jsoncdc_tx_ckpt_")
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "4")
+        .load(replay_dir)
+    )
+
+    def assemble(batch_df: DataFrame, _batch_id: int) -> None:
+        # A commit line's running tx stamp IS its own tx (its begin
+        # precedes it in the same file), so DML and commit rows land
+        # in the same group — ONE aggregation, no commit join.
+        is_dml = F.col("type").isin("insert", "update", "delete")
+        rows = (
+            _stamped(decode_jsoncdc(_with_file_order(batch_df)))
+            .filter(is_dml | (F.col("type") == COMMIT_TYPE))
+            .select(
+                "tx_id",
+                "type",
+                F.get_json_object("item", "$.id").cast("long").alias("event_id"),
+                F.when(
+                    F.col("type") == COMMIT_TYPE,
+                    F.get_json_object("value", "$.t").cast("timestamp"),
+                ).alias("commit_ts"),
+            )
+        )
+        is_dml_row = F.col("type") != COMMIT_TYPE
+        (
+            rows.groupBy("tx_id")
+            .agg(
+                F.sum(is_dml_row.cast("long")).alias("n_items"),
+                F.min("event_id").alias("first_seq"),
+                F.max("event_id").alias("last_seq"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(is_dml_row, F.struct("event_id", "type"))
+                            )
+                        ),
+                        lambda x: x["type"],
+                    ),
+                    ",",
+                ).alias("item_types"),
+                F.max("commit_ts").alias("commit_ts"),
+            )
+            .filter(F.col("n_items") > 0)
+            .select(
+                "tx_id", "n_items", "first_seq", "last_seq", "item_types", "commit_ts"
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            lines.writeStream.foreachBatch(assemble)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out_dir)
+
+
