@@ -128,6 +128,39 @@ EXPECTATIONS: dict[str, dict] = {
     # the load_table(parallel=True) repartition crutch for the
     # single-split fixture file, dropped at scale (many scan splits)
     "ext_repetition": {"max_exchanges": 1},
+    # banded minhash: shingle/minhash pass is shuffle-free; exchanges
+    # are the band-bucket pair join + dedup-pair distinct (+ parallel-
+    # load crutch); buckets broadcast at fixture scale
+    "ext_dedup_minhash": {"max_exchanges": 5, "no_single_partition": True},
+    # simhash: pure codegen projection; 1 = parallel-load crutch
+    "ext_dedup_simhash": {"max_exchanges": 1},
+    # inverted-index token join blocked by lang × length-band
+    "ext_dedup_ngram": {"max_exchanges": 3, "no_single_partition": True},
+    # sign-LSH bucket join, norms computed pre-shuffle
+    "ext_dedup_embed": {"max_exchanges": 4, "no_single_partition": True},
+    # brute-force top-k: broadcast 1-row query side + TakeOrdered —
+    # the corpus scan itself never shuffles
+    "ext_sim_search": {"broadcasts": 1, "take_ordered": True, "max_exchanges": 2},
+    # LSH probe: equi-join on the query's bucket signature only
+    "ext_ann_lsh": {"broadcasts": 1, "take_ordered": True, "max_exchanges": 2},
+    # text battery: zero-shuffle projections + one final groupBy
+    # (plus the parallel-load crutch where present)
+    "ext_text_stats": {"max_exchanges": 1},
+    "ext_token_count": {"max_exchanges": 1},
+    "ext_quality_score": {"max_exchanges": 1},
+    "ext_fingerprint": {"max_exchanges": 1},
+    # lang-id: marker projection + 2-key groupBy (2 = agg partials)
+    "ext_lang_id": {"max_exchanges": 2},
+    # multimodal metadata: pure projection over the binary column
+    "ext_multimodal_meta": {"max_exchanges": 0},
+    # batch tx assembly: ONE shuffle on tx_id, sorted-collect inside
+    "agg_tx_assembly": {"max_exchanges": 1, "no_single_partition": True},
+    "agg_tx_commit_ts": {"max_exchanges": 1},
+    # schema cache: max_by per table — one shuffle
+    "win_schema_cache": {"max_exchanges": 1},
+    # binlog/oplog normalizers: pure per-row projections, no shuffle
+    "src_mysql_binlog": {"max_exchanges": 0},
+    "src_mongo_oplog": {"max_exchanges": 0},
 }
 
 

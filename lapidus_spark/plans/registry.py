@@ -56,6 +56,8 @@ _VERIFY_FIRST = (
     "src_jsoncdc_decode",
     "stream_jsoncdc_decode",
     "stream_jsoncdc_tx",
+    "src_mysql_binlog",
+    "src_mongo_oplog",
     "ext_decontaminate",
     "ext_repetition",
     # round-1 hash-fails, fixed in round 2 — pinned inside the window
@@ -81,6 +83,8 @@ _VERIFY_FIRST = (
 #: slots to the queries above. Still fully covered by the pytest
 #: oracle-parity suite.
 _VERIFY_LAST = (
+    "win_running_total",
+    "win_tumbling_counts",
     "agg_type_counts",
     "src_scan_events",
     "flt_exclude_tables",
@@ -116,6 +120,7 @@ def load_all() -> dict[str, QuerySpec]:
     import lapidus_spark.functions.multimodal  # noqa: F401
     import lapidus_spark.functions.similarity  # noqa: F401
     import lapidus_spark.functions.text  # noqa: F401
+    import lapidus_spark.sources.cdc_replay  # noqa: F401
     import lapidus_spark.sources.jsoncdc  # noqa: F401
     import lapidus_spark.streaming.queries  # noqa: F401
 

@@ -126,8 +126,12 @@ def build_jsoncdc_replay(spark: SparkSession, sf_dir: str) -> str:
 
 #: first non-null value of the ``@`` replica-identity object — the
 #: reference's delete-pk rule (Object.keys(...).filter(non-null).shift()).
+#: try_element_at: an ``@`` object whose values are all null yields an
+#: empty filtered array — under ANSI mode (Spark 4 default) a plain
+#: element_at would throw INVALID_ARRAY_INDEX instead of yielding a
+#: null pk.
 _AT_PK = (
-    "element_at(filter(map_entries(from_json("
+    "try_element_at(filter(map_entries(from_json("
     "get_json_object(value, \"$['@']\"), 'map<string,string>')), "
     "e -> e.value IS NOT NULL), 1).value"
 )
