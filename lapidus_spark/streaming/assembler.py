@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -48,10 +49,13 @@ TX_OUTPUT_SCHEMA = StructType(
 #: state: (seqs, types) — commit is emit-or-buffer, never persisted:
 #: a commit marker in the batch drains the state immediately, so only
 #: uncommitted item buffers live in the store between triggers.
+#: Typed arrays, not serialized strings: the state row crosses the
+#: Python/JVM boundary as Arrow columns, so array elements stay
+#: binary — no join/split/str round-trip per trigger.
 TX_STATE_SCHEMA = StructType(
     [
-        StructField("seqs", StringType(), True),  # csv of event_seq
-        StructField("types", StringType(), True),  # csv of type, parallel to seqs
+        StructField("seqs", ArrayType(LongType()), True),  # event_seqs buffered
+        StructField("types", ArrayType(StringType()), True),  # types, parallel to seqs
     ]
 )
 
@@ -76,9 +80,9 @@ def _assemble_tx(
     types: list[str] = []
     if state.exists:
         s_seqs, s_types = state.get
-        if s_seqs:
-            seqs = [int(x) for x in s_seqs.split(",")]
-            types = s_types.split(",")
+        if s_seqs is not None and len(s_seqs):
+            seqs = [int(x) for x in s_seqs]
+            types = [str(t) for t in s_types]
 
     committed = False
     commit_ts: Any = None
@@ -107,7 +111,7 @@ def _assemble_tx(
         )
         state.remove()
     else:
-        state.update((",".join(str(s) for s in seqs), ",".join(types)))
+        state.update((seqs, types))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
 

@@ -180,3 +180,67 @@ def test_embed_skew_guard_drops_degenerate_bucket(spark, tmp_path):
     rows = reg["ext_dedup_embed"].fn(spark, str(sfdir)).collect()
     pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
     assert pairs == {(1500, 1501)}
+
+
+def test_decontaminate_boilerplate_cap(spark, tmp_path):
+    """Adversarial boilerplate: a 4-gram shared by >MAX_BENCH_DF
+    benchmark docs (a copyright footer) must be excluded — it is both
+    the production false-positive rule and the skew guard (the
+    boilerplate key would otherwise fan out bench_df × train_df rows
+    in one join task). A genuinely rare benchmark phrase still flags
+    the train docs that copied it, and the oracle applies the same
+    cap so parity holds."""
+    import duckdb
+    import pandas as pd
+
+    from lapidus_spark.functions.corpus import BENCH_MOD, MAX_BENCH_DF
+    from lapidus_spark.plans.registry import load_all
+    from tests.oracle_utils import compare
+
+    boiler = "copyright all rights reserved worldwide"
+    rare = "secret eval question alpha bravo"
+    n_docs = BENCH_MOD * (MAX_BENCH_DF + 10) + 1  # 31 benchmark docs
+    texts = []
+    for i in range(n_docs):
+        filler = f"doc{i} filler{i} pad{i} tail{i}"
+        if i % BENCH_MOD == 0:  # benchmark member: all carry boilerplate
+            t = f"{filler} {boiler}"
+            if i == BENCH_MOD:  # one benchmark doc also holds the rare phrase
+                t = f"{t} {rare}"
+        elif i in (1, 2):  # contaminated train docs
+            t = f"{filler} {boiler} {rare}"
+        else:  # train docs with only boilerplate overlap
+            t = f"{filler} {boiler}"
+        texts.append(t)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n_docs),
+            "text": texts,
+            "lang": ["en"] * n_docs,
+            "source": ["adv"] * n_docs,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sfdir = tmp_path / "adv_decon"
+    sfdir.mkdir()
+    pdf.to_parquet(str(sfdir / "documents.parquet"))
+
+    reg = load_all()
+    rows = {
+        r["doc_id"]: (r["n_bench_docs"], r["n_shared_ngrams"])
+        for r in reg["ext_decontaminate"].fn(spark, str(sfdir)).collect()
+    }
+    # ONLY the rare-phrase copiers flag: 2 four-grams inside the rare
+    # phrase + 3 spanning the boilerplate→rare seam (the same junction
+    # exists in benchmark doc BENCH_MOD), all from ONE benchmark doc —
+    # and none of the hundreds of boilerplate-only train docs appear
+    assert rows == {1: (1, 5), 2: (1, 5)}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sfdir}/documents.parquet')"
+    )
+    rep = compare(
+        reg["ext_decontaminate"].fn(spark, str(sfdir)), con, reg["ext_decontaminate"].oracle
+    )
+    assert rep["ok"], rep["detail"]
