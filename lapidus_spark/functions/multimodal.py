@@ -201,7 +201,21 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_multimodal_decode",
-    oracle=None,  # Pandas-UDF decode path — rows-only check by design
+    # The stub codec's features are pure byte arithmetic, and the
+    # fixture payloads are ASCII text bytes — so the oracle can state
+    # byte_sum/head_hex in SQL and the Arrow mapInPandas decode gets a
+    # full hash-parity check (a real image codec would be rows-only).
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_aggregate(
+               list_transform(range(1, length(text) + 1),
+                              i -> unicode(text[i])), 'sum'), 0)
+               AS BIGINT) AS byte_sum,
+           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+    FROM documents
+    """,
     operator="ext_multimodal",
     doc="Arrow-batched mapInPandas decode/feature-extract over binary "
     "payloads (deterministic stub codec; real decoder drop-in).",
