@@ -99,9 +99,9 @@ def _band_hash(b: int) -> str:
     return f"md5(concat(mh{2 * b}, '|', mh{2 * b + 1}))"
 
 
-@query(
-    "ext_dedup_minhash",
-    oracle=f"""
+#: the minhash pair-generation oracle, shared by ext_dedup_minhash and
+#: (as a CTE) the connected-components oracle below.
+_MINHASH_PAIRS_ORACLE = f"""
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
     ), s AS (
@@ -124,7 +124,12 @@ def _band_hash(b: int) -> str:
     FROM bf x JOIN bf y
       ON x.band_id = y.band_id AND x.band_hash = y.band_hash
          AND x.doc_id < y.doc_id
-    """,
+"""
+
+
+@query(
+    "ext_dedup_minhash",
+    oracle=_MINHASH_PAIRS_ORACLE,
     operator="ext_dedup_near (minhash+LSH)",
     doc="MinHash+LSH near-dup candidates: 3-word shingles → 8 "
     "md5-minhashes → 4 bands of 2 → band-bucket equi-join. Buckets "
@@ -313,3 +318,76 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("n_inter").cast("double") / (F.col("n_sum") - F.col("n_inter"))
     return p.select("doc_a", "doc_b", jac.alias("jaccard")).filter(jac >= JACCARD_T)
+
+
+@query(
+    "ext_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    operator="ext_dedup_near (duplicate-cluster connected components)",
+    doc="Near-dup pairs → duplicate CLUSTERS via distributed label "
+    "propagation (each vertex repeatedly adopts the min label among "
+    "itself and its neighbors, Pregel-style): the step a production "
+    "dedup pipeline runs after candidate generation to pick one "
+    "canonical doc per group. Converges in O(component diameter) "
+    "rounds — near-dup clusters are dense, so a handful of shuffles; "
+    "the oracle is the quadratic transitive closure (WITH RECURSIVE), "
+    "deliberately the formulation that does NOT scale.",
+)
+def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ext_dedup_minhash(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(32):  # bound >> any real component diameter
+            neigh = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("component").alias("neigh_min"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce("neigh_min", F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter("n.component <> o.component")
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("label propagation did not converge in 32 rounds")
+        return labels
+    finally:
+        edges.unpersist()

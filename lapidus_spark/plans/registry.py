@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "stream_jsoncdc_tx",
     "src_mysql_binlog",
     "src_mongo_oplog",
+    "ext_dedup_components",
     "ext_decontaminate",
     "ext_repetition",
     # round-1 hash-fails, fixed in round 2 — pinned inside the window
@@ -83,6 +84,7 @@ _VERIFY_FIRST = (
 #: slots to the queries above. Still fully covered by the pytest
 #: oracle-parity suite.
 _VERIFY_LAST = (
+    "prj_json_extract",
     "win_running_total",
     "win_tumbling_counts",
     "agg_type_counts",
