@@ -1,0 +1,275 @@
+"""Training-data pipeline operators (SURVEY.md §2.9 family): the
+dataset-assembly passes that run AFTER dedup/decontamination —
+split assignment, PII scrubbing, chunking, sequence packing, and
+corpus vocabulary statistics.
+
+Scale notes (100 TB):
+
+- ext_split_hash: embarrassingly parallel projection — the split is a
+  pure function of the stable doc_id (md5, not ``hash()``, so the
+  assignment survives Spark upgrades and matches any other engine
+  computing the same rule). Zero shuffle.
+- ext_pii_scrub: zero-shuffle regexp projection, whole-stage codegen;
+  patterns are RE2-compatible so the same rules run on DuckDB/Go
+  scrubbers byte-for-byte.
+- ext_chunk_overlap: per-row explode with bounded fan-out
+  (ceil(len/stride) chunks per doc) — no shuffle; output size is the
+  input size times a constant overlap factor.
+- ext_seq_pack: the one genuinely order-dependent pass. The global
+  token offset is computed with the same range-exchange +
+  per-partition-offset formulation as sort_global_events (never a
+  single-partition window): partition counts are k rows of broadcast
+  metadata, so the cumulative sum distributes across the cluster.
+- ext_doc_freq: explode → one hash aggregation on the token key; the
+  corpus-size scalar joins in as a broadcast literal, not a
+  driver-side constant folded into the plan.
+
+Float determinism: no floats — every output is an exact integer or a
+string, so oracle hashes match bit-for-bit by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lapidus_spark.plans.registry import query
+from lapidus_spark.sources.tables import load_table
+
+#: train/val/test fractions in hash-bucket percent (out of 100).
+TRAIN_PCT = 90
+VAL_PCT = 5
+#: chunking geometry (tokens).
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+#: sequence-packing token budget per packed bin.
+PACK_BUDGET = 512
+#: parallelism of the range exchange in ext_seq_pack (tracks cluster
+#: cores at scale; fixture-sized here).
+PACK_PARTITIONS = 32
+
+
+@query(
+    "ext_split_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+             % 100 AS bucket,
+           CASE
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                  % 100 < {TRAIN_PCT} THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+                  % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    operator="ext_split_hash (train/val/test assignment)",
+    doc="Deterministic 90/5/5 train/val/test split: md5 of the stable "
+    "doc key → hash bucket in [0,100) → split label. Content-blind "
+    "(near-dups must be clustered first so a cluster lands in ONE "
+    "split — see ext_dedup_components), engine-portable (md5, not "
+    "Spark's Murmur hash()), and zero-shuffle.",
+)
+def ext_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "ext_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
+           regexp_replace(CAST(user_id AS VARCHAR), '[0-9]', '#', 'g') AS user_masked,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num_runs,
+           CAST(len(regexp_extract_all(props,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails
+    FROM events
+    """,
+    operator="ext_pii_scrub (PII redaction)",
+    doc="PII scrubbing pass over the event payloads: number runs in "
+    "the free-form props replaced with a <NUM> sentinel, the user "
+    "identifier digit-masked, and per-row match counts (number runs, "
+    "email-shaped tokens) emitted for audit. Patterns restricted to "
+    "the RE2-compatible subset so Java-regex Spark and RE2 DuckDB "
+    "agree byte-for-byte; zero shuffle, whole-stage codegen.",
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_scrubbed"),
+        F.regexp_replace(F.col("user_id").cast("string"), "[0-9]", "#").alias("user_masked"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("bigint").alias("n_num_runs"),
+        F.regexp_count("props", F.lit(email)).cast("bigint").alias("n_emails"),
+    )
+
+
+@query(
+    "ext_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), x AS (
+      SELECT doc_id, toks,
+             1 + (greatest(0, n - {CHUNK_SIZE}) + {CHUNK_STRIDE} - 1)
+                 // {CHUNK_STRIDE} AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM x
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(
+             toks[chunk_id * {CHUNK_STRIDE} + 1 : chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+             ' ') AS chunk_text,
+           CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                         chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS BIGINT)
+             AS chunk_len
+    FROM e
+    """,
+    operator="ext_chunk_overlap (sliding-window chunking)",
+    doc=f"Overlapping-window chunking for context-length-bounded "
+    f"training: {CHUNK_SIZE}-token chunks every {CHUNK_STRIDE} tokens "
+    f"({CHUNK_SIZE - CHUNK_STRIDE}-token overlap). Chunk count is "
+    "computed in exact integer arithmetic (div, not float ceil) so "
+    "both engines explode identical row sets; fan-out per row is "
+    "bounded by ceil(len/stride), no shuffle anywhere.",
+)
+def ext_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).withColumn(
+        "n_chunks",
+        F.expr(f"1 + (greatest(0, n - {CHUNK_SIZE}) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}"),
+    )
+    e = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), CAST(n_chunks - 1 AS BIGINT))")).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id").cast("int") * CHUNK_STRIDE
+    chunk = F.slice("toks", start + 1, CHUNK_SIZE)
+    return e.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+@query(
+    "ext_seq_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM t
+    )
+    SELECT cum_before // {PACK_BUDGET} AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY bin_id
+    """,
+    operator="ext_seq_pack (sequence packing)",
+    doc=f"Sequence packing: documents are packed in stable doc_id "
+    f"order into ~{PACK_BUDGET}-token training bins by cumulative "
+    "token offset (bin = offset div budget — the deterministic, "
+    "shuffle-once formulation; a doc straddling a boundary joins the "
+    "bin its offset starts in, the same contiguous-packing rule "
+    "Megatron-style dataloaders use). The global cumulative sum uses "
+    "the range-exchange + broadcast-offset pattern from "
+    "sort_global_events — never a single-partition window.",
+)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    # Range-partition on doc_id: partition i holds strictly lower doc
+    # ids than partition i+1, so a broadcast of per-partition token
+    # totals yields each partition's global starting offset.
+    parts = docs.repartitionByRange(PACK_PARTITIONS, F.asc("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    totals = parts.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
+    offsets = (
+        totals.alias("a")
+        .join(F.broadcast(totals.alias("b")), F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.tok"), F.lit(0)).cast("bigint").alias("offset"))
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    packed = (
+        parts.withColumn("local_cum", F.sum("n_tok").over(w))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("cum_before", F.col("offset") + F.col("local_cum") - F.col("n_tok"))
+        .withColumn("bin_id", F.expr(f"cum_before div {PACK_BUDGET}"))
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "ext_doc_freq",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+      )
+    )
+    SELECT token, count(*) AS df,
+           (SELECT count(*) FROM documents) AS n_docs
+    FROM e GROUP BY token
+    """,
+    operator="ext_doc_freq (corpus vocabulary statistics)",
+    doc="Document frequency per token (the df in idf, and the input "
+    "to stopword/boilerplate lists): per-doc DISTINCT tokens exploded "
+    "into one hash aggregation on the token key. The corpus size "
+    "rides along as a broadcast scalar. Counts stay exact integers — "
+    "downstream idf = ln(N/df) is a lossy float, so the operator "
+    "emits the exact sufficient statistics instead.",
+)
+def ext_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"),
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        e.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(total))
+    )

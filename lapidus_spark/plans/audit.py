@@ -161,6 +161,18 @@ EXPECTATIONS: dict[str, dict] = {
     # binlog/oplog normalizers: pure per-row projections, no shuffle
     "src_mysql_binlog": {"max_exchanges": 0},
     "src_mongo_oplog": {"max_exchanges": 0},
+    # split assignment / PII scrub / chunk explosion: zero-shuffle
+    # codegen projections at any scale
+    "ext_split_hash": {"max_exchanges": 0},
+    "ext_pii_scrub": {"max_exchanges": 0},
+    "ext_chunk_overlap": {"max_exchanges": 0},
+    # sequence packing: range exchange + per-pid window + broadcast
+    # offsets + final bin agg — the distributed-cumsum formulation;
+    # never a single-partition exchange
+    "ext_seq_pack": {"max_exchanges": 7, "no_single_partition": True},
+    # doc frequency: explode → one token-key agg (2 = agg partials);
+    # corpus-size scalar broadcast
+    "ext_doc_freq": {"broadcasts": 1, "max_exchanges": 2, "no_single_partition": True},
 }
 
 

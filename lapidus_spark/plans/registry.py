@@ -61,6 +61,11 @@ _VERIFY_FIRST = (
     "ext_dedup_components",
     "ext_decontaminate",
     "ext_repetition",
+    "ext_split_hash",
+    "ext_pii_scrub",
+    "ext_chunk_overlap",
+    "ext_seq_pack",
+    "ext_doc_freq",
     # round-1 hash-fails, fixed in round 2 — pinned inside the window
     # so the fixes get a hard correctness signal
     "win_sessionize",
@@ -72,6 +77,7 @@ _VERIFY_FIRST = (
     "stream_enrich_dim",
     "stream_dedup_exact",
     "stream_schema_cache",
+    "stream_stream_join",
     "ext_lang_id",
     "ext_token_count",
     "ext_quality_score",
@@ -84,6 +90,12 @@ _VERIFY_FIRST = (
 #: slots to the queries above. Still fully covered by the pytest
 #: oracle-parity suite.
 _VERIFY_LAST = (
+    "agg_tx_commit_ts",
+    "agg_distinct_users",
+    "win_cdc_snapshot",
+    "agg_pivot_type_matrix",
+    "agg_rollup_hierarchy",
+    "join_range_band",
     "prj_json_extract",
     "win_running_total",
     "win_tumbling_counts",
@@ -120,6 +132,7 @@ def load_all() -> dict[str, QuerySpec]:
     import lapidus_spark.functions.corpus  # noqa: F401
     import lapidus_spark.functions.dedup  # noqa: F401
     import lapidus_spark.functions.multimodal  # noqa: F401
+    import lapidus_spark.functions.pipeline  # noqa: F401
     import lapidus_spark.functions.similarity  # noqa: F401
     import lapidus_spark.functions.text  # noqa: F401
     import lapidus_spark.sources.cdc_replay  # noqa: F401

@@ -374,3 +374,59 @@ def stream_schema_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("schema_seq"),
     )
     return _run_to_memory(cache, "stream_schema_cache_out", output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS view_seq, a.ts AS view_ts,
+           b.event_id AS purchase_seq, b.ts AS purchase_ts,
+           epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+    operator="stream-stream interval join (gap §2.5 / attribution)",
+    doc="Watermarked stream-stream inner join: view events joined to "
+    "purchase events of the same user within 6 hours (click-to-buy "
+    "attribution). Both sides carry event-time watermarks and the "
+    "join condition carries the time-range bound, so the state store "
+    "evicts view rows once the purchase-side watermark passes "
+    "view_ts + 6h — bounded state on unbounded streams. Replay here "
+    "is a single availableNow batch, so the streamed answer is "
+    "bit-identical to the batch self-join oracle (no late-drop "
+    "divergence to account for).",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_seq"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_id").alias("purchase_seq"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (views.user_id == buys.buyer_id)
+        & (buys.purchase_ts > views.view_ts)
+        & (buys.purchase_ts <= views.view_ts + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    ).select(
+        "user_id",
+        "view_seq",
+        "view_ts",
+        "purchase_seq",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+    return _run_to_memory(joined, "stream_stream_join_out")
