@@ -273,3 +273,103 @@ def ext_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(total))
     )
+
+
+#: per-language sampling rates in hash-bucket percent: downsample the
+#: dominant language, keep most of the tail (corpus rebalancing).
+SAMPLE_RATES = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 60}
+SAMPLE_DEFAULT = 40  # unseen languages
+
+
+def _sample_rate_case_duck() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    return f"CASE lang {whens} ELSE {SAMPLE_DEFAULT} END"
+
+
+@query(
+    "ext_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(concat('sample_', CAST(doc_id AS VARCHAR))), 1, 4))
+                AS INT) % 100 AS bucket
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('sample_', CAST(doc_id AS VARCHAR))), 1, 4))
+               AS INT) % 100 < {_sample_rate_case_duck()}
+    """,
+    operator="ext_sample_stratified (per-stratum hash sampling)",
+    doc="Stratified corpus sampling: each language stratum keeps a "
+    "different fraction (downsample the dominant language, keep the "
+    "tail) decided by a salted md5 bucket of the stable doc key — "
+    "deterministic across engines and re-runs, unlike rand()-based "
+    "Bernoulli sampling, and a pure zero-shuffle filter that pushes "
+    "into the scan.",
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sample_"), F.col("doc_id").cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    rate = F.lit(SAMPLE_DEFAULT)
+    for k, v in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .drop("rate")
+    )
+
+
+#: frozen quality-classifier weights (milli-units) — a quantized
+#: linear model: reward length, penalize character bulk, reward
+#: stopword evidence ('the' count as the anchor feature).
+LOGIT_W_TOK = 5
+LOGIT_W_CHAR = -2
+LOGIT_W_STOP = 100
+LOGIT_THRESHOLD = -300
+
+
+@query(
+    "ext_quality_logit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             n_chars,
+             len(list_filter(string_split(lower(text), ' '), x -> x = 'the')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({LOGIT_W_TOK} * n_tok + {LOGIT_W_CHAR} * n_chars
+                + {LOGIT_W_STOP} * n_stop AS BIGINT) AS z_milli,
+           CAST(CASE WHEN {LOGIT_W_TOK} * n_tok + {LOGIT_W_CHAR} * n_chars
+                + {LOGIT_W_STOP} * n_stop > {LOGIT_THRESHOLD} THEN 1 ELSE 0 END AS INT)
+             AS keep
+    FROM t
+    """,
+    operator="ext_quality_logit (frozen-weight quality classifier)",
+    doc="A fasttext-style linear quality filter with FROZEN integer "
+    "weights (milli-units): the logit is an exact integer combination "
+    "of token count, char count, and stopword evidence, so the score "
+    "and the keep/drop decision are bit-identical on any engine — "
+    "the quantized-classifier trick that makes a learned filter "
+    "reproducible. Zero shuffle, whole-stage codegen.",
+)
+def ext_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x == "the"))
+    z = (
+        F.lit(LOGIT_W_TOK) * n_tok
+        + F.lit(LOGIT_W_CHAR) * F.col("n_chars")
+        + F.lit(LOGIT_W_STOP) * n_stop
+    )
+    return docs.select(
+        "doc_id",
+        z.cast("bigint").alias("z_milli"),
+        F.when(z > LOGIT_THRESHOLD, 1).otherwise(0).cast("int").alias("keep"),
+    )

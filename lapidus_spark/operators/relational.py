@@ -350,3 +350,34 @@ def top_k_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("entity_id"))
         .limit(TOP_K)
     )
+
+
+@query(
+    "agg_cube_matrix",
+    oracle="""
+    SELECT event_type AS type,
+           month(ts) AS mon,
+           GROUPING(event_type, month(ts)) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, month(ts))
+    """,
+    operator="grouping sets / CUBE (gap §2.5)",
+    doc="Full CUBE over (type, month) with the grouping-id bitmask: "
+    "all four grouping sets — detail, per-type, per-month, grand "
+    "total — produced by ONE exchange (Spark expands grouping sets "
+    "map-side before the shuffle, it does not union four scans). "
+    "Sums via exact DECIMAL so every rollup level is bit-identical.",
+)
+def agg_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("mon", F.month("ts"))
+    return (
+        ev.cube(F.col("event_type").alias("type"), "mon")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select("type", "mon", "gid", "n", "total_value")
+    )

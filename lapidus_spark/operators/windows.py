@@ -315,3 +315,41 @@ def agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "win_rank_battery",
+    oracle="""
+    SELECT event_id,
+           event_type AS type,
+           value,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+    """,
+    operator="ranking-function battery (gap §2.5)",
+    doc="The full ranking-function surface — rank, dense_rank, "
+    "percent_rank, cume_dist, ntile — sharing ONE window spec, so "
+    "all five ride a single exchange on the partition key. "
+    "percent_rank/cume_dist are exact ratios of window-row integers "
+    "(both engines divide the same int64s → bit-identical doubles); "
+    "the ORDER BY carries the key tie-break that makes ntile "
+    "deterministic.",
+)
+def win_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("type"),
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -173,6 +173,13 @@ EXPECTATIONS: dict[str, dict] = {
     # doc frequency: explode → one token-key agg (2 = agg partials);
     # corpus-size scalar broadcast
     "ext_doc_freq": {"broadcasts": 1, "max_exchanges": 2, "no_single_partition": True},
+    # stratified sampling / frozen-weight classifier: zero-shuffle
+    "ext_sample_stratified": {"max_exchanges": 0},
+    "ext_quality_logit": {"max_exchanges": 0},
+    # CUBE expands all 4 grouping sets through ONE exchange
+    "agg_cube_matrix": {"max_exchanges": 1},
+    # five ranking functions share one window spec → one exchange
+    "win_rank_battery": {"max_exchanges": 1},
 }
 
 

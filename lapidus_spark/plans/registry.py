@@ -66,6 +66,10 @@ _VERIFY_FIRST = (
     "ext_chunk_overlap",
     "ext_seq_pack",
     "ext_doc_freq",
+    "ext_sample_stratified",
+    "ext_quality_logit",
+    "agg_cube_matrix",
+    "win_rank_battery",
     # round-1 hash-fails, fixed in round 2 — pinned inside the window
     # so the fixes get a hard correctness signal
     "win_sessionize",
@@ -91,6 +95,10 @@ _VERIFY_FIRST = (
 #: oracle-parity suite.
 _VERIFY_LAST = (
     "agg_tx_commit_ts",
+    "agg_brand_nation_margin",
+    "agg_join_revenue",
+    "set_except_intersect",
+    "agg_value_percentiles",
     "agg_distinct_users",
     "win_cdc_snapshot",
     "agg_pivot_type_matrix",
