@@ -333,6 +333,12 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: multi-probe masks: the query's own bucket plus every bucket at
+#: Hamming distance 1 — the standard recall/latency knob (probes
+#: (ANN_PLANES+1)/2^ANN_PLANES of the corpus instead of 1/2^ANN_PLANES).
+_PROBE_MASKS = [0] + [1 << j for j in range(ANN_PLANES)]
+
+
 @query(
     "ext_ann_lsh",
     oracle=f"""
@@ -342,29 +348,41 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), q AS (
       SELECT embedding AS qe, sig AS qsig FROM s WHERE vec_id = {QUERY_VEC_ID}
+    ), p AS (
+      SELECT qe, unnest([{", ".join(f"xor(qsig, {m})" for m in _PROBE_MASKS)}]) AS psig
+      FROM q
     )
-    SELECT s.vec_id, {_cos("duck", "s.embedding", "q.qe")} AS cos_sim
-    FROM s CROSS JOIN q
-    WHERE s.sig = q.qsig AND s.vec_id <> {QUERY_VEC_ID}
+    SELECT s.vec_id, {_cos("duck", "s.embedding", "p.qe")} AS cos_sim
+    FROM s JOIN p ON s.sig = p.psig
+    WHERE s.vec_id <> {QUERY_VEC_ID}
     ORDER BY cos_sim DESC, s.vec_id ASC
     LIMIT {TOP_K}
     """,
     operator="ext_sim_search (ANN/LSH scale path)",
-    doc="Approximate top-k: probe only the query's LSH bucket instead "
-    "of scanning the corpus — the partition-pruned ANN plan for "
-    "100 TB (bucket is a join key, not a filter over all rows).",
+    doc="Approximate top-k via MULTI-PROBE LSH: probe the query's "
+    "bucket plus its Hamming-1 neighbor buckets (the planes the "
+    "query was closest to flipping) instead of scanning the corpus. "
+    "The probe list is still an equi-join key — the 100 TB plan "
+    "stays partition-pruned, and recall/latency tunes by probe "
+    "count, the standard multi-probe trade.",
 )
 def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     s = e.select(
         "vec_id", "embedding", F.expr(_sig_expr("spark", "embedding", ANN_PLANES)).alias("sig")
     )
-    q = s.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qe"), F.col("sig").alias("qsig")
+    probes = (
+        s.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.array(*[F.expr(f"sig ^ {m}") for m in _PROBE_MASKS])
+            ).alias("psig"),
+        )
     )
     return (
         s.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("sig") == F.col("qsig"))
+        .join(F.broadcast(probes), F.col("sig") == F.col("psig"))
         .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)

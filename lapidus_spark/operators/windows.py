@@ -353,3 +353,44 @@ def win_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "win_rolling_range",
+    oracle="""
+    SELECT event_id, user_id AS entity_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS n_7d
+    FROM events
+    """,
+    operator="RANGE-frame rolling window (gap §2.5)",
+    doc="Time-based rolling aggregates: per-entity 7-day rolling sum "
+    "and count with a RANGE frame — the frame is defined by the "
+    "timestamp VALUE, not row position, so sparse and bursty "
+    "histories both get calendar-correct windows. Spark's rangeBetween "
+    "needs a numeric ordering column: the frame runs over unix_micros "
+    "(ts), an exact integer, with the interval expressed in "
+    "microseconds — bit-identical to the oracle's INTERVAL frame. "
+    "One exchange on the entity key; sums via exact DECIMAL.",
+)
+def win_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seven_days_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )

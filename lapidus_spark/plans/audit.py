@@ -180,6 +180,8 @@ EXPECTATIONS: dict[str, dict] = {
     "agg_cube_matrix": {"max_exchanges": 1},
     # five ranking functions share one window spec → one exchange
     "win_rank_battery": {"max_exchanges": 1},
+    # RANGE-frame rolling sum: one exchange on the entity key
+    "win_rolling_range": {"max_exchanges": 1},
 }
 
 

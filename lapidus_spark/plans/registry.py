@@ -70,6 +70,7 @@ _VERIFY_FIRST = (
     "ext_quality_logit",
     "agg_cube_matrix",
     "win_rank_battery",
+    "win_rolling_range",
     # round-1 hash-fails, fixed in round 2 — pinned inside the window
     # so the fixes get a hard correctness signal
     "win_sessionize",
@@ -97,6 +98,7 @@ _VERIFY_LAST = (
     "agg_tx_commit_ts",
     "agg_brand_nation_margin",
     "agg_join_revenue",
+    "join_enrich_dim",
     "set_except_intersect",
     "agg_value_percentiles",
     "agg_distinct_users",
