@@ -83,6 +83,7 @@ _VERIFY_FIRST = (
     "stream_dedup_exact",
     "stream_schema_cache",
     "stream_stream_join",
+    "stream_outer_attrib",
     "ext_lang_id",
     "ext_token_count",
     "ext_quality_score",
@@ -101,6 +102,7 @@ _VERIFY_LAST = (
     "join_enrich_dim",
     "set_except_intersect",
     "agg_value_percentiles",
+    "agg_rollup_revenue",
     "agg_distinct_users",
     "win_cdc_snapshot",
     "agg_pivot_type_matrix",

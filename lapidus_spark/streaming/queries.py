@@ -376,6 +376,86 @@ def stream_schema_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(cache, "stream_schema_cache_out", output_mode="complete")
 
 
+def _attrib_streams(spark: SparkSession, sf_dir: str):
+    """The two watermarked sides of the view→purchase attribution
+    join, shared by the inner and left-outer variants."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_seq"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("event_id").alias("purchase_seq"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (views.user_id == buys.buyer_id)
+        & (buys.purchase_ts > views.view_ts)
+        & (buys.purchase_ts <= views.view_ts + F.expr("INTERVAL 6 HOURS"))
+    )
+    return views, buys, cond
+
+
+@query(
+    "stream_outer_attrib",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_seq, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id AS buyer_id, event_id AS purchase_seq, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      -- Spark's global watermark: min over both inputs of
+      -- (max observed event time - delay)
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT v.user_id, v.view_seq, v.view_ts, p.purchase_seq, p.purchase_ts
+    FROM v JOIN p
+      ON v.user_id = p.buyer_id
+         AND p.purchase_ts > v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_seq, v.view_ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+    FROM v, wm
+    WHERE v.view_ts + INTERVAL 6 HOUR < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.buyer_id = v.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 6 HOUR
+      )
+    """,
+    operator="stream-stream OUTER join (watermark-evicted null side)",
+    doc="Left-outer stream-stream join: matches emit as they arrive; "
+    "an unmatched view emits its null-extended row only once the "
+    "watermark passes view_ts + 6h, proving no purchase can still "
+    "match — the eviction-driven completion semantics unique to "
+    "streaming outer joins. The oracle states that contract exactly: "
+    "inner matches ∪ unmatched views older than the final global "
+    "watermark (min of both inputs' max-ts − 1h delay). Views inside "
+    "the final watermark horizon are still in state when the replay "
+    "ends — the oracle excludes them for the same reason Spark "
+    "hasn't emitted them.",
+)
+def stream_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views, buys, cond = _attrib_streams(spark, sf_dir)
+    joined = views.join(buys, cond, "left_outer").select(
+        "user_id", "view_seq", "view_ts", "purchase_seq", "purchase_ts"
+    )
+    return _run_to_memory(joined, "stream_outer_attrib_out")
+
+
 @query(
     "stream_stream_join",
     oracle="""
@@ -399,29 +479,8 @@ def stream_schema_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divergence to account for).",
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "view")
-        .select("user_id", F.col("event_id").alias("view_seq"), F.col("ts").alias("view_ts"))
-        .withWatermark("view_ts", "1 hour")
-    )
-    buys = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("buyer_id"),
-            F.col("event_id").alias("purchase_seq"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = views.join(
-        buys,
-        (views.user_id == buys.buyer_id)
-        & (buys.purchase_ts > views.view_ts)
-        & (buys.purchase_ts <= views.view_ts + F.expr("INTERVAL 6 HOURS")),
-        "inner",
-    ).select(
+    views, buys, cond = _attrib_streams(spark, sf_dir)
+    joined = views.join(buys, cond, "inner").select(
         "user_id",
         "view_seq",
         "view_ts",
