@@ -223,3 +223,44 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", parallel=True)
     return decode_features(to_media(d))
+
+
+@query(
+    "ext_multimodal_framesig",
+    # Same Arrow mapInPandas frame explosion as ext_multimodal_frames,
+    # but the binary frame is reduced JVM-side to (md5, length) — a
+    # canonical cross-engine form — so the Pandas-UDF explode path
+    # itself gets a full hash-parity check (the raw-bytes variant stays
+    # rows-only: BLOB stringification differs between engines). The
+    # fixture payloads are ASCII, so the oracle can state the stub
+    # demuxer's byte slices as substrings.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ), x AS (
+      SELECT doc_id, text, least(4, greatest(n // 256, 1)) AS n_frames FROM t
+    ), e AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1)) AS frame_no
+      FROM x
+    )
+    SELECT doc_id, frame_no,
+           md5(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS frame_md5,
+           CAST(length(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS BIGINT)
+             AS n_bytes
+    FROM e
+    """,
+    operator="ext_multimodal",
+    doc="Frame fingerprints: the mapInPandas frame explosion reduced "
+    "to (doc_id, frame_no, md5, length) — the form a dedup/lineage "
+    "pass stores per frame, and the query that upgrades the frame "
+    "path from rows-only to full hash verification.",
+)
+def ext_multimodal_framesig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = ext_multimodal_frames(spark, sf_dir)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.md5("frame_payload").alias("frame_md5"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )

@@ -71,6 +71,7 @@ _VERIFY_FIRST = (
     "agg_cube_matrix",
     "win_rank_battery",
     "win_rolling_range",
+    "ext_multimodal_framesig",
     # round-1 hash-fails, fixed in round 2 — pinned inside the window
     # so the fixes get a hard correctness signal
     "win_sessionize",
@@ -108,6 +109,7 @@ _VERIFY_LAST = (
     "agg_pivot_type_matrix",
     "agg_rollup_hierarchy",
     "join_range_band",
+    "ext_multimodal_frames",
     "prj_json_extract",
     "win_running_total",
     "win_tumbling_counts",

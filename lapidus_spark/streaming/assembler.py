@@ -116,6 +116,88 @@ def _assemble_tx(
             state.setTimeoutDuration(timeout_ms)
 
 
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class TxAssemblerProcessor(StatefulProcessor):
+    """``transformWithState`` twin of ``_assemble_tx`` — the Spark 4
+    arbitrary-state API (typed composite state, timers, TTL) that
+    supersedes ``applyInPandasWithState``. Buffered items live in a
+    ListState of (seq, type) tuples backed by the RocksDB state store;
+    list appends are incremental RocksDB merges, so a long-running
+    transaction never rewrites its whole buffer per trigger — the
+    concrete win over the single-blob GroupState row.
+
+    Both implementations are kept: applyInPandasWithState is today's
+    stable path, this is the forward path; the registry verifies they
+    produce identical answers against one oracle.
+    """
+
+    def init(self, handle) -> None:
+        self._items = handle.getListState("items", "seq BIGINT, t STRING")
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        buffered: list[tuple[int, str]] = (
+            [(int(s), str(t)) for s, t in self._items.get()]
+            if self._items.exists()
+            else []
+        )
+        committed = False
+        commit_ts: Any = None
+        fresh: list[tuple[int, str]] = []
+        for pdf in rows:
+            commits = pdf.loc[pdf["type"] == COMMIT_TYPE, "ts"]
+            if len(commits):
+                committed = True
+                commit_ts = commits.iloc[-1]
+            mask = ~pdf["type"].isin((COMMIT_TYPE, BEGIN_TYPE))
+            fresh.extend(
+                (int(s), str(t))
+                for s, t in zip(pdf.loc[mask, "event_seq"], pdf.loc[mask, "type"])
+            )
+
+        if committed:
+            items = sorted(buffered + fresh)
+            yield pd.DataFrame(
+                {
+                    "tx_id": [int(key[0])],
+                    "n_items": [len(items)],
+                    "first_seq": [items[0][0] if items else None],
+                    "last_seq": [items[-1][0] if items else None],
+                    "item_types": ["|".join(t for _, t in items)],
+                    "commit_ts": [commit_ts],
+                }
+            )
+            self._items.clear()
+        elif fresh:
+            self._items.appendList(fresh)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def assemble_transactions_tws(envelopes: DataFrame) -> DataFrame:
+    """Transaction assembly via ``transformWithStateInPandas``
+    (requires the RocksDB state store provider)."""
+    proc = TxAssemblerProcessor()
+    return (
+        envelopes.select("tx_id", "type", "event_seq", "ts")
+        .groupBy("tx_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=TX_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def assemble_transactions(
     envelopes: DataFrame, abandoned_tx_timeout_ms: int | None = None
 ) -> DataFrame:

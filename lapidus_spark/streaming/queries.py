@@ -38,13 +38,22 @@ from lapidus_spark.streaming.sources import stream_events
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def _run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    confs: dict[str, str] | None = None,
+) -> DataFrame:
     """Start an availableNow query into a memory sink, await, return
     the result table (driver-side harness; the data path is
-    executor-distributed)."""
+    executor-distributed). ``confs`` are set for the run and restored
+    after (e.g. a state-store provider override)."""
     spark = df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"lapidus_{name}_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_confs = {k: spark.conf.get(k, None) for k in (confs or {})}
+    for k, v in (confs or {}).items():
+        spark.conf.set(k, v)
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         q = (
@@ -58,6 +67,11 @@ def _run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> Dat
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for k, v in prev_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return spark.table(name)
 
 
@@ -158,9 +172,8 @@ def build_tx_replay_input(spark: SparkSession, sf_dir: str) -> str:
     return replay_dir
 
 
-@query(
-    "stream_tx_assembly",
-    oracle="""
+#: the assembly oracle, shared by both stateful-API implementations.
+_TX_ASSEMBLY_ORACLE = """
     SELECT user_id AS tx_id,
            count(*) AS n_items,
            min(event_id) * 10 AS first_seq,
@@ -169,7 +182,39 @@ def build_tx_replay_input(spark: SparkSession, sf_dir: str) -> str:
            max(ts) AS commit_ts
     FROM events
     GROUP BY user_id
-    """,
+    """
+
+
+def _tx_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-micro-batch marker replay stream feeding the assemblers."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    replay_dir = build_tx_replay_input(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_seq", LongType()),
+            StructField("type", StringType()),
+            StructField("tx_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+
+
+@query(
+    "stream_tx_assembly",
+    oracle=_TX_ASSEMBLY_ORACLE,
     operator="agg_tx (streaming execution, applyInPandasWithState)",
     doc="Transaction assembly run as a real stateful stream: per-"
     "entity begin/commit markers are synthesized around the event "
@@ -181,30 +226,7 @@ def build_tx_replay_input(spark: SparkSession, sf_dir: str) -> str:
     "(DatabaseTransaction, postgresql.js:18-33).",
 )
 def stream_tx_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    replay_dir = build_tx_replay_input(spark, sf_dir)
-
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
-    schema = StructType(
-        [
-            StructField("event_seq", LongType()),
-            StructField("type", StringType()),
-            StructField("tx_id", LongType()),
-            StructField("ts", TimestampType()),
-        ]
-    )
-    env = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(replay_dir)
-    )
+    env = _tx_replay_stream(spark, sf_dir)
     txs = assemble_transactions(env)
     out = _run_to_memory(txs, "stream_tx_assembly_out")
     # item seqs are event_id*10 → report back in event_id units is
@@ -216,6 +238,38 @@ def stream_tx_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_seq",
         "item_types",
         "commit_ts",
+    )
+
+
+def stream_tx_assembly_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME transaction assembly on Spark 4's arbitrary-state API
+    (transformWithStateInPandas + RocksDB state store): buffered items
+    live in a typed ListState whose appends are incremental RocksDB
+    merges — a long transaction never rewrites its whole buffer per
+    trigger, the scalability gap in the GroupState blob row.
+
+    NOT in the query registry: the transformWithState state server
+    needs ``google.protobuf``, which this container lacks (and installs
+    are disallowed) — ``tests/test_streaming.py`` runs it when protobuf
+    is importable and skips otherwise. Same two-micro-batch replay and
+    the same oracle (``_TX_ASSEMBLY_ORACLE``) as stream_tx_assembly,
+    so on a full install the two stateful APIs verify equivalent.
+    """
+    from lapidus_spark.streaming.assembler import assemble_transactions_tws
+
+    env = _tx_replay_stream(spark, sf_dir)
+    txs = assemble_transactions_tws(env)
+    out = _run_to_memory(
+        txs,
+        "stream_tx_assembly_tws_out",
+        confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+            )
+        },
+    )
+    return out.select(
+        "tx_id", "n_items", "first_seq", "last_seq", "item_types", "commit_ts"
     )
 
 

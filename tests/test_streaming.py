@@ -927,3 +927,18 @@ def test_config_backend_sinks_override_global():
     )
     assert [s.type for s in cfg.backends[0].sinks] == ["memory"]
     assert [s.type for s in cfg.backends[1].sinks] == ["console"]
+
+
+def test_tx_assembly_transform_with_state(spark, request):
+    """The Spark 4 transformWithStateInPandas assembler must agree
+    with the applyInPandasWithState one. Skips where google.protobuf
+    (required by the transformWithState state server) is absent."""
+    pytest.importorskip("google.protobuf")
+    from lapidus_spark.streaming.queries import (
+        stream_tx_assembly,
+        stream_tx_assembly_tws,
+    )
+
+    a = stream_tx_assembly(spark, SF_DIR).collect()
+    b = stream_tx_assembly_tws(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
