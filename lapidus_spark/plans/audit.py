@@ -182,6 +182,8 @@ EXPECTATIONS: dict[str, dict] = {
     "win_rank_battery": {"max_exchanges": 1},
     # RANGE-frame rolling sum: one exchange on the entity key
     "win_rolling_range": {"max_exchanges": 1},
+    # line triage: text scan + one tiny class aggregation
+    "src_jsoncdc_errors": {"max_exchanges": 1},
 }
 
 

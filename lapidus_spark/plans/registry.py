@@ -54,6 +54,7 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: newest text/decode operators — they get verified slots first.
 _VERIFY_FIRST = (
     "src_jsoncdc_decode",
+    "src_jsoncdc_errors",
     "stream_jsoncdc_decode",
     "stream_jsoncdc_tx",
     "src_mysql_binlog",
@@ -110,6 +111,7 @@ _VERIFY_LAST = (
     "agg_rollup_hierarchy",
     "join_range_band",
     "ext_multimodal_frames",
+    "top_k_entities",
     "prj_json_extract",
     "win_running_total",
     "win_tumbling_counts",

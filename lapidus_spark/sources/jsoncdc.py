@@ -472,3 +472,106 @@ def stream_jsoncdc_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+
+
+#: corrupted-replay dirs, cached per (process, sf_dir).
+_CORRUPT_DIRS: dict[str, str] = {}
+#: every CORRUPT_MOD-th transaction gets a truncated line and an
+#: unknown-action line injected after it.
+CORRUPT_MOD = 7
+
+
+def build_jsoncdc_corrupt_replay(spark: SparkSession, sf_dir: str) -> str:
+    """The jsoncdc replay plus deterministically injected bad lines —
+    one truncated-JSON line and one unknown-action line per
+    transaction whose tx id is divisible by CORRUPT_MOD — modeling a
+    capture pipe with occasional torn writes and decoder-version
+    drift."""
+    if sf_dir in _CORRUPT_DIRS:
+        return _CORRUPT_DIRS[sf_dir]
+
+    base = build_jsoncdc_replay(spark, sf_dir)
+    bad_users = sorted(
+        int(r[0])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % CORRUPT_MOD == 0)
+        .collect()
+    )
+    corrupt_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_bad_")
+    extra: dict[int, list[str]] = {f: [] for f in range(N_FILES)}
+    for uid in bad_users:
+        f = uid % N_FILES
+        extra[f].append('{"oops":%d' % uid)  # torn write: truncated JSON
+        extra[f].append(
+            json.dumps(
+                {"table": f"tbl_{uid % N_TABLES}", "truncate": {"id": uid}},
+                separators=(",", ":"),
+            )
+        )
+    for fname in sorted(os.listdir(base)):
+        f = int(fname.split("_")[1].split(".")[0])
+        with open(os.path.join(base, fname)) as src:
+            lines = src.read().rstrip("\n").split("\n")
+        with open(os.path.join(corrupt_dir, fname), "w") as dst:
+            dst.write("\n".join(lines + extra[f]) + "\n")
+    _CORRUPT_DIRS[sf_dir] = corrupt_dir
+    return corrupt_dir
+
+
+@query(
+    "src_jsoncdc_errors",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM u) AS n_users,
+        (SELECT count(*) FROM u WHERE user_id % {CORRUPT_MOD} = 0) AS n_bad,
+        (SELECT count(DISTINCT user_id % {N_FILES}) FROM u
+          WHERE user_id // {N_FILES} >= {SCHEMA_V2_AT}) AS n_v2_files,
+        (SELECT count(*) FROM events WHERE event_type = 'signup') AS n_ins,
+        (SELECT count(*) FROM events WHERE event_type = 'error') AS n_del,
+        (SELECT count(*) FROM events
+          WHERE event_type NOT IN ('signup', 'error')) AS n_upd
+      FROM u LIMIT 1
+    )
+    SELECT line_class, n FROM stats, LATERAL (VALUES
+      ('malformed', n_bad),
+      ('unknown', n_bad),
+      ('noise', {N_FILES}),
+      ('schema', {N_TABLES} * ({N_FILES} + n_v2_files)),
+      ('beginTransaction', n_users),
+      ('commitTransaction', n_users),
+      ('insert', n_ins),
+      ('update', n_upd),
+      ('delete', n_del)
+    ) AS t(line_class, n)
+    """,
+    operator="src_stderr (data-error classification)",
+    doc="Line-level error triage over a corrupted capture: torn "
+    "(truncated-JSON) writes classify as malformed, decoder-version "
+    "drift (valid JSON, unrecognized action) as unknown, pg_temp "
+    "noise as noise, and every well-formed line by its action — the "
+    "batch-queryable face of the reference's stderr classifier "
+    "(src/postgresql.js:520-548): bad input is COUNTED AND KEPT "
+    "visible, never silently dropped. The oracle recomputes every "
+    "class count from the generating table. Zero-shuffle scan + one "
+    "tiny aggregation.",
+)
+def src_jsoncdc_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = spark.read.text(build_jsoncdc_corrupt_replay(spark, sf_dir))
+    parsed = lines.withColumn(
+        "parsed", F.from_json("value", "map<string,string>")
+    ).withColumn("tbl", F.expr("get_json_object(value, '$.table')"))
+    line_class = (
+        F.when(F.col("parsed").isNull(), "malformed")
+        .when(F.col("tbl").startswith("pg_temp"), "noise")
+        .when(F.expr(_TYPE_CASE) != "unknown", F.expr(_TYPE_CASE))
+        .otherwise("unknown")
+    )
+    return (
+        parsed.select(line_class.alias("line_class"))
+        .groupBy("line_class")
+        .agg(F.count("*").alias("n"))
+    )
