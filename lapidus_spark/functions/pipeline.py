@@ -373,3 +373,120 @@ def ext_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.cast("bigint").alias("z_milli"),
         F.when(z > LOGIT_THRESHOLD, 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+#: BM25 lexical retrieval: frozen query terms, k1 = 1.2 (6/5),
+#: b = 0.75 (3/4), fixed-point scales. The score is computed entirely
+#: in BIGINT arithmetic (integer ``div`` quantization — the
+#: impact-ordered-index trick: Lucene/Anserini quantize BM25 impacts
+#: to integers for exactly this reproducibility), so ranking is
+#: bit-identical on any engine with no transcendentals. idf uses the
+#: rational Robertson core (2N-2df+1)/(2df+1) — the argument of the
+#: usual log — quantized at IDF_SCALE; the tf saturation term
+#: tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is cleared of rationals by
+#: multiplying through by 10*T (T = corpus tokens, avgdl = T/N):
+#: 22*T*tf / (10*T*tf + 3*T + 9*dl*N), quantized at TF_SCALE.
+BM25_TERMS = ("hash", "vector", "stream")
+BM25_TOPK = 10
+BM25_IDF_SCALE = 1_000_000
+BM25_TF_SCALE = 1_000
+
+
+def _bm25_score_sql() -> str:
+    """The per-doc BIGINT score expression — same text works on Spark
+    and DuckDB once tf_<t>/dl/n_docs/n_tokens/df_<t> columns exist
+    (integer div spelled per-engine)."""
+    terms = []
+    for t in BM25_TERMS:
+        idf = f"(({BM25_IDF_SCALE} * (2*n_docs - 2*df_{t} + 1)) DIV (2*df_{t} + 1))"
+        sat = (
+            f"(({BM25_TF_SCALE} * 22 * n_tokens * tf_{t}) DIV "
+            f"(10 * n_tokens * tf_{t} + 3 * n_tokens + 9 * dl * n_docs))"
+        )
+        terms.append(f"{idf} * {sat}")
+    return " + ".join(terms)
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = _bm25_score_sql().replace(" DIV ", " // ")
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM d
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS n_tokens,
+             {df_cols}
+      FROM t
+    )
+    SELECT doc_id, score, dl, {tf_out} FROM (
+      SELECT t.doc_id, t.dl, {tf_out}, {score} AS score FROM t, s
+    )
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+@query(
+    "ext_bm25_topk",
+    oracle=_bm25_oracle(),
+    operator="ext_bm25_topk (lexical retrieval, fixed-point BM25)",
+    doc="Lexical top-k retrieval — the sparse complement to "
+    "ext_sim_search/ext_ann_*: BM25 with frozen integer fixed-point "
+    "scoring (rational Robertson idf core, rational-cleared tf "
+    "saturation, BIGINT div quantization), so the score and ranking "
+    "are bit-identical on any engine. Two passes: a map-side-partial "
+    "global-stats aggregation broadcast as one row (N, T, per-term "
+    "df), then a zero-shuffle scoring projection into "
+    "TakeOrderedAndProject — no sort of the full corpus, no inverted "
+    "index needed below ~10 query terms. At 100 TB the stats row is "
+    "computed once per corpus snapshot and persisted, and the BIGINT "
+    "headroom calls for per-shard partial stats or DECIMAL(38,0) "
+    "once T*tf approaches 2^63/22000.",
+)
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    scored_in = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = scored_in.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    tf_out = [f"tf_{t}" for t in BM25_TERMS]
+    return (
+        scored_in.crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(_bm25_score_sql()))
+        .filter(F.col("score") > 0)
+        .select("doc_id", "score", "dl", *tf_out)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )

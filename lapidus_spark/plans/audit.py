@@ -184,6 +184,9 @@ EXPECTATIONS: dict[str, dict] = {
     "win_rolling_range": {"max_exchanges": 1},
     # line triage: text scan + one tiny class aggregation
     "src_jsoncdc_errors": {"max_exchanges": 1},
+    # BM25: one stats-agg exchange, broadcast stats row, top-k never
+    # sorts the corpus
+    "ext_bm25_topk": {"take_ordered": True, "max_exchanges": 1},
 }
 
 

@@ -69,6 +69,7 @@ _VERIFY_FIRST = (
     "ext_doc_freq",
     "ext_sample_stratified",
     "ext_quality_logit",
+    "ext_bm25_topk",
     "agg_cube_matrix",
     "win_rank_battery",
     "win_rolling_range",
@@ -111,6 +112,7 @@ _VERIFY_LAST = (
     "agg_rollup_hierarchy",
     "join_range_band",
     "ext_multimodal_frames",
+    "ext_multimodal_meta",
     "top_k_entities",
     "prj_json_extract",
     "win_running_total",
