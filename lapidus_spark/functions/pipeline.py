@@ -30,6 +30,8 @@ string, so oracle hashes match bit-for-bit by construction.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -489,4 +491,96 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "dl", *tf_out)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOPK)
+    )
+
+
+#: sharded-corpus layouts, cached per (process, sf_dir).
+_SHARD_DIRS: dict[str, str] = {}
+
+
+def _split_col():
+    """The ext_split_hash assignment rule as a Column (md5 bucket →
+    train/val/test), shared so the shard layout and the split query
+    can never disagree."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    return (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def build_corpus_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as a dataloader-ready shard layout:
+    hive-partitioned by (split, lang), doc_id-sorted within every
+    file. ``repartition(split, lang)`` makes each task own whole
+    partition-dir combos (one file per dir — no small-file explosion),
+    and ``sortWithinPartitions`` gives readers monotone doc_id runs
+    and parquet min/max stats tight enough for range pruning. At
+    100 TB the same plan holds with a higher shuffle parallelism:
+    the layout cost is one shuffle, and every downstream epoch reads
+    only ``split=train`` via partition pruning."""
+    if sf_dir in _SHARD_DIRS:
+        return _SHARD_DIRS[sf_dir]
+    out = tempfile.mkdtemp(prefix="lapidus_corpus_shards_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        _split_col().alias("split"),
+        "lang",
+    )
+    (
+        docs.repartition("split", "lang")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(out)
+    )
+    _SHARD_DIRS[sf_dir] = out
+    return out
+
+
+@query(
+    "ext_corpus_shard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM s WHERE bucket < {TRAIN_PCT}
+    GROUP BY lang
+    """,
+    operator="ext_corpus_shard (partitioned training-shard layout)",
+    doc="The materialization step of the pipeline: documents written "
+    "as a hive-partitioned (split, lang) parquet layout with "
+    "doc_id-sorted files (build_corpus_shards), then the train "
+    "manifest read BACK from the layout — so the green oracle row "
+    "certifies the full write→read round trip, and the split=train "
+    "predicate resolves as a PartitionFilter (the scan never opens "
+    "val/test dirs; plan-audited). The oracle recomputes the "
+    "manifest straight from the source table via the shared "
+    "ext_split_hash md5 rule.",
+)
+def ext_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shards = spark.read.parquet(build_corpus_shards(spark, sf_dir))
+    return (
+        shards.filter(F.col("split") == "train")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
     )

@@ -187,6 +187,9 @@ EXPECTATIONS: dict[str, dict] = {
     # BM25: one stats-agg exchange, broadcast stats row, top-k never
     # sorts the corpus
     "ext_bm25_topk": {"take_ordered": True, "max_exchanges": 1},
+    # shard round-trip: split=train resolves against the hive layout
+    # (never opens val/test dirs) + one manifest agg
+    "ext_corpus_shard": {"partition_pruned": True, "max_exchanges": 1},
 }
 
 

@@ -70,6 +70,7 @@ _VERIFY_FIRST = (
     "ext_sample_stratified",
     "ext_quality_logit",
     "ext_bm25_topk",
+    "ext_corpus_shard",
     "agg_cube_matrix",
     "win_rank_battery",
     "win_rolling_range",
@@ -113,6 +114,7 @@ _VERIFY_LAST = (
     "join_range_band",
     "ext_multimodal_frames",
     "ext_multimodal_meta",
+    "win_schema_cache",
     "top_k_entities",
     "prj_json_extract",
     "win_running_total",

@@ -244,3 +244,33 @@ def test_decontaminate_boilerplate_cap(spark, tmp_path):
         reg["ext_decontaminate"].fn(spark, str(sfdir)), con, reg["ext_decontaminate"].oracle
     )
     assert rep["ok"], rep["detail"]
+
+
+def test_corpus_shard_layout(spark):
+    """The shard layout is dataloader-ready: hive dirs per (split,
+    lang), doc_id monotone within every file, and a split filter
+    resolves as a PartitionFilter (val/test dirs never opened)."""
+    import os
+
+    from lapidus_spark.functions.pipeline import build_corpus_shards
+    from lapidus_spark.plans.audit import plan_facts
+
+    out = build_corpus_shards(spark, SF_DIR)
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+    langs = sorted(os.listdir(os.path.join(out, "split=train")))
+    assert all(d.startswith("lang=") for d in langs) and len(langs) >= 2
+
+    # one data file per (split, lang) dir — no small-file explosion
+    lang_dir = os.path.join(out, "split=train", langs[0])
+    files = [f for f in os.listdir(lang_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+
+    # doc_id monotone inside the file
+    ids = [r[0] for r in spark.read.parquet(os.path.join(lang_dir, files[0])).select("doc_id").collect()]
+    assert ids == sorted(ids)
+
+    # the split predicate prunes partitions at the scan
+    pruned = spark.read.parquet(out).filter(F.col("split") == "train")
+    facts = plan_facts(pruned)
+    assert facts.partition_filters, "split=train must be a PartitionFilter"
