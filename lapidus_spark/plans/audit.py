@@ -190,6 +190,9 @@ EXPECTATIONS: dict[str, dict] = {
     # shard round-trip: split=train resolves against the hive layout
     # (never opens val/test dirs) + one manifest agg
     "ext_corpus_shard": {"partition_pruned": True, "max_exchanges": 1},
+    # arrivals (small side) join the persisted fingerprint index:
+    # broadcast at fixture scale, ≤2 exchanges in the sort-merge form
+    "ext_dedup_incremental": {"max_exchanges": 2},
 }
 
 

@@ -71,6 +71,7 @@ _VERIFY_FIRST = (
     "ext_quality_logit",
     "ext_bm25_topk",
     "ext_corpus_shard",
+    "ext_dedup_incremental",
     "agg_cube_matrix",
     "win_rank_battery",
     "win_rolling_range",
@@ -115,6 +116,7 @@ _VERIFY_LAST = (
     "ext_multimodal_frames",
     "ext_multimodal_meta",
     "win_schema_cache",
+    "join_asof_order",
     "top_k_entities",
     "prj_json_extract",
     "win_running_total",
