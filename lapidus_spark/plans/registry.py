@@ -72,6 +72,7 @@ _VERIFY_FIRST = (
     "ext_bm25_topk",
     "ext_corpus_shard",
     "ext_dedup_incremental",
+    "stream_dedup_incremental",
     "agg_cube_matrix",
     "win_rank_battery",
     "win_rolling_range",
@@ -117,6 +118,7 @@ _VERIFY_LAST = (
     "ext_multimodal_meta",
     "win_schema_cache",
     "join_asof_order",
+    "agg_tx_assembly",
     "top_k_entities",
     "prj_json_extract",
     "win_running_total",

@@ -543,3 +543,58 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
     return _run_to_memory(joined, "stream_stream_join_out")
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle=None,  # set below to the batch twin's oracle — single source of truth
+    operator="ext_dedup_incremental (streaming execution, stream-static probe)",
+    doc="Continuous-ingestion dedup: the arrival feed as a real "
+    "stream, each micro-batch stream-static LEFT-joined against the "
+    "PERSISTED corpus fingerprint index (build_fingerprint_index) "
+    "and classified dup/new. The static side is planned once and "
+    "broadcast per batch — per-micro-batch cost tracks the batch "
+    "size, never the corpus. This is the streaming face of "
+    "ext_dedup_incremental; same oracle, same 50-row answer.",
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.functions.dedup import INCR_MOD, build_fingerprint_index
+    from lapidus_spark.streaming.sources import stream_documents
+
+    idx = spark.read.parquet(build_fingerprint_index(spark, sf_dir))
+    arrivals = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % INCR_MOD == 0)
+        .select(
+            "doc_id",
+            F.sha2(
+                F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "),
+                256,
+            ).alias("fp"),
+        )
+    )
+    classified = arrivals.join(idx, "fp", "left").select(
+        "doc_id",
+        "fp",
+        F.when(F.col("canonical").isNull(), "new").otherwise("dup").alias("status"),
+        F.col("canonical").alias("match_doc"),
+    )
+    return _run_to_memory(classified, "stream_dedup_incremental_out")
+
+
+def _wire_stream_dedup_incremental_oracle() -> None:
+    """Share the batch twin's oracle verbatim — one source of truth
+    for the dup/new contract (the dedup import guarantees the twin
+    is registered first)."""
+    import dataclasses
+
+    import lapidus_spark.functions.dedup  # noqa: F401 — ensures the twin is registered
+    from lapidus_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_dedup_incremental"] = dataclasses.replace(
+        REGISTRY["stream_dedup_incremental"],
+        oracle=REGISTRY["ext_dedup_incremental"].oracle,
+    )
+
+
+_wire_stream_dedup_incremental_oracle()

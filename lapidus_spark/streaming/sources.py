@@ -76,3 +76,17 @@ def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of stream_events — identical schema and semantics,
     used to verify stream/batch parity."""
     return load_table(spark, sf_dir, "events")
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table as a file-source stream — the
+    ingestion feed for continuous corpus builds (crawl snapshots
+    arriving as files; in production a Kafka/object-store listing
+    source with the same columns)."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
