@@ -254,3 +254,101 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)"
         ).alias("fp_rolling"),
     )
+
+
+#: persisted df indexes, cached per (process, sf_dir).
+_DF_INDEX_DIRS: dict[str, str] = {}
+
+
+def build_df_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the document-frequency statistics ONCE (the
+    ext_doc_freq aggregation written to parquet): token → df, with
+    the corpus size riding along. Vocabulary-sized — words, not
+    documents — so downstream consumers broadcast it; scoring runs
+    never recompute the corpus-wide df aggregation (Spark plans don't
+    share subtrees, so inlining df would scan and explode the corpus
+    twice per query). Same build-once-probe-many posture as the IVF
+    and fingerprint indexes."""
+    if sf_dir in _DF_INDEX_DIRS:
+        return _DF_INDEX_DIRS[sf_dir]
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="lapidus_df_index_")
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
+    ).filter(F.col("token") != "")
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _DF_INDEX_DIRS[sf_dir] = out
+    return out
+
+
+
+#: keyword extraction: quantized tf-idf (integer div, same fixed-point
+#: discipline as ext_bm25_topk) — idf ≈ SCALE*N div df, score = tf*idf.
+KEYWORD_TOPK = 3
+KEYWORD_IDF_SCALE = 1_000
+
+
+@query(
+    "ext_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+      FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * (({KEYWORD_IDF_SCALE} * df.n_docs) // df.df) AS score
+      FROM tf JOIN df ON tf.token = df.token
+    ), ranked AS (
+      SELECT doc_id, token, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, score, rank
+    FROM ranked WHERE rank <= {KEYWORD_TOPK}
+    """,
+    operator="ext_keywords (per-doc tf-idf keyword extraction)",
+    doc=f"Top-{KEYWORD_TOPK} keywords per document by quantized "
+    "tf-idf: per-doc term frequency joined to the corpus df index, "
+    "score = tf * (SCALE*N div df) in exact BIGINT (integer-div "
+    "fixed point — engine-identical, no transcendentals), ranked per "
+    "doc with deterministic ties. The df side is vocabulary-sized "
+    "(words, not documents) so it broadcasts even at corpus scale; "
+    "the per-doc rank partitions on doc_id and never globalizes.",
+)
+def ext_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(build_df_index(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    scored = tf.join(F.broadcast(idx), "token").withColumn(
+        "score", F.expr(f"tf * (({KEYWORD_IDF_SCALE} * n_docs) div df)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORD_TOPK)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )

@@ -193,6 +193,8 @@ EXPECTATIONS: dict[str, dict] = {
     # arrivals (small side) join the persisted fingerprint index:
     # broadcast at fixture scale, ≤2 exchanges in the sort-merge form
     "ext_dedup_incremental": {"max_exchanges": 2},
+    # tf agg + df agg (vocab-sized, broadcast back) + per-doc rank
+    "ext_keywords": {"max_exchanges": 4},
 }
 
 

@@ -73,6 +73,7 @@ _VERIFY_FIRST = (
     "ext_corpus_shard",
     "ext_dedup_incremental",
     "stream_dedup_incremental",
+    "ext_keywords",
     "agg_cube_matrix",
     "win_rank_battery",
     "win_rolling_range",
@@ -119,6 +120,7 @@ _VERIFY_LAST = (
     "win_schema_cache",
     "join_asof_order",
     "agg_tx_assembly",
+    "ext_dedup_simhash",
     "top_k_entities",
     "prj_json_extract",
     "win_running_total",
