@@ -35,9 +35,11 @@ def main() -> None:
     from lapidus_spark.sources.jsoncdc import build_jsoncdc_replay
     from lapidus_spark.streaming.queries import build_tx_replay_input
 
-    build_tx_replay_input(spark, sf_dir)
-    build_jsoncdc_replay(spark, sf_dir)
-    build_ivf_index(spark, sf_dir)
+    for builder in (build_tx_replay_input, build_jsoncdc_replay, build_ivf_index):
+        try:
+            builder(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — dependents fail individually
+            print(f"# setup {builder.__name__} failed: {e}", file=sys.stderr)
 
     # Warm pass at the smallest SF: triggers codegen/JIT of every
     # query shape once, so the timed numbers measure engine work on
@@ -52,12 +54,22 @@ def main() -> None:
         if t.isTemporary and t.name.endswith("_out"):
             spark.catalog.dropTempView(t.name)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     total = 0.0
+    failures = 0
     for name in sorted(reg):
         fn = reg[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Per-query exception isolation: one broken query must never
+        # zero the whole round's bench evidence (round-2 lesson —
+        # BENCH_r02.json recorded rc=1 and nothing else).
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            timings[name] = None
+            failures += 1
+            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
@@ -77,22 +89,35 @@ def main() -> None:
     from lapidus_spark.sources.cdc import normalize_events
     from lapidus_spark.streaming.sources import stream_events
 
-    n_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
-    env = normalize_events(stream_events(spark, sf_dir))
-    t0 = time.perf_counter()
-    q = (
-        env.writeStream.format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    stream_wall = time.perf_counter() - t0
-    # micro-batch latency from the engine's own progress metrics (the
-    # reference's 1-3 ms end-to-end claim analog, BASELINE.md)
-    last = q.lastProgress or {}
-    batch_ms = (last.get("durationMs") or {}).get("triggerExecution")
-    print(f"# streaming envelope replay: {n_rows} rows in {stream_wall:.3f}s", file=sys.stderr)
+    streaming_stats = None
+    try:
+        n_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+        env = normalize_events(stream_events(spark, sf_dir))
+        t0 = time.perf_counter()
+        q = (
+            env.writeStream.format("noop")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_wall = time.perf_counter() - t0
+        # micro-batch latency from the engine's own progress metrics (the
+        # reference's 1-3 ms end-to-end claim analog, BASELINE.md)
+        last = q.lastProgress or {}
+        batch_ms = (last.get("durationMs") or {}).get("triggerExecution")
+        streaming_stats = {
+            "envelope_replay_rows": n_rows,
+            "envelope_replay_wall_s": round(stream_wall, 4),
+            "envelope_replay_rows_per_sec": round(n_rows / stream_wall, 1),
+            "micro_batch_ms": batch_ms,
+        }
+        print(
+            f"# streaming envelope replay: {n_rows} rows in {stream_wall:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — same isolation as the timed loop
+        print(f"# streaming replay FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -101,13 +126,9 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "failed_queries": failures,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming": {
-                    "envelope_replay_rows": n_rows,
-                    "envelope_replay_wall_s": round(stream_wall, 4),
-                    "envelope_replay_rows_per_sec": round(n_rows / stream_wall, 1),
-                    "micro_batch_ms": batch_ms,
-                },
+                "streaming": streaming_stats,
             }
         )
     )

@@ -131,7 +131,12 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # > while the oracle's exact-interval compare passes it. Every
     # fixture timestamp has a sub-second component — compare in
     # microseconds, matching the oracle's `ts - lag(ts) > INTERVAL`.
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    # unix_micros() requires TIMESTAMP (LTZ); the fixture ts is
+    # TIMESTAMP_NTZ. The session TZ is pinned UTC (session.py), so the
+    # NTZ→LTZ cast is value-preserving.
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
     is_new = F.when(
         prev_ts.isNull() | (gap_us > SESSION_GAP_S * 1_000_000),
         F.lit(1),
@@ -384,7 +389,7 @@ def win_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     seven_days_us = 7 * 86400 * 1_000_000
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-seven_days_us, 0)
     )
     return ev.select(

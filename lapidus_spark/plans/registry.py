@@ -49,60 +49,32 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 
 
 #: The driver's correctness gate verifies only the FIRST 50 registered
-#: queries, so registration order is a resource. These queries model
-#: the reference's live product (the streaming pipeline) or are the
-#: newest text/decode operators — they get verified slots first.
+#: queries, so registration order is a resource. Round-3 rotation:
+#: (a) the four TIMESTAMP_NTZ-fixed queries need a fresh signal,
+#: (b) queries whose implementation changed this round (ngram df-cap,
+#: multimodal-frames oracle, distributed jsoncdc replay builder),
+#: (c) every query whose latest green signal is still round 1 —
+#: rotated back INTO the window so no signal is older than one round.
 _VERIFY_FIRST = (
+    # (a) fixed this round — must re-green
+    "win_sessionize",
+    "win_rolling_range",
+    "stream_stream_join",
+    "stream_outer_attrib",
+    # (b) implementation touched this round
+    "ext_dedup_ngram",
+    "ext_multimodal_frames",
     "src_jsoncdc_decode",
     "src_jsoncdc_errors",
     "stream_jsoncdc_decode",
     "stream_jsoncdc_tx",
-    "src_mysql_binlog",
-    "src_mongo_oplog",
-    "ext_dedup_components",
-    "ext_decontaminate",
-    "ext_repetition",
-    "ext_split_hash",
-    "ext_pii_scrub",
-    "ext_chunk_overlap",
-    "ext_seq_pack",
-    "ext_doc_freq",
-    "ext_sample_stratified",
-    "ext_quality_logit",
-    "ext_bm25_topk",
-    "ext_corpus_shard",
-    "ext_dedup_incremental",
-    "stream_dedup_incremental",
-    "ext_keywords",
-    "agg_cube_matrix",
-    "win_rank_battery",
-    "win_rolling_range",
-    "ext_multimodal_framesig",
-    # round-1 hash-fails, fixed in round 2 — pinned inside the window
-    # so the fixes get a hard correctness signal
-    "win_sessionize",
-    "ext_text_stats",
-    "stream_envelope_replay",
-    "stream_tx_assembly",
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_enrich_dim",
-    "stream_dedup_exact",
-    "stream_schema_cache",
-    "stream_stream_join",
-    "stream_outer_attrib",
-    "ext_lang_id",
-    "ext_token_count",
-    "ext_quality_score",
-    "ext_top_tokens",
-    "ext_fingerprint",
-)
-
-#: Trivially-green scans/filters/projections (all rows+schema+hash
-#: green in round 1) rotated to the BACK so they yield their verified
-#: slots to the queries above. Still fully covered by the pytest
-#: oracle-parity suite.
-_VERIFY_LAST = (
+    # (c) round-1-only signals, state-heaviest first
+    "agg_tx_assembly",
+    "join_asof_order",
+    "win_scd2_history",
+    "ext_dedup_simhash",
+    "win_cdc_snapshot",
+    "win_schema_cache",
     "agg_tx_commit_ts",
     "agg_brand_nation_margin",
     "agg_join_revenue",
@@ -111,16 +83,10 @@ _VERIFY_LAST = (
     "agg_value_percentiles",
     "agg_rollup_revenue",
     "agg_distinct_users",
-    "win_cdc_snapshot",
     "agg_pivot_type_matrix",
     "agg_rollup_hierarchy",
     "join_range_band",
-    "ext_multimodal_frames",
     "ext_multimodal_meta",
-    "win_schema_cache",
-    "join_asof_order",
-    "agg_tx_assembly",
-    "ext_dedup_simhash",
     "top_k_entities",
     "prj_json_extract",
     "win_running_total",
@@ -140,8 +106,54 @@ _VERIFY_LAST = (
     "join_semi_active",
     "join_anti_silent",
     "win_lag_delta",
-    "win_scd2_history",
     "win_dedup_consecutive",
+)
+
+#: Queries green in the round-2 driver run (CORRECTNESS_r02.json)
+#: rotated to the BACK — their signal is at most one round old. Still
+#: fully covered by the pytest oracle-parity suite every round.
+_VERIFY_LAST = (
+    "src_mysql_binlog",
+    "src_mongo_oplog",
+    "ext_dedup_components",
+    "ext_decontaminate",
+    "ext_repetition",
+    "ext_split_hash",
+    "ext_pii_scrub",
+    "ext_chunk_overlap",
+    "ext_seq_pack",
+    "ext_doc_freq",
+    "ext_sample_stratified",
+    "ext_quality_logit",
+    "ext_bm25_topk",
+    "ext_corpus_shard",
+    "ext_dedup_incremental",
+    "stream_dedup_incremental",
+    "ext_keywords",
+    "agg_cube_matrix",
+    "win_rank_battery",
+    "ext_multimodal_framesig",
+    "ext_text_stats",
+    "stream_envelope_replay",
+    "stream_tx_assembly",
+    "stream_windowed_counts",
+    "stream_sessionize",
+    "stream_enrich_dim",
+    "stream_dedup_exact",
+    "stream_schema_cache",
+    "ext_lang_id",
+    "ext_token_count",
+    "ext_quality_score",
+    "ext_top_tokens",
+    "ext_fingerprint",
+    "sort_global_events",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_multimodal_decode",
+    "ext_sim_search",
+    "ext_dedup_embed",
+    "ext_ann_ivf",
+    "ext_ann_lsh",
 )
 
 

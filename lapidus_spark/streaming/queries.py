@@ -436,7 +436,13 @@ def _attrib_streams(spark: SparkSession, sf_dir: str):
     views = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "view")
-        .select("user_id", F.col("event_id").alias("view_seq"), F.col("ts").alias("view_ts"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_seq"),
+            # withWatermark requires TIMESTAMP (LTZ); fixture ts is NTZ.
+            # Session TZ is pinned UTC, so the cast is value-preserving.
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
         .withWatermark("view_ts", "1 hour")
     )
     buys = (
@@ -445,7 +451,7 @@ def _attrib_streams(spark: SparkSession, sf_dir: str):
         .select(
             F.col("user_id").alias("buyer_id"),
             F.col("event_id").alias("purchase_seq"),
-            F.col("ts").alias("purchase_ts"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
         )
         .withWatermark("purchase_ts", "1 hour")
     )
@@ -505,7 +511,14 @@ def _attrib_streams(spark: SparkSession, sf_dir: str):
 def stream_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     views, buys, cond = _attrib_streams(spark, sf_dir)
     joined = views.join(buys, cond, "left_outer").select(
-        "user_id", "view_seq", "view_ts", "purchase_seq", "purchase_ts"
+        "user_id",
+        "view_seq",
+        # The watermark runs on LTZ; the declared output schema stays
+        # NTZ like every other ts-derived column (UTC session — the
+        # round-trip is value-preserving).
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "purchase_seq",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     return _run_to_memory(joined, "stream_outer_attrib_out")
 
@@ -537,9 +550,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = views.join(buys, cond, "inner").select(
         "user_id",
         "view_seq",
-        "view_ts",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
         "purchase_seq",
-        "purchase_ts",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
     return _run_to_memory(joined, "stream_stream_join_out")
