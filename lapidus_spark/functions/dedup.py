@@ -284,11 +284,16 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_inter AS DOUBLE) / (n_sum - n_inter) >= {JACCARD_T}
     """,
     operator="ext_dedup_near (ngram jaccard)",
-    doc="Token-set Jaccard near-dup pairs via inverted index: explode "
-    "distinct tokens, equi-join on (token, block), count shared "
-    "tokens per pair — the scalable formulation (one shuffle on the "
-    "token key, no quadratic array intersection; blocking on "
-    "lang × length band bounds candidate fan-out).",
+    doc="Token-set Jaccard near-dup pairs via a PREFIX-FILTERED "
+    "inverted index (AllPairs/PPJoin principle): each doc indexes "
+    "only its |x| - ceil(t*|x|) + 1 globally-rarest tokens (df-"
+    "ascending order), because any pair with J >= t must share a "
+    "token inside both prefixes. Candidates are verified exactly via "
+    "array_intersect, so the result is IDENTICAL to the naive "
+    "full-index join (the oracle states the naive formulation) while "
+    "a df-heavy stopword can never fan out quadratically — it sorts "
+    "to the back of every doc and stays out of the index. Blocking "
+    "on lang × length band bounds candidates further.",
 )
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", parallel=True)
@@ -298,11 +303,53 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
         F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
     )
+    cand = _ngram_prefix_candidates(t, JACCARD_T)
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter.cast("double") / (F.size("ts_a") + F.size("ts_b") - inter)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(jac >= JACCARD_T)
+
+
+def _ngram_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for the token-Jaccard join via
+    prefix filtering.
+
+    Exactness (the prefix-filter lemma): J(x,y) >= t implies
+    |x ∩ y| >= ceil(t*|x|) and >= ceil(t*|y|); under one global total
+    order on tokens, if the two prefixes of length |.| - ceil(t*|.|)
+    + 1 were disjoint, the smallest common token would sit in one
+    doc's suffix, forcing |x ∩ y| <= ceil(t*|.|) - 1 — contradiction.
+    So indexing prefixes only never loses a qualifying pair.
+
+    Scale shape: tokens are ordered by ASCENDING document frequency
+    (ties by token), so corpus-wide stopwords sort to the back of
+    every doc and are indexed only by docs that consist of almost
+    nothing else — the m² fan-out a raw inverted index suffers on
+    'the' cannot happen. One shuffle for df, one for the per-doc
+    sort, one for the (token, block) candidate join.
+    """
     tok = t.select(
         "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"), F.explode("ts").alias("token")
     )
-    a, b = tok.alias("a"), tok.alias("b")
-    p = (
+    # df = docs containing the token (ts is distinct per doc)
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ranked = tok.join(dfreq, "token")
+    prefix_len = (F.col("n_toks") - F.ceil(F.lit(threshold) * F.col("n_toks")) + 1).cast("int")
+    pref = (
+        ranked.groupBy("doc_id", "lang", "len_band", "n_toks")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "token"))).alias("st"))
+        .select(
+            "doc_id",
+            "lang",
+            "len_band",
+            F.explode(F.slice("st", F.lit(1), prefix_len)).alias("pt"),
+        )
+        .select("doc_id", "lang", "len_band", F.col("pt.token").alias("token"))
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
@@ -310,14 +357,9 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.len_band") == F.col("b.len_band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            (F.any_value(F.col("a.n_toks")) + F.any_value(F.col("b.n_toks"))).alias("n_sum"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jac = F.col("n_inter").cast("double") / (F.col("n_sum") - F.col("n_inter"))
-    return p.select("doc_a", "doc_b", jac.alias("jaccard")).filter(jac >= JACCARD_T)
 
 
 @query(

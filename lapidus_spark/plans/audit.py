@@ -134,8 +134,14 @@ EXPECTATIONS: dict[str, dict] = {
     "ext_dedup_minhash": {"max_exchanges": 5, "no_single_partition": True},
     # simhash: pure codegen projection; 1 = parallel-load crutch
     "ext_dedup_simhash": {"max_exchanges": 1},
-    # inverted-index token join blocked by lang × length-band
-    "ext_dedup_ngram": {"max_exchanges": 3, "no_single_partition": True},
+    # prefix-filtered inverted index (AllPairs/PPJoin): more small
+    # exchanges than the raw index join (df agg, df→token join,
+    # per-doc prefix sort, candidate join + distinct, two verify
+    # joins) — bought deliberately: candidate fan-out is provably
+    # bounded (a stopword can never emit m² pairs), and the verify
+    # joins ship token arrays only for candidate pairs, never through
+    # the pair join itself
+    "ext_dedup_ngram": {"max_exchanges": 12, "no_single_partition": True},
     # sign-LSH bucket join, norms computed pre-shuffle
     "ext_dedup_embed": {"max_exchanges": 4, "no_single_partition": True},
     # brute-force top-k: broadcast 1-row query side + TakeOrdered —

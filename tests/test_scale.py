@@ -182,6 +182,73 @@ def test_embed_skew_guard_drops_degenerate_bucket(spark, tmp_path):
     assert pairs == {(1500, 1501)}
 
 
+def test_ngram_prefix_filter_bounds_stopword_fanout(spark, tmp_path):
+    """Adversarial stopword-heavy corpus: every doc shares the same
+    high-df token. A raw inverted index would emit all m(m-1)/2
+    candidate pairs off that one token; prefix filtering orders
+    tokens by ascending df, so the universal stopword sorts to the
+    back of every doc and never enters the index — candidate count
+    stays 0 while the final answer still matches the naive oracle
+    exactly (prefix filtering is lossless for J >= t)."""
+    import duckdb
+    import pandas as pd
+
+    from lapidus_spark.functions.dedup import (
+        JACCARD_T,
+        LENGTH_BAND,
+        _ngram_prefix_candidates,
+    )
+    from lapidus_spark.plans.registry import load_all
+
+    n_docs = 200
+    # each doc: 4 unique tokens + the universal stopword + one genuine
+    # near-dup pair (docs n_docs, n_docs+1 share 5 of 6 tokens)
+    texts = [f"u{i}a u{i}b u{i}c u{i}d the" for i in range(n_docs)]
+    texts += ["dup alpha beta gamma delta the", "dup alpha beta gamma delta zz"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["adv"] * len(texts),
+            "n_chars": [50] * len(texts),  # one length band for everyone
+        }
+    )
+    sfdir = tmp_path / "adv_ngram"
+    sfdir.mkdir()
+    pdf.to_parquet(str(sfdir / "documents.parquet"))
+
+    d = spark.read.parquet(str(sfdir / "documents.parquet"))
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
+        F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
+    )
+    n_cand = _ngram_prefix_candidates(t, JACCARD_T).count()
+    naive_pairs = (len(texts) * (len(texts) - 1)) // 2  # what 'the' alone would emit
+    # fan-out bounded: only docs sharing a RARE token become candidates
+    assert n_cand < 10, f"{n_cand} candidates vs naive {naive_pairs}"
+
+    # and the full query still equals the naive oracle exactly
+    reg = load_all()
+    pairs = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in reg["ext_dedup_ngram"].fn(spark, str(sfdir)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sfdir}/documents.parquet')"
+    )
+    opairs = {
+        (a, b, round(j, 9))
+        for a, b, j in con.sql(reg["ext_dedup_ngram"].oracle).fetchall()
+    }
+    con.close()
+    assert pairs == opairs
+    assert (n_docs, n_docs + 1, round(5 / 7, 9)) in pairs
+
+
 def test_decontaminate_boilerplate_cap(spark, tmp_path):
     """Adversarial boilerplate: a 4-gram shared by >MAX_BENCH_DF
     benchmark docs (a copyright footer) must be excluded — it is both
