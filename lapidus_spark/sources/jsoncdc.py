@@ -43,7 +43,6 @@ interleaved schema epochs and pg_temp noise lines.
 
 from __future__ import annotations
 
-import json
 import os
 import tempfile
 
@@ -69,57 +68,156 @@ _ACTION = {"signup": "insert", "error": "delete"}
 _REPLAY_DIRS: dict[str, str] = {}
 
 
+def _write_ordered_segments(lines_df: DataFrame, out_dir: str) -> None:
+    """Distributed write of (file_id, user_key, phase, sub, line) rows
+    as one ordered LDJSON file per file_id.
+
+    The partitionBy text write only *requires* ordering by the
+    partition column; sortWithinPartitions establishes the full
+    (file_id, user_key, phase, sub) order up front, which satisfies
+    that requirement as a prefix, so the writer keeps the row order
+    — each segment file comes out exactly in logical line order. The
+    per-file_id part files are then renamed to segment_NNN.ldjson
+    (metadata-only ops, O(N_FILES) regardless of data volume)."""
+    stage = out_dir + "_stage"
+    (
+        lines_df.repartition(N_FILES, "file_id")
+        .sortWithinPartitions("file_id", "user_key", "phase", "sub")
+        .select("file_id", "line")
+        .write.partitionBy("file_id")
+        .mode("overwrite")
+        .text(stage)
+    )
+    for d in os.listdir(stage):
+        if not d.startswith("file_id="):
+            continue
+        f = int(d.split("=", 1)[1])
+        parts = [p for p in os.listdir(os.path.join(stage, d)) if p.endswith(".txt")]
+        assert len(parts) == 1, f"expected 1 part file per segment, got {parts}"
+        os.replace(
+            os.path.join(stage, d, parts[0]),
+            os.path.join(out_dir, f"segment_{f:03d}.ldjson"),
+        )
+
+
 def build_jsoncdc_replay(spark: SparkSession, sf_dir: str) -> str:
     """Write (once per process per sf_dir) a jsoncdc LDJSON replay dir
     derived from the events table: N_FILES files, each a sequence of
     schema / begin / DML / commit lines for the transactions (users)
-    it owns, plus pg_temp noise lines the decoder must drop."""
+    it owns, plus pg_temp noise lines the decoder must drop.
+
+    Fully distributed: every line is built by codegen expressions and
+    written with a partitionBy(file_id) text write — nothing event-
+    sized ever reaches the driver (the old toPandas() builder OOMs
+    the driver before any operator runs at 100× sf). Line bytes are
+    format_string-pinned to the exact json.dumps(separators=(',',':'))
+    shapes the decoder and its DuckDB oracle expect."""
     if sf_dir in _REPLAY_DIRS:
         return _REPLAY_DIRS[sf_dir]
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "event_type", "user_id", "props")
-        .orderBy("user_id", "event_id")
-        .toPandas()
-    )
     replay_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_")
-    files = [[] for _ in range(N_FILES)]
-    for f in range(N_FILES):
-        # epoch-1 schema lines for every table, then a noise line
-        for t in range(N_TABLES):
-            files[f].append(json.dumps({"table": f"tbl_{t}", "schema": json.loads(_V1)},
-                                       separators=(",", ":")))
-        files[f].append(json.dumps({"table": f"pg_temp_{9000 + f}", "insert": {"id": -1}},
-                                   separators=(",", ":")))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "props"
+    )
+    file_id = (F.col("user_id") % N_FILES).cast("int").alias("file_id")
+    tbl = F.format_string("tbl_%d", (F.col("user_id") % N_TABLES).cast("int"))
+    cols = ["file_id", "user_key", "phase", "sub", "line"]
 
-    emitted_v2 = [False] * N_FILES
-    for user_id, grp in ev.groupby("user_id", sort=True):
-        f = int(user_id) % N_FILES
-        tbl = f"tbl_{int(user_id) % N_TABLES}"
-        if int(user_id) // N_FILES >= SCHEMA_V2_AT and not emitted_v2[f]:
-            for t in range(N_TABLES):
-                files[f].append(json.dumps({"table": f"tbl_{t}", "schema": json.loads(_V2)},
-                                           separators=(",", ":")))
-            emitted_v2[f] = True
-        files[f].append(json.dumps({"begin": int(user_id)}, separators=(",", ":")))
-        for row in grp.sort_values("event_id").itertuples():
-            eid = int(row.event_id)
-            k = json.loads(row.props)["k"]
-            action = _ACTION.get(row.event_type, "update")
-            if action == "delete":
-                line = {"table": tbl, "delete": {}, "@": {"id": eid}}
-            elif action == "update":
-                line = {"table": tbl, "update": {"id": eid, "k": k}, "@": {"id": eid}}
-            else:
-                line = {"table": tbl, "insert": {"id": eid, "k": k}}
-            files[f].append(json.dumps(line, separators=(",", ":")))
-        files[f].append(json.dumps({"commit": int(user_id), "t": "2026-01-01T00:00:00Z"},
-                                   separators=(",", ":")))
+    # ordering tuple per line kind (sorted lexicographically):
+    #   headers        (user_key=-1, phase=0 schema / 1 noise)
+    #   v2 schema      (user_key=first qualifying user, phase=-1)
+    #   begin          (user_key=uid, phase=0)
+    #   DML            (user_key=uid, phase=1, sub=event_id)
+    #   commit         (user_key=uid, phase=2)
+    files = spark.range(N_FILES).select(F.col("id").cast("int").alias("file_id"))
+    tables = spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))
+    header_schema = files.crossJoin(tables).select(
+        "file_id",
+        F.lit(-1).cast("long").alias("user_key"),
+        F.lit(0).alias("phase"),
+        F.col("t").cast("long").alias("sub"),
+        F.format_string('{"table":"tbl_%d","schema":%s}', "t", F.lit(_V1)).alias("line"),
+    )
+    noise = files.select(
+        "file_id",
+        F.lit(-1).cast("long").alias("user_key"),
+        F.lit(1).alias("phase"),
+        F.lit(0).cast("long").alias("sub"),
+        F.format_string(
+            '{"table":"pg_temp_%d","insert":{"id":-1}}', F.col("file_id") + 9000
+        ).alias("line"),
+    )
 
-    for f, lines in enumerate(files):
-        with open(os.path.join(replay_dir, f"segment_{f:03d}.ldjson"), "w") as fh:
-            fh.write("\n".join(lines) + "\n")
+    users = ev.select(file_id, "user_id").distinct()
+    v2_first = (
+        users.filter(F.expr(f"user_id DIV {N_FILES}") >= SCHEMA_V2_AT)
+        .groupBy("file_id")
+        .agg(F.min("user_id").alias("user_key"))
+    )
+    v2_schema = v2_first.crossJoin(tables).select(
+        "file_id",
+        "user_key",
+        F.lit(-1).alias("phase"),
+        F.col("t").cast("long").alias("sub"),
+        F.format_string('{"table":"tbl_%d","schema":%s}', "t", F.lit(_V2)).alias("line"),
+    )
+    begin = users.select(
+        "file_id",
+        F.col("user_id").alias("user_key"),
+        F.lit(0).alias("phase"),
+        F.lit(0).cast("long").alias("sub"),
+        F.format_string('{"begin":%d}', "user_id").alias("line"),
+    )
+    commit = users.select(
+        "file_id",
+        F.col("user_id").alias("user_key"),
+        F.lit(2).alias("phase"),
+        F.lit(0).cast("long").alias("sub"),
+        F.format_string('{"commit":%d,"t":"2026-01-01T00:00:00Z"}', "user_id").alias("line"),
+    )
+
+    k = F.get_json_object("props", "$.k").cast("long")
+    action = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    dml_line = (
+        F.when(
+            action == "delete",
+            F.format_string('{"table":"%s","delete":{},"@":{"id":%d}}', tbl, "event_id"),
+        )
+        .when(
+            action == "update",
+            F.format_string(
+                '{"table":"%s","update":{"id":%d,"k":%d},"@":{"id":%d}}',
+                tbl,
+                "event_id",
+                k,
+                "event_id",
+            ),
+        )
+        .otherwise(
+            F.format_string('{"table":"%s","insert":{"id":%d,"k":%d}}', tbl, "event_id", k)
+        )
+    )
+    dml = ev.select(
+        file_id,
+        F.col("user_id").alias("user_key"),
+        F.lit(1).alias("phase"),
+        F.col("event_id").alias("sub"),
+        dml_line.alias("line"),
+    )
+
+    all_lines = (
+        header_schema.select(cols)
+        .unionByName(noise.select(cols))
+        .unionByName(v2_schema.select(cols))
+        .unionByName(begin.select(cols))
+        .unionByName(dml.select(cols))
+        .unionByName(commit.select(cols))
+    )
+    _write_ordered_segments(all_lines, replay_dir)
     _REPLAY_DIRS[sf_dir] = replay_dir
     return replay_dir
 
@@ -491,31 +589,51 @@ def build_jsoncdc_corrupt_replay(spark: SparkSession, sf_dir: str) -> str:
         return _CORRUPT_DIRS[sf_dir]
 
     base = build_jsoncdc_replay(spark, sf_dir)
-    bad_users = sorted(
-        int(r[0])
-        for r in load_table(spark, sf_dir, "events")
+    corrupt_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_bad_")
+    cols = ["file_id", "user_key", "phase", "sub", "line"]
+    # base lines keep their per-file order (user_key 0, sub = line_seq;
+    # segment files are single-split so the monotonic id is line order);
+    # injected bad lines append after them (user_key 1), torn write
+    # before unknown-action per bad tx (sub = 2*uid / 2*uid + 1).
+    base_lines = _with_file_order(spark.read.text(base)).select(
+        F.regexp_extract(F.col("src_file"), r"segment_(\d+)", 1).cast("int").alias("file_id"),
+        F.lit(0).cast("long").alias("user_key"),
+        F.lit(0).alias("phase"),
+        F.col("line_seq").alias("sub"),
+        F.col("value").alias("line"),
+    )
+    bad_users = (
+        load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .filter(F.col("user_id") % CORRUPT_MOD == 0)
-        .collect()
-    )
-    corrupt_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_bad_")
-    extra: dict[int, list[str]] = {f: [] for f in range(N_FILES)}
-    for uid in bad_users:
-        f = uid % N_FILES
-        extra[f].append('{"oops":%d' % uid)  # torn write: truncated JSON
-        extra[f].append(
-            json.dumps(
-                {"table": f"tbl_{uid % N_TABLES}", "truncate": {"id": uid}},
-                separators=(",", ":"),
-            )
+        .select(
+            (F.col("user_id") % N_FILES).cast("int").alias("file_id"),
+            "user_id",
         )
-    for fname in sorted(os.listdir(base)):
-        f = int(fname.split("_")[1].split(".")[0])
-        with open(os.path.join(base, fname)) as src:
-            lines = src.read().rstrip("\n").split("\n")
-        with open(os.path.join(corrupt_dir, fname), "w") as dst:
-            dst.write("\n".join(lines + extra[f]) + "\n")
+    )
+    torn = bad_users.select(
+        "file_id",
+        F.lit(1).cast("long").alias("user_key"),
+        F.lit(0).alias("phase"),
+        (F.col("user_id") * 2).alias("sub"),
+        F.format_string('{"oops":%d', "user_id").alias("line"),
+    )
+    unknown = bad_users.select(
+        "file_id",
+        F.lit(1).cast("long").alias("user_key"),
+        F.lit(0).alias("phase"),
+        (F.col("user_id") * 2 + 1).alias("sub"),
+        F.format_string(
+            '{"table":"tbl_%d","truncate":{"id":%d}}',
+            (F.col("user_id") % N_TABLES).cast("int"),
+            "user_id",
+        ).alias("line"),
+    )
+    _write_ordered_segments(
+        base_lines.select(cols).unionByName(torn.select(cols)).unionByName(unknown.select(cols)),
+        corrupt_dir,
+    )
     _CORRUPT_DIRS[sf_dir] = corrupt_dir
     return corrupt_dir
 
