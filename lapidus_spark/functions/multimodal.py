@@ -165,15 +165,45 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
 
 @query(
     "ext_multimodal_frames",
-    oracle=None,  # Pandas-UDF explode path — rows-only check by design
+    # The raw BLOB column itself has no cross-engine stringification,
+    # but its HEX rendering does — both engines agree on lower(hex(..))
+    # byte for byte. Projecting the frame payload as hex keeps the
+    # FULL frame content under hash verification (stronger than the
+    # md5 reduction in ext_multimodal_framesig) while the pipeline
+    # function sample_frames keeps returning real binary.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ), x AS (
+      SELECT doc_id, text, least(4, greatest(n // 256, 1)) AS n_frames FROM t
+    ), e AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1)) AS frame_no
+      FROM x
+    )
+    SELECT doc_id, frame_no,
+           lower(hex(encode(substr(text, CAST(frame_no * 256 + 1 AS INT), 256))))
+             AS frame_hex,
+           CAST(length(substr(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS BIGINT)
+             AS n_bytes
+    FROM e
+    """,
     operator="ext_multimodal",
     doc="Frame-sampling over binary payloads: mapInPandas row "
     "explosion (≤4 frames per doc at a fixed byte stride, stub "
-    "demuxer) — the video→frames shape of a training-data pipeline.",
+    "demuxer) — the video→frames shape of a training-data pipeline. "
+    "Frame bytes are projected as hex so the whole payload is under "
+    "cross-engine hash verification.",
 )
 def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", parallel=True)
-    return sample_frames(to_media(d))
+    frames = sample_frames(to_media(d))
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.lower(F.hex("frame_payload")).alias("frame_hex"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
 
 
 @query(
@@ -257,7 +287,8 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path from rows-only to full hash verification.",
 )
 def ext_multimodal_framesig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frames = ext_multimodal_frames(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    frames = sample_frames(to_media(d))
     return frames.select(
         "doc_id",
         "frame_no",
