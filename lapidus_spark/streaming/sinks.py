@@ -97,6 +97,74 @@ def foreach_batch_sink(
     return gate_types(df, enabled_types).writeStream.foreachBatch(handler)
 
 
+def kafka_frame(
+    df: DataFrame,
+    topic_prefix: str = "cdc",
+    publish_event_data: bool = True,
+    cache_prefix: str | None = None,
+) -> DataFrame:
+    """Envelope → the Kafka writer's required column contract
+    (key/value/topic) — the broker form of the NATS publish
+    (src/plugins/nats.js:17-23):
+
+    - ``key``   = the routing subject ``schema.table.pk`` (Kafka key
+      ⇒ per-entity partition ordering, the same per-subject ordering
+      NATS consumers see),
+    - ``value`` = event JSON, or NULL when ``publish_event_data`` is
+      false (signal-only mode, nats.js:22-23),
+    - ``topic`` = ``{prefix}.{schema}.{table}`` (topic-per-table),
+      or the cache-invalidation topic ``{cache_prefix}.{action}.
+      {subject}`` when ``cache_prefix`` is set (nats.js:25-28,
+      documented intent — deletes purge, not populate).
+
+    Pure projection: fully testable without the Kafka connector jar.
+    """
+    out = with_cache_topic(df, cache_prefix) if cache_prefix else with_subject(df)
+    value = (
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        if publish_event_data
+        else F.lit(None).cast("string")
+    )
+    topic = (
+        F.col("cache_topic")
+        if cache_prefix
+        else F.concat_ws(".", F.lit(topic_prefix), F.col("schema_name"), F.col("table_name"))
+    )
+    return out.select(
+        F.col("subject").cast("string").alias("key"),
+        value.alias("value"),
+        topic.alias("topic"),
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    checkpoint: str,
+    enabled_types: list[str] | None = None,
+    topic_prefix: str = "cdc",
+    publish_event_data: bool = True,
+    cache_prefix: str | None = None,
+) -> DataStreamWriter:
+    """sink_nats on a real broker: subject-keyed, topic-per-table
+    Kafka publish (``format("kafka")``). Constructing the writer is
+    plan-only — ``.start()`` is what needs the connector jar and a
+    broker, so the whole pipeline through the Kafka frame is
+    assertable in any environment."""
+    framed = kafka_frame(
+        gate_types(df, enabled_types),
+        topic_prefix=topic_prefix,
+        publish_event_data=publish_event_data,
+        cache_prefix=cache_prefix,
+    )
+    return (
+        framed.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
 # ---------------------------------------------------------------- plugins
 #: sink factory registry (sink_plugin, lapidus.js:28-49): third-party
 #: sinks register a factory ``(df, **options) -> DataStreamWriter``
@@ -129,3 +197,4 @@ register_sink("console")(console_sink)
 register_sink("subject_file")(subject_file_sink)
 register_sink("memory")(memory_sink)
 register_sink("foreach_batch")(foreach_batch_sink)
+register_sink("kafka")(kafka_sink)

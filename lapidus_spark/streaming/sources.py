@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lapidus_spark.sources.tables import load_table
 
@@ -50,6 +51,46 @@ def stream_events(
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def kafka_raw_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The production capture feed: ``readStream.format("kafka")``
+    over the Debezium topic (src_pg production path, SURVEY §2.1 —
+    capture is external, the engine's contract starts at the ordered
+    change-record stream). Plan-only constructible: ``.load()``
+    resolves the source and fixes the Kafka schema (key/value binary,
+    topic/partition/offset, timestamp) without contacting a broker;
+    it raises only if the spark-sql-kafka connector jar is absent
+    (tests skip on that)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_envelope_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    source: str = "pg_main",
+) -> DataFrame:
+    """Kafka feed → canonical envelope: the broker analog of
+    ``stream_jsoncdc_envelope`` (value bytes are the same LDJSON line
+    the reference reads off the pg_recvlogical pipe,
+    src/postgresql.js:607-611 — one JSON object per Kafka record)."""
+    from lapidus_spark.sources.jsoncdc import decode_jsoncdc, normalize_jsoncdc
+
+    raw = kafka_raw_source(spark, bootstrap_servers, topic)
+    lines = raw.select(F.col("value").cast("string").alias("value"))
+    return normalize_jsoncdc(decode_jsoncdc(lines), source=source)
 
 
 def stream_json_dir(

@@ -1,0 +1,116 @@
+"""Kafka-shaped source/sink plans (src_pg / sink_nats production path).
+
+The sandbox has no broker and may lack the spark-sql-kafka connector
+jar, so these tests prove the production path at the PLAN level:
+
+- the Kafka frame (key = subject, value = event JSON or null, topic =
+  per-table / cache-invalidation) is a pure projection — asserted on
+  batch data in any environment (src/plugins/nats.js:17-28 semantics),
+- the ``readStream.format("kafka")`` source plan and the
+  ``writeStream.format("kafka")`` writer construct and analyze; the
+  source resolution test skips if the connector jar is absent.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lapidus_spark.sources.cdc import ENVELOPE_SCHEMA
+from lapidus_spark.streaming.sinks import kafka_frame, kafka_sink, make_sink
+
+
+def _envelope_batch(spark):
+    rows = [
+        (1, "pg_main", "insert", "public", "users", "7", '{"id":7}', 42,
+         datetime.datetime(2026, 1, 1)),
+        (2, "pg_main", "update", "public", "users", "7", '{"id":7,"k":1}', 42,
+         datetime.datetime(2026, 1, 1)),
+        (3, "pg_main", "delete", "sales", "orders", "9", None, 43,
+         datetime.datetime(2026, 1, 1)),
+    ]
+    return spark.createDataFrame(rows, ENVELOPE_SCHEMA)
+
+
+def test_kafka_frame_subject_key_and_topic(spark):
+    framed = kafka_frame(_envelope_batch(spark))
+    assert [f.name for f in framed.schema.fields] == ["key", "value", "topic"]
+    got = {r["key"]: r for r in framed.collect()}
+    # subject = schema.table.pk (nats.js:17-21)
+    assert set(got) == {"public.users.7", "sales.orders.9"}
+    assert got["sales.orders.9"]["topic"] == "cdc.sales.orders"
+    # value carries the full event JSON
+    assert '"type":"insert"' in framed.filter(F.col("value").contains("insert")).first()["value"]
+
+
+def test_kafka_frame_signal_only_mode(spark):
+    # publishEventData: false ⇒ null body (nats.js:22-23)
+    framed = kafka_frame(_envelope_batch(spark), publish_event_data=False)
+    assert all(r["value"] is None for r in framed.collect())
+
+
+def test_kafka_frame_cache_invalidation_topic(spark):
+    # {cachePrefix}.{populate|invalidate|purge}.{subject} — documented
+    # intent, not the reference's event.action bug (nats.js:25-28)
+    framed = kafka_frame(_envelope_batch(spark), cache_prefix="cache")
+    topics = {r["topic"] for r in framed.collect()}
+    assert topics == {
+        "cache.populate.public.users.7",
+        "cache.invalidate.public.users.7",
+        "cache.purge.sales.orders.9",
+    }
+
+
+def _envelope_stream(spark):
+    """Streaming DataFrame with envelope columns (rate source → typed
+    projection), so writeStream-based sinks are constructible without
+    any file fixtures."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    return rate.select(
+        F.col("value").alias("event_seq"),
+        F.lit("pg_main").alias("source"),
+        F.lit("insert").alias("type"),
+        F.lit("public").alias("schema_name"),
+        F.lit("users").alias("table_name"),
+        F.col("value").cast("string").alias("pk"),
+        F.to_json(F.struct("value")).alias("item"),
+        F.col("value").alias("tx_id"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def test_kafka_sink_writer_constructs(spark, tmp_path):
+    # the writer (format, bootstrap, checkpoint, framed projection) is
+    # fully constructible without the connector jar — only .start()
+    # resolves the sink provider
+    env = _envelope_stream(spark)
+    w = kafka_sink(
+        env,
+        bootstrap_servers="broker-1:9092",
+        checkpoint=str(tmp_path / "ckpt"),
+        enabled_types=["insert", "update"],
+    )
+    assert w is not None
+    assert make_sink(
+        "kafka",
+        env,
+        bootstrap_servers="broker-1:9092",
+        checkpoint=str(tmp_path / "ckpt2"),
+    ) is not None
+
+
+def test_kafka_source_plan_resolves(spark):
+    from lapidus_spark.streaming.sources import kafka_envelope_source, kafka_raw_source
+
+    try:
+        raw = kafka_raw_source(spark, "broker-1:9092", "cdc.public.users")
+    except Exception as e:  # connector jar absent in this container
+        pytest.skip(f"kafka connector not available: {e}")
+    # the Kafka source's fixed schema resolved without a broker
+    cols = {f.name for f in raw.schema.fields}
+    assert {"key", "value", "topic", "partition", "offset", "timestamp"} <= cols
+    env = kafka_envelope_source(spark, "broker-1:9092", "cdc.public.users")
+    assert [f.name for f in env.schema.fields] == [f.name for f in ENVELOPE_SCHEMA.fields]
+    assert env.isStreaming
