@@ -303,18 +303,45 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
         F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
     )
-    cand = _ngram_prefix_candidates(t, JACCARD_T)
-    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
-    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    # materialize the per-doc sorted token index ONCE (localCheckpoint,
+    # the ext_dedup_components pattern): the prefix index and both
+    # verify sides consume it, and without the checkpoint each consumer
+    # re-tokenizes and re-df-joins the whole corpus (4 copies of the
+    # subtree in the static plan). A production pipeline would persist
+    # this index to parquet like build_df_index does.
+    agg = _ngram_df_sorted(t).localCheckpoint()
+    cand = _ngram_prefix_candidates(agg, JACCARD_T)
+    # token order inside st (df-ascending) is irrelevant to
+    # array_intersect
+    tsdf = agg.select("doc_id", F.expr("transform(st, x -> x.token)").alias("ts"))
+    ta = tsdf.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = tsdf.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter.cast("double") / (F.size("ts_a") + F.size("ts_b") - inter)
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(jac >= JACCARD_T)
 
 
-def _ngram_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
+def _ngram_df_sorted(t: DataFrame) -> DataFrame:
+    """Per doc: its distinct tokens as (df, token) structs sorted by
+    ASCENDING corpus document frequency (ties by token) — the global
+    total order prefix filtering requires. One df aggregation + one
+    token-key join + one per-doc regroup."""
+    tok = t.select(
+        "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"), F.explode("ts").alias("token")
+    )
+    # df = docs containing the token (ts is distinct per doc)
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id", "lang", "len_band", "n_toks")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "token"))).alias("st"))
+    )
+
+
+def _ngram_prefix_candidates(agg: DataFrame, threshold: float) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs for the token-Jaccard join via
-    prefix filtering.
+    prefix filtering over ``_ngram_df_sorted`` output.
 
     Exactness (the prefix-filter lemma): J(x,y) >= t implies
     |x ∩ y| >= ceil(t*|x|) and >= ceil(t*|y|); under one global total
@@ -323,24 +350,14 @@ def _ngram_prefix_candidates(t: DataFrame, threshold: float) -> DataFrame:
     doc's suffix, forcing |x ∩ y| <= ceil(t*|.|) - 1 — contradiction.
     So indexing prefixes only never loses a qualifying pair.
 
-    Scale shape: tokens are ordered by ASCENDING document frequency
-    (ties by token), so corpus-wide stopwords sort to the back of
-    every doc and are indexed only by docs that consist of almost
-    nothing else — the m² fan-out a raw inverted index suffers on
-    'the' cannot happen. One shuffle for df, one for the per-doc
-    sort, one for the (token, block) candidate join.
+    Scale shape: tokens are ordered by ascending document frequency,
+    so corpus-wide stopwords sort to the back of every doc and are
+    indexed only by docs that consist of almost nothing else — the m²
+    fan-out a raw inverted index suffers on 'the' cannot happen.
     """
-    tok = t.select(
-        "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"), F.explode("ts").alias("token")
-    )
-    # df = docs containing the token (ts is distinct per doc)
-    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
-    ranked = tok.join(dfreq, "token")
     prefix_len = (F.col("n_toks") - F.ceil(F.lit(threshold) * F.col("n_toks")) + 1).cast("int")
     pref = (
-        ranked.groupBy("doc_id", "lang", "len_band", "n_toks")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "token"))).alias("st"))
-        .select(
+        agg.select(
             "doc_id",
             "lang",
             "len_band",

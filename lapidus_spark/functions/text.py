@@ -352,3 +352,61 @@ def ext_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KEYWORD_TOPK)
         .select("doc_id", "token", "tf", "df", "score", "rank")
     )
+
+
+#: vocabulary size for OOV-rate coverage checks (fixture vocab is 31
+#: distinct tokens, so 16 keeps roughly half of them out-of-vocab and
+#: the rate meaningfully non-trivial at every sf).
+OOV_VOCAB_K = 16
+
+
+@query(
+    "ext_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tok_nz AS (
+      SELECT doc_id, token FROM tok WHERE token <> ''
+    ), cnt AS (
+      SELECT token, count(*) AS c FROM tok_nz GROUP BY token
+    ), vocab AS (
+      SELECT token FROM cnt ORDER BY c DESC, token ASC LIMIT {OOV_VOCAB_K}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                         THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate
+    FROM tok_nz GROUP BY doc_id
+    """,
+    operator="ext_text_stats (vocabulary coverage / OOV rate)",
+    doc=f"Per-document out-of-vocabulary rate against the corpus "
+    f"top-{OOV_VOCAB_K} token vocabulary (ties broken count DESC, "
+    "token ASC — deterministic): the tokenizer-coverage check a "
+    "training pipeline runs before committing to a vocab. The vocab "
+    "is top-K via TakeOrderedAndProject (never a global sort) and "
+    "K rows broadcast to the per-token membership probe; per-doc "
+    "aggregation is one shuffle on doc_id. Exact integers + one "
+    "final division, bit-identical across engines.",
+)
+def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    probed = tok.join(F.broadcast(vocab), "token", "left")
+    n_oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("bigint")
+    return probed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
+    )

@@ -181,6 +181,81 @@ def win_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_sliding_counts",
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000) AS w0,
+             value
+      FROM events
+    ), s AS (
+      SELECT w0 AS window_start, value FROM b
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS window_start, value FROM b
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY window_start
+    """,
+    operator="streaming windowed agg, sliding batch analog (SURVEY §2.4 scorecard)",
+    doc="SLIDING 1-hour windows every 30 minutes — each event lands in "
+    "exactly duration/slide = 2 windows. The oracle states the "
+    "assignment explicitly: the event's 30-min bucket start and that "
+    "start minus one slide (Spark's F.window aligns slides to the "
+    "epoch, so both engines bucket identically). Completes the "
+    "tumbling/sliding/session window triple the reference lacks "
+    "entirely (§2.4 scorecard).",
+)
+def win_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "win_value_battery",
+    oracle="""
+    SELECT event_id,
+           user_id AS entity_id,
+           first_value(value) OVER wf AS first_val,
+           last_value(value) OVER wf AS last_val,
+           nth_value(value, 2) OVER wf AS second_val,
+           lead(value) OVER wo AS next_val
+    FROM events
+    WINDOW
+      wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    operator="value window functions (gap §2.5)",
+    doc="first_value / last_value / nth_value / lead sharing one "
+    "partition key: per-entity earliest, latest, second and next "
+    "observation in a single pass — one exchange on the entity key, "
+    "all four functions evaluated in the same Window operator. "
+    "Deterministic because (ts, event_id) totally orders each "
+    "partition.",
+)
+def win_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.first("value").over(wf).alias("first_val"),
+        F.last("value").over(wf).alias("last_val"),
+        F.nth_value("value", 2).over(wf).alias("second_val"),
+        F.lead("value").over(wo).alias("next_val"),
+    )
+
+
+@query(
     "win_scd2_history",
     oracle="""
     SELECT user_id AS entity_id,

@@ -134,14 +134,14 @@ EXPECTATIONS: dict[str, dict] = {
     "ext_dedup_minhash": {"max_exchanges": 5, "no_single_partition": True},
     # simhash: pure codegen projection; 1 = parallel-load crutch
     "ext_dedup_simhash": {"max_exchanges": 1},
-    # prefix-filtered inverted index (AllPairs/PPJoin): more small
-    # exchanges than the raw index join (df agg, df→token join,
-    # per-doc prefix sort, candidate join + distinct, two verify
-    # joins) — bought deliberately: candidate fan-out is provably
-    # bounded (a stopword can never emit m² pairs), and the verify
-    # joins ship token arrays only for candidate pairs, never through
-    # the pair join itself
-    "ext_dedup_ngram": {"max_exchanges": 12, "no_single_partition": True},
+    # prefix-filtered inverted index (AllPairs/PPJoin): the per-doc
+    # df-sorted token index is materialized once via localCheckpoint
+    # (its build cost — df agg, token join, per-doc sort — sits behind
+    # the checkpoint, like the components query), then the candidate
+    # join + distinct + two verify joins run over it. Candidate
+    # fan-out is provably bounded: a stopword sorts to the back of
+    # every doc's prefix order and never enters the index
+    "ext_dedup_ngram": {"max_exchanges": 6, "no_single_partition": True},
     # sign-LSH bucket join, norms computed pre-shuffle
     "ext_dedup_embed": {"max_exchanges": 4, "no_single_partition": True},
     # brute-force top-k: broadcast 1-row query side + TakeOrdered —
@@ -182,6 +182,20 @@ EXPECTATIONS: dict[str, dict] = {
     # stratified sampling / frozen-weight classifier: zero-shuffle
     "ext_sample_stratified": {"max_exchanges": 0},
     "ext_quality_logit": {"max_exchanges": 0},
+    # sliding windows: the 2-per-event explode happens inside the
+    # window expression — still one agg exchange, same as tumbling
+    "win_sliding_counts": {"max_exchanges": 1},
+    # first/last/nth/lead share one window spec → one exchange
+    "win_value_battery": {"max_exchanges": 1},
+    # vocab = top-K via TakeOrderedAndProject (no global sort), K rows
+    # broadcast to the membership probe; token agg + doc agg +
+    # parallel-load crutch
+    "ext_oov_rate": {
+        "take_ordered": True,
+        "broadcasts": 1,
+        "max_exchanges": 4,
+        "no_single_partition": True,
+    },
     # CUBE expands all 4 grouping sets through ONE exchange
     "agg_cube_matrix": {"max_exchanges": 1},
     # five ranking functions share one window spec → one exchange

@@ -61,14 +61,17 @@ _VERIFY_FIRST = (
     "win_rolling_range",
     "stream_stream_join",
     "stream_outer_attrib",
-    # (b) implementation touched this round
+    # (b) new this round — sliding windows complete the §2.4 triple
+    "win_sliding_counts",
+    "stream_sliding_counts",
+    # (c) implementation touched this round
     "ext_dedup_ngram",
     "ext_multimodal_frames",
     "src_jsoncdc_decode",
     "src_jsoncdc_errors",
     "stream_jsoncdc_decode",
     "stream_jsoncdc_tx",
-    # (c) round-1-only signals, state-heaviest first
+    # (d) round-1-only signals, state-heaviest first
     "agg_tx_assembly",
     "join_asof_order",
     "win_scd2_history",

@@ -298,6 +298,43 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH b AS (
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 1800000000) AS w0,
+             value
+      FROM events
+    ), s AS (
+      SELECT w0 AS window_start, value FROM b
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS window_start, value FROM b
+    )
+    SELECT window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY window_start
+    """,
+    operator="streaming sliding-window agg (SURVEY §2.4 scorecard upgrade)",
+    doc="Sliding 1-hour/30-min event-time windows maintained by a real "
+    "stream (complete mode ⇒ final state equals the batch answer): "
+    "every event updates two window states. With win_sliding_counts, "
+    "stream_windowed_counts and stream_sessionize this completes the "
+    "tumbling/sliding/session triple in BOTH execution modes.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    return _run_to_memory(agg, "stream_sliding_counts_out", output_mode="complete")
+
+
+@query(
     "stream_sessionize",
     oracle="""
     WITH gaps AS (

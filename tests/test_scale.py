@@ -196,6 +196,7 @@ def test_ngram_prefix_filter_bounds_stopword_fanout(spark, tmp_path):
     from lapidus_spark.functions.dedup import (
         JACCARD_T,
         LENGTH_BAND,
+        _ngram_df_sorted,
         _ngram_prefix_candidates,
     )
     from lapidus_spark.plans.registry import load_all
@@ -225,7 +226,7 @@ def test_ngram_prefix_filter_bounds_stopword_fanout(spark, tmp_path):
         (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
         F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
     )
-    n_cand = _ngram_prefix_candidates(t, JACCARD_T).count()
+    n_cand = _ngram_prefix_candidates(_ngram_df_sorted(t), JACCARD_T).count()
     naive_pairs = (len(texts) * (len(texts) - 1)) // 2  # what 'the' alone would emit
     # fan-out bounded: only docs sharing a RARE token become candidates
     assert n_cand < 10, f"{n_cand} candidates vs naive {naive_pairs}"
