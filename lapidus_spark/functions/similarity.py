@@ -387,3 +387,81 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+#: fixed-point scale for exact centroid aggregation: float32 values
+#: scaled by 2^20 are exact in double (power-of-two scaling preserves
+#: the 24-bit mantissa), floor is unambiguous in both engines, and the
+#: BIGINT sums are associative — the whole mean is order-independent
+#: and bit-identical under any partitioning.
+CENTROID_SCALE = 1 << 20
+
+
+@query(
+    "ext_embed_centroid",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, embedding, unnest(range(1, {DIM} + 1)) AS dim
+      FROM embeddings
+    ), q AS (
+      SELECT label, dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {CENTROID_SCALE})
+                  AS BIGINT) AS qv
+      FROM x
+    ), s AS (
+      SELECT label, dim, sum(qv) AS sq, count(*) AS n
+      FROM q GROUP BY label, dim
+    ), m AS (
+      -- floor division via the pmod identity: DuckDB's // floors but
+      -- Spark's div truncates, so both sides compute the remainder-
+      -- corrected form, which is an exact division (identical
+      -- everywhere, negatives included)
+      SELECT label, dim, n,
+             (sq - (((sq % n) + n) % n)) // n AS mq
+      FROM s
+    )
+    SELECT label,
+           max(n) AS n_vecs,
+           string_agg(CAST(mq AS VARCHAR), '|' ORDER BY dim) AS centroid_q
+    FROM m GROUP BY label
+    """,
+    operator="ext_sim (per-class embedding centroid)",
+    doc=f"Per-label mean embedding via exact fixed-point aggregation: "
+    f"each float32 component is scaled by 2^20 (exact in double — "
+    "power-of-two scaling preserves the 24-bit mantissa) and floored "
+    "to BIGINT, summed associatively per (label, dim) — one shuffle "
+    "whose key space is labels × dims, never a vector in flight — "
+    "then floor-divided by the class size and reassembled in dim "
+    "order (pipe-joined fixed-point, scale 2^20). The class-"
+    "prototype computation behind dataset balancing, centroid init "
+    "for IVF/k-means, and embedding-drift monitoring; order-"
+    "independent, so bit-identical on any cluster layout.",
+)
+def ext_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    q = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * CENTROID_SCALE).cast("bigint").alias("qv"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum("qv").alias("sq"), F.count("*").alias("n")
+    )
+    m = s.withColumn("mq", F.expr("(sq - (((sq % n) + n) % n)) div n"))
+    return (
+        m.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(F.collect_list(F.struct("dim", "mq"))).alias("st"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.array_join(F.expr("transform(st, x -> CAST(x.mq AS STRING))"), "|").alias(
+                "centroid_q"
+            ),
+        )
+    )

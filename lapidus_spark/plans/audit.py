@@ -196,6 +196,10 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 4,
         "no_single_partition": True,
     },
+    # per-class centroid: two-level exact aggregation — (label, dim)
+    # partials then the label-level reassembly (+ parallel-load
+    # crutch); no vector ever shuffles whole
+    "ext_embed_centroid": {"max_exchanges": 3, "no_single_partition": True},
     # CUBE expands all 4 grouping sets through ONE exchange
     "agg_cube_matrix": {"max_exchanges": 1},
     # five ranking functions share one window spec → one exchange

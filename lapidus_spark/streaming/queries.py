@@ -297,6 +297,112 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_windowed_counts_out", output_mode="complete")
 
 
+#: late-replay dirs, cached per (process, sf_dir).
+_LATE_DIRS: dict[str, str] = {}
+#: the late batch = the first LATE_CUTOFF_HOURS of event time; the
+#: watermark delay is the same, so every late-batch window is closed
+#: long before the late rows arrive (the fixture spans ~30 days).
+LATE_CUTOFF_HOURS = 2
+
+
+def build_late_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file replay dir for the late-data test, in arrival order:
+
+    1. ``batch1_bulk``  — everything in [min_ts + 2h, max_ts - 1h),
+    2. ``batch2_tail``  — the last hour of events (carries max_ts),
+    3. ``batch3_late``  — the OLDEST two hours, arriving last ⇒ LATE.
+
+    Three batches, not two, because Spark runs a two-watermark model
+    (SPARK-24634): a batch filters late input against the watermark
+    committed by an EARLIER batch, while eviction/emission uses the
+    freshly advanced one. The tail batch commits the ~max_ts - 2h
+    watermark so the late file demonstrably hits the late-row filter
+    (with only two files the filter watermark would still be the
+    epoch and the late rows would sneak into state instead). Tail
+    rows are never late themselves (their windows end after the
+    final watermark, so they also never emit — the oracle needs no
+    batch-boundary knowledge). Single file per slice by design —
+    each slice is one micro-batch (harness fixture; slices are
+    written by executor tasks, only file renames happen driver-side).
+    """
+    if sf_dir in _LATE_DIRS:
+        return _LATE_DIRS[sf_dir]
+    import shutil
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + timedelta(hours=LATE_CUTOFF_HOURS)
+    tail = hi - timedelta(hours=1)
+    out = tempfile.mkdtemp(prefix="lapidus_late_replay_")
+    slices = (
+        ("batch1_bulk", ev.filter((F.col("ts") >= F.lit(cut)) & (F.col("ts") < F.lit(tail)))),
+        ("batch2_tail", ev.filter(F.col("ts") >= F.lit(tail))),
+        ("batch3_late", ev.filter(F.col("ts") < F.lit(cut))),
+    )
+    t0 = os.path.getmtime(out)
+    for i, (name, part_df) in enumerate(slices):
+        stage = os.path.join(out, f"_stage_{name}")
+        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(out, f"{name}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        # file source replays oldest-mtime-first: pin the arrival order
+        os.utime(dst, (t0 + i * 100, t0 + i * 100))
+    _LATE_DIRS[sf_dir] = out
+    return out
+
+
+@query(
+    "stream_late_drop",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(ts) + INTERVAL {LATE_CUTOFF_HOURS} HOUR AS cut,
+             max(ts) - INTERVAL {LATE_CUTOFF_HOURS} HOUR AS wm
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events
+    FROM events, b
+    WHERE ts >= cut
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+    GROUP BY date_trunc('hour', ts)
+    """,
+    operator="watermark late-data handling (SURVEY §2.4 scorecard upgrade)",
+    doc="Late data is DROPPED, exactly and only per the watermark "
+    "contract — the §2.4 capability the reference has no concept of "
+    "(events are applied as they arrive). The replay delivers the "
+    "oldest two hours of events LAST: by then the watermark sits at "
+    "max_ts - 2h, those rows' windows are long closed, and Spark "
+    "discards them. The oracle states the full contract: emitted "
+    "windows count only on-time rows (ts >= cut) and only windows "
+    "the watermark has passed (end <= wm); late rows appear nowhere "
+    "and open windows at the stream tail stay in state, unemitted.",
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = build_late_replay(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(replay)
+    )
+    agg = (
+        # watermark needs LTZ (UTC session ⇒ value-preserving cast)
+        ev.select(F.col("ts").cast("timestamp").alias("ts_ltz"))
+        .withWatermark("ts_ltz", f"{LATE_CUTOFF_HOURS} hours")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "stream_late_drop_out")
+
+
 @query(
     "stream_sliding_counts",
     oracle="""
