@@ -410,3 +410,82 @@ def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
     )
+
+
+#: top-K collocations reported (ties broken by bigram text — total
+#: order, deterministic across engines).
+COLLOC_TOPK = 15
+
+
+@query(
+    "ext_collocations",
+    oracle=f"""
+    WITH base AS (
+      SELECT string_split(lower(text), ' ') AS arr FROM documents
+    ), idx AS (
+      SELECT arr, unnest(range(1, len(arr))) AS i FROM base
+    ), pairs AS (
+      SELECT arr[i] AS a, arr[i + 1] AS b FROM idx
+    ), d AS (
+      SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b
+    ), u AS (
+      SELECT unnest(arr) AS token FROM base
+    ), uc AS (
+      SELECT token, count(*) AS c FROM u GROUP BY token
+    )
+    SELECT d.a || ' ' || d.b AS bigram,
+           d.c_ab,
+           ua.c AS c_a,
+           ub.c AS c_b,
+           CAST(2 * d.c_ab AS DOUBLE) / (ua.c + ub.c) AS dice
+    FROM d JOIN uc ua ON d.a = ua.token
+           JOIN uc ub ON d.b = ub.token
+    ORDER BY dice DESC, bigram ASC
+    LIMIT {COLLOC_TOPK}
+    """,
+    operator="ext_text_stats (collocation / phrase mining)",
+    doc=f"Top-{COLLOC_TOPK} bigram collocations by Dice coefficient "
+    "2*c(ab)/(c(a)+c(b)) — the association score behind phrase-aware "
+    "tokenizer vocabularies and stop-phrase lists, chosen over PMI "
+    "because it needs no logarithm: exact integer counts and one "
+    "final division, bit-identical across engines. Bigram and "
+    "unigram counts are two map-side-combined aggregations; the "
+    "unigram table is vocabulary-sized and broadcasts onto the "
+    "bigram side twice; top-K is TakeOrderedAndProject with a total "
+    "ordering (dice DESC, bigram ASC).",
+)
+def ext_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    base = d.select(F.split(F.lower("text"), " ").alias("arr"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(arr) >= 2 THEN "
+                "transform(sequence(1, size(arr) - 1), "
+                "i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bg = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uc = (
+        base.select(F.explode("arr").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ua = F.broadcast(uc.select(F.col("token").alias("a"), F.col("c").alias("c_a")))
+    ub = F.broadcast(uc.select(F.col("token").alias("b"), F.col("c").alias("c_b")))
+    scored = (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            ((F.lit(2) * F.col("c_ab")).cast("double") / (F.col("c_a") + F.col("c_b"))).alias(
+                "dice"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("dice"), F.asc("bigram")).limit(COLLOC_TOPK)

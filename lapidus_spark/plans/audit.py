@@ -196,6 +196,14 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 4,
         "no_single_partition": True,
     },
+    # collocations: bigram agg + unigram agg (broadcast onto the
+    # bigram side twice) + parallel-load crutches; top-K never sorts
+    "ext_collocations": {
+        "take_ordered": True,
+        "broadcasts": 2,
+        "max_exchanges": 6,
+        "no_single_partition": True,
+    },
     # per-class centroid: two-level exact aggregation — (label, dim)
     # partials then the label-level reassembly (+ parallel-load
     # crutch); no vector ever shuffles whole

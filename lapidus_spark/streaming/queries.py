@@ -297,6 +297,62 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_windowed_counts_out", output_mode="complete")
 
 
+@query(
+    "stream_upsert_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="sink_cache/sink_nats consumer (the materialized snapshot, end to end)",
+    doc="The canonical CDC consumer run THROUGH THE SINK: envelope "
+    "stream → update-mode last-write-wins aggregation → partitioned "
+    "idempotent upsert into an executor-side KV store (one connection "
+    "per partition, driver never touches a row; deletes purge, the "
+    "nats.js:25-28 cache intent) → the store read back and compared "
+    "against the batch snapshot oracle. Proves the full exactly-once "
+    "materialization story — not just the aggregation, the actual "
+    "target state after the stream drains. Store stand-in is one "
+    "JSON file per key (DirKVStore); production swaps in a KV "
+    "service/MERGE INTO with the same factory contract.",
+)
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import partial
+
+    from lapidus_spark.streaming.materialize import DirKVStore, materialize
+
+    env = normalize_events(stream_events(spark, sf_dir))
+    root = tempfile.mkdtemp(prefix="lapidus_upsert_store_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_upsert_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        materialize(env, store_factory=partial(DirKVStore, root), checkpoint=ckpt)()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.json(root).select(
+        "entity_id",
+        "last_seq",
+        # the store serializes timestamps as strings (json); parse back
+        # so both engines compare native timestamps, not the two
+        # dialects' trailing-zero formatting
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
 #: late-replay dirs, cached per (process, sf_dir).
 _LATE_DIRS: dict[str, str] = {}
 #: the late batch = the first LATE_CUTOFF_HOURS of event time; the
