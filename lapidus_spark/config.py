@@ -19,7 +19,7 @@ import re
 from dataclasses import dataclass, field
 
 BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file", "jsoncdc")
-SINK_TYPES = ("console", "parquet", "memory")
+SINK_TYPES = ("console", "parquet", "memory", "kafka")
 EVENT_TYPES = ("insert", "update", "delete")
 
 #: plugin sink types (sink_plugin, lapidus.js:28-49): factories
@@ -229,6 +229,13 @@ def _sink(s: dict) -> SinkConfig:
         raise ConfigError(
             f"sink: unknown type {stype!r}; valid: {SINK_TYPES + tuple(sorted(EXTRA_SINK_TYPES))}"
         )
+    opts = s.get("options", {})
+    # friendly errors at --validate-only time instead of TypeErrors
+    # deep inside the writer builders (mirrors the pg slot check)
+    if stype == "parquet" and not opts.get("path"):
+        raise ConfigError("sink: parquet sink requires options.path")
+    if stype == "kafka" and not opts.get("bootstrap_servers"):
+        raise ConfigError("sink: kafka sink requires options.bootstrap_servers")
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

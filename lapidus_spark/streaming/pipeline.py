@@ -71,11 +71,23 @@ def start_sink(
         writer = sink_mod.memory_sink(
             sink_mod.gate_types(env, enabled), sink.options.get("table", backend.name)
         )
+    elif sink.type == "kafka":
+        # sink_nats on a real broker (src/plugins/nats.js) — plan
+        # construction needs no connector; .start() does
+        writer = sink_mod.kafka_sink(
+            env,
+            bootstrap_servers=sink.options["bootstrap_servers"],
+            checkpoint=ckpt,
+            enabled_types=enabled,
+            topic_prefix=sink.options.get("topic_prefix", "cdc"),
+            publish_event_data=sink.options.get("publish_event_data", True),
+            cache_prefix=sink.cache_prefix,
+        )
     else:
         # plugin sink (sink_plugin): resolved from the factory registry
         opts = {k: v for k, v in sink.options.items() if k != "trigger"}
         writer = sink_mod.make_sink(sink.type, sink_mod.gate_types(env, enabled), **opts)
-    if sink.type != "parquet":
+    if sink.type not in ("parquet", "kafka"):  # those set ckpt themselves
         writer = writer.option("checkpointLocation", ckpt)
     trigger = sink.options.get("trigger", "availableNow")
     if trigger == "availableNow":

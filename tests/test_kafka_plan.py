@@ -101,6 +101,20 @@ def test_kafka_sink_writer_constructs(spark, tmp_path):
     ) is not None
 
 
+def test_kafka_sink_config_validation():
+    from lapidus_spark.config import ConfigError, validate_config
+
+    base = {"backends": [{"name": "b", "type": "file", "path": "/tmp/x"}]}
+    ok = validate_config(
+        {**base, "sinks": [{"type": "kafka", "options": {"bootstrap_servers": "k:9092"}}]}
+    )
+    assert ok.sinks[0].type == "kafka"
+    with pytest.raises(ConfigError, match="bootstrap_servers"):
+        validate_config({**base, "sinks": [{"type": "kafka"}]})
+    with pytest.raises(ConfigError, match="options.path"):
+        validate_config({**base, "sinks": [{"type": "parquet"}]})
+
+
 def test_kafka_source_plan_resolves(spark):
     from lapidus_spark.streaming.sources import kafka_envelope_source, kafka_raw_source
 
