@@ -250,6 +250,54 @@ def test_ngram_prefix_filter_bounds_stopword_fanout(spark, tmp_path):
     assert (n_docs, n_docs + 1, round(5 / 7, 9)) in pairs
 
 
+def test_ngram_prefix_filter_lossless_on_random_corpora(spark):
+    """The prefix-filter lemma, empirically: on randomized token sets
+    (seeded), EVERY pair with Jaccard >= t must appear among the
+    prefix candidates — the optimization is lossless by construction,
+    so the candidate set is a superset of the true result within each
+    blocking bucket. Exercises skewed df distributions, tiny docs
+    (prefix length 1), and duplicate token sets."""
+    import random
+
+    from lapidus_spark.functions.dedup import (
+        JACCARD_T,
+        _ngram_df_sorted,
+        _ngram_prefix_candidates,
+    )
+
+    rng = random.Random(20260813)
+    vocab = [f"t{i}" for i in range(40)]
+    # zipf-ish skew: low-index tokens appear far more often
+    docs = []
+    for i in range(120):
+        n = rng.randint(1, 12)
+        toks = {vocab[min(int(rng.expovariate(0.12)), 39)] for _ in range(n)}
+        docs.append((i, sorted(toks) or ["t0"]))
+    # a few exact duplicates and near-duplicates
+    docs.append((200, docs[0][1]))
+    docs.append((201, docs[1][1][:-1] + ["zz"] if len(docs[1][1]) > 1 else ["zz"]))
+
+    expected = set()
+    for i, (da, ta) in enumerate(docs):
+        sa = set(ta)
+        for db, tb in docs[i + 1 :]:
+            sb = set(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_T:
+                expected.add((min(da, db), max(da, db)))
+
+    t = spark.createDataFrame(
+        [(d, "en", 0, toks) for d, toks in docs],
+        "doc_id long, lang string, len_band long, ts array<string>",
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _ngram_prefix_candidates(_ngram_df_sorted(t), JACCARD_T).collect()
+    }
+    missed = expected - cand
+    assert not missed, f"prefix filter lost qualifying pairs: {sorted(missed)[:10]}"
+
+
 def test_decontaminate_boilerplate_cap(spark, tmp_path):
     """Adversarial boilerplate: a 4-gram shared by >MAX_BENCH_DF
     benchmark docs (a copyright footer) must be excluded — it is both
