@@ -31,11 +31,17 @@ def main() -> None:
     # TARGET sf: stream_tx_assembly replays a generated marker dir —
     # building it is setup, not operator work, and must not land in
     # the timed pass.
+    from lapidus_spark.functions.dedup import build_ngram_index
     from lapidus_spark.functions.similarity import build_ivf_index
     from lapidus_spark.sources.jsoncdc import build_jsoncdc_replay
     from lapidus_spark.streaming.queries import build_tx_replay_input
 
-    for builder in (build_tx_replay_input, build_jsoncdc_replay, build_ivf_index):
+    for builder in (
+        build_tx_replay_input,
+        build_jsoncdc_replay,
+        build_ivf_index,
+        build_ngram_index,
+    ):
         try:
             builder(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 — dependents fail individually

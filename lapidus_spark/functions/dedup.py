@@ -296,20 +296,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on lang × length band bounds candidates further.",
 )
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents", parallel=True)
-    t = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
-        F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
-    )
-    # materialize the per-doc sorted token index ONCE (localCheckpoint,
-    # the ext_dedup_components pattern): the prefix index and both
-    # verify sides consume it, and without the checkpoint each consumer
-    # re-tokenizes and re-df-joins the whole corpus (4 copies of the
-    # subtree in the static plan). A production pipeline would persist
-    # this index to parquet like build_df_index does.
-    agg = _ngram_df_sorted(t).localCheckpoint()
+    agg = spark.read.parquet(build_ngram_index(spark, sf_dir))
     cand = _ngram_prefix_candidates(agg, JACCARD_T)
     # token order inside st (df-ascending) is irrelevant to
     # array_intersect
@@ -320,6 +307,34 @@ def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = inter.cast("double") / (F.size("ts_a") + F.size("ts_b") - inter)
     return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(jac >= JACCARD_T)
+
+
+#: per-doc df-sorted token index dirs, cached per (process, sf_dir).
+_NGRAM_INDEX_DIRS: dict[str, str] = {}
+
+
+def build_ngram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the per-doc df-sorted token index once per (process,
+    sf_dir) — the ingest-time build the prefix-filtered Jaccard join
+    probes (same build-once-probe-many shape as the IVF cell index
+    and the keywords df index). The prefix index and both verify
+    sides all read this parquet; without it each consumer would
+    re-tokenize and re-df-join the whole corpus."""
+    if sf_dir in _NGRAM_INDEX_DIRS:
+        return _NGRAM_INDEX_DIRS[sf_dir]
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    t = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
+        F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
+    )
+    out = tempfile.mkdtemp(prefix="lapidus_ngram_index_")
+    _ngram_df_sorted(t).write.mode("overwrite").parquet(out)
+    _NGRAM_INDEX_DIRS[sf_dir] = out
+    return out
 
 
 def _ngram_df_sorted(t: DataFrame) -> DataFrame:
