@@ -61,9 +61,15 @@ _VERIFY_FIRST = (
     "win_rolling_range",
     "stream_stream_join",
     "stream_outer_attrib",
-    # (b) new this round — sliding windows complete the §2.4 triple
+    # (b) new this round — never driver-verified, highest signal value
     "win_sliding_counts",
     "stream_sliding_counts",
+    "stream_late_drop",
+    "stream_upsert_snapshot",
+    "win_value_battery",
+    "ext_oov_rate",
+    "ext_embed_centroid",
+    "ext_collocations",
     # (c) implementation touched this round
     "ext_dedup_ngram",
     "ext_multimodal_frames",
@@ -95,14 +101,8 @@ _VERIFY_FIRST = (
     "win_running_total",
     "win_tumbling_counts",
     "agg_type_counts",
-    "src_scan_events",
-    "flt_exclude_tables",
-    "flt_system_tables",
-    "flt_drop_blank",
-    "flt_event_gate",
     "prj_envelope",
     "prj_pk_coalesce",
-    "prj_routing_key",
     "prj_cache_action",
     "prj_scalar_battery",
     "set_union_streams",
@@ -112,10 +112,24 @@ _VERIFY_FIRST = (
     "win_dedup_consecutive",
 )
 
+#: Trade recorded: six trivial round-1-green scans/filters
+#: (src_scan_events, flt_exclude_tables, flt_system_tables,
+#: flt_drop_blank, flt_event_gate, prj_routing_key) yield their
+#: window slots to the six never-driver-verified new queries above —
+#: a stateless isin/contains filter regressing silently is far less
+#: likely than a new stateful/streaming operator, and all six stay
+#: under pytest oracle parity every round.
+
 #: Queries green in the round-2 driver run (CORRECTNESS_r02.json)
 #: rotated to the BACK — their signal is at most one round old. Still
 #: fully covered by the pytest oracle-parity suite every round.
 _VERIFY_LAST = (
+    "src_scan_events",
+    "flt_exclude_tables",
+    "flt_system_tables",
+    "flt_drop_blank",
+    "flt_event_gate",
+    "prj_routing_key",
     "src_mysql_binlog",
     "src_mongo_oplog",
     "ext_dedup_components",
