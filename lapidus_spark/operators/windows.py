@@ -474,3 +474,117 @@ def win_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_7d"),
         F.count("*").over(w).alias("n_7d"),
     )
+
+
+@query(
+    "agg_funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts AS t1, event_id AS i1 FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'signup'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, ts AS t2, event_id AS i2 FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND (e.ts, e.event_id) > (s1.t1, s1.i1)
+      ) WHERE rn = 1
+    ), s3 AS (
+      SELECT user_id, ts AS t3 FROM (
+        SELECT e.user_id, e.ts,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t2, s2.i2)
+      ) WHERE rn = 1
+    )
+    SELECT s1.user_id AS entity_id,
+           s1.t1 AS signup_ts,
+           s2.t2 AS first_view_ts,
+           s3.t3 AS first_purchase_ts,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    operator="ordered-sequence funnel (gap §2.5 sequential pattern)",
+    doc="Three-stage ordered conversion funnel signup → view → "
+    "purchase: each stage is the EARLIEST qualifying event strictly "
+    "after the previous stage's event (ties broken by event_id — a "
+    "total order, so both engines pick the same row). Spark computes "
+    "each stage as min(struct(ts, event_id)) per entity — an "
+    "argmin without a sort — with one key-partitioned aggregation "
+    "and one equi-join per stage; the oracle states the same picks "
+    "via row_number. The sequential-pattern query behind activation "
+    "and attribution analytics.",
+)
+def agg_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    key = F.struct("ts", "event_id")
+
+    def first_after(df: DataFrame, etype: str, after: DataFrame | None, after_col: str):
+        src = df.filter(F.col("event_type") == etype)
+        if after is not None:
+            src = src.join(after, "user_id").filter(key > F.col(after_col))
+        return src.groupBy("user_id").agg(F.min(key).alias(f"k_{etype}"))
+
+    s1 = first_after(ev, "signup", None, "")
+    s2 = first_after(ev, "view", s1, "k_signup")
+    s3 = first_after(ev, "purchase", s2, "k_view")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.col("user_id").alias("entity_id"),
+            F.col("k_signup.ts").alias("signup_ts"),
+            F.col("k_view.ts").alias("first_view_ts"),
+            F.col("k_purchase.ts").alias("first_purchase_ts"),
+            F.when(F.col("k_purchase").isNotNull(), 1).otherwise(0).cast("bigint").alias("converted"),
+        )
+    )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, rn - rnt AS grp, count(*) AS len
+      FROM r GROUP BY user_id, event_type, rn - rnt
+    )
+    SELECT user_id AS entity_id, event_type,
+           max(len) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY user_id, event_type
+    """,
+    operator="gaps-and-islands streaks (gap §2.5)",
+    doc="Longest consecutive-run per (entity, type) via the gaps-and-"
+    "islands identity: within an entity's (ts, event_id)-ordered "
+    "history, rn_overall - rn_within_type is constant exactly across "
+    "a maximal run of one type, so runs fall out of a single "
+    "grouping with no self-join or iteration. Both row_numbers share "
+    "the entity-key exchange; the island aggregation is one more "
+    "shuffle on a derived key. The classic sessionless sequence "
+    "statistic (error bursts, retry storms, engagement streaks).",
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    runs = r.groupBy("user_id", "event_type", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy(F.col("user_id").alias("entity_id"), F.col("event_type")).agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_runs"),
+    )

@@ -196,6 +196,13 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 4,
         "no_single_partition": True,
     },
+    # funnel: one argmin agg + one equi-join per stage, all on the
+    # entity key (stage outputs broadcast at fixture scale; sort-merge
+    # at 100 TB — never a cross or inequality join)
+    "agg_funnel_stages": {"max_exchanges": 6, "no_single_partition": True},
+    # gaps-and-islands: both row_numbers share the entity-key
+    # exchange; island + streak aggs ride derived keys
+    "win_streaks": {"max_exchanges": 3, "no_single_partition": True},
     # collocations: bigram agg + unigram agg (broadcast onto the
     # bigram side twice) + parallel-load crutches; top-K never sorts
     "ext_collocations": {
