@@ -298,6 +298,89 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_funnel_state",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts AS t1, event_id AS i1 FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'signup'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, ts AS t2, event_id AS i2 FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND (e.ts, e.event_id) > (s1.t1, s1.i1)
+      ) WHERE rn = 1
+    ), s3 AS (
+      SELECT user_id, ts AS t3 FROM (
+        SELECT e.user_id, e.ts,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t2, s2.i2)
+      ) WHERE rn = 1
+    )
+    SELECT s1.user_id AS entity_id,
+           s1.t1 AS signup_ts,
+           s2.t2 AS first_view_ts,
+           s3.t3 AS first_purchase_ts,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    operator="sequence-pattern CEP (streaming agg_funnel_stages, out-of-order exact)",
+    doc="The signup → view → purchase funnel maintained as a per-"
+    "entity state machine by applyInPandasWithState — the "
+    "MATCH_RECOGNIZE-style capability Spark lacks natively, built on "
+    "the state store. The replay is the LATE-data one (the oldest "
+    "two hours of events arrive in the final micro-batch), so the "
+    "match is proven exact under out-of-order arrival: a late, "
+    "earlier signup lowers stage 1 and the retained candidate sets "
+    "re-resolve stages 2-3 — the final per-entity answers equal the "
+    "batch funnel bit for bit (same oracle as agg_funnel_stages).",
+)
+def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.cep import funnel_stream
+
+    replay = build_late_replay(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(replay)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    upd = _run_to_memory(funnel_stream(ev), "stream_funnel_state_out", output_mode="update")
+    final = (
+        upd.groupBy("entity_id")
+        .agg(
+            F.max_by(
+                F.struct("signup_us", "view_us", "purchase_us"), F.col("version")
+            ).alias("last")
+        )
+    )
+    to_ntz = lambda c: F.timestamp_micros(F.col(c)).cast("timestamp_ntz")  # noqa: E731
+    return final.select(
+        "entity_id",
+        to_ntz("last.signup_us").alias("signup_ts"),
+        to_ntz("last.view_us").alias("first_view_ts"),
+        to_ntz("last.purchase_us").alias("first_purchase_ts"),
+        F.when(F.col("last.purchase_us").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("converted"),
+    )
+
+
+@query(
     "stream_upsert_snapshot",
     oracle="""
     WITH ranked AS (
