@@ -66,7 +66,10 @@ _VERIFY_FIRST = (
     "stream_sliding_counts",
     "stream_late_drop",
     "stream_upsert_snapshot",
+    "stream_funnel_state",
     "win_value_battery",
+    "win_streaks",
+    "agg_funnel_stages",
     "ext_oov_rate",
     "ext_embed_centroid",
     "ext_collocations",
@@ -102,23 +105,22 @@ _VERIFY_FIRST = (
     "win_tumbling_counts",
     "agg_type_counts",
     "prj_envelope",
-    "prj_pk_coalesce",
-    "prj_cache_action",
     "prj_scalar_battery",
-    "set_union_streams",
     "join_semi_active",
     "join_anti_silent",
     "win_lag_delta",
     "win_dedup_consecutive",
 )
 
-#: Trade recorded: six trivial round-1-green scans/filters
-#: (src_scan_events, flt_exclude_tables, flt_system_tables,
-#: flt_drop_blank, flt_event_gate, prj_routing_key) yield their
-#: window slots to the six never-driver-verified new queries above —
-#: a stateless isin/contains filter regressing silently is far less
-#: likely than a new stateful/streaming operator, and all six stay
-#: under pytest oracle parity every round.
+#: Trade recorded: nine trivial round-1-green scans/filters/
+#: projections (src_scan_events, flt_exclude_tables,
+#: flt_system_tables, flt_drop_blank, flt_event_gate,
+#: prj_routing_key, prj_pk_coalesce, prj_cache_action,
+#: set_union_streams) yield their window slots to the nine
+#: never-driver-verified new queries above — a stateless
+#: isin/contains/coalesce/CASE projection regressing silently is far
+#: less likely than a new stateful or streaming operator, and every
+#: rotated-out query stays under pytest oracle parity each round.
 
 #: Queries green in the round-2 driver run (CORRECTNESS_r02.json)
 #: rotated to the BACK — their signal is at most one round old. Still
@@ -130,6 +132,9 @@ _VERIFY_LAST = (
     "flt_drop_blank",
     "flt_event_gate",
     "prj_routing_key",
+    "prj_pk_coalesce",
+    "prj_cache_action",
+    "set_union_streams",
     "src_mysql_binlog",
     "src_mongo_oplog",
     "ext_dedup_components",
