@@ -192,3 +192,63 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.dup_frac").alias("dup_frac"),
         F.col("s.top_frac").alias("top_frac"),
     )
+
+
+@query(
+    "ext_mix_weights",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), t AS (
+      SELECT sum(n_docs) AS total FROM c
+    ), s AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / total AS share,
+             sqrt(CAST(n_docs AS DOUBLE) / total) AS sq
+      FROM c, t
+    ), d AS (
+      -- normalizer as an explicit lang-ordered left fold: double
+      -- addition is order-sensitive, so the order is pinned
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(sq ORDER BY lang)), (a, b) -> a + b) AS denom
+      FROM s
+    )
+    SELECT lang, n_docs, share, sq / denom AS weight
+    FROM s, d
+    """,
+    operator="ext_corpus (domain-mixture sampling weights)",
+    doc="Square-root temperature mixture weights per language: "
+    "w = sqrt(share) / sum(sqrt(share)) — the standard rebalancing "
+    "between natural sampling (alpha=1) and uniform (alpha=0) that "
+    "multilingual/multidomain training mixes use, with alpha=0.5 "
+    "chosen because IEEE-754 requires correctly-rounded sqrt and "
+    "division, so every value is bit-identical across engines "
+    "without fixed-point tricks. The normalizer folds the per-domain "
+    "terms in pinned lang order (domains are few — the fold is a "
+    "scalar, not a data-sized reduction); the only data-sized work "
+    "is one count aggregation.",
+)
+def ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    # materialize the domain-count table once (it is domain-cardinality
+    # sized — a handful of rows): total, shares, and the normalizer all
+    # derive from it, and without the checkpoint each consumer re-scans
+    # and re-aggregates the corpus
+    c = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs")).localCheckpoint()
+    total = c.agg(F.sum("n_docs").alias("total"))
+    s = c.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        F.sqrt(F.col("n_docs").cast("double") / F.col("total")).alias("sq"),
+    )
+    denom = s.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(lang, sq))), "
+            "x -> x.sq), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("denom")
+    )
+    return s.crossJoin(F.broadcast(denom)).select(
+        "lang", "n_docs", "share", (F.col("sq") / F.col("denom")).alias("weight")
+    )

@@ -196,6 +196,10 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 4,
         "no_single_partition": True,
     },
+    # mixture weights: one corpus count agg (checkpointed,
+    # domain-cardinality sized), then scalar broadcasts — the fold
+    # over domains is a scalar, not a data reduction
+    "ext_mix_weights": {"broadcasts": 2, "max_exchanges": 3, "no_single_partition": True},
     # funnel: one argmin agg + one equi-join per stage, all on the
     # entity key (stage outputs broadcast at fixture scale; sort-merge
     # at 100 TB — never a cross or inequality join)

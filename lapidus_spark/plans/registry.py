@@ -73,6 +73,7 @@ _VERIFY_FIRST = (
     "ext_oov_rate",
     "ext_embed_centroid",
     "ext_collocations",
+    "ext_mix_weights",
     # (c) implementation touched this round
     "ext_dedup_ngram",
     "ext_multimodal_frames",
@@ -103,7 +104,6 @@ _VERIFY_FIRST = (
     "prj_json_extract",
     "win_running_total",
     "win_tumbling_counts",
-    "agg_type_counts",
     "prj_envelope",
     "prj_scalar_battery",
     "join_semi_active",
@@ -112,15 +112,16 @@ _VERIFY_FIRST = (
     "win_dedup_consecutive",
 )
 
-#: Trade recorded: nine trivial round-1-green scans/filters/
+#: Trade recorded: ten trivial round-1-green scans/filters/
 #: projections (src_scan_events, flt_exclude_tables,
 #: flt_system_tables, flt_drop_blank, flt_event_gate,
 #: prj_routing_key, prj_pk_coalesce, prj_cache_action,
-#: set_union_streams) yield their window slots to the nine
-#: never-driver-verified new queries above — a stateless
-#: isin/contains/coalesce/CASE projection regressing silently is far
-#: less likely than a new stateful or streaming operator, and every
-#: rotated-out query stays under pytest oracle parity each round.
+#: set_union_streams, agg_type_counts) yield their window slots to
+#: the round-3 queries above, none of which had ever been
+#: driver-verified — a stateless isin/contains/coalesce/CASE/count
+#: regressing silently is far less likely than a new stateful or
+#: streaming operator, and every rotated-out query stays under
+#: pytest oracle parity each round.
 
 #: Queries green in the round-2 driver run (CORRECTNESS_r02.json)
 #: rotated to the BACK — their signal is at most one round old. Still
@@ -135,6 +136,7 @@ _VERIFY_LAST = (
     "prj_pk_coalesce",
     "prj_cache_action",
     "set_union_streams",
+    "agg_type_counts",
     "src_mysql_binlog",
     "src_mongo_oplog",
     "ext_dedup_components",
