@@ -465,3 +465,66 @@ def ext_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ext_dedup_crossmodal",
+    # oracle composes the registered embedding-pair oracle as a CTE —
+    # single source of truth for the candidate semantics
+    oracle=None,  # bound right after definition (needs the registry entry)
+    operator="ext_dedup_near (cross-modal confirmation)",
+    doc="Embedding near-dup candidates CONFIRMED lexically: each "
+    "sign-LSH cosine pair is joined to both documents' token sets "
+    "and re-scored with exact Jaccard — the production two-signal "
+    "dedup shape (ANN recall, lexical precision) that cuts "
+    "embedding-space false positives before anything is dropped. "
+    "The pair set is tiny relative to the corpus, so the text join "
+    "is two broadcast-friendly equi-joins on doc id; both scores "
+    "travel with the pair for audit.",
+)
+def ext_dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.functions.dedup import JACCARD_T
+
+    pairs = ext_dedup_embed(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ts = d.select(
+        "doc_id", F.expr("array_distinct(split(lower(text), ' '))").alias("ts")
+    )
+    ta = ts.select(F.col("doc_id").alias("vec_a"), F.col("ts").alias("ts_a"))
+    tb = ts.select(F.col("doc_id").alias("vec_b"), F.col("ts").alias("ts_b"))
+    joined = pairs.join(ta, "vec_a").join(tb, "vec_b")
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = inter.cast("double") / (F.size("ts_a") + F.size("ts_b") - inter)
+    return joined.select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cos_sim",
+        jac.alias("jaccard"),
+        (jac >= JACCARD_T).cast("bigint").alias("lexical_confirmed"),
+    )
+
+
+def _bind_crossmodal_oracle() -> None:
+    from lapidus_spark.functions.dedup import JACCARD_T
+    from lapidus_spark.plans.registry import REGISTRY
+
+    embed_oracle = REGISTRY["ext_dedup_embed"].oracle
+    REGISTRY["ext_dedup_crossmodal"].oracle = f"""
+    WITH pairs AS ({embed_oracle}),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+      FROM documents
+    )
+    SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.cos_sim,
+           CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard,
+           CAST(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+             >= {JACCARD_T} AS BIGINT) AS lexical_confirmed
+    FROM pairs p
+    JOIN toks a ON a.doc_id = p.vec_a
+    JOIN toks b ON b.doc_id = p.vec_b
+    """
+
+
+_bind_crossmodal_oracle()

@@ -144,6 +144,9 @@ EXPECTATIONS: dict[str, dict] = {
     "ext_dedup_ngram": {"max_exchanges": 6, "no_single_partition": True},
     # sign-LSH bucket join, norms computed pre-shuffle
     "ext_dedup_embed": {"max_exchanges": 4, "no_single_partition": True},
+    # cross-modal confirm: the embed pair join + two doc-id equi-joins
+    # for the lexical re-score (pair set is tiny → broadcast-friendly)
+    "ext_dedup_crossmodal": {"max_exchanges": 5, "no_single_partition": True},
     # brute-force top-k: broadcast 1-row query side + TakeOrdered —
     # the corpus scan itself never shuffles
     "ext_sim_search": {"broadcasts": 1, "take_ordered": True, "max_exchanges": 2},
