@@ -489,3 +489,41 @@ def ext_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("dice"), F.asc("bigram")).limit(COLLOC_TOPK)
+
+
+@query(
+    "ext_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(length(bin(CAST(n_tokens AS BIGINT))) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM t
+    WHERE n_tokens > 0
+    GROUP BY log2_bucket
+    """,
+    operator="ext_text_stats (corpus length distribution)",
+    doc="Token-length histogram in power-of-two buckets — the "
+    "sequence-length profile that drives packing bin sizes and "
+    "truncation budgets. The bucket is floor(log2(n)) computed via "
+    "binary-representation length, an exact integer identity on "
+    "both engines (no transcendental, no boundary rounding). "
+    "Zero-shuffle projection + one tiny aggregation.",
+)
+def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    n_tokens = F.size(F.expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    t = d.select(n_tokens.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    bucket = (F.length(F.bin(F.col("n_tokens").cast("bigint"))) - 1).cast("bigint")
+    return t.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

@@ -588,3 +588,46 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count("*").cast("bigint").alias("n_runs"),
     )
+
+
+@query(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort_week,
+             date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST((epoch_us(activity_week) - epoch_us(cohort_week))
+                // 604800000000 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM f
+    GROUP BY cohort_week, week_offset
+    """,
+    operator="cohort retention matrix (gap §2.5 analytics)",
+    doc="Weekly cohort retention: entities grouped by their first-"
+    "event week, activity counted per week offset — the standard "
+    "retention triangle. Week offsets are exact: both engines "
+    "Monday-truncate, so the microsecond difference is an exact "
+    "multiple of a week and the integer division carries no float. "
+    "One window pass on the entity key + one distinct aggregation.",
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    f = ev.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("activity_week"),
+    )
+    off = F.expr(
+        "(unix_micros(CAST(activity_week AS TIMESTAMP)) - "
+        "unix_micros(CAST(cohort_week AS TIMESTAMP))) div 604800000000"
+    ).cast("bigint")
+    return (
+        f.withColumn("week_offset", off)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )

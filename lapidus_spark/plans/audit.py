@@ -199,6 +199,11 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 4,
         "no_single_partition": True,
     },
+    # retention triangle: entity-key window + distinct agg partials
+    "agg_retention_cohorts": {"max_exchanges": 2, "no_single_partition": True},
+    # length histogram: zero-shuffle projection + tiny bucket agg
+    # (+ parallel-load crutch)
+    "ext_length_histogram": {"max_exchanges": 2, "no_single_partition": True},
     # mixture weights: one corpus count agg (checkpointed,
     # domain-cardinality sized), then scalar broadcasts — the fold
     # over domains is a scalar, not a data reduction
