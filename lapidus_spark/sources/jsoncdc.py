@@ -693,3 +693,40 @@ def src_jsoncdc_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("line_class")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "src_schema_history",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v2f AS (
+      SELECT count(DISTINCT user_id % {N_FILES}) AS n FROM u
+      WHERE user_id // {N_FILES} >= {SCHEMA_V2_AT}
+    )
+    SELECT 'tbl_' || CAST(t.t AS VARCHAR) AS table_name,
+           e.schema_json,
+           CAST(e.n_files AS BIGINT) AS n_files
+    FROM (VALUES (0), (1), (2)) t(t),
+    LATERAL (VALUES ('{_V1}', {N_FILES}),
+                    ('{_V2}', (SELECT n FROM v2f))) e(schema_json, n_files)
+    WHERE e.n_files > 0
+    """,
+    operator="win_schema (full version history — schema registry view)",
+    doc="Per-table schema VERSION HISTORY from the capture stream: "
+    "every distinct (table, schema) epoch the jsoncdc DDL lines "
+    "carried, with the number of capture segments that observed it — "
+    "the schema-registry view a CDC consumer needs for migrations, "
+    "where win_schema_cache keeps only the latest epoch "
+    "(schemaCache, postgresql.js:56,430-436 discards history). The "
+    "oracle recomputes the epoch fan-out from the generating table. "
+    "Decode is per-file parallel; the history aggregation keys on "
+    "(table, schema) — a tiny groupBy.",
+)
+def src_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _with_file_order(spark.read.text(build_jsoncdc_replay(spark, sf_dir)))
+    rec = decode_jsoncdc(lines)
+    return (
+        rec.filter(F.col("type") == "schema")
+        .groupBy("table_name", F.col("schema_json"))
+        .agg(F.countDistinct("src_file").cast("bigint").alias("n_files"))
+    )
