@@ -298,6 +298,36 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_schema_history",
+    oracle=None,  # bound below to the batch twin's oracle — one source of truth
+    operator="win_schema full history (streaming execution)",
+    doc="The schema-registry view maintained by a running stream: "
+    "jsoncdc DDL lines aggregated per (table, schema) epoch in "
+    "complete mode with the observing segment set tracked as a "
+    "collect_set (streaming disallows count DISTINCT; the set is "
+    "bounded by the segment count). Final state equals the batch "
+    "src_schema_history answer.",
+)
+def stream_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.sources.jsoncdc import build_jsoncdc_replay, decode_jsoncdc
+
+    replay = build_jsoncdc_replay(spark, sf_dir)
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "4")
+        .load(replay)
+        .select("value", F.input_file_name().alias("src_file"))
+    )
+    hist = (
+        decode_jsoncdc(lines)
+        .filter(F.col("type") == "schema")
+        .groupBy("table_name", "schema_json")
+        .agg(F.size(F.collect_set("src_file")).cast("bigint").alias("n_files"))
+    )
+    return _run_to_memory(hist, "stream_schema_history_out", output_mode="complete")
+
+
+@query(
     "stream_funnel_state",
     oracle="""
     WITH s1 AS (
@@ -893,3 +923,20 @@ def _wire_stream_dedup_incremental_oracle() -> None:
 
 
 _wire_stream_dedup_incremental_oracle()
+
+
+def _wire_stream_schema_history_oracle() -> None:
+    """Share the batch twin's oracle verbatim — one source of truth
+    for the epoch-history contract."""
+    import dataclasses
+
+    import lapidus_spark.sources.jsoncdc  # noqa: F401 — ensures the twin is registered
+    from lapidus_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_schema_history"] = dataclasses.replace(
+        REGISTRY["stream_schema_history"],
+        oracle=REGISTRY["src_schema_history"].oracle,
+    )
+
+
+_wire_stream_schema_history_oracle()
