@@ -49,142 +49,84 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 
 
 #: The driver's correctness gate verifies only the FIRST 50 registered
-#: queries, so registration order is a resource. Round-3 rotation:
-#: (a) the four TIMESTAMP_NTZ-fixed queries need a fresh signal,
-#: (b) queries whose implementation changed this round (ngram df-cap,
-#: multimodal-frames oracle, distributed jsoncdc replay builder),
-#: (c) every query whose latest green signal is still round 1 —
-#: rotated back INTO the window so no signal is older than one round.
-_VERIFY_FIRST = (
-    # (a) fixed this round — must re-green
-    "win_sessionize",
-    "win_rolling_range",
-    "stream_stream_join",
-    "stream_outer_attrib",
-    # (b) new this round — never driver-verified, highest signal value
-    "win_sliding_counts",
-    "stream_sliding_counts",
-    "stream_late_drop",
-    "stream_upsert_snapshot",
-    "stream_funnel_state",
-    "win_value_battery",
-    "win_streaks",
-    "agg_funnel_stages",
-    "ext_oov_rate",
-    "ext_embed_centroid",
-    "ext_collocations",
-    "ext_mix_weights",
-    # (c) implementation touched this round
-    "ext_dedup_ngram",
-    "ext_multimodal_frames",
-    "src_jsoncdc_decode",
-    "src_jsoncdc_errors",
-    "stream_jsoncdc_decode",
-    "stream_jsoncdc_tx",
-    # (d) round-1-only signals, state-heaviest first
-    "agg_tx_assembly",
-    "join_asof_order",
-    "win_scd2_history",
-    "ext_dedup_simhash",
-    "win_cdc_snapshot",
-    "win_schema_cache",
-    "agg_tx_commit_ts",
-    "agg_brand_nation_margin",
-    "agg_join_revenue",
-    "join_enrich_dim",
-    "set_except_intersect",
-    "agg_value_percentiles",
-    "agg_rollup_revenue",
-    "agg_distinct_users",
-    "agg_pivot_type_matrix",
-    "agg_rollup_hierarchy",
-    "join_range_band",
-    "ext_multimodal_meta",
-    "top_k_entities",
-    "prj_json_extract",
-    "win_running_total",
-    "win_tumbling_counts",
-    "prj_envelope",
-    "prj_scalar_battery",
-    "join_semi_active",
-    "join_anti_silent",
-    "win_lag_delta",
-    "win_dedup_consecutive",
-)
+#: queries per round, so registration order is a resource. Rounds 1-3
+#: hand-maintained a rotation list; round 4 derives it from the
+#: committed evidence instead: each query's verification priority is
+#: the round of its latest green driver signal (CORRECTNESS_r*.json at
+#: the repo root), never-verified queries first (age 0), then oldest
+#: signal first. Ties break by state-heaviness (a stateful/streaming
+#: operator regressing silently is far likelier than a stateless
+#: scan/filter/projection), then registration order. Every query —
+#: in or out of the window — stays under pytest oracle parity each
+#: round (tests/test_oracle_parity.py).
 
-#: Trade recorded: ten trivial round-1-green scans/filters/
-#: projections (src_scan_events, flt_exclude_tables,
-#: flt_system_tables, flt_drop_blank, flt_event_gate,
-#: prj_routing_key, prj_pk_coalesce, prj_cache_action,
-#: set_union_streams, agg_type_counts) yield their window slots to
-#: the round-3 queries above, none of which had ever been
-#: driver-verified — a stateless isin/contains/coalesce/CASE/count
-#: regressing silently is far less likely than a new stateful or
-#: streaming operator, and every rotated-out query stays under
-#: pytest oracle parity each round.
 
-#: Queries green in the round-2 driver run (CORRECTNESS_r02.json)
-#: rotated to the BACK — their signal is at most one round old. Still
-#: fully covered by the pytest oracle-parity suite every round.
-_VERIFY_LAST = (
-    "src_scan_events",
-    "flt_exclude_tables",
-    "flt_system_tables",
-    "flt_drop_blank",
-    "flt_event_gate",
-    "prj_routing_key",
-    "prj_pk_coalesce",
-    "prj_cache_action",
-    "set_union_streams",
-    "agg_type_counts",
-    "src_mysql_binlog",
-    "src_mongo_oplog",
-    "ext_dedup_components",
-    "ext_decontaminate",
-    "ext_repetition",
-    "ext_split_hash",
-    "ext_pii_scrub",
-    "ext_chunk_overlap",
-    "ext_seq_pack",
-    "ext_doc_freq",
-    "ext_sample_stratified",
-    "ext_quality_logit",
-    "ext_bm25_topk",
-    "ext_corpus_shard",
-    "ext_dedup_incremental",
-    "stream_dedup_incremental",
-    "ext_keywords",
-    "agg_cube_matrix",
-    "win_rank_battery",
-    "ext_multimodal_framesig",
-    "ext_text_stats",
-    "stream_envelope_replay",
-    "stream_tx_assembly",
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_enrich_dim",
-    "stream_dedup_exact",
-    "stream_schema_cache",
-    "ext_lang_id",
-    "ext_token_count",
-    "ext_quality_score",
-    "ext_top_tokens",
-    "ext_fingerprint",
-    "sort_global_events",
-    "ext_dedup_exact",
-    "ext_dedup_minhash",
-    "ext_multimodal_decode",
-    "ext_sim_search",
-    "ext_dedup_embed",
-    "ext_ann_ivf",
-    "ext_ann_lsh",
-)
+def _signal_ages() -> dict[str, int]:
+    """Latest driver round with a fully-green row per query, from the
+    committed CORRECTNESS_r*.json artifacts. Missing → never verified."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    ages: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green:
+                ages[name] = max(ages.get(name, 0), rnd)
+    return ages
+
+
+def _heaviness(name: str, spec: QuerySpec) -> int:
+    """Lower = verify earlier among same-age queries. Stateful and
+    streaming operators carry the most regression risk; trivial
+    stateless scans/filters/projections the least."""
+    if name.startswith("stream_"):
+        return 0
+    if any(
+        k in name
+        for k in (
+            "dedup",
+            "ann_",
+            "sim_search",
+            "tx_",
+            "corpus",
+            "components",
+            "schema",
+            "binlog",
+            "oplog",
+            "jsoncdc",
+        )
+    ):
+        return 1
+    if name.startswith(("win_", "agg_", "join_", "sort_", "top_")):
+        return 2
+    if name.startswith("ext_"):
+        return 3
+    return 4  # src_/flt_/prj_/set_ trivial stateless ops
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their registrations run, then
-    return the registry in verification-priority order (see
-    ``_VERIFY_FIRST`` / ``_VERIFY_LAST``)."""
+    return the registry in verification-priority order: never-driver-
+    verified queries first, then stalest green signal, heaviest first
+    within a cohort (see ``_signal_ages`` / ``_heaviness``)."""
     import lapidus_spark.operators.filters  # noqa: F401
     import lapidus_spark.operators.joins  # noqa: F401
     import lapidus_spark.operators.projections  # noqa: F401
@@ -201,15 +143,10 @@ def load_all() -> dict[str, QuerySpec]:
     import lapidus_spark.sources.jsoncdc  # noqa: F401
     import lapidus_spark.streaming.queries  # noqa: F401
 
-    last = set(_VERIFY_LAST)
-    ordered: dict[str, QuerySpec] = {}
-    for name in _VERIFY_FIRST:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name, spec in REGISTRY.items():
-        if name not in ordered and name not in last:
-            ordered[name] = spec
-    for name in _VERIFY_LAST:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    return ordered
+    ages = _signal_ages()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    ordered_names = sorted(
+        REGISTRY,
+        key=lambda n: (ages.get(n, 0), _heaviness(n, REGISTRY[n]), reg_index[n]),
+    )
+    return {name: REGISTRY[name] for name in ordered_names}
