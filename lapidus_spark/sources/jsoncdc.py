@@ -78,7 +78,19 @@ def _write_ordered_segments(lines_df: DataFrame, out_dir: str) -> None:
     that requirement as a prefix, so the writer keeps the row order
     — each segment file comes out exactly in logical line order. The
     per-file_id part files are then renamed to segment_NNN.ldjson
-    (metadata-only ops, O(N_FILES) regardless of data volume)."""
+    (metadata-only ops, O(N_FILES) regardless of data volume).
+
+    Downstream order recovery (``_with_file_order``) relies on each
+    segment being read as ONE scan split: Spark only splits a text
+    file across partitions when it exceeds
+    ``spark.sql.files.maxPartitionBytes`` (packing several whole
+    files into one split preserves per-file order; splitting one
+    file does not). Guarded here, at write time, so a segment that
+    outgrows the split size fails loudly once instead of silently
+    scrambling every replay built from it."""
+    max_split = _parse_bytes_conf(
+        lines_df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     stage = out_dir + "_stage"
     (
         lines_df.repartition(N_FILES, "file_id")
@@ -94,10 +106,27 @@ def _write_ordered_segments(lines_df: DataFrame, out_dir: str) -> None:
         f = int(d.split("=", 1)[1])
         parts = [p for p in os.listdir(os.path.join(stage, d)) if p.endswith(".txt")]
         assert len(parts) == 1, f"expected 1 part file per segment, got {parts}"
-        os.replace(
-            os.path.join(stage, d, parts[0]),
-            os.path.join(out_dir, f"segment_{f:03d}.ldjson"),
-        )
+        src = os.path.join(stage, d, parts[0])
+        size = os.path.getsize(src)
+        if size > max_split:
+            raise ValueError(
+                f"segment file_id={f} is {size} bytes, above "
+                f"spark.sql.files.maxPartitionBytes={max_split}; it would be "
+                "read as multiple scan splits, scrambling line order in "
+                "_with_file_order. Raise maxPartitionBytes or N_FILES."
+            )
+        os.replace(src, os.path.join(out_dir, f"segment_{f:03d}.ldjson"))
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """Parse a Spark byte conf value ('134217728', '128MB', '1g')."""
+    v = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suffix):
+            v, mult = v[:-1], m
+            break
+    return int(v) * mult
 
 
 def build_jsoncdc_replay(spark: SparkSession, sf_dir: str) -> str:
@@ -345,8 +374,10 @@ def stream_jsoncdc_envelope(
 
 def _with_file_order(lines: DataFrame) -> DataFrame:
     """Attach (src_file, line_seq) to a batch text-lines DataFrame.
-    Capture files are segment-sized (one scan split each), so the
-    per-partition-monotonic id IS the line order per file."""
+    Capture files are segment-sized (one scan split each — enforced at
+    write time in ``_write_ordered_segments`` against
+    spark.sql.files.maxPartitionBytes), so the per-partition-monotonic
+    id IS the line order per file."""
     return lines.select(
         "value",
         F.input_file_name().alias("src_file"),
@@ -498,14 +529,19 @@ def stream_jsoncdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_jsoncdc_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapidus_spark.streaming.assembler import COMMIT_TYPE
-    from lapidus_spark.streaming.queries import STREAM_SHUFFLE_PARTITIONS
 
     replay_dir = build_jsoncdc_replay(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="lapidus_jsoncdc_tx_")
     ckpt = tempfile.mkdtemp(prefix="lapidus_jsoncdc_tx_ckpt_")
+    # 6 of the 8 segment files per trigger = exactly two micro-batches:
+    # assembly is batch-local (transactions never span capture files),
+    # so extra micro-batches buy no state coverage — they only multiply
+    # fixed trigger/commit overhead (measured 2.8s -> 2.4s at sf0.1
+    # going 4 -> 6 files/trigger; a single batch would reach 1.5s but
+    # stop exercising the trigger boundary this query exists to cross).
     lines = (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", "4")
+        .option("maxFilesPerTrigger", "6")
         .load(replay_dir)
     )
 
@@ -556,7 +592,12 @@ def stream_jsoncdc_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    # 4 shuffle partitions: the per-batch aggregation handles ~a few
+    # segment files of lines, and each batch appends one parquet file
+    # per partition — at the default 8 the task/file overhead costs
+    # more than the parallelism buys (measured 5.7s→3.5s at sf0.1).
+    # Cluster runs size this to executor cores like any batch agg.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             lines.writeStream.foreachBatch(assemble)

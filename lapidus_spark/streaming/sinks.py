@@ -110,8 +110,11 @@ def kafka_frame(
     - ``key``   = the routing subject ``schema.table.pk`` (Kafka key
       ⇒ per-entity partition ordering, the same per-subject ordering
       NATS consumers see),
-    - ``value`` = event JSON, or NULL when ``publish_event_data`` is
-      false (signal-only mode, nats.js:22-23),
+    - ``value`` = event JSON, or the empty string when
+      ``publish_event_data`` is false (signal-only mode,
+      nats.js:22-23 publishes an empty payload). NOT null: a
+      null-valued Kafka record is a tombstone, so on a log-compacted
+      topic signal-only events would delete each other's keys,
     - ``topic`` = ``{prefix}.{schema}.{table}`` (topic-per-table),
       or the cache-invalidation topic ``{cache_prefix}.{action}.
       {subject}`` when ``cache_prefix`` is set (nats.js:25-28,
@@ -123,7 +126,7 @@ def kafka_frame(
     value = (
         F.to_json(F.struct(*[F.col(c) for c in df.columns]))
         if publish_event_data
-        else F.lit(None).cast("string")
+        else F.lit("").cast("string")
     )
     topic = (
         F.col("cache_topic")

@@ -3,8 +3,9 @@
 The sandbox has no broker and may lack the spark-sql-kafka connector
 jar, so these tests prove the production path at the PLAN level:
 
-- the Kafka frame (key = subject, value = event JSON or null, topic =
-  per-table / cache-invalidation) is a pure projection — asserted on
+- the Kafka frame (key = subject, value = event JSON or empty string
+  in signal-only mode, topic = per-table / cache-invalidation) is a
+  pure projection — asserted on
   batch data in any environment (src/plugins/nats.js:17-28 semantics),
 - the ``readStream.format("kafka")`` source plan and the
   ``writeStream.format("kafka")`` writer construct and analyze; the
@@ -46,9 +47,12 @@ def test_kafka_frame_subject_key_and_topic(spark):
 
 
 def test_kafka_frame_signal_only_mode(spark):
-    # publishEventData: false ⇒ null body (nats.js:22-23)
+    # publishEventData: false ⇒ empty body like the NATS empty-payload
+    # publish (nats.js:22-23) — NOT null, which Kafka treats as a
+    # tombstone: on a log-compacted topic, null-valued signal events
+    # would delete each other's keys.
     framed = kafka_frame(_envelope_batch(spark), publish_event_data=False)
-    assert all(r["value"] is None for r in framed.collect())
+    assert all(r["value"] == "" for r in framed.collect())
 
 
 def test_kafka_frame_cache_invalidation_topic(spark):
