@@ -43,18 +43,29 @@ def _run_to_memory(
     name: str,
     output_mode: str = "append",
     confs: dict[str, str] | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Start an availableNow query into a memory sink, await, return
     the result table (driver-side harness; the data path is
     executor-distributed). ``confs`` are set for the run and restored
-    after (e.g. a state-store provider override)."""
+    after (e.g. a state-store provider override).
+
+    ``partitions`` overrides STREAM_SHUFFLE_PARTITIONS for this run:
+    stateful streams pay a fixed per-partition-per-batch commit cost,
+    so tiny-state JVM-side queries run fastest at 2-4 state
+    partitions, while Python-stateful ones (applyInPandasWithState)
+    want more for pandas-work parallelism. Replay-scale tuning only —
+    on a cluster, state partitions should track total executor cores
+    (they are fixed at first checkpoint)."""
     spark = df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"lapidus_{name}_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_confs = {k: spark.conf.get(k, None) for k in (confs or {})}
     for k, v in (confs or {}).items():
         spark.conf.set(k, v)
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(partitions or STREAM_SHUFFLE_PARTITIONS)
+    )
     try:
         q = (
             df.writeStream.format("memory")
@@ -388,6 +399,11 @@ def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         )
     )
+    # Python-stateful (applyInPandasWithState): unlike the tiny-state
+    # JVM queries, pandas-handler work dominates the per-partition
+    # commit cost, so this one keeps the full STREAM_SHUFFLE_PARTITIONS
+    # for handler parallelism (4 partitions measured consistently
+    # slower under full-suite contention).
     upd = _run_to_memory(funnel_stream(ev), "stream_funnel_state_out", output_mode="update")
     final = (
         upd.groupBy("entity_id")
@@ -449,20 +465,34 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lapidus_upsert_store_")
     ckpt = tempfile.mkdtemp(prefix="lapidus_upsert_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         materialize(env, store_factory=partial(DirKVStore, root), checkpoint=ckpt)()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.json(root).select(
-        "entity_id",
-        "last_seq",
-        # the store serializes timestamps as strings (json); parse back
-        # so both engines compare native timestamps, not the two
-        # dialects' trailing-zero formatting
-        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
-        "last_type",
-        "item",
+    # Read the store back (verification harness, not the operator):
+    # one JSON file per key means thousands of tiny scan splits, so
+    # (a) give the schema explicitly — json inference would burn a
+    # second full pass over every file — and (b) coalesce the splits
+    # into a task count worth scheduling.
+    store_schema = (
+        "entity_id STRING, item STRING, last_seq LONG, "
+        "last_ts STRING, last_type STRING"
+    )
+    return (
+        spark.read.schema(store_schema)
+        .json(root)
+        .coalesce(STREAM_SHUFFLE_PARTITIONS)
+        .select(
+            "entity_id",
+            "last_seq",
+            # the store serializes timestamps as strings (json); parse
+            # back so both engines compare native timestamps, not the
+            # two dialects' trailing-zero formatting
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            "last_type",
+            "item",
+        )
     )
 
 
@@ -527,8 +557,13 @@ def build_late_replay(spark: SparkSession, sf_dir: str) -> str:
     "stream_late_drop",
     oracle=f"""
     WITH b AS (
+      -- Spark truncates event-time watermarks to MILLISECONDS; mirror
+      -- that here (floor max(ts) to ms before subtracting the delay)
+      -- so a max_ts landing within 1ms above an hour boundary can't
+      -- make the oracle emit a window Spark still holds in state.
       SELECT min(ts) + INTERVAL {LATE_CUTOFF_HOURS} HOUR AS cut,
-             max(ts) - INTERVAL {LATE_CUTOFF_HOURS} HOUR AS wm
+             make_timestamp(epoch_us(max(ts)) - epoch_us(max(ts)) % 1000)
+               - INTERVAL {LATE_CUTOFF_HOURS} HOUR AS wm
       FROM events
     )
     SELECT date_trunc('hour', ts) AS window_start,
@@ -832,7 +867,7 @@ def stream_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_seq",
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
-    return _run_to_memory(joined, "stream_outer_attrib_out")
+    return _run_to_memory(joined, "stream_outer_attrib_out", partitions=4)
 
 
 @query(
@@ -867,7 +902,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("lag_us"),
     )
-    return _run_to_memory(joined, "stream_stream_join_out")
+    # 4 state partitions: interval-join state at replay scale is tiny,
+    # and per-batch store commits dominate at 8 (measured 3.6s→2.8s).
+    return _run_to_memory(joined, "stream_stream_join_out", partitions=4)
 
 
 @query(
