@@ -125,19 +125,28 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — same isolation as the timed loop
         print(f"# streaming replay FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "failed_queries": failures,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "streaming": streaming_stats,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": timings,
+            "failed_queries": failures,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "streaming": streaming_stats,
+        }
     )
+    print(payload)
+    # The driver captures only a bounded stdout tail, which truncated
+    # the round-3 record (total + ~38 per-query numbers lost). Persist
+    # the complete JSON next to the script so every round's full bench
+    # is reconstructable from git alone.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as e:
+        print(f"# could not persist {out_path}: {e}", file=sys.stderr)
     spark.stop()
 
 
