@@ -111,3 +111,80 @@ def test_decode_matches_reference_state_machine(spark, tmp_path_factory, cap):
         [(t, tbl, pk, item, tx, sch) for (t, tbl, pk, item, tx, sch) in expected],
         key=repr,
     )
+
+
+@st.composite
+def _multi_file_ddl_capture(draw):
+    """A multi-file capture with arbitrary DDL interleavings: per file,
+    a random sequence of schema lines (random table, random version
+    payload, re-announcements included), DML/begin/commit lines mixed
+    in, pg_temp noise anywhere. Returns (files, expected_history) where
+    expected_history recomputes the schema-registry view the way
+    src_schema_history defines it: for every distinct (table,
+    schema_json) epoch, the number of capture FILES that observed it."""
+    n_files = draw(st.integers(min_value=1, max_value=4))
+    files: list[list[dict]] = []
+    history: dict[tuple[str, str], set[int]] = {}
+    for file_id in range(n_files):
+        lines: list[dict] = []
+        n_ops = draw(st.integers(min_value=0, max_value=10))
+        for _ in range(n_ops):
+            kind = draw(st.sampled_from(["schema", "schema", "begin", "insert"]))
+            if kind == "schema":
+                tbl = draw(_tables)
+                # small version space so re-announcements and cross-file
+                # repeats of the same epoch actually happen
+                schema = {"v": draw(st.integers(min_value=1, max_value=3))}
+                lines.append({"table": tbl, "schema": schema})
+                if "pg_temp_" not in tbl:
+                    key = (tbl, json.dumps(schema, separators=(",", ":")))
+                    history.setdefault(key, set()).add(file_id)
+            elif kind == "begin":
+                lines.append({"begin": draw(st.integers(min_value=0, max_value=9))})
+            else:
+                tbl = draw(_tables)
+                lines.append({"table": tbl, "insert": {"id": draw(st.integers(0, 99))}})
+        files.append(lines)
+    expected = sorted(
+        (tbl, schema_json, len(file_ids))
+        for (tbl, schema_json), file_ids in history.items()
+    )
+    return files, expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cap=_multi_file_ddl_capture())
+def test_schema_history_arbitrary_ddl_interleavings(spark, tmp_path_factory, cap):
+    """src_schema_history semantics hold for ARBITRARY DDL layouts —
+    not just the fixture generator's two-version epoch shape its
+    DuckDB oracle hardcodes: version counts, re-announcements,
+    cross-file repeats, and noise placement are all randomized, and
+    the Spark aggregation must match a direct recomputation."""
+    import pyspark.sql.functions as F
+
+    from lapidus_spark.sources.jsoncdc import _with_file_order, decode_jsoncdc
+
+    files, expected = cap
+    d = tmp_path_factory.mktemp("ddlcap")
+    for i, lines in enumerate(files):
+        (d / f"segment_{i:03d}.ldjson").write_text(
+            "".join(
+                json.dumps(ln, separators=(",", ":"), ensure_ascii=False) + "\n"
+                for ln in lines
+            ),
+            encoding="utf-8",
+        )
+    rec = decode_jsoncdc(_with_file_order(spark.read.text(str(d))))
+    got = sorted(
+        (r.table_name, r.schema_json, r.n_files)
+        for r in (
+            rec.filter(F.col("type") == "schema")
+            .groupBy("table_name", "schema_json")
+            .agg(F.countDistinct("src_file").cast("bigint").alias("n_files"))
+        ).collect()
+    )
+    assert got == expected

@@ -942,3 +942,91 @@ def test_tx_assembly_transform_with_state(spark, request):
     a = stream_tx_assembly(spark, SF_DIR).collect()
     b = stream_tx_assembly_tws(spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_partitioned_upsert_hot_key_bounded(spark, tmp_path):
+    """Skew-adversarial upsert: ONE hot entity receives the vast
+    majority of updates (the nats.js cache shape under a hot row).
+    The update-mode last-write-wins aggregation must collapse each
+    batch's torrent to at most one changed row per key BEFORE the
+    sink, so per-partition store-write counts stay bounded by
+    (distinct keys x batches) — never proportional to the update
+    volume — and the store converges to the final value."""
+    import datetime
+    import json as _json
+    import os
+    import time
+
+    from lapidus_spark.sources.cdc import ENVELOPE_SCHEMA
+    from lapidus_spark.streaming.materialize import DirKVStore, materialize
+    from lapidus_spark.streaming.sources import stream_json_dir
+
+    hot_n, cold_keys, n_batches = 4000, 20, 2
+    d = tmp_path / "hotin"
+    d.mkdir()
+    seq = 0
+    now = time.time()
+    for b in range(n_batches):
+        rows = []
+        for _ in range(hot_n):
+            seq += 1
+            rows.append(("hot", seq))
+        for ck in range(cold_keys):
+            seq += 1
+            rows.append((f"cold{ck}", seq))
+        p = d / f"b{b}.json"
+        with open(p, "w") as fh:
+            for pk, s in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "event_seq": s,
+                            "source": "pg_main",
+                            "type": "update",
+                            "schema_name": "public",
+                            "table_name": "users",
+                            "pk": pk,
+                            "item": '{"v":%d}' % s,
+                            "tx_id": s,
+                            "ts": (
+                                datetime.datetime(2026, 1, 1)
+                                + datetime.timedelta(seconds=s)
+                            ).isoformat(),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now + b * 10, now + b * 10))
+
+    env = stream_json_dir(spark, str(d), ENVELOPE_SCHEMA, max_files_per_trigger=1)
+    root = str(tmp_path / "hotkv")
+    puts_dir = str(tmp_path / "hotputs")
+    os.makedirs(puts_dir, exist_ok=True)
+
+    def counting_store():
+        import os as _os
+        import tempfile as _tf
+
+        from lapidus_spark.streaming.materialize import DirKVStore
+
+        class CountingStore(DirKVStore):
+            def put(self, key, value):
+                fd, _ = _tf.mkstemp(dir=puts_dir, prefix=f"put-{key}-")
+                _os.close(fd)
+                super().put(key, value)
+
+        return CountingStore(root)
+
+    materialize(env, checkpoint=str(tmp_path / "hotckpt"), store_factory=counting_store)()
+
+    store = DirKVStore(root)
+    # converged: the hot entity holds the LAST update of the stream
+    assert store.get("hot")["last_seq"] == n_batches * (hot_n + cold_keys) - cold_keys
+    assert len(store.keys()) == 1 + cold_keys
+    # bounded writes: the 8k-update hot key reached the store at most
+    # once per batch — the aggregation absorbed the skew, the sink
+    # never saw per-event traffic
+    puts = os.listdir(puts_dir)
+    hot_puts = [f for f in puts if f.startswith("put-hot-")]
+    assert 1 <= len(hot_puts) <= n_batches
+    assert len(puts) <= (1 + cold_keys) * n_batches
