@@ -584,3 +584,67 @@ def ext_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass data-quality profile: per column, row/null/distinct
+    counts. All counts land in ONE aggregation — Spark plans the
+    multi-column distinct set with a single Expand node (one scan, no
+    per-column passes), the same shape a warehouse profiler uses. The
+    wide 1-row aggregate is then unpivoted driver-free via stack()."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in columns
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(columns)}, {stack_expr}) "
+            "AS (col_name, n_rows, n_nulls, n_distinct)"
+        )
+    )
+
+
+@query(
+    "ext_profile_columns",
+    oracle="""
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*),
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+    """,
+    operator="data-quality profiling (pipeline ops — corpus intake audit)",
+    doc="Column profile of the documents corpus in one scan: row "
+    "count, null count, and exact distinct count for every column "
+    "via a single multi-distinct aggregation (Catalyst's Expand "
+    "node), unpivoted with stack() — the intake-audit step a "
+    "training-data pipeline runs before trusting a new dump. The "
+    "oracle recomputes each column's profile independently; the "
+    "n-way UNION vs one-Expand-pass difference is exactly what the "
+    "parity check proves equivalent.",
+)
+def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])

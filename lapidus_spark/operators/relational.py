@@ -381,3 +381,142 @@ def agg_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("type", "mon", "gid", "n", "total_value")
     )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type AS type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    operator="HLL sketch distinct-count (pipeline ops — the 100 TB cardinality path)",
+    doc="Sketch-accuracy GATE for approximate distinct counting: at "
+    "100 TB, count(DISTINCT) is a full two-phase distinct shuffle, so "
+    "the production path is approx_count_distinct — HyperLogLog++, "
+    "fixed-size mergeable registers, one normal aggregation exchange. "
+    "This query computes BOTH in one pass and emits the exact count "
+    "plus a boolean asserting the sketch landed within 5%% of it at "
+    "rsd=0.02 (the oracle pins the flag TRUE, so a sketch regression "
+    "fails parity, not just drifts). Deterministic: HLL++ register "
+    "state is a pure function of the value set, independent of "
+    "partitioning/order.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("type"))
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+@query(
+    "agg_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_linestatus
+    """,
+    operator="fact-to-fact co-keyed join + conditional agg (TPC-H Q12 shape)",
+    doc="Late-shipment priority audit (TPC-H Q12 adapted to the "
+    "fixture's columns): orders joined to lineitem on the order key — "
+    "both sides fact-sized at 100 TB, so this is the canonical "
+    "co-partitioned shuffle join (bucket both tables by orderkey in a "
+    "warehouse and the exchange disappears); the l_shipdate > "
+    "o_orderdate predicate applies post-join on columns from both "
+    "sides, and the conditional counts compile to a single partial-"
+    "aggregated CASE sum, no second pass.",
+)
+def agg_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_priority_lines"),
+            F.sum((~high).cast("bigint")).alias("low_priority_lines"),
+        )
+    )
+
+
+@query(
+    "agg_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS yr,
+             p.p_brand,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) -
+                  CAST(l.l_discount AS DECIMAL(12,2)))) AS r
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT yr,
+           CAST(sum(CASE WHEN p_brand = 'Brand#23' THEN r ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE) AS brand_revenue,
+           CAST(sum(r) AS DOUBLE) AS total_revenue,
+           CAST(sum(CASE WHEN p_brand = 'Brand#23' THEN r ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(sum(r) AS DOUBLE) AS share
+    FROM rev
+    GROUP BY yr
+    """,
+    operator="multi-join market share with exact-decimal ratio (TPC-H Q8 shape)",
+    doc="Per-year revenue share of one brand (TPC-H Q8 adapted): "
+    "lineitem x broadcast(part) for the brand, then the orderkey "
+    "shuffle join to orders for the year — the fact is shuffled "
+    "exactly once, the dim never. Revenue accumulates in exact "
+    "DECIMAL (partition-order-independent) on both engines; the "
+    "share divides the two exact totals in IEEE double, which is "
+    "deterministic. Group-then-reaggregate keeps the CASE split "
+    "after one combined pass rather than scanning twice.",
+)
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), "p_brand")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (one - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("r")
+        )
+    )
+    is_brand = F.col("p_brand") == "Brand#23"
+    zero = F.lit(0).cast("decimal(24,4)")
+    out = rev.groupBy("yr").agg(
+        F.sum(F.when(is_brand, F.col("r")).otherwise(zero)).alias("br"),
+        F.sum("r").alias("tr"),
+    )
+    return out.select(
+        "yr",
+        F.col("br").cast("double").alias("brand_revenue"),
+        F.col("tr").cast("double").alias("total_revenue"),
+        (F.col("br").cast("double") / F.col("tr").cast("double")).alias("share"),
+    )

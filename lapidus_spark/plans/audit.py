@@ -246,6 +246,22 @@ EXPECTATIONS: dict[str, dict] = {
     "ext_dedup_incremental": {"max_exchanges": 2},
     # tf agg + df agg (vocab-sized, broadcast back) + per-doc rank
     "ext_keywords": {"max_exchanges": 4},
+    # exact + HLL distinct in ONE agg pass: the two-phase distinct
+    # costs the exchanges; the sketch rides along for free
+    "agg_approx_distinct": {"max_exchanges": 2, "no_single_partition": True},
+    # orderkey fact-to-fact join + conditional agg: co-partitioned
+    # shuffle join at scale (AQE broadcasts at fixture SF); bucket
+    # both tables by orderkey and the join exchanges disappear
+    "agg_shipmode_priority": {"max_exchanges": 3, "no_single_partition": True},
+    # brand share: part broadcast; fact shuffles once for the orders
+    # join, then the two-level share agg (AQE broadcasts orders at
+    # fixture SF; 5 allows the at-scale sort-merge form)
+    "agg_market_share": {"broadcasts": 1, "max_exchanges": 5, "no_single_partition": True},
+    # median + MAD + anomaly count: all three window passes AND the
+    # final agg share the single event_type exchange
+    "win_mad_anomaly": {"max_exchanges": 1, "no_single_partition": True},
+    # one-scan multi-distinct profile (Expand) + the 1-row final agg
+    "ext_profile_columns": {"max_exchanges": 3},
 }
 
 

@@ -977,3 +977,33 @@ def _wire_stream_schema_history_oracle() -> None:
 
 
 _wire_stream_schema_history_oracle()
+
+
+@query(
+    "stream_topk_entities",
+    oracle="""
+    SELECT user_id AS entity_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, entity_id
+    LIMIT 10
+    """,
+    operator="streaming top-k (complete-mode leaderboard)",
+    doc="Live leaderboard: the envelope stream aggregated per entity "
+    "in COMPLETE output mode — each trigger re-emits the full "
+    "standings, the state store carries per-key counts across "
+    "triggers — then TakeOrdered(k) on the materialized standings "
+    "with a deterministic (count DESC, entity) tiebreak. State is "
+    "one long per key (bounded by entity cardinality); at 100 TB "
+    "key-space, swap complete mode for update mode into a compacted "
+    "topic and let the consumer keep the top-k heap.",
+)
+def stream_topk_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = normalize_events(stream_events(spark, sf_dir))
+    counts = env.groupBy(F.col("pk").cast("bigint").alias("entity_id")).agg(
+        F.count("*").alias("n_events")
+    )
+    standings = _run_to_memory(
+        counts, "stream_topk_entities_out", output_mode="complete", partitions=4
+    )
+    return standings.orderBy(F.col("n_events").desc(), "entity_id").limit(10)
