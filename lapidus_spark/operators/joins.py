@@ -166,3 +166,59 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+#: salt fan-out for the skew-buster join (cluster knob: roughly the
+#: ratio of the hottest key's row count to a healthy task's share).
+SALT_BUCKETS = 8
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, salt_buckets: int = SALT_BUCKETS):
+    """Skew-buster equi-join: the fact side gets a deterministic salt
+    in [0, salt_buckets), the dim side is replicated once per salt
+    value, and the join runs on (key, salt) — a hot key's rows spread
+    across ``salt_buckets`` tasks instead of serializing through one.
+    Result rows are identical to the unsalted join (each fact row
+    still matches exactly its key's dim row, at exactly one salt).
+
+    At 100 TB this is the manual fallback when AQE's skew-join split
+    can't help (e.g. the skew is in a broadcast-ineligible dim or a
+    bucketed table whose layout AQE won't break); salt only the keys
+    you must — replicating the dim multiplies its shuffle volume."""
+    salts = fact.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets).cast("int")
+    )
+    salted_dim = dim.crossJoin(F.broadcast(salts))
+    joined = salted_fact.join(salted_dim, [key, "_salt"])
+    return joined.drop("_salt")
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    operator="skew-mitigated join (salting — gap §2.5 at-scale technique)",
+    doc="The salting skew-buster proven CORRECT, not just fast: events "
+    "join customer on the entity key through salted_join (fact rows "
+    "deterministically salted, dim replicated per salt, join on "
+    "(key, salt)), then aggregate per market segment. The oracle is "
+    "the PLAIN unsalted join — parity proves salting changes the "
+    "physical distribution and nothing else. Exact-decimal sum keeps "
+    "the double deterministic under the altered partitioning.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, c, "user_id")
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

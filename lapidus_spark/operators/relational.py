@@ -520,3 +520,47 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tr").cast("double").alias("total_revenue"),
         (F.col("br").cast("double") / F.col("tr").cast("double")).alias("share"),
     )
+
+
+@query(
+    "agg_hll_union",
+    oracle="""
+    SELECT event_type AS type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    operator="mergeable HLL sketches (partial sketch store + union — the 100 TB rollup path)",
+    doc="The sketch WAREHOUSE pattern, not just a one-shot estimate: "
+    "per (type, week) Datasketches HLL sketches built with "
+    "hll_sketch_agg — the granularity you would PERSIST — then "
+    "rolled up per type with hll_union_agg and estimated. Users "
+    "spanning many weeks are deduplicated by the register-wise "
+    "union, which is exactly the property that lets 100 TB "
+    "pipelines precompute daily sketch partials and answer any "
+    "date-range distinct query without touching raw data. The gate "
+    "asserts the union's estimate lands within 5% of the exact "
+    "distinct (lgConfigK=12, ~1.6% rse); the oracle pins the flag "
+    "TRUE. Deterministic: sketch state is a pure function of the "
+    "value set.",
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.col("event_type").alias("type"), F.date_trunc("week", "ts").alias("wk")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = weekly.groupBy("type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("type")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(rolled, "type").select(
+        "type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("sketch_ok"),
+    )

@@ -262,6 +262,18 @@ EXPECTATIONS: dict[str, dict] = {
     "win_mad_anomaly": {"max_exchanges": 1, "no_single_partition": True},
     # one-scan multi-distinct profile (Expand) + the 1-row final agg
     "ext_profile_columns": {"max_exchanges": 3},
+    # salted skew-buster: dim x salt replication broadcasts at any
+    # scale (salt table is SALT_BUCKETS rows); the fact side never
+    # pays more than the one agg exchange on the salted key
+    "join_skew_salted": {"max_exchanges": 3, "no_single_partition": True},
+    # PERMISSIVE CSV triage: one scan + one tiny class aggregation
+    "src_csv_scan": {"max_exchanges": 1},
+    # mergeSchema scan + 1-row agg; schema union is metadata-only
+    "src_parquet_evolution": {"max_exchanges": 1},
+    # weekly sketch partials + union rollup + exact twin join: two
+    # agg exchanges per branch, estimate side broadcast at any scale
+    # (type-cardinality rows)
+    "agg_hll_union": {"max_exchanges": 5, "no_single_partition": True},
 }
 
 

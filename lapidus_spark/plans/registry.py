@@ -140,6 +140,7 @@ def load_all() -> dict[str, QuerySpec]:
     import lapidus_spark.functions.similarity  # noqa: F401
     import lapidus_spark.functions.text  # noqa: F401
     import lapidus_spark.sources.cdc_replay  # noqa: F401
+    import lapidus_spark.sources.formats  # noqa: F401
     import lapidus_spark.sources.jsoncdc  # noqa: F401
     import lapidus_spark.streaming.queries  # noqa: F401
 

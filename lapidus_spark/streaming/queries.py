@@ -1007,3 +1007,37 @@ def stream_topk_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, "stream_topk_entities_out", output_mode="complete", partitions=4
     )
     return standings.orderBy(F.col("n_events").desc(), "entity_id").limit(10)
+
+
+@query(
+    "stream_window_distinct",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    operator="streaming windowed distinct (dedup-then-count decomposition)",
+    doc="Hourly distinct users as a stream. Structured Streaming "
+    "rejects count(DISTINCT) outright — the canonical decomposition "
+    "is dropDuplicates on (window, user) feeding a plain windowed "
+    "count: the dedup operator holds one state row per (window, "
+    "user) pair and the count is then an ordinary streaming agg. In "
+    "production a watermark on the dedup bounds that state "
+    "(withWatermark before dropDuplicatesWithinWatermark); the "
+    "replay keeps every window so the oracle can state the full "
+    "answer. Two stateful operators, one shared shuffle key.",
+)
+def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = normalize_events(stream_events(spark, sf_dir))
+    keyed = env.select(
+        F.window(F.col("ts").cast("timestamp"), "1 hour").start.alias("w_start"),
+        F.col("pk").alias("user_id"),
+    ).dropDuplicates(["w_start", "user_id"])
+    counts = keyed.groupBy("w_start").agg(F.count("*").alias("n_users"))
+    out = _run_to_memory(
+        counts, "stream_window_distinct_out", output_mode="complete", partitions=4
+    )
+    return out.select(
+        F.col("w_start").cast("timestamp_ntz").alias("window_start"), "n_users"
+    )
