@@ -369,6 +369,17 @@ def _ngram_prefix_candidates(agg: DataFrame, threshold: float) -> DataFrame:
     so corpus-wide stopwords sort to the back of every doc and are
     indexed only by docs that consist of almost nothing else — the m²
     fan-out a raw inverted index suffers on 'the' cannot happen.
+
+    Two further PPJoin prunes run INSIDE the join condition, before
+    the distinct and the array-verify join — both keep a superset of
+    the qualifying pairs, so exactness is untouched:
+
+    - length filter: J >= t forces t*|x| <= |y| <= |x|/t;
+    - positional filter: for the pair's FIRST common token (the only
+      one a qualifying pair needs to pass with), overlap(x,y) <=
+      1 + min(|x| - pos_x, |y| - pos_y), and J >= t forces
+      overlap >= t/(1+t) * (|x|+|y|) — a token matching too deep in
+      both sorted orders cannot be the start of enough overlap.
     """
     prefix_len = (F.col("n_toks") - F.ceil(F.lit(threshold) * F.col("n_toks")) + 1).cast("int")
     pref = (
@@ -376,18 +387,32 @@ def _ngram_prefix_candidates(agg: DataFrame, threshold: float) -> DataFrame:
             "doc_id",
             "lang",
             "len_band",
-            F.explode(F.slice("st", F.lit(1), prefix_len)).alias("pt"),
+            "n_toks",
+            F.posexplode(F.slice("st", F.lit(1), prefix_len)).alias("pos0", "pt"),
         )
-        .select("doc_id", "lang", "len_band", F.col("pt.token").alias("token"))
+        .select(
+            "doc_id",
+            "lang",
+            "len_band",
+            "n_toks",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("pt.token").alias("token"),
+        )
     )
     a, b = pref.alias("a"), pref.alias("b")
+    na, nb = F.col("a.n_toks"), F.col("b.n_toks")
+    overlap_needed = F.lit(threshold / (1.0 + threshold)) * (na + nb)
+    overlap_bound = 1 + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     return (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_band") == F.col("b.len_band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (nb >= F.lit(threshold) * na)
+            & (na >= F.lit(threshold) * nb)
+            & (overlap_bound >= overlap_needed),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
