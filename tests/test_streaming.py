@@ -1030,3 +1030,102 @@ def test_partitioned_upsert_hot_key_bounded(spark, tmp_path):
     hot_puts = [f for f in puts if f.startswith("put-hot-")]
     assert 1 <= len(hot_puts) <= n_batches
     assert len(puts) <= (1 + cold_keys) * n_batches
+
+
+class _FakeListState:
+    """Minimal stand-in for the transformWithState ListState handle —
+    enough to drive TxAssemblerProcessor's logic without the RocksDB
+    state server (which needs google.protobuf, absent here)."""
+
+    def __init__(self):
+        self._items: list[tuple] = []
+
+    def exists(self):
+        return bool(self._items)
+
+    def get(self):
+        return iter(self._items)
+
+    def appendList(self, items):
+        self._items.extend(items)
+
+    def clear(self):
+        self._items = []
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_tws_processor_logic_matches_group_state_handler():
+    """Environment-independent twin check: the transformWithState
+    processor and the applyInPandasWithState handler must produce
+    identical emissions for the same per-key batch sequences —
+    including buffering across batches, commit-triggered emission
+    with seq-sorted item order, and state clearing. This proves the
+    PROCESSOR logic while the protobuf-gated integration test
+    (test_tx_assembly_transform_with_state) proves the wiring where
+    the environment allows."""
+    import pandas as pd
+
+    from lapidus_spark.streaming.assembler import TxAssemblerProcessor, _assemble_tx
+
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    batches = [
+        pd.DataFrame(
+            {
+                "tx_id": [7, 7, 7],
+                "type": ["beginTransaction", "insert", "update"],
+                "event_seq": [0, 30, 10],
+                "ts": pd.to_datetime(["2026-01-01"] * 3),
+            }
+        ),
+        pd.DataFrame(
+            {
+                "tx_id": [7, 7],
+                "type": ["delete", "commitTransaction"],
+                "event_seq": [20, 99],
+                "ts": pd.to_datetime(["2026-01-01", "2026-01-02"]),
+            }
+        ),
+    ]
+
+    proc = TxAssemblerProcessor()
+    proc.init(_FakeHandle())
+    gs = _FakeGroupState()
+    tws_out, gst_out = [], []
+    for b in batches:
+        tws_out += list(proc.handleInputRows((7,), iter([b]), None))
+        gst_out += list(_assemble_tx((7,), iter([b]), gs, timeout_ms=None))
+
+    assert len(tws_out) == len(gst_out) == 1
+    t, g = tws_out[0].iloc[0], gst_out[0].iloc[0]
+    for col in ("tx_id", "n_items", "first_seq", "last_seq", "item_types"):
+        assert t[col] == g[col], col
+    # buffered items emitted in SEQ order, not arrival order
+    assert t["item_types"] == "update|delete|insert"
+    assert t["first_seq"] == 10 and t["last_seq"] == 30 and t["n_items"] == 3
+    # state cleared after commit on both implementations
+    assert not proc._items.exists() and not gs.exists
