@@ -527,3 +527,97 @@ def ext_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+#: winnowing parameters: k-gram size and window width. Guarantee: any
+#: shared token run of length >= WINNOW_K + WINNOW_W - 1 between two
+#: docs produces at least one shared fingerprint (the MOSS bound).
+WINNOW_K = 4
+WINNOW_W = 5
+_WINNOW_P = 1000000007
+
+
+@query(
+    "ext_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split({_NORM_DUCK}, ' '),
+                            t -> CAST(length(t) * 7 + ascii(substr(t, 1, 1)) AS BIGINT))
+               AS vals
+      FROM documents
+    ), kh AS (
+      SELECT doc_id, len(vals) AS n_toks,
+             CASE WHEN len(vals) >= {WINNOW_K}
+                  THEN list_transform(range(1, len(vals) - {WINNOW_K} + 2),
+                       i -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                           list_slice(vals, i, i + {WINNOW_K} - 1)),
+                              (a, b) -> (a * 31 + b) % {_WINNOW_P}))
+                  ELSE [] END AS khash
+      FROM t
+    ), fp AS (
+      SELECT doc_id, n_toks, len(khash) AS n_kgrams,
+             CASE WHEN len(khash) >= {WINNOW_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(khash) - {WINNOW_W} + 2),
+                         j -> list_min(list_slice(khash, j, j + {WINNOW_W} - 1))))
+                  ELSE [] END AS fps
+      FROM kh
+    )
+    SELECT doc_id,
+           CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                                     (a, b) -> (a + b) % {_WINNOW_P}), 0) AS BIGINT)
+             AS fp_checksum
+    FROM fp
+    """,
+    operator="ext_fingerprint (winnowing — the MOSS local fingerprint algorithm)",
+    doc="Winnowed document fingerprints (Schleimer/Wilkerson/Aiken): "
+    "token 4-gram rolling hashes (the ext_fingerprint polynomial as "
+    "an explicit left-fold per k-gram, identical on both engines), "
+    "then the minimum hash of every 5-hash window — the LOCAL "
+    "selection guaranteeing any shared token run of length k+w-1 "
+    "yields a shared fingerprint, which plain modular sampling "
+    "cannot promise. Fingerprint sets are reported as (count, "
+    "modular checksum); the checksum folds (a+b) mod p, which is "
+    "associative-commutative, so it is order-insensitive and "
+    "bit-identical on any engine. Zero-shuffle: every step is a "
+    "higher-order array expression inside codegen; selectivity is "
+    "~2/(w+1) of k-gram positions, the storage win that makes "
+    "fingerprint indexes feasible at 100 TB.",
+)
+def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    k, w, p = WINNOW_K, WINNOW_W, _WINNOW_P
+    vals = (
+        f"transform(split({_NORM}, ' '), "
+        "t -> CAST(length(t) * 7 + ascii(substr(t, 1, 1)) AS BIGINT))"
+    )
+    khash = (
+        f"CASE WHEN size(vals) >= {k} "
+        f"THEN transform(sequence(1, size(vals) - {k} + 1), "
+        f"i -> aggregate(slice(vals, i, {k}), CAST(0 AS BIGINT), "
+        f"(a, b) -> (a * 31 + b) % {p})) "
+        "ELSE array() END"
+    )
+    fps = (
+        f"CASE WHEN size(khash) >= {w} "
+        f"THEN array_distinct(transform(sequence(1, size(khash) - {w} + 1), "
+        f"j -> array_min(slice(khash, j, {w})))) "
+        "ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.expr(vals).alias("vals"))
+        .select("doc_id", F.expr(khash).alias("khash"))
+        .select("doc_id", F.size("khash").cast("bigint").alias("n_kgrams"), F.expr(fps).alias("fps"))
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.expr(
+                f"aggregate(fps, CAST(0 AS BIGINT), (a, b) -> (a + b) % {p})"
+            ).alias("fp_checksum"),
+        )
+    )

@@ -274,6 +274,9 @@ EXPECTATIONS: dict[str, dict] = {
     # agg exchanges per branch, estimate side broadcast at any scale
     # (type-cardinality rows)
     "agg_hll_union": {"max_exchanges": 5, "no_single_partition": True},
+    # winnowing: higher-order array expressions end to end; the 1 is
+    # the parallel-load crutch for the single-split fixture file
+    "ext_winnow_fingerprint": {"max_exchanges": 1},
 }
 
 

@@ -5,6 +5,8 @@ checked on the real fixture.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from lapidus_spark.functions.pipeline import (
@@ -101,3 +103,73 @@ def test_stratified_sample_rates_bound_each_stratum(spark):
     # determinism: same rule, same sample
     again = ext_sample_stratified(spark, SF_DIR)
     assert again.exceptAll(sample).count() == 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_winnowing_shared_run_guarantee(spark, data):
+    """The MOSS winnowing bound: two documents sharing a token run of
+    length >= k + w - 1 MUST share at least one fingerprint (the
+    property plain modular sampling cannot promise). Random docs get
+    a random shared run planted at random offsets; the docs differ
+    everywhere else (disjoint alphabets), so any shared fingerprint
+    necessarily comes from the planted run."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.functions.text import WINNOW_K, WINNOW_W, ext_winnow_fingerprint
+    from lapidus_spark.sources import tables as T
+
+    min_run = WINNOW_K + WINNOW_W - 1
+    run_len = data.draw(st.integers(min_value=min_run, max_value=min_run + 6))
+    # shared run from a 'z' alphabet; fillers from disjoint alphabets
+    run = [f"z{data.draw(st.integers(0, 9))}w{i}" for i in range(run_len)]
+    fill_a = [f"a{data.draw(st.integers(0, 99))}" for _ in range(data.draw(st.integers(0, 12)))]
+    fill_a2 = [f"a{data.draw(st.integers(0, 99))}" for _ in range(data.draw(st.integers(0, 12)))]
+    fill_b = [f"b{data.draw(st.integers(0, 99))}" for _ in range(data.draw(st.integers(0, 12)))]
+    fill_b2 = [f"b{data.draw(st.integers(0, 99))}" for _ in range(data.draw(st.integers(0, 12)))]
+    doc_a = " ".join(fill_a + run + fill_a2)
+    doc_b = " ".join(fill_b + run + fill_b2)
+
+    docs = spark.createDataFrame(
+        [(1, doc_a, "en", "src0", len(doc_a)), (2, doc_b, "en", "src0", len(doc_b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # route the operator at our synthetic docs via the loader seam
+    orig = T.load_table
+    try:
+        T.load_table = lambda _s, _d, name, **kw: docs  # noqa: ARG005
+        import lapidus_spark.functions.text as X
+
+        orig_text = X.load_table
+        X.load_table = T.load_table
+        try:
+            out = ext_winnow_fingerprint(spark, "ignored")
+            rows = {r["doc_id"]: r for r in out.collect()}
+        finally:
+            X.load_table = orig_text
+    finally:
+        T.load_table = orig
+    assert rows[1]["n_fingerprints"] >= 1 and rows[2]["n_fingerprints"] >= 1
+    # recompute the fingerprint SETS (not just the checksum) to assert
+    # a genuine shared member
+    k, w, p = WINNOW_K, WINNOW_W, 1000000007
+
+    def winnow(text):
+        vals = [len(t) * 7 + ord(t[0]) for t in text.lower().split(" ")]
+        kh = []
+        for i in range(len(vals) - k + 1):
+            h = 0
+            for v in vals[i : i + k]:
+                h = (h * 31 + v) % p
+            kh.append(h)
+        return {min(kh[j : j + w]) for j in range(len(kh) - w + 1)}
+
+    fa, fb = winnow(doc_a), winnow(doc_b)
+    assert fa & fb, "shared run must yield a shared fingerprint"
+    # and the Spark-side checksums agree with the recomputation
+    assert rows[1]["fp_checksum"] == sum(fa) % p
+    assert rows[2]["fp_checksum"] == sum(fb) % p
