@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation: the LLM training-data pipeline the
+extension operators exist for, composed over the real fixture tables.
+
+    python examples/curate_corpus.py [sf_dir]      # default sf0.001
+
+Each stage is a per-document VERDICT produced by a registry operator
+(the same oracle-verified code the correctness gate runs); the final
+selection joins the verdicts on doc_id and filters — the shape of a
+production batch pipeline, where every stage writes annotations and
+the assembly step composes them. Stages:
+
+  1. intake profile     (ext_profile_columns — trust the dump first)
+  2. quality gate       (ext_quality_logit, frozen-weight classifier)
+  3. exact dedup        (ext_dedup_exact, canonical = lowest doc_id)
+  4. near-dup dedup     (ext_dedup_minhash pairs → drop the higher id)
+  5. decontamination    (ext_decontaminate, benchmark-overlap docs out)
+  6. split + manifest   (ext_split_hash, deterministic 90/5/5)
+
+At 100 TB every stage is the same code: the verdicts are narrow
+(doc_id + a few ints), so the joins are cheap; the heavy lifting
+happened inside each operator's own documented plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lapidus_spark.functions.dedup import ext_dedup_exact, ext_dedup_minhash
+from lapidus_spark.functions.corpus import ext_decontaminate
+from lapidus_spark.functions.pipeline import ext_profile_columns, ext_quality_logit, ext_split_hash
+from lapidus_spark.session import get_spark
+from lapidus_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curate_corpus", cpus=8)
+    docs = load_table(spark, sf_dir, "documents")
+    funnel: list[tuple[str, int]] = [("intake", docs.count())]
+
+    print("== intake profile ==")
+    for r in ext_profile_columns(spark, sf_dir).collect():
+        print(f"  {r['col_name']:>8}: rows={r['n_rows']} nulls={r['n_nulls']} distinct={r['n_distinct']}")
+
+    quality = ext_quality_logit(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    funnel.append(("quality", quality.count()))
+
+    canonical = ext_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near_dups = (
+        ext_dedup_minhash(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    contaminated = ext_decontaminate(spark, sf_dir).select("doc_id")
+
+    survivors = (
+        quality.join(canonical, "doc_id")  # semi: quality ∩ exact-canonical
+        .join(near_dups, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    funnel.append(("post-dedup+decontam", survivors.count()))
+
+    manifest = survivors.join(ext_split_hash(spark, sf_dir), "doc_id").groupBy(
+        "split"
+    ).agg(F.count("*").alias("n_docs"))
+
+    print("== curation funnel ==")
+    for stage, n in funnel:
+        print(f"  {stage:>22}: {n}")
+    print("== final manifest ==")
+    for r in manifest.orderBy("split").collect():
+        print(f"  {r['split']:>6}: {r['n_docs']} docs")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
