@@ -621,3 +621,81 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_checksum"),
         )
     )
+
+
+@query(
+    "ext_bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ), uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+             i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ), bc AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c2
+      FROM big GROUP BY 1, 2
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(length(bin(u.c1 // c.c2)) - 1 AS BIGINT) AS q
+      FROM big b
+      JOIN bc c ON b.bg.w1 = c.w1 AND b.bg.w2 = c.w2
+      JOIN uni u ON b.bg.w1 = u.w
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) AS BIGINT) AS surprisal_q,
+           CAST((1000 * sum(q)) // count(*) AS BIGINT) AS mean_q_milli
+    FROM scored GROUP BY doc_id
+    """,
+    operator="ext_quality (statistical LM fluency filter, CCNet shape)",
+    doc="Quantized bigram surprisal per document — the integer analog "
+    "of language-model perplexity filtering (CCNet): each adjacent "
+    "token pair scores floor(log2(c(w1) / c(w1,w2))) via the exact "
+    "binary-length identity (no transcendentals — the same trick as "
+    "the length histogram), summed per doc with an integer-division "
+    "mean. High mean surprisal = token transitions rare relative to "
+    "their context = disfluent/boilerplate-shuffled text. Counts "
+    "come from the corpus itself (a self-scored filter); both count "
+    "tables are vocabulary-sized, so the scoring join BROADCASTS "
+    "them — the corpus-sized bigram explode shuffles only for the "
+    "final per-doc aggregation.",
+)
+def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("ts"),
+    )
+    big = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    q = (F.length(F.bin(F.expr("c1 div c2"))) - 1).cast("bigint")
+    return (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni), big.w1 == uni.w)
+        .select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("q").alias("surprisal_q"),
+            F.expr("(1000 * sum(q)) div count(*)").alias("mean_q_milli"),
+        )
+    )

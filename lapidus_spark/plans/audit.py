@@ -277,6 +277,10 @@ EXPECTATIONS: dict[str, dict] = {
     # winnowing: higher-order array expressions end to end; the 1 is
     # the parallel-load crutch for the single-split fixture file
     "ext_winnow_fingerprint": {"max_exchanges": 1},
+    # bigram LM scoring: both count tables are vocabulary-sized and
+    # BROADCAST; the corpus-sized bigram stream shuffles only for its
+    # own count aggs + the final per-doc agg (+ parallel-load crutch)
+    "ext_bigram_surprisal": {"broadcasts": 2, "max_exchanges": 6, "no_single_partition": True},
 }
 
 
