@@ -703,3 +703,65 @@ def win_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("mad").alias("mad"),
         F.sum((F.col("dev") > 5 * F.col("mad")).cast("bigint")).alias("n_anomalies"),
     )
+
+
+@query(
+    "agg_quantile_gate",
+    oracle="""
+    WITH base AS (SELECT event_type, event_id, value FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+    r AS (
+      SELECT b.*, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn
+      FROM base b
+    ),
+    q AS (
+      SELECT r.event_type,
+             max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med,
+             max(CASE WHEN rn = greatest(n // 10, 1) THEN value END) AS lo,
+             max(CASE WHEN rn = greatest((9 * n) // 10, 1) THEN value END) AS hi
+      FROM r JOIN n USING (event_type)
+      GROUP BY r.event_type
+    )
+    SELECT event_type AS type, med AS median_exact, TRUE AS sketch_ok
+    FROM q
+    """,
+    operator="quantile sketch gate (Greenwald-Khanna — the 100 TB percentile path)",
+    doc="The third sketch gate (after one-shot HLL and mergeable HLL "
+    "union): exact per-type median — the lower-median ELEMENT, an "
+    "actual data value — alongside approx_percentile's Greenwald-"
+    "Khanna summary at accuracy 10000, flagged within 5% of the "
+    "exact p10-p90 spread. The oracle pins the flag TRUE. The "
+    "tolerance is orders of magnitude above the summary's rank-error "
+    "bound, so merge-order jitter in the sketch (GK merges are not "
+    "perfectly order-independent) can never flip the flag — the "
+    "gate is stable AND a real regression tripwire. At 100 TB the "
+    "exact side (a per-group global order statistic) is the one you "
+    "drop; the sketch is one normal aggregation exchange.",
+)
+def agg_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type")
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.withColumn("n", F.count("*").over(w)).withColumn(
+        "rn", F.row_number().over(w_val)
+    )
+    mid = F.expr("(n + 1) div 2")
+    lo_rn = F.greatest(F.expr("n div 10"), F.lit(1))
+    hi_rn = F.greatest(F.expr("(9 * n) div 10"), F.lit(1))
+    exact = r.groupBy(F.col("event_type").alias("type")).agg(
+        F.max(F.when(F.col("rn") == mid, F.col("value"))).alias("med"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("value"))).alias("hi"),
+    )
+    approx = ev.groupBy(F.col("event_type").alias("type")).agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("med_approx")
+    )
+    return exact.join(F.broadcast(approx), "type").select(
+        "type",
+        F.col("med").alias("median_exact"),
+        (
+            F.abs(F.col("med_approx") - F.col("med"))
+            <= F.lit(0.05) * (F.col("hi") - F.col("lo"))
+        ).alias("sketch_ok"),
+    )

@@ -281,6 +281,9 @@ EXPECTATIONS: dict[str, dict] = {
     # BROADCAST; the corpus-sized bigram stream shuffles only for its
     # own count aggs + the final per-doc agg (+ parallel-load crutch)
     "ext_bigram_surprisal": {"broadcasts": 2, "max_exchanges": 6, "no_single_partition": True},
+    # exact-element quantiles share one event_type exchange; the GK
+    # sketch rides a second agg, then broadcasts (type-cardinality)
+    "agg_quantile_gate": {"broadcasts": 1, "max_exchanges": 3, "no_single_partition": True},
 }
 
 

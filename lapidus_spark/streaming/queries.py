@@ -1041,3 +1041,61 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w_start").cast("timestamp_ntz").alias("window_start"), "n_users"
     )
+
+
+@query(
+    "stream_distinct_watermarked",
+    oracle=f"""
+    WITH b AS (
+      -- same ms-floored watermark model as stream_late_drop
+      SELECT min(ts) + INTERVAL {LATE_CUTOFF_HOURS} HOUR AS cut,
+             make_timestamp(epoch_us(max(ts)) - epoch_us(max(ts)) % 1000)
+               - INTERVAL {LATE_CUTOFF_HOURS} HOUR AS wm
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, b
+    WHERE ts >= cut
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+    GROUP BY 1
+    """,
+    operator="streaming windowed distinct, watermark-BOUNDED state (§2.4 production form)",
+    doc="The production form of stream_window_distinct: "
+    "dropDuplicatesWithinWatermark holds a (window, user) state row "
+    "only until the watermark passes it — bounded state on an "
+    "unbounded stream — feeding an append-mode windowed count that "
+    "emits each window exactly once, when it closes. Run over the "
+    "late replay: the oldest two hours arrive last, fail the "
+    "watermark filter, and appear nowhere; open windows at the "
+    "stream tail stay in state unemitted. The oracle states that "
+    "full contract (on-time distinct users, watermark-passed "
+    "windows only, ms-floored watermark base).",
+)
+def stream_distinct_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    replay = build_late_replay(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(replay)
+    )
+    keyed = (
+        ev.select(
+            F.col("ts").cast("timestamp").alias("ts_ltz"),
+            "user_id",
+        )
+        .withWatermark("ts_ltz", f"{LATE_CUTOFF_HOURS} hours")
+        .withColumn("w_start", F.window("ts_ltz", "1 hour").start)
+        .dropDuplicatesWithinWatermark(["w_start", "user_id"])
+    )
+    agg = (
+        keyed.groupBy(F.window("ts_ltz", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_users",
+        )
+    )
+    return _run_to_memory(agg, "stream_distinct_watermarked_out", partitions=4)
