@@ -33,6 +33,7 @@ def main() -> None:
     # the timed pass.
     from lapidus_spark.functions.dedup import build_ngram_index
     from lapidus_spark.functions.similarity import build_ivf_index
+    from lapidus_spark.operators.graph import build_trade_graph
     from lapidus_spark.sources.jsoncdc import build_jsoncdc_replay
     from lapidus_spark.streaming.queries import build_tx_replay_input
 
@@ -41,6 +42,7 @@ def main() -> None:
         build_jsoncdc_replay,
         build_ivf_index,
         build_ngram_index,
+        build_trade_graph,
     ):
         try:
             builder(spark, sf_dir)

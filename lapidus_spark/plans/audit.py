@@ -284,6 +284,10 @@ EXPECTATIONS: dict[str, dict] = {
     # exact-element quantiles share one event_type exchange; the GK
     # sketch rides a second agg, then broadcasts (type-cardinality)
     "agg_quantile_gate": {"broadcasts": 1, "max_exchanges": 3, "no_single_partition": True},
+    # PageRank: per iteration one edges-to-ranks BROADCAST join (rank
+    # side is node-cardinality at any edge scale) + the dst-key
+    # contribution agg; the tiny nodes-to-contrib merge rides along
+    "ext_pagerank": {"broadcasts": 3, "max_exchanges": 8, "no_single_partition": True},
 }
 
 

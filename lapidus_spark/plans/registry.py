@@ -128,6 +128,7 @@ def load_all() -> dict[str, QuerySpec]:
     verified queries first, then stalest green signal, heaviest first
     within a cohort (see ``_signal_ages`` / ``_heaviness``)."""
     import lapidus_spark.operators.filters  # noqa: F401
+    import lapidus_spark.operators.graph  # noqa: F401
     import lapidus_spark.operators.joins  # noqa: F401
     import lapidus_spark.operators.projections  # noqa: F401
     import lapidus_spark.operators.relational  # noqa: F401
