@@ -59,6 +59,14 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: scan/filter/projection), then registration order. Every query —
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
+#:
+#: Round-4 recorded trade: 16 new queries joined the surface, so the
+#: age-0 cohort (16 new + 5 never-driver-verified) plus the 10
+#: round-1-stale queries consume 31 of the 50 slots, leaving 19 for
+#: the 41 round-2-green queries — heaviest (streaming/dedup/ANN)
+#: first. The ~22 round-2-green queries left outside are the
+#: lowest-risk zero/one-shuffle text and pipeline expressions; they
+#: refresh in round 5 when this round's cohort rotates to the back.
 
 
 def _signal_ages() -> dict[str, int]:
