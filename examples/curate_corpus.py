@@ -12,8 +12,15 @@ the assembly step composes them. Stages:
 
   1. intake profile     (ext_profile_columns — trust the dump first)
   2. quality gate       (ext_quality_logit, frozen-weight classifier)
-  3. exact dedup        (ext_dedup_exact, canonical = lowest doc_id)
-  4. near-dup dedup     (ext_dedup_minhash pairs → drop the higher id)
+  3. exact dedup        (canonical = lowest QUALITY-SURVIVING doc per
+                         text hash — dedup runs after filtering, so a
+                         group whose lowest-id copy failed quality
+                         still keeps one representative)
+  4. near-dup dedup     (ext_dedup_components near-dup clusters →
+                         keep the lowest surviving member per
+                         component — pairwise doc_b-dropping would
+                         lose whole clusters when doc_a was already
+                         eliminated upstream)
   5. decontamination    (ext_decontaminate, benchmark-overlap docs out)
   6. split + manifest   (ext_split_hash, deterministic 90/5/5)
 
@@ -31,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from lapidus_spark.functions.dedup import ext_dedup_exact, ext_dedup_minhash
+from lapidus_spark.functions.dedup import ext_dedup_components
 from lapidus_spark.functions.corpus import ext_decontaminate
 from lapidus_spark.functions.pipeline import ext_profile_columns, ext_quality_logit, ext_split_hash
 from lapidus_spark.session import get_spark
@@ -51,21 +58,36 @@ def main() -> None:
     quality = ext_quality_logit(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
     funnel.append(("quality", quality.count()))
 
-    canonical = ext_dedup_exact(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
+    # exact dedup AFTER the quality gate: canonical = lowest
+    # quality-surviving doc per normalized-text hash, so a duplicate
+    # group never vanishes just because its lowest-id copy failed
+    # quality (the ext_dedup_exact hash rule, applied to survivors)
+    canonical = (
+        docs.join(quality, "doc_id")
+        .select("doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    near_dups = (
-        ext_dedup_minhash(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    contaminated = ext_decontaminate(spark, sf_dir).select("doc_id")
+    funnel.append(("exact-dedup", canonical.count()))
 
-    survivors = (
-        quality.join(canonical, "doc_id")  # semi: quality ∩ exact-canonical
-        .join(near_dups, "doc_id", "left_anti")
-        .join(contaminated, "doc_id", "left_anti")
+    # near-dup: keep the lowest surviving member per near-dup CLUSTER
+    # (ext_dedup_components transitive closure) — never drop a doc
+    # because of a partner that was itself already eliminated
+    comps = ext_dedup_components(spark, sf_dir)
+    clustered = canonical.join(comps, "doc_id", "left")
+    keep_per_comp = (
+        clustered.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    deduped = clustered.filter(F.col("component").isNull()).select("doc_id").unionByName(
+        keep_per_comp
+    )
+
+    contaminated = ext_decontaminate(spark, sf_dir).select("doc_id")
+    survivors = deduped.join(contaminated, "doc_id", "left_anti")
     funnel.append(("post-dedup+decontam", survivors.count()))
 
     manifest = survivors.join(ext_split_hash(spark, sf_dir), "doc_id").groupBy(

@@ -592,16 +592,15 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     multi-column distinct set with a single Expand node (one scan, no
     per-column passes), the same shape a warehouse profiler uses. The
     wide 1-row aggregate is then unpivoted driver-free via stack()."""
-    aggs = []
+    aggs = [F.count("*").alias("__rows")]
     for c in columns:
         aggs += [
-            F.count("*").alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
         ]
     wide = df.agg(*aggs)
     stack_expr = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in columns
+        f"'{c}', __rows, {c}__nulls, {c}__distinct" for c in columns
     )
     return wide.select(
         F.expr(

@@ -60,18 +60,28 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 16 new queries joined the surface, so the
-#: age-0 cohort (16 new + 5 never-driver-verified) plus the 10
-#: round-1-stale queries consume 31 of the 50 slots, leaving 19 for
-#: the 41 round-2-green queries — heaviest (streaming/dedup/ANN)
-#: first. The ~22 round-2-green queries left outside are the
-#: lowest-risk zero/one-shuffle text and pipeline expressions; they
-#: refresh in round 5 when this round's cohort rotates to the back.
+#: Round-4 recorded trade: 16 new queries joined the surface and 10
+#: existing queries changed implementation, so the window is 21
+#: age-0 (new + never-verified) + 10 touched-this-round + 10
+#: round-1-stale + 9 of the 41 round-2-green (streaming cohort
+#: first). The 32 round-2-green queries left outside are dominated
+#: by zero/low-shuffle text and pipeline expressions whose code did
+#: not change; they refresh in round 5 when this round's cohort
+#: rotates to the back. Changed code outranks stale-but-unchanged
+#: code: a green signal from before an implementation change is no
+#: evidence about the change.
+
+
+_SIGNAL_AGES: dict[str, int] | None = None
 
 
 def _signal_ages() -> dict[str, int]:
     """Latest driver round with a fully-green row per query, from the
-    committed CORRECTNESS_r*.json artifacts. Missing → never verified."""
+    committed CORRECTNESS_r*.json artifacts (parsed once per process).
+    Missing → never verified."""
+    global _SIGNAL_AGES
+    if _SIGNAL_AGES is not None:
+        return _SIGNAL_AGES
     import json
     import re
     from pathlib import Path
@@ -98,10 +108,35 @@ def _signal_ages() -> dict[str, int]:
             )
             if green:
                 ages[name] = max(ages.get(name, 0), rnd)
+    _SIGNAL_AGES = ages
     return ages
 
 
-def _heaviness(name: str, spec: QuerySpec) -> int:
+#: Queries whose IMPLEMENTATION changed this round: their last green
+#: driver signal predates the change, so the evidence-age ordering
+#: alone would sort them to the back — exactly the queries most
+#: likely to have regressed. Listed here, they verify with the
+#: never-driver-verified cohort (right after it). Re-derive each
+#: round from the round's diff.
+_TOUCHED_THIS_ROUND = (
+    # jsoncdc replay writer switched to gzip segments (split safety)
+    "src_jsoncdc_decode",
+    "src_jsoncdc_errors",
+    "stream_jsoncdc_decode",
+    "stream_jsoncdc_tx",
+    # PPJoin length+positional filters added to the candidate join
+    "ext_dedup_ngram",
+    # streaming overhead cuts: read-back schema/coalesce, trigger
+    # sizing, per-query state partitions; late-drop oracle ms floor
+    "stream_upsert_snapshot",
+    "stream_stream_join",
+    "stream_outer_attrib",
+    "stream_late_drop",
+    "stream_funnel_state",
+)
+
+
+def _heaviness(name: str) -> int:
     """Lower = verify earlier among same-age queries. Stateful and
     streaming operators carry the most regression risk; trivial
     stateless scans/filters/projections the least."""
@@ -154,9 +189,15 @@ def load_all() -> dict[str, QuerySpec]:
     import lapidus_spark.streaming.queries  # noqa: F401
 
     ages = _signal_ages()
+    touched = set(_TOUCHED_THIS_ROUND)
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
-    ordered_names = sorted(
-        REGISTRY,
-        key=lambda n: (ages.get(n, 0), _heaviness(n, REGISTRY[n]), reg_index[n]),
-    )
-    return {name: REGISTRY[name] for name in ordered_names}
+
+    def rank(n: str) -> tuple:
+        age = ages.get(n, 0)
+        if n in touched and age > 0:
+            # stale signal + fresh code: verify right after the
+            # never-driver-verified cohort
+            return (0, 1, _heaviness(n), reg_index[n])
+        return (age, 0, _heaviness(n), reg_index[n])
+
+    return {name: REGISTRY[name] for name in sorted(REGISTRY, key=rank)}

@@ -77,26 +77,28 @@ def _write_ordered_segments(lines_df: DataFrame, out_dir: str) -> None:
     (file_id, user_key, phase, sub) order up front, which satisfies
     that requirement as a prefix, so the writer keeps the row order
     — each segment file comes out exactly in logical line order. The
-    per-file_id part files are then renamed to segment_NNN.ldjson
+    per-file_id part files are then renamed to segment_NNN.ldjson.gz
     (metadata-only ops, O(N_FILES) regardless of data volume).
 
     Downstream order recovery (``_with_file_order``) relies on each
-    segment being read as ONE scan split: Spark only splits a text
-    file across partitions when it exceeds
-    ``spark.sql.files.maxPartitionBytes`` (packing several whole
-    files into one split preserves per-file order; splitting one
-    file does not). Guarded here, at write time, so a segment that
-    outgrows the split size fails loudly once instead of silently
-    scrambling every replay built from it."""
-    max_split = _parse_bytes_conf(
-        lines_df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    )
+    segment being read as ONE scan split. A size guard against
+    ``spark.sql.files.maxPartitionBytes`` is NOT sufficient: Spark's
+    effective split size is min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism)), which on a 32-core local run
+    splits any file above ~4 MB. Segments are therefore written
+    GZIP-COMPRESSED — a non-splittable codec, so the scan planner is
+    FORBIDDEN from splitting a segment at any size or parallelism
+    (several whole files packed into one partition still preserve
+    per-file order; only splitting one file breaks it). Decode
+    parallelism remains N_FILES, the same contract as one ordered
+    pg_recvlogical pipe per slot."""
     stage = out_dir + "_stage"
     (
         lines_df.repartition(N_FILES, "file_id")
         .sortWithinPartitions("file_id", "user_key", "phase", "sub")
         .select("file_id", "line")
         .write.partitionBy("file_id")
+        .option("compression", "gzip")
         .mode("overwrite")
         .text(stage)
     )
@@ -104,29 +106,10 @@ def _write_ordered_segments(lines_df: DataFrame, out_dir: str) -> None:
         if not d.startswith("file_id="):
             continue
         f = int(d.split("=", 1)[1])
-        parts = [p for p in os.listdir(os.path.join(stage, d)) if p.endswith(".txt")]
+        parts = [p for p in os.listdir(os.path.join(stage, d)) if p.endswith(".txt.gz")]
         assert len(parts) == 1, f"expected 1 part file per segment, got {parts}"
         src = os.path.join(stage, d, parts[0])
-        size = os.path.getsize(src)
-        if size > max_split:
-            raise ValueError(
-                f"segment file_id={f} is {size} bytes, above "
-                f"spark.sql.files.maxPartitionBytes={max_split}; it would be "
-                "read as multiple scan splits, scrambling line order in "
-                "_with_file_order. Raise maxPartitionBytes or N_FILES."
-            )
-        os.replace(src, os.path.join(out_dir, f"segment_{f:03d}.ldjson"))
-
-
-def _parse_bytes_conf(v: str) -> int:
-    """Parse a Spark byte conf value ('134217728', '128MB', '1g')."""
-    v = v.strip().lower().removesuffix("b")
-    mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
-        if v.endswith(suffix):
-            v, mult = v[:-1], m
-            break
-    return int(v) * mult
+        os.replace(src, os.path.join(out_dir, f"segment_{f:03d}.ldjson.gz"))
 
 
 def build_jsoncdc_replay(spark: SparkSession, sf_dir: str) -> str:
@@ -374,10 +357,10 @@ def stream_jsoncdc_envelope(
 
 def _with_file_order(lines: DataFrame) -> DataFrame:
     """Attach (src_file, line_seq) to a batch text-lines DataFrame.
-    Capture files are segment-sized (one scan split each — enforced at
-    write time in ``_write_ordered_segments`` against
-    spark.sql.files.maxPartitionBytes), so the per-partition-monotonic
-    id IS the line order per file."""
+    Capture files are gzip-compressed (non-splittable — enforced at
+    write time in ``_write_ordered_segments``), so each is exactly one
+    scan split and the per-partition-monotonic id IS the line order
+    per file."""
     return lines.select(
         "value",
         F.input_file_name().alias("src_file"),
