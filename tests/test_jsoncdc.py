@@ -188,3 +188,55 @@ def test_jsoncdc_config_requires_path():
 
     with pytest.raises(ConfigError, match="jsoncdc backend requires a 'path'"):
         parse_config(json.dumps({"backends": [{"type": "jsoncdc"}]}))
+
+
+def test_large_segment_reads_as_one_split_in_order(spark, tmp_path):
+    """The scale regime the gzip write exists for: a segment far above
+    Spark's EFFECTIVE split size (min(maxPartitionBytes,
+    max(openCostInBytes, bytes/cores)) — ~4 MB on a 32-core local
+    run, not the 128 MB maxPartitionBytes bound) must still be read
+    as exactly ONE scan split, in exact line order. An uncompressed
+    text file this size would be sliced into ~8 splits and
+    _with_file_order's per-partition ids would interleave."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.sources.jsoncdc import _with_file_order, _write_ordered_segments
+
+    n = 400_000  # ~40 MB of ~100-byte lines in ONE segment
+    lines = spark.range(n).select(
+        F.lit(0).cast("int").alias("file_id"),
+        F.lit(0).cast("long").alias("user_key"),
+        F.lit(0).alias("phase"),
+        F.col("id").alias("sub"),
+        F.format_string("{\"seq\":%d,\"pad\":\"%s\"}", "id", F.repeat(F.lit("x"), 80)).alias(
+            "line"
+        ),
+    )
+    out = str(tmp_path / "bigseg")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    _write_ordered_segments(lines, out)
+
+    back = _with_file_order(spark.read.text(out)).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    splits = (
+        back.groupBy("src_file").agg(F.countDistinct("pid").alias("n_splits")).collect()
+    )
+    assert len(splits) == 1 and splits[0]["n_splits"] == 1
+    # line_seq order == written sub order, end to end
+    ooo = (
+        back.select(
+            F.get_json_object("value", "$.seq").cast("long").alias("seq"), "line_seq"
+        )
+        .withColumn(
+            "prev_seq",
+            F.lag("seq").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("line_seq")
+            ),
+        )
+        .filter(F.col("prev_seq").isNotNull() & (F.col("seq") != F.col("prev_seq") + 1))
+        .count()
+    )
+    assert ooo == 0
