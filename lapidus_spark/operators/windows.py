@@ -765,3 +765,75 @@ def agg_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * (F.col("hi") - F.col("lo"))
         ).alias("sketch_ok"),
     )
+
+
+#: resample stride and the entity sampling knob for the fixture query
+#: (every RESAMPLE_MOD-th user keeps the output hash-sized).
+RESAMPLE_MOD = 97
+
+
+@query(
+    "win_resample_ffill",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+      WHERE user_id % {RESAMPLE_MOD} = 0
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
+             1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+      FROM u
+    ), obs AS (
+      SELECT user_id, ts, 0 AS is_grid, value AS v
+      FROM events WHERE user_id % {RESAMPLE_MOD} = 0
+    ), merged AS (
+      SELECT *, last_value(v IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS filled
+      FROM (SELECT * FROM grid UNION ALL SELECT * FROM obs)
+    )
+    SELECT user_id AS entity_id, ts AS grid_ts, filled AS value_ffill
+    FROM merged WHERE is_grid = 1
+    """,
+    operator="time-series resample + forward fill (gap §2.5 analytics)",
+    doc="Hourly resampling with forward fill — the pandas "
+    "resample().ffill() primitive, distributed: per entity, an "
+    "hourly grid spanning its history (F.sequence — no explode of a "
+    "driver-side range), unioned with the raw observations, then ONE "
+    "entity-key window takes the last non-null value at or before "
+    "each grid point. No point-in-time join, no quadratic as-of "
+    "probe: the union+window formulation shuffles each entity's "
+    "rows exactly once. Filled values are actual data values "
+    "(no arithmetic), so parity is exact. A grid hour before an "
+    "entity's first observation stays NULL by contract.",
+)
+def win_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % RESAMPLE_MOD == 0
+    )
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = u.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("ts"),
+    ).select("user_id", "ts", F.lit(1).alias("is_grid"), F.lit(None).cast("double").alias("v"))
+    obs = ev.select("user_id", "ts", F.lit(0).alias("is_grid"), F.col("value").alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = grid.unionByName(obs).withColumn(
+        "filled", F.last("v", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_grid") == 1).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").alias("grid_ts"),
+        F.col("filled").alias("value_ffill"),
+    )

@@ -288,6 +288,9 @@ EXPECTATIONS: dict[str, dict] = {
     # side is node-cardinality at any edge scale) + the dst-key
     # contribution agg; the tiny nodes-to-contrib merge rides along
     "ext_pagerank": {"broadcasts": 3, "max_exchanges": 8, "no_single_partition": True},
+    # resample+ffill: per-entity bounds agg + ONE entity-key window
+    # over the grid∪observations union — no point-in-time join
+    "win_resample_ffill": {"max_exchanges": 2, "no_single_partition": True},
 }
 
 
