@@ -590,3 +590,75 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("canonical").isNull(), "new").otherwise("dup").alias("status"),
         F.col("canonical").alias("match_doc"),
     )
+
+
+#: LSH-precision eval: exact shingle-Jaccard threshold (1/2, cross-
+#: multiplied) every candidate pair is verified against.
+EVAL_T_NUM, EVAL_T_DEN = 1, 2
+
+
+@query(
+    "ext_dedup_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, list_distinct({_SH_DUCK}) AS sh FROM t
+    ), cand AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_ORACLE})
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.sh, b.sh)) AS i,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+      FROM cand c
+      JOIN s a ON a.doc_id = c.doc_a
+      JOIN s b ON b.doc_id = c.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cand,
+           CAST(sum(CASE WHEN {EVAL_T_DEN} * i >= {EVAL_T_NUM} * u
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST((1000 * sum(CASE WHEN {EVAL_T_DEN} * i >= {EVAL_T_NUM} * u
+                                 THEN 1 ELSE 0 END))
+                // greatest(count(*), 1) AS BIGINT) AS precision_milli
+    FROM scored
+    """,
+    operator="dedup-quality evaluation (exact-verified LSH candidate precision)",
+    doc="Measure, don't guess: every MinHash-LSH candidate pair is "
+    "verified against its EXACT distinct-shingle Jaccard (threshold "
+    "1/2, cross-multiplied integers — no float ratio), and the "
+    "operator reports candidate count, true-pair count, and exact "
+    "integer-permille precision. This is the observability face of "
+    "the candidate-then-verify dedup pipeline: candidates are few "
+    "(the LSH bound), so exact verification is a sliver of corpus "
+    "cost at any scale, and a drifting LSH operating point (band "
+    "count vs corpus similarity profile) shows up as a precision "
+    "drop in a dashboard instead of silent dedup quality decay.",
+)
+def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    sh = (
+        d.select("doc_id", F.expr("split(lower(text), ' ')").alias("toks"))
+        .select("doc_id", F.expr(f"array_distinct({_SH_SPARK})").alias("sh"))
+    )
+    cand = ext_dedup_minhash(spark, sf_dir)
+    scored = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .select(
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            (
+                F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+            ).alias("u"),
+        )
+    )
+    is_true = (F.lit(EVAL_T_DEN) * F.col("i") >= F.lit(EVAL_T_NUM) * F.col("u")).cast(
+        "bigint"
+    )
+    return scored.agg(
+        F.count("*").alias("n_cand"),
+        F.sum(is_true).alias("n_true"),
+        F.expr(
+            f"CAST((1000 * sum(CAST({EVAL_T_DEN} * i >= {EVAL_T_NUM} * u AS BIGINT)))"
+            " div greatest(count(*), 1) AS BIGINT)"
+        ).alias("precision_milli"),
+    )

@@ -291,6 +291,10 @@ EXPECTATIONS: dict[str, dict] = {
     # resample+ffill: per-entity bounds agg + ONE entity-key window
     # over the grid∪observations union — no point-in-time join
     "win_resample_ffill": {"max_exchanges": 2, "no_single_partition": True},
+    # LSH-precision eval: the minhash candidate machinery (bounded
+    # pair join) + two doc-id equi-joins for exact verification +
+    # the 1-row stats agg (candidates are few at any scale)
+    "ext_dedup_eval": {"max_exchanges": 9, "no_single_partition": True},
 }
 
 
