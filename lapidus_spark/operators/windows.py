@@ -837,3 +837,56 @@ def win_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("grid_ts"),
         F.col("filled").alias("value_ffill"),
     )
+
+
+#: EMA smoothing factor 1/4 — binary-exact, so the float recursion is
+#: bit-identical wherever the fold order is pinned.
+EMA_ALPHA_NUM, EMA_ALPHA_DEN = 1, 4
+
+
+@query(
+    "win_ema",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id AS entity_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           vs[1] AS first_value,
+           list_reduce(vs, (a, x) ->
+             ({EMA_ALPHA_NUM} * x + ({EMA_ALPHA_DEN} - {EMA_ALPHA_NUM}) * a)
+               / {EMA_ALPHA_DEN}) AS ema
+    FROM seq
+    """,
+    operator="exponential moving average (order-sensitive fold — gap §2.5 time series)",
+    doc="Per-entity EMA (alpha = 1/4) over the event-time-ordered "
+    "value sequence — the classic smoothing recursion a_{{i}} = "
+    "alpha*x + (1-alpha)*a_{{i-1}}, which no window frame expresses "
+    "because each step depends on the previous RESULT. Computed as "
+    "an explicit left-fold over the sorted-collected sequence on "
+    "both engines: the fold order is pinned by (ts, event_id) and "
+    "alpha is a binary-exact rational evaluated as (1*x + 3*a)/4, "
+    "so the float recursion is bit-identical. One shuffle on the "
+    "entity key; state per group is that entity's history — the "
+    "same bound as transaction assembly.",
+)
+def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))), s -> s.value)"
+        ).alias("vs"),
+        F.count("*").alias("n_events"),
+    )
+    a_num, a_den = EMA_ALPHA_NUM, EMA_ALPHA_DEN
+    return seq.select(
+        F.col("user_id").alias("entity_id"),
+        "n_events",
+        F.element_at("vs", 1).alias("first_value"),
+        F.expr(
+            f"aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1), "
+            f"(a, x) -> ({a_num} * x + ({a_den} - {a_num}) * a) / {a_den})"
+        ).alias("ema"),
+    )

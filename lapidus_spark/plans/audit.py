@@ -295,6 +295,8 @@ EXPECTATIONS: dict[str, dict] = {
     # pair join) + two doc-id equi-joins for exact verification +
     # the 1-row stats agg (candidates are few at any scale)
     "ext_dedup_eval": {"max_exchanges": 9, "no_single_partition": True},
+    # EMA: sorted-collect on the entity key — one exchange, fold inside
+    "win_ema": {"max_exchanges": 1, "no_single_partition": True},
 }
 
 

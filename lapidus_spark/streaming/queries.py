@@ -1099,3 +1099,76 @@ def stream_distinct_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_distinct_watermarked_out", partitions=4)
+
+
+@query(
+    "stream_anomaly_alert",
+    oracle="""
+    WITH base AS (SELECT event_type, event_id, value FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+    r1 AS (
+      SELECT b.*, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn
+      FROM base b
+    ),
+    med AS (
+      SELECT r1.event_type, r1.value AS med
+      FROM r1 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT b.event_type, b.event_id, b.value,
+             abs(b.value - m.med) AS dev
+      FROM base b JOIN med m ON b.event_type = m.event_type
+    ),
+    r2 AS (
+      SELECT d.*, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dev, event_id) AS rn2
+      FROM d
+    ),
+    mad AS (
+      SELECT r2.event_type, r2.dev AS mad
+      FROM r2 JOIN n USING (event_type) WHERE rn2 = (n + 1) // 2
+    )
+    SELECT d.event_id, d.event_type AS type, d.value, d.dev
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    WHERE d.dev > 5 * mad.mad
+    """,
+    operator="streaming anomaly alerting (stream-static robust thresholds)",
+    doc="win_mad_anomaly's production consumer: per-type robust "
+    "thresholds (exact lower-median element and MAD, the 'trained' "
+    "reference profile) are computed batch-side, BROADCAST, and the "
+    "live event stream is scored against them per micro-batch — "
+    "each event costs one broadcast-hash probe and two arithmetic "
+    "ops, no stream-side state at all. This is the stream-static "
+    "alerting shape: heavy statistics offline, cheap scoring "
+    "online; refresh the profile by swapping the broadcast side. "
+    "Oracle = the batch anomaly selection over the same corpus.",
+)
+def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type")
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    mid = F.expr("(n + 1) div 2")
+    r1 = ev.withColumn("n", F.count("*").over(w)).withColumn(
+        "rn", F.row_number().over(w_val)
+    )
+    with_med = r1.withColumn(
+        "med", F.max(F.when(F.col("rn") == mid, F.col("value"))).over(w)
+    ).withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    w_dev = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    stats = (
+        with_med.withColumn("rn2", F.row_number().over(w_dev))
+        .withColumn("mad", F.max(F.when(F.col("rn2") == mid, F.col("dev"))).over(w))
+        .groupBy("event_type")
+        .agg(F.first("med").alias("med"), F.first("mad").alias("mad"))
+    )
+    live = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    alerts = (
+        live.join(F.broadcast(stats), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        .filter(F.col("dev") > 5 * F.col("mad"))
+        .select("event_id", F.col("event_type").alias("type"), "value", "dev")
+    )
+    return _run_to_memory(alerts, "stream_anomaly_alert_out", partitions=4)
