@@ -60,16 +60,15 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 16 new queries joined the surface and 10
-#: existing queries changed implementation, so the window is 21
+#: Round-4 recorded trade: 20 new queries joined the surface and 10
+#: existing queries changed implementation, so the window is 25
 #: age-0 (new + never-verified) + 10 touched-this-round + 10
-#: round-1-stale + 9 of the 41 round-2-green (streaming cohort
-#: first). The 32 round-2-green queries left outside are dominated
-#: by zero/low-shuffle text and pipeline expressions whose code did
-#: not change; they refresh in round 5 when this round's cohort
-#: rotates to the back. Changed code outranks stale-but-unchanged
-#: code: a green signal from before an implementation change is no
-#: evidence about the change.
+#: round-1-stale + 5 of the 41 round-2-green (streaming cohort
+#: first). The 36 round-2-green queries left outside did not change
+#: this round and remain under pytest oracle parity; they refresh in
+#: round 5 when this round's cohort rotates to the back. Changed
+#: code outranks stale-but-unchanged code: a green signal from
+#: before an implementation change is no evidence about the change.
 
 
 _SIGNAL_AGES: dict[str, int] | None = None
