@@ -31,15 +31,28 @@ def main() -> None:
     # TARGET sf: stream_tx_assembly replays a generated marker dir —
     # building it is setup, not operator work, and must not land in
     # the timed pass.
-    from lapidus_spark.functions.dedup import build_ngram_index
+    from lapidus_spark.functions.dedup import build_fingerprint_index, build_ngram_index
+    from lapidus_spark.functions.pipeline import build_corpus_shards
     from lapidus_spark.functions.similarity import build_ivf_index
+    from lapidus_spark.functions.text import build_df_index
     from lapidus_spark.operators.graph import build_trade_graph
-    from lapidus_spark.sources.jsoncdc import build_jsoncdc_replay
-    from lapidus_spark.streaming.queries import build_tx_replay_input
+    from lapidus_spark.sources.formats import build_csv_capture, build_evolved_parquet
+    from lapidus_spark.sources.jsoncdc import (
+        build_jsoncdc_corrupt_replay,
+        build_jsoncdc_replay,
+    )
+    from lapidus_spark.streaming.queries import build_late_replay, build_tx_replay_input
 
     for builder in (
         build_tx_replay_input,
         build_jsoncdc_replay,
+        build_jsoncdc_corrupt_replay,
+        build_late_replay,
+        build_csv_capture,
+        build_evolved_parquet,
+        build_fingerprint_index,
+        build_df_index,
+        build_corpus_shards,
         build_ivf_index,
         build_ngram_index,
         build_trade_graph,

@@ -657,8 +657,10 @@ def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.agg(
         F.count("*").alias("n_cand"),
         F.sum(is_true).alias("n_true"),
-        F.expr(
-            f"CAST((1000 * sum(CAST({EVAL_T_DEN} * i >= {EVAL_T_NUM} * u AS BIGINT)))"
-            " div greatest(count(*), 1) AS BIGINT)"
-        ).alias("precision_milli"),
+    ).select(
+        "n_cand",
+        "n_true",
+        F.expr("CAST((1000 * n_true) div greatest(n_cand, 1) AS BIGINT)").alias(
+            "precision_milli"
+        ),
     )

@@ -661,10 +661,11 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the length histogram), summed per doc with an integer-division "
     "mean. High mean surprisal = token transitions rare relative to "
     "their context = disfluent/boilerplate-shuffled text. Counts "
-    "come from the corpus itself (a self-scored filter); both count "
-    "tables are vocabulary-sized, so the scoring join BROADCASTS "
-    "them — the corpus-sized bigram explode shuffles only for the "
-    "final per-doc aggregation.",
+    "come from the corpus itself (a self-scored filter). The UNIGRAM "
+    "table is vocabulary-sized and broadcasts; the BIGRAM table "
+    "grows with the corpus (distinct adjacent pairs), so its join "
+    "is left to the planner — broadcast at fixture scale, "
+    "shuffle-on-(w1,w2) at 100 TB.",
 )
 def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", parallel=True)
@@ -689,7 +690,7 @@ def ext_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     q = (F.length(F.bin(F.expr("c1 div c2"))) - 1).cast("bigint")
     return (
-        big.join(F.broadcast(bc), ["w1", "w2"])
+        big.join(bc, ["w1", "w2"])
         .join(F.broadcast(uni), big.w1 == uni.w)
         .select("doc_id", q.alias("q"))
         .groupBy("doc_id")

@@ -119,7 +119,7 @@ def build_trade_graph(spark: SparkSession, sf_dir: str) -> str:
 
 @query(
     "ext_pagerank",
-    oracle=None,  # set right below (needs PR_DEN_MINUS defined first)
+    oracle=_pagerank_oracle(),
     operator="iterative graph analytics (PageRank — Pregel cost model in DataFrames)",
     doc="Weighted PageRank over the customer–supplier trade graph, "
     "3 iterations, ENTIRELY in BIGINT fixed point (scale 1e9, "
@@ -154,8 +154,3 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select("node", F.col("rq").alias("rank_q"))
 
-
-# wire the oracle now that PR_DEN_MINUS exists
-from lapidus_spark.plans.registry import REGISTRY  # noqa: E402
-
-REGISTRY["ext_pagerank"].oracle = _pagerank_oracle()

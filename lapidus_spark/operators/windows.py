@@ -784,14 +784,16 @@ RESAMPLE_MOD = 97
       GROUP BY user_id
     ), grid AS (
       SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts,
-             1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+             1 AS is_grid, CAST(0 AS BIGINT) AS sk, CAST(NULL AS DOUBLE) AS v
       FROM u
     ), obs AS (
-      SELECT user_id, ts, 0 AS is_grid, value AS v
+      SELECT user_id, ts, 0 AS is_grid, event_id AS sk, value AS v
       FROM events WHERE user_id % {RESAMPLE_MOD} = 0
     ), merged AS (
+      -- sk = event_id pins ties between same-timestamp observations,
+      -- keeping the fill deterministic on both engines
       SELECT *, last_value(v IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts, is_grid
+                  OVER (PARTITION BY user_id ORDER BY ts, is_grid, sk
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS filled
       FROM (SELECT * FROM grid UNION ALL SELECT * FROM obs)
@@ -822,11 +824,24 @@ def win_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = u.select(
         "user_id",
         F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("ts"),
-    ).select("user_id", "ts", F.lit(1).alias("is_grid"), F.lit(None).cast("double").alias("v"))
-    obs = ev.select("user_id", "ts", F.lit(0).alias("is_grid"), F.col("value").alias("v"))
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_grid"),
+        F.lit(0).cast("bigint").alias("sk"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    obs = ev.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_grid"),
+        F.col("event_id").alias("sk"),
+        F.col("value").alias("v"),
+    )
+    # sk = event_id pins ties between same-timestamp observations
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_grid")
+        .orderBy("ts", "is_grid", "sk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = grid.unionByName(obs).withColumn(

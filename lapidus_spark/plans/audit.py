@@ -277,10 +277,11 @@ EXPECTATIONS: dict[str, dict] = {
     # winnowing: higher-order array expressions end to end; the 1 is
     # the parallel-load crutch for the single-split fixture file
     "ext_winnow_fingerprint": {"max_exchanges": 1},
-    # bigram LM scoring: both count tables are vocabulary-sized and
-    # BROADCAST; the corpus-sized bigram stream shuffles only for its
-    # own count aggs + the final per-doc agg (+ parallel-load crutch)
-    "ext_bigram_surprisal": {"broadcasts": 2, "max_exchanges": 6, "no_single_partition": True},
+    # bigram LM scoring: the vocabulary-sized unigram table is
+    # BROADCAST; the bigram count table is corpus-growing, so its
+    # join is left to the planner (broadcast at fixture scale,
+    # shuffle at 100 TB — the budget allows both forms)
+    "ext_bigram_surprisal": {"broadcasts": 1, "max_exchanges": 8, "no_single_partition": True},
     # exact-element quantiles share one event_type exchange; the GK
     # sketch rides a second agg, then broadcasts (type-cardinality)
     "agg_quantile_gate": {"broadcasts": 1, "max_exchanges": 3, "no_single_partition": True},
