@@ -1,0 +1,27 @@
+"""Smoke tests for the runnable examples — artifacts must not rot."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_curate_corpus_example_runs():
+    """The end-to-end curation pipeline runs on sf0.001 and prints a
+    monotonically shrinking funnel plus a total split manifest."""
+    out = subprocess.run(
+        [sys.executable, "examples/curate_corpus.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    ).stdout
+    assert "== curation funnel ==" in out and "== final manifest ==" in out
+    import re
+
+    funnel = [int(m) for m in re.findall(r"^\s+[\w+-]+: (\d+)$", out, re.M)]
+    # intake >= quality >= exact-dedup >= post-dedup+decontam > 0
+    stages = funnel[:4]
+    assert stages == sorted(stages, reverse=True) and stages[-1] > 0
+    manifest = [int(m) for m in re.findall(r"^\s+(?:train|val|test): (\d+) docs$", out, re.M)]
+    assert sum(manifest) == stages[-1]
