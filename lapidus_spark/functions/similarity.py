@@ -66,6 +66,7 @@ def _cos(dialect: str, a: str, b: str) -> str:
     )
 
 
+
 @query(
     "ext_sim_search",
     oracle=f"""
@@ -203,18 +204,30 @@ def _ivf_weight(i: int, d: int) -> int:
 
 
 def _cell_scores(dialect: str, col: str) -> list[str]:
-    """Per-cell L2 proxy scores: argmin_i |e - c_i|^2 == argmin_i
-    (|c_i|^2 - 2*c_i.e) — |e|^2 is constant per row and drops out.
-    |c_i|^2 is an integer literal and each dot is an explicit
-    left-to-right 64-term sum, so both engines produce bit-identical
-    doubles."""
+    """Per-cell L2 proxy scores against the NORM-NORMALIZED centroids
+    c_i/|c_i|: argmin_i |e - c_i/|c_i||^2 == argmin_i -(c_i.e)/|c_i|
+    (|e|^2 and the unit 1 are constant per row and drop out).
+
+    Normalization is load-bearing, not cosmetic: the raw md5 centroids
+    have |c_i|^2 ~ 2.3e10 with a spread that dwarfs the +-1e4 dot term
+    against unit-norm embeddings, so the un-normalized argmin
+    (|c_i|^2 - 2 c_i.e) is decided almost entirely by |c_i|^2 — every
+    vector lands in the minimum-norm cell and the IVF partition prune
+    reads 100% of the corpus (measured: 500/500 vectors in one cell).
+    Dividing by the Python-computed |c_i| literal (same shortest-
+    round-trip decimal parsed to the same IEEE double by both
+    engines) makes the assignment direction-driven and the cells
+    balanced. Each dot is an explicit left-to-right 64-term sum, so
+    both engines produce bit-identical doubles."""
     scores = []
     for i in range(N_CELLS):
-        norm2 = sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1))
+        import math
+
+        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
         dot = " + ".join(
             f"{_ivf_weight(i, d)} * {_elem_at(dialect, col, d)}" for d in range(1, DIM + 1)
         )
-        scores.append(f"(CAST({norm2} AS DOUBLE) - 2.0 * ({dot}))")
+        scores.append(f"(-({dot}) / {norm!r})")
     return scores
 
 
@@ -238,6 +251,61 @@ def _scores_arr(dialect: str, col: str) -> str:
     return f"array({arr})" if dialect == "spark" else f"[{arr}]"
 
 
+def _centroid_df(spark: SparkSession):
+    """The 16 unit-normalization-ready centroids as a 16-row DataFrame
+    (cell, w: array<double>, cnorm: double).
+
+    Centroids as DATA, not as inlined literals: the literal
+    16×64-term score expression generates ~200 KB of Java per
+    operator, which blows Janino's 64 KB method limit — every task
+    then pays a FAILED whole-stage compilation and falls back to the
+    interpreted path (measured: seconds of per-query overhead on a
+    2000-row fixture, all compile). A broadcast 16-row join with a
+    fold over the centroid array keeps plans small and constant-size,
+    and is the only shape that survives a real codebook (a 65536-
+    centroid IVF can't be a literal). The weights and norms are the
+    SAME Python values the literal/_cell_scores form inlines, and the
+    fold multiplies/accumulates in the same left-to-right order, so
+    cell assignments and scores stay bit-identical to the DuckDB
+    oracle's literal expression."""
+    import math
+
+    rows = []
+    for i in range(N_CELLS):
+        w = [float(_ivf_weight(i, d)) for d in range(1, DIM + 1)]
+        cnorm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
+        rows.append((i, w, cnorm))
+    return spark.createDataFrame(rows, "cell INT, w ARRAY<DOUBLE>, cnorm DOUBLE")
+
+
+#: fold for the centroid-table dot: identical order to _dot's literal
+#: fold (0.0-prefixed, d = 1..DIM), with the int weight arriving as an
+#: exactly-representable double — same IEEE products, same sum.
+_CENT_SCORE = (
+    f"-(aggregate(sequence(1, {DIM}), CAST(0 AS DOUBLE), "
+    f"(acc, d) -> acc + element_at(w, d) * CAST(element_at(embedding, d) AS DOUBLE))) "
+    f"/ cnorm"
+)
+
+
+def assign_cells(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via the broadcast centroid table:
+    (vec_id, cell, mn) where mn is the winning score -(c.e)/|c|.
+    One broadcast join (16× row multiplication carrying only
+    vec_id/score/cell — never the embedding) + one vec_id-keyed agg;
+    ties break to the lowest cell via the struct ordering, matching
+    the oracle's first-minimum list_position."""
+    cent = _centroid_df(spark)
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", F.expr(_CENT_SCORE).alias("score"), "cell"
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.score").alias("mn"))
+    )
+
+
 #: IVF index dirs built per (process, sf_dir) — the index is ingest-
 #: time work (build once, probe many), so repeated queries and the
 #: bench measure the PROBE, not the build.
@@ -257,11 +325,8 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     path = tempfile.mkdtemp(prefix="lapidus_ivf_")
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     (
-        e.select(
-            "vec_id",
-            "embedding",
-            F.expr(_cell_expr("spark", "embedding")).alias("cell"),
-        )
+        e.join(assign_cells(spark, e).drop("mn"), "vec_id")
+        .select("vec_id", "embedding", "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -304,18 +369,21 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Query-side index metadata, fetched driver-side (one pushed-
     # filter scan of one row). The cell scores are computed in Python
     # with the SAME left-to-right IEEE-double fold the SQL quantizer
-    # uses (int weight × double element, then norm² − 2·dot), so every
-    # bit matches the engines' arithmetic — and the 16×64-term score
+    # uses (int weight × double element, then −dot/|c| against the
+    # norm-normalized centroids — see _cell_scores), so every bit
+    # matches the engines' arithmetic — and the 16×64-term score
     # expression never enters this query's plan (it would dominate the
     # probe via codegen compilation; it belongs to the index build).
+    import math
+
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
     qscores = []
     for i in range(N_CELLS):
-        norm2 = sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1))
+        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
         dot = 0.0
         for d in range(1, DIM + 1):
             dot = dot + _ivf_weight(i, d) * float(qrow.embedding[d - 1])
-        qscores.append(float(norm2) - 2.0 * dot)
+        qscores.append(-dot / norm)
     thr = sorted(qscores)[N_PROBE - 1]
     # <= keeps score ties, same as the oracle's predicate
     cells = [c for c, s in enumerate(qscores) if s <= thr]
@@ -528,3 +596,212 @@ def _bind_crossmodal_oracle() -> None:
 
 
 _bind_crossmodal_oracle()
+
+
+#: fixed-point scale for the quantized inertia metric — coarser than
+#: CENTROID_SCALE because the squared-distance magnitudes are ~DIM×
+#: larger than single components.
+INERTIA_SCALE = 1 << 10
+
+
+def _sqdist_expr(dialect: str, col: str) -> str:
+    """Exact squared L2 distance to the NEAREST unit-normalized
+    centroid: the cell scores are -(c_i.e)/|c_i| = -(chat_i.e), so
+    |e - chat_i|^2 = |e|^2 + 2*min_score + 1. Every term is a
+    bit-identical double on both engines (literal-centroid dots + an
+    explicit left-fold self-dot), so the sum is too."""
+    arr = _scores_arr(dialect, col)
+    self_dot = _dot(dialect, col, col)
+    if dialect == "spark":
+        from lapidus_spark.functions.exprs import let_
+
+        return let_(arr, "sc", f"({self_dot}) + 2.0 * array_min(sc) + 1.0")
+    return f"({self_dot}) + 2.0 * list_aggregate({arr}, 'min') + 1.0"
+
+
+@query(
+    "ext_kmeans_step",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id, embedding,
+             {_cell_expr("duck", "embedding")} AS cell,
+             CAST(floor(({_sqdist_expr("duck", "embedding")}) * {INERTIA_SCALE})
+                  AS BIGINT) AS dq
+      FROM embeddings
+    ), x AS (
+      SELECT cell, dq, embedding, unnest(range(1, {DIM} + 1)) AS dim
+      FROM a
+    ), q AS (
+      SELECT cell, dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {CENTROID_SCALE})
+                  AS BIGINT) AS qv,
+             dq
+      FROM x
+    ), s AS (
+      SELECT cell, dim, sum(qv) AS sq, count(*) AS n,
+             CAST(sum(dq) AS BIGINT) AS sdq
+      FROM q GROUP BY cell, dim
+    ), m AS (
+      SELECT cell, dim, n, sdq,
+             (sq - (((sq % n) + n) % n)) // n AS mq
+      FROM s
+    )
+    SELECT cell,
+           max(n) AS n_vecs,
+           -- sdq is identical across dims of a cell; max picks it once
+           max(sdq) AS inertia_q,
+           string_agg(CAST(mq AS VARCHAR), '|' ORDER BY dim) AS centroid_q
+    FROM m GROUP BY cell
+    """,
+    operator="ext_sim (k-means Lloyd step over the IVF quantizer)",
+    doc="One exact Lloyd iteration of k-means over the embedding "
+    "corpus: assign every vector to its nearest static centroid (the "
+    "16 md5-derived integer IVF centroids — k-means init is exactly "
+    "what the IVF coarse quantizer is), then recompute each cell's "
+    "centroid as the exact fixed-point mean (2^20 scaling, the "
+    "ext_embed_centroid identity) and the cell's quantized inertia "
+    "sum(floor(d^2 * 2^10)). Assignment and distance are zero-shuffle "
+    "codegen arithmetic; the update is ONE shuffle keyed (cell, dim) "
+    "— never a vector in flight — so the step is order-independent "
+    "and bit-identical on any cluster layout. Iterating = re-running "
+    "with the emitted centroids as the next round's literals; the "
+    "refit loop that k-means needs is driver-side plan construction, "
+    "each iteration one exchange over k×DIM keys.",
+)
+def ext_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    # assignment via the broadcast centroid table (see _centroid_df:
+    # the literal-expression form blew the 64 KB codegen limit and ran
+    # interpreted — measured 9.5 s → ~1 s at sf0.1), then the winning
+    # (cell, mn) rejoins the embedding on vec_id for the update pass
+    best = assign_cells(spark, e)
+    rows = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dot("spark", "embedding", "embedding")).alias("sd"),
+    ).join(best, "vec_id")
+    a = rows.select(
+        "cell",
+        F.floor((F.col("sd") + 2.0 * F.col("mn") + 1.0) * INERTIA_SCALE)
+        .cast("bigint")
+        .alias("dq"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "cell",
+        "dq",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * CENTROID_SCALE).cast("bigint").alias("qv"),
+    )
+    s = a.groupBy("cell", "dim").agg(
+        F.sum("qv").alias("sq"), F.count("*").alias("n"), F.sum("dq").alias("sdq")
+    )
+    m = s.withColumn("mq", F.expr("(sq - (((sq % n) + n) % n)) div n"))
+    return (
+        m.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.max("sdq").alias("inertia_q"),
+            F.array_sort(F.collect_list(F.struct("dim", "mq"))).alias("st"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "inertia_q",
+            F.array_join(F.expr("transform(st, x -> CAST(x.mq AS STRING))"), "|").alias(
+                "centroid_q"
+            ),
+        )
+    )
+
+
+#: SemDeDup cosine threshold — the fixture's near-orthogonal vectors
+#: make COS_T (0.4) the interesting band, same as ext_dedup_embed.
+SEMDEDUP_T = COS_T
+
+
+@query(
+    "ext_semdedup",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT vec_id, embedding,
+             {_cell_expr("duck", "embedding")} AS cell,
+             sqrt({_dot("duck", "embedding", "embedding")}) AS norm
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, embedding, cell, norm
+      FROM (SELECT *, count(*) OVER (PARTITION BY cell) AS cn FROM s0)
+      WHERE cn <= {MAX_BUCKET_VECS}
+    ), dropped AS (
+      SELECT DISTINCT b.cell, b.vec_id
+      FROM s a JOIN s b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_dot("duck", "a.embedding", "b.embedding")} / (a.norm * b.norm)
+            >= {SEMDEDUP_T}
+    ), per_cell AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM s GROUP BY cell
+    ), drop_agg AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped,
+             string_agg(CAST(vec_id AS VARCHAR), '|' ORDER BY vec_id) AS dropped_ids
+      FROM dropped GROUP BY cell
+    )
+    SELECT p.cell, p.n_vecs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           p.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept,
+           COALESCE(d.dropped_ids, '') AS dropped_ids
+    FROM per_cell p LEFT JOIN drop_agg d ON p.cell = d.cell
+    """,
+    operator="ext_dedup_near (SemDeDup: cluster-blocked semantic dedup)",
+    doc="SemDeDup (Abbas et al. 2023): cluster the embedding space "
+    "(nearest static centroid — the same deterministic quantizer as "
+    "ext_kmeans_step/ext_ann_ivf), then compare pairs ONLY within a "
+    "cluster and drop every vector that has a lower-id neighbor at "
+    "cosine >= t. Complement to ext_dedup_embed's sign-LSH blocking: "
+    "LSH buckets bound recall by hash collision, k-means cells bound "
+    "it by the quantizer — the published trade for semantic (not "
+    "near-exact) dedup at corpus scale. The pair join is per-cell "
+    "(cells are size-bounded by construction, K scales with N; the "
+    "MAX_BUCKET_VECS guard backstops a degenerate quantizer), the "
+    "keep rule is the deterministic lowest-id representative, and "
+    "the per-cell report carries the dropped ids for audit.",
+)
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # read the cell-partitioned IVF index (ingest-time artifact, the
+    # same build-once-probe-many rule as ext_ann_ivf — SemDeDup's
+    # cluster assignment IS the IVF coarse quantizer's) instead of
+    # recomputing assignment on both sides of the self-join
+    idx = spark.read.parquet(build_ivf_index(spark, sf_dir))
+    s = idx.select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.expr(f"sqrt({_dot('spark', 'embedding', 'embedding')})").alias("norm"),
+    )
+    s = (
+        s.withColumn("cn", F.count("*").over(Window.partitionBy("cell")))
+        .filter(F.col("cn") <= MAX_BUCKET_VECS)
+        .drop("cn")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = F.expr(f"{_dot('spark', 'a.embedding', 'b.embedding')} / (a.norm * b.norm)")
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= SEMDEDUP_T)
+        .select(F.col("b.cell").alias("cell"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    per_cell = s.groupBy("cell").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    drop_agg = dropped.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(vec_id)), x -> CAST(x AS STRING))"),
+            "|",
+        ).alias("dropped_ids"),
+    )
+    return per_cell.join(drop_agg, "cell", "left").select(
+        "cell",
+        "n_vecs",
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0).cast("bigint"))).alias("n_kept"),
+        F.coalesce("dropped_ids", F.lit("")).alias("dropped_ids"),
+    )

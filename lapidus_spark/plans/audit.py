@@ -298,6 +298,18 @@ EXPECTATIONS: dict[str, dict] = {
     "ext_dedup_eval": {"max_exchanges": 9, "no_single_partition": True},
     # EMA: sorted-collect on the entity key — one exchange, fold inside
     "win_ema": {"max_exchanges": 1, "no_single_partition": True},
+    # Lloyd step: broadcast centroid-table assignment (16 rows —
+    # never a vector in the score shuffle), vec_id rejoin, then the
+    # (cell,dim)-keyed agg + cell-keyed reassembly agg
+    "ext_kmeans_step": {
+        "broadcasts": 2,
+        "max_exchanges": 5,
+        "no_single_partition": True,
+    },
+    # SemDeDup: cell-partitioned index scan + cell-keyed window +
+    # self-join + distinct + two aggs, all on the (bounded-size)
+    # cell key; no cross join
+    "ext_semdedup": {"max_exchanges": 6, "no_single_partition": True},
 }
 
 

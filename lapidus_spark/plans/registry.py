@@ -60,10 +60,11 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 20 new queries joined the surface and 10
-#: existing queries changed implementation, so the window is 25
-#: age-0 (new + never-verified) + 10 touched-this-round + 10
-#: round-1-stale + 5 of the 41 round-2-green (streaming cohort
+#: Round-4 recorded trade: 22 new queries joined the surface
+#: (ext_kmeans_step / ext_semdedup late in the round) and 11
+#: existing queries changed implementation, so the window is 27
+#: age-0 (new + never-verified) + 11 touched-this-round + 10
+#: round-1-stale + 2 of the 41 round-2-green (streaming cohort
 #: first). The 36 round-2-green queries left outside did not change
 #: this round and remain under pytest oracle parity; they refresh in
 #: round 5 when this round's cohort rotates to the back. Changed
@@ -125,6 +126,10 @@ _TOUCHED_THIS_ROUND = (
     "stream_jsoncdc_tx",
     # PPJoin length+positional filters added to the candidate join
     "ext_dedup_ngram",
+    # IVF quantizer normalized (was norm-dominated: every vector in
+    # one cell, partition prune read 100% of the corpus); query-side
+    # Python scores updated to match
+    "ext_ann_ivf",
     # streaming overhead cuts: read-back schema/coalesce, trigger
     # sizing, per-query state partitions; late-drop oracle ms floor
     "stream_upsert_snapshot",

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from lapidus_spark.functions.similarity import ext_ann_ivf, ext_ann_lsh, ext_sim_search
+from lapidus_spark.functions.similarity import ext_ann_ivf
 from lapidus_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, SF_DIR_MID
 
@@ -37,19 +37,57 @@ def test_percentile_approx_brackets_exact(spark):
     assert abs(r["approx"] - r["exact"]) <= 0.02 * spread, r
 
 
-def _top_ids(df):
-    return {r["vec_id"] for r in df.collect()}
+def test_ivf_probe_is_probe_shaped(spark):
+    """The IVF probe returns a full top-k drawn from the probed cells
+    only, and the probe genuinely prunes (reads < half the corpus).
+
+    Top-k RECALL is NOT asserted against this fixture for the same
+    reason the LSH test below doesn't: the embeddings are i.i.d.
+    noise (max pair cosine < 0.5 at sf0.001), so 'nearest neighbors'
+    are noise — any fixed 2-of-16-cell probe recalls ~n_probe/k of
+    them by chance. (The pre-round-4 version of this test asserted
+    recall ≥ k/2, which only ever passed because the un-normalized
+    quantizer was degenerate: every vector hashed to one cell and the
+    'probe' was a brute-force scan.) The recall property that IS
+    guaranteed — a genuinely-near neighbor shares the query's cell —
+    is asserted on a planted pair in test_ivf_cell_catches_planted
+    below."""
+    from lapidus_spark.functions.similarity import TOP_K, _cell_expr
+
+    ivf = ext_ann_ivf(spark, SF_DIR)
+    rows = ivf.collect()
+    assert len(rows) == TOP_K
+    # every returned candidate sits in one of the probed cells — i.e.
+    # the result is consistent with the partition-pruned scan
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cells = (
+        e.select(F.expr(_cell_expr("spark", "embedding")).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert len(cells) > 8, f"quantizer degenerate again: {cells}"
+    top = max(r["count"] for r in cells)
+    total = sum(r["count"] for r in cells)
+    assert top < total / 2, f"one cell holds {top}/{total} vectors"
 
 
-def test_ivf_probe_recalls_exact_topk(spark):
-    exact = _top_ids(ext_sim_search(spark, SF_DIR))
-    ivf = _top_ids(ext_ann_ivf(spark, SF_DIR))
-    k = len(exact)
-    assert len(ivf & exact) >= k // 2, (sorted(exact), sorted(ivf))
-    # LSH bucket recall is NOT asserted against this fixture: the
-    # embeddings are i.i.d. noise (max pair cosine < 0.5 at sf0.001),
-    # so 'nearest neighbors' are noise and sign-LSH has nothing to
-    # recall. The LSH property is tested on planted neighbors below.
+def test_ivf_cell_catches_planted_neighbor(spark):
+    """IVF's actual recall contract: a genuinely-near pair (cos ≈
+    0.997) is assigned to the same cell, so probing the query's own
+    cell finds it."""
+    import random
+
+    from lapidus_spark.functions.similarity import DIM, _cell_expr
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(DIM)]
+    near = [x + rng.gauss(0, 0.08) for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, near)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    ).select("vec_id", F.expr(_cell_expr("spark", "embedding")).alias("cell"))
+    cells = {r["vec_id"]: r["cell"] for r in df.collect()}
+    assert cells[1] == cells[2], f"planted near pair split across cells: {cells}"
 
 
 def test_lsh_buckets_catch_planted_neighbor(spark):
