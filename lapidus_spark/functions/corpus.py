@@ -252,3 +252,92 @@ def ext_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(denom)).select(
         "lang", "n_docs", "share", (F.col("sq") / F.col("denom")).alias("weight")
     )
+
+
+DUP_N = 8  # duplicated-span n-gram width (tokens)
+MIN_DUP_DOCS = 2  # a gram in >= this many distinct docs is corpus-duplicated
+
+
+@query(
+    "ext_dup_span",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(1, len(t) - {DUP_N} + 2)) AS pos, t
+      FROM t WHERE len(t) >= {DUP_N}
+    ), g2 AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(t, pos, pos + {DUP_N} - 1), ' ') AS gram
+      FROM g
+    ), dup AS (
+      SELECT gram FROM g2 GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {MIN_DUP_DOCS}
+    ), occ AS (
+      SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + unnest(range(0, {DUP_N})) AS p FROM occ
+    ), covc AS (
+      SELECT doc_id, count(*) AS ndup FROM cov GROUP BY doc_id
+    ), n AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT n.doc_id,
+           CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.ndup, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(COALESCE(c.ndup, 0) AS DOUBLE) / n.n_tokens AS dup_ratio
+    FROM n LEFT JOIN covc c ON n.doc_id = c.doc_id
+    """,
+    operator="ext_dedup (cross-doc duplicated-span annotation, ExactSubstr shape)",
+    doc=f"Per-document duplicated-span profile: a token position is "
+    f"'duplicated' when it falls inside any {DUP_N}-gram that also "
+    "occurs in at least one OTHER document — the span-level signal "
+    "behind ExactSubstr-style dedup (Lee et al. 2022), which removes "
+    "repeated boilerplate runs instead of whole near-dup documents, "
+    "and the complement of ext_repetition (within-doc) and "
+    "ext_decontaminate (vs a benchmark set). Pipeline: positional "
+    "n-grams → gram-keyed distinct-doc count (one shuffle; the gram "
+    "would be xxhash64'd at 100 TB to shrink the exchange, string "
+    "kept here for oracle parity) → semi-join back (fan-out bounded "
+    "by the corpus's positional-gram count, never quadratic in "
+    "documents) → position-interval union via an 8-way explode + "
+    "distinct. Coverage counts are exact integers; the ratio is one "
+    "exact int/int division.",
+)
+def ext_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    g2 = (
+        toks.filter(F.size("t") >= DUP_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {DUP_N} + 1), "
+                    f"i -> struct(i AS pos, array_join(slice(t, i, {DUP_N}), ' ') AS gram))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    dup = (
+        g2.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= MIN_DUP_DOCS)
+        .select("gram")
+    )
+    occ = g2.join(dup, "gram").select("doc_id", "pos")
+    covc = (
+        occ.select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {DUP_N} - 1)")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ndup"))
+    )
+    n = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    nd = F.coalesce(F.col("ndup"), F.lit(0)).cast("bigint")
+    return n.join(covc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        nd.alias("n_dup_tokens"),
+        (nd.cast("double") / F.col("n_tokens")).alias("dup_ratio"),
+    )

@@ -647,3 +647,63 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
 def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+DOMAIN_CAP = 10  # max docs kept per source domain
+
+
+@query(
+    "ext_domain_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           string_agg(CASE WHEN rk <= {DOMAIN_CAP} THEN CAST(doc_id AS VARCHAR) END,
+                      '|' ORDER BY rk) AS kept_ids
+    FROM r GROUP BY source
+    """,
+    operator="ext_sample (per-domain document cap)",
+    doc=f"FineWeb-style per-domain cap: keep at most {DOMAIN_CAP} "
+    "documents per source domain, ranked by document length with a "
+    "deterministic doc_id tiebreak — the anti-monoculture guard that "
+    "stops one crawler-friendly domain from dominating a training "
+    "mix. One window pass on the domain key (single exchange; the "
+    "per-domain rank never globalizes) followed by the per-domain "
+    "keep report with the kept ids in rank order for audit. At "
+    "100 TB the domain key is skewed by construction (that is the "
+    "problem the cap exists to measure) — the window still bounds "
+    "per-task work because rank only needs a per-domain sort, and a "
+    "domain too hot for one task is exactly a domain the cap will "
+    "cut to {DOMAIN_CAP} rows anyway, so a pre-aggregation keeping "
+    "each domain's top rows per partition (partial TakeOrdered) "
+    "bounds the exchange.",
+)
+def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    r = d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+    kept = F.col("rk") <= DOMAIN_CAP
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN rk <= "
+                f"{DOMAIN_CAP} THEN struct(rk, doc_id) END)), x -> CAST(x.doc_id AS STRING))"
+            ),
+            "|",
+        ).alias("kept_ids"),
+    )

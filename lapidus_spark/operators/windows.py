@@ -905,3 +905,43 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(a, x) -> ({a_num} * x + ({a_den} - {a_num}) * a) / {a_den})"
         ).alias("ema"),
     )
+
+
+@query(
+    "win_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           (min(struct_pack(ts := ts, id := event_id, v := value))).v AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           (max(struct_pack(ts := ts, id := event_id, v := value))).v AS close_v,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    operator="agg_order + win (time-series OHLC downsample, gap §2.5)",
+    doc="Hourly OHLC bars per event type — the canonical time-series "
+    "downsample (resample('1h').ohlc()). Open/close are exact "
+    "argmin/argmax by (ts, event_id) via lexicographic struct "
+    "min/max INSIDE the one grouped aggregation — no window pass, no "
+    "self-join, no sort: the whole query is a single partial-"
+    "aggregated exchange on (type, hour), the shape that scales to "
+    "any tick volume because per-group state is one struct per "
+    "extreme. Sums are DECIMAL-exact before the double cast; the "
+    "event_id tiebreak pins concurrent-timestamp ties on both "
+    "engines.",
+)
+def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bar_ts")
+    st = F.struct(F.col("ts"), F.col("event_id").alias("id"), F.col("value").alias("v"))
+    return ev.groupBy("event_type", bar).agg(
+        F.min(st).getField("v").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(st).getField("v").alias("close_v"),
+        F.count("*").cast("bigint").alias("volume"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -310,6 +310,19 @@ EXPECTATIONS: dict[str, dict] = {
     # self-join + distinct + two aggs, all on the (bounded-size)
     # cell key; no cross join
     "ext_semdedup": {"max_exchanges": 6, "no_single_partition": True},
+    # duplicated-span: gram-keyed df agg + semi-join back + coverage
+    # distinct + per-doc agg + final left join (AQE broadcasts the
+    # small sides at fixture scale; gram-keyed SMJ at 100 TB)
+    "ext_dup_span": {"max_exchanges": 7, "no_single_partition": True},
+    # per-domain cap: ONE window exchange on the domain key + the
+    # per-domain report agg sharing the same partitioning
+    "ext_domain_cap": {"max_exchanges": 2, "no_single_partition": True},
+    # OHLC: a single partial-aggregated exchange on (type, hour) —
+    # open/close are struct-argmin/argmax inside the agg, no window
+    "win_ohlc_bars": {"max_exchanges": 1, "no_single_partition": True},
+    # LDJSON ingest: one scan, one tiny class agg (distinct-count
+    # expands to two passes over the same exchange)
+    "src_jsonl_scan": {"max_exchanges": 2, "no_single_partition": True},
 }
 
 

@@ -172,3 +172,97 @@ def src_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+#: every JSONL_BAD_MOD-th document is written as a torn JSON line.
+JSONL_BAD_MOD = 17
+
+_JSONL_DIRS: dict[str, str] = {}
+
+
+def build_jsonl_capture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process per sf_dir) an LDJSON capture of the
+    documents table — one JSON object per line with a NESTED metadata
+    object (the layout crawler dumps and annotation pipelines ship) —
+    with every JSONL_BAD_MOD-th document replaced by a torn line.
+    ``to_json`` handles all escaping, so the payload round-trips
+    exactly; fully distributed text write."""
+    if sf_dir in _JSONL_DIRS:
+        return _JSONL_DIRS[sf_dir]
+    out = tempfile.mkdtemp(prefix="lapidus_jsonl_capture_")
+    d = load_table(spark, sf_dir, "documents")
+    obj = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("text"),
+            F.struct(
+                F.col("lang"),
+                F.col("source").alias("src"),
+                F.col("n_chars").alias("nc"),
+            ).alias("meta"),
+        )
+    )
+    line = F.when(
+        F.col("doc_id") % JSONL_BAD_MOD == 0,
+        F.format_string('{"doc_id": %d, "text": "torn', "doc_id"),
+    ).otherwise(obj)
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    _JSONL_DIRS[sf_dir] = out
+    return out
+
+
+@query(
+    "src_jsonl_scan",
+    oracle=f"""
+    SELECT lang AS line_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_srcs,
+           CAST(sum(n_chars) AS BIGINT) AS meta_chars,
+           CAST(sum(len(text)) AS BIGINT) AS text_chars
+    FROM documents WHERE doc_id % {JSONL_BAD_MOD} <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT 'corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), NULL, NULL
+    FROM documents WHERE doc_id % {JSONL_BAD_MOD} = 0
+    """,
+    operator="src_decode for LDJSON documents (nested-schema JSON lines ingest)",
+    doc="LDJSON document ingest with the reference's error contract "
+    "(the reference's ONLY wire format is LDJSON — "
+    "src/postgresql.js:373-485 parse, 520-548 error counting): "
+    "explicit-schema PERMISSIVE read with a corrupt-record column, "
+    "nested metadata decoded structurally (meta.lang / meta.src / "
+    "meta.nc — no per-row get_json_object string probing), torn "
+    "lines counted under 'corrupt', nothing silently dropped. The "
+    "payload is value-verified through the full JSON round-trip: "
+    "both the nested char count and the re-measured text length must "
+    "equal the generating table's. Explicit schema is the scale "
+    "contract — schema inference is a second full scan at 100 TB.",
+)
+def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_jsonl_capture(spark, sf_dir)
+    schema = (
+        "doc_id LONG, text STRING, "
+        "meta STRUCT<lang: STRING, src: STRING, nc: LONG>, _bad STRING"
+    )
+    rows = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    cls = F.when(F.col("_bad").isNotNull(), "corrupt").otherwise(F.col("meta.lang"))
+    return (
+        rows.select(
+            cls.alias("line_class"),
+            F.col("meta.src").alias("src"),
+            F.col("meta.nc").alias("nc"),
+            "text",
+        )
+        .groupBy("line_class")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("src").alias("n_srcs"),
+            F.sum("nc").alias("meta_chars"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+    )
