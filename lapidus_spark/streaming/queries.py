@@ -1172,3 +1172,50 @@ def stream_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("event_type").alias("type"), "value", "dev")
     )
     return _run_to_memory(alerts, "stream_anomaly_alert_out", partitions=4)
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           (min(struct_pack(ts := ts, id := event_id, v := value))).v AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           (max(struct_pack(ts := ts, id := event_id, v := value))).v AS close_v,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    operator="streaming OHLC downsample (win_ohlc_bars maintained live)",
+    doc="The hourly OHLC bars maintained by a real stream in complete "
+    "mode (final standings ≡ the batch answer — same oracle as "
+    "win_ohlc_bars): open/close stay exact under ANY arrival order "
+    "because they are lexicographic struct argmin/argmax, not "
+    "first/last-seen — the property that makes this downsample safe "
+    "for out-of-order tick feeds, where a 'first value wins' "
+    "formulation silently depends on delivery order. Per-group state "
+    "is two structs + three scalars, bounded by (type × hour) "
+    "cardinality.",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.sources import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    st = F.struct(F.col("ts"), F.col("event_id").alias("id"), F.col("value").alias("v"))
+    bars = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bar_ts"),
+        )
+        .agg(
+            F.min(st).getField("v").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(st).getField("v").alias("close_v"),
+            F.count("*").cast("bigint").alias("volume"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    return _run_to_memory(bars, "stream_ohlc_bars_out", output_mode="complete", partitions=4)

@@ -173,3 +173,116 @@ def test_winnowing_shared_run_guarantee(spark, data):
     # and the Spark-side checksums agree with the recomputation
     assert rows[1]["fp_checksum"] == sum(fa) % p
     assert rows[2]["fp_checksum"] == sum(fb) % p
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_dup_span_matches_bruteforce(spark, data):
+    """ext_dup_span vs a direct Python recomputation on random tiny
+    corpora: per-doc duplicated-token counts must match exactly for
+    arbitrary gram overlaps (nested, crossing, self-repeats within a
+    doc that also appear elsewhere)."""
+    from lapidus_spark.functions.corpus import DUP_N, MIN_DUP_DOCS, ext_dup_span
+    from lapidus_spark.sources import tables as T
+
+    n_docs = data.draw(st.integers(min_value=2, max_value=5))
+    # tiny alphabet so cross-doc gram collisions actually happen
+    docs_tokens = [
+        [
+            f"t{data.draw(st.integers(0, 2))}"
+            for _ in range(data.draw(st.integers(DUP_N, DUP_N + 10)))
+        ]
+        for _ in range(n_docs)
+    ]
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs_tokens)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    # brute force
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for i, toks in enumerate(docs_tokens):
+        for p in range(len(toks) - DUP_N + 1):
+            gram_docs[tuple(toks[p : p + DUP_N])].add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= MIN_DUP_DOCS}
+    expected = {}
+    for i, toks in enumerate(docs_tokens):
+        cov = set()
+        for p in range(len(toks) - DUP_N + 1):
+            if tuple(toks[p : p + DUP_N]) in dup:
+                cov.update(range(p, p + DUP_N))
+        expected[i] = (len(toks), len(cov))
+
+    orig = T.load_table
+    import lapidus_spark.functions.corpus as C
+
+    orig_c = C.load_table
+    try:
+        T.load_table = C.load_table = lambda _s, _d, name, **kw: docs  # noqa: ARG005
+        out = {r["doc_id"]: r for r in ext_dup_span(spark, "ignored").collect()}
+    finally:
+        T.load_table = orig
+        C.load_table = orig_c
+    assert set(out) == set(expected)
+    for i, (n_tok, n_dup) in expected.items():
+        assert out[i]["n_tokens"] == n_tok, (i, docs_tokens)
+        assert out[i]["n_dup_tokens"] == n_dup, (i, docs_tokens)
+
+
+def test_ohlc_tiebreak_and_order_independence(spark):
+    """win_ohlc_bars: open/close are argmin/argmax by (ts, event_id) —
+    equal timestamps resolve by event_id, and the answer is identical
+    under any input row order (the property that makes the streaming
+    twin safe for out-of-order feeds)."""
+    import datetime as dt
+
+    from lapidus_spark.operators.windows import win_ohlc_bars
+    from lapidus_spark.sources import tables as T
+
+    t0 = dt.datetime(2026, 1, 1, 10, 15, 0)
+    rows = [
+        # same ts: event_id 1 must win 'open'
+        (2, t0, 7, "click", 50.0, "{}"),
+        (1, t0, 7, "click", 10.0, "{}"),
+        # later ts wins 'close'; high/low from the middle
+        (3, t0 + dt.timedelta(minutes=5), 7, "click", 99.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=20), 7, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=30), 7, "click", 42.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import lapidus_spark.operators.windows as W
+
+    orig = W.load_table
+    results = []
+    try:
+        for perm in (rows, rows[::-1], rows[2:] + rows[:2]):
+            ev = spark.createDataFrame(perm, schema)
+            W.load_table = lambda _s, _d, name, **kw: ev  # noqa: ARG005, B023
+            results.append(
+                {
+                    (r["event_type"], r["bar_ts"]): r
+                    for r in win_ohlc_bars(spark, "ignored").collect()
+                }
+            )
+    finally:
+        W.load_table = orig
+    key = ("click", t0.replace(minute=0))
+    for res in results:
+        r = res[key]
+        assert r["open_v"] == 10.0  # event_id tiebreak at equal ts
+        assert r["close_v"] == 42.0
+        assert r["high_v"] == 99.0 and r["low_v"] == 1.0
+        assert r["volume"] == 5
+    assert results[0] == results[1] == results[2]
