@@ -341,3 +341,99 @@ def ext_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_dup_tokens"),
         (nd.cast("double") / F.col("n_tokens")).alias("dup_ratio"),
     )
+
+
+@query(
+    "ext_dup_span_trim",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(range(1, len(t) - {DUP_N} + 2)) AS pos, t
+      FROM t WHERE len(t) >= {DUP_N}
+    ), g2 AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(t, pos, pos + {DUP_N} - 1), ' ') AS gram
+      FROM g
+    ), dup AS (
+      SELECT gram FROM g2 GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= {MIN_DUP_DOCS}
+    ), occ AS (
+      SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + unnest(range(0, {DUP_N})) AS p FROM occ
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM t
+    ), kept AS (
+      SELECT pos.doc_id, pos.p, pos.t[pos.p] AS tok
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+      WHERE cov.p IS NULL
+    ), clean AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_kept, 0) AS n_kept,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+    """,
+    operator="ext_dedup (duplicated-span REMOVAL — the actionable ExactSubstr pass)",
+    doc="The acting half of ext_dup_span: every token position covered "
+    "by a cross-document duplicated 8-gram is REMOVED and the "
+    "document is reassembled from the surviving tokens in original "
+    "order — ExactSubstr dedup's output artifact (Lee et al. 2022 "
+    "cut duplicated spans, not documents). Same bounded pipeline as "
+    "the profile (gram df → semi-join → interval union), plus one "
+    "anti-join of token positions against covered positions and an "
+    "order-pinned reassembly (collect_list sorted by position — "
+    "per-document arrays, never a corpus-wide sort). Documents whose "
+    "every token is boilerplate collapse to the empty string rather "
+    "than disappearing, so downstream length filters see them.",
+)
+def ext_dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    g2 = (
+        toks.filter(F.size("t") >= DUP_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {DUP_N} + 1), "
+                    f"i -> struct(i AS pos, array_join(slice(t, i, {DUP_N}), ' ') AS gram))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    dup = (
+        g2.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= MIN_DUP_DOCS)
+        .select("gram")
+    )
+    cov = (
+        g2.join(dup, "gram")
+        .select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {DUP_N} - 1)")).alias("p"))
+        .distinct()
+    )
+    posrows = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = posrows.join(cov, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " "
+        ).alias("clean_text"),
+    )
+    return toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens")).join(
+        clean, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

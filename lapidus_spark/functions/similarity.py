@@ -805,3 +805,200 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0).cast("bigint"))).alias("n_kept"),
         F.coalesce("dropped_ids", F.lit("")).alias("dropped_ids"),
     )
+
+
+def _fold2(dialect: str, wq: str, emb: str) -> str:
+    """Fold for the ITERATION-2 dot against a computed fixed-point
+    centroid array (BIGINT components): same 0.0-prefixed left order
+    as every other dot; the integer component converts to double
+    exactly (|mq| << 2^53), so both engines produce identical bits."""
+    if dialect == "spark":
+        return (
+            f"aggregate(sequence(1, {DIM}), CAST(0 AS DOUBLE), "
+            f"(acc, d) -> acc + element_at({wq}, d) * CAST(element_at({emb}, d) AS DOUBLE))"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM} + 1), "
+        f"d -> {wq}[d] * CAST({emb}[d] AS DOUBLE))), (a, b) -> a + b)"
+    )
+
+
+@query(
+    "ext_kmeans_iter2",
+    oracle=f"""
+    WITH a1 AS (
+      SELECT vec_id, embedding, {_cell_expr("duck", "embedding")} AS cell
+      FROM embeddings
+    ), x1 AS (
+      SELECT cell, embedding, unnest(range(1, {DIM} + 1)) AS dim FROM a1
+    ), q1 AS (
+      SELECT cell, dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {CENTROID_SCALE})
+                  AS BIGINT) AS qv
+      FROM x1
+    ), s1 AS (
+      SELECT cell, dim, sum(qv) AS sq, count(*) AS n FROM q1 GROUP BY cell, dim
+    ), m1 AS (
+      SELECT cell, dim, (sq - (((sq % n) + n) % n)) // n AS mq FROM s1
+    ), c1 AS (
+      SELECT cell, list(mq ORDER BY dim) AS wq,
+             CAST(sum(mq * mq) AS BIGINT) AS norm2
+      FROM m1 GROUP BY cell
+    ), sc2 AS (
+      SELECT e.vec_id, c1.cell,
+             -({_fold2("duck", "wq", "e.embedding")}) / sqrt(CAST(norm2 AS DOUBLE))
+               AS score
+      FROM embeddings e CROSS JOIN c1
+    ), b2 AS (
+      SELECT vec_id, min(struct_pack(s := score, c := cell)) AS m
+      FROM sc2 GROUP BY vec_id
+    ), mv AS (
+      SELECT a1.vec_id, (b.m).c AS cell2, (b.m).s AS mn2,
+             CASE WHEN a1.cell <> (b.m).c THEN 1 ELSE 0 END AS moved
+      FROM a1 JOIN b2 b ON a1.vec_id = b.vec_id
+    ), dq AS (
+      SELECT mv.vec_id, mv.cell2, mv.moved, e.embedding,
+             CAST(floor(({_dot("duck", "e.embedding", "e.embedding")}
+                         + 2.0 * mv.mn2 + 1.0) * {INERTIA_SCALE}) AS BIGINT) AS dq2
+      FROM mv JOIN embeddings e ON mv.vec_id = e.vec_id
+    ), x2 AS (
+      SELECT cell2 AS cell, dq2, moved, embedding,
+             unnest(range(1, {DIM} + 1)) AS dim
+      FROM dq
+    ), q2 AS (
+      SELECT cell, dim, dq2, moved,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {CENTROID_SCALE})
+                  AS BIGINT) AS qv
+      FROM x2
+    ), s2 AS (
+      SELECT cell, dim, sum(qv) AS sq, count(*) AS n,
+             CAST(sum(dq2) AS BIGINT) AS sdq,
+             CAST(sum(moved) AS BIGINT) AS smv
+      FROM q2 GROUP BY cell, dim
+    ), m2 AS (
+      SELECT cell, dim, n, sdq, smv,
+             (sq - (((sq % n) + n) % n)) // n AS mq
+      FROM s2
+    )
+    SELECT cell,
+           max(n) AS n_vecs,
+           max(smv) AS n_moved,
+           max(sdq) AS inertia2_q,
+           string_agg(CAST(mq AS VARCHAR), '|' ORDER BY dim) AS centroid2_q
+    FROM m2 GROUP BY cell
+    """,
+    operator="ext_sim (k-means: full two-iteration Lloyd loop)",
+    doc="The complete Lloyd refinement loop, two iterations end to "
+    "end: assign to the static seed centroids, recompute exact "
+    "fixed-point centroids, then REASSIGN every vector to its "
+    "nearest COMPUTED centroid and emit the second-generation "
+    "centroids, per-cell movement counts, and quantized inertia "
+    "(distance to the unit-normalized winning centroid, the same "
+    "metric as ext_kmeans_step — comparable across iterations). "
+    "Iteration-2 centroids are pure DATA flowing through the plan: "
+    "a k-row aggregate joined back via broadcast — no driver "
+    "collect, no literal refit, no recompilation; k more iterations "
+    "are k more copies of the same two-exchange stage. Everything "
+    "stays in exact integer fixed point or pinned-order folds, so "
+    "the whole two-step trajectory is bit-identical on any cluster "
+    "layout — the property that makes a distributed k-means run "
+    "reproducible at all.",
+)
+def ext_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    best1 = assign_cells(spark, e).drop("mn")
+    # iteration-1 centroids, fixed point (the ext_kmeans_step update)
+    q1 = (
+        e.join(best1, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("dim0", "val"))
+        .select(
+            "cell",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("val").cast("double") * CENTROID_SCALE).cast("bigint").alias("qv"),
+        )
+    )
+    m1 = (
+        q1.groupBy("cell", "dim")
+        .agg(F.sum("qv").alias("sq"), F.count("*").alias("n"))
+        .withColumn("mq", F.expr("(sq - (((sq % n) + n) % n)) div n"))
+    )
+    c1 = m1.groupBy("cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, mq))), x -> x.mq)").alias("wq"),
+        F.sum(F.col("mq") * F.col("mq")).cast("bigint").alias("norm2"),
+    )
+    # iteration 2: reassign to the computed centroids (data, broadcast)
+    sc2 = e.join(F.broadcast(c1)).select(
+        "vec_id",
+        "cell",
+        (
+            -F.expr(_fold2("spark", "wq", "embedding"))
+            / F.sqrt(F.col("norm2").cast("double"))
+        ).alias("score"),
+    )
+    b2 = (
+        sc2.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell2"), F.col("m.score").alias("mn2"))
+    )
+    mv = best1.join(b2, "vec_id").select(
+        "vec_id",
+        "cell2",
+        "mn2",
+        (F.col("cell") != F.col("cell2")).cast("int").alias("moved"),
+    )
+    dq = mv.join(e, "vec_id").select(
+        "cell2",
+        "moved",
+        "embedding",
+        F.floor(
+            (
+                F.expr(_dot("spark", "embedding", "embedding"))
+                + 2.0 * F.col("mn2")
+                + 1.0
+            )
+            * INERTIA_SCALE
+        )
+        .cast("bigint")
+        .alias("dq2"),
+    )
+    q2 = dq.select(
+        F.col("cell2").alias("cell"),
+        "dq2",
+        "moved",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "cell",
+        "dq2",
+        "moved",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("val").cast("double") * CENTROID_SCALE).cast("bigint").alias("qv"),
+    )
+    s2 = (
+        q2.groupBy("cell", "dim")
+        .agg(
+            F.sum("qv").alias("sq"),
+            F.count("*").alias("n"),
+            F.sum("dq2").cast("bigint").alias("sdq"),
+            F.sum("moved").cast("bigint").alias("smv"),
+        )
+        .withColumn("mq", F.expr("(sq - (((sq % n) + n) % n)) div n"))
+    )
+    return (
+        s2.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.max("smv").alias("n_moved"),
+            F.max("sdq").alias("inertia2_q"),
+            F.array_sort(F.collect_list(F.struct("dim", "mq"))).alias("st"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "n_moved",
+            "inertia2_q",
+            F.array_join(F.expr("transform(st, x -> CAST(x.mq AS STRING))"), "|").alias(
+                "centroid2_q"
+            ),
+        )
+    )

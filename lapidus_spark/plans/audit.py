@@ -310,10 +310,22 @@ EXPECTATIONS: dict[str, dict] = {
     # self-join + distinct + two aggs, all on the (bounded-size)
     # cell key; no cross join
     "ext_semdedup": {"max_exchanges": 6, "no_single_partition": True},
+    # two-iteration Lloyd: each iteration is the kmeans_step stage
+    # pair plus a broadcast of the k-row centroid table; the only
+    # SMJs are the vec_id rejoins (row-count-bounded), everything
+    # heavy stays broadcast or (cell,dim)-keyed
+    "ext_kmeans_iter2": {
+        "broadcasts": 4,
+        "max_exchanges": 12,
+        "no_single_partition": True,
+    },
     # duplicated-span: gram-keyed df agg + semi-join back + coverage
     # distinct + per-doc agg + final left join (AQE broadcasts the
     # small sides at fixture scale; gram-keyed SMJ at 100 TB)
     "ext_dup_span": {"max_exchanges": 7, "no_single_partition": True},
+    # span removal: the profile's pipeline + a (doc,pos) anti-join
+    # and the per-doc ordered reassembly agg
+    "ext_dup_span_trim": {"max_exchanges": 8, "no_single_partition": True},
     # per-domain cap: ONE window exchange on the domain key + the
     # per-domain report agg sharing the same partitioning
     "ext_domain_cap": {"max_exchanges": 2, "no_single_partition": True},

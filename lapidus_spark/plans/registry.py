@@ -60,13 +60,13 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 27 new queries joined the surface
-#: (ext_kmeans_step / ext_semdedup / ext_dup_span / ext_domain_cap /
-#: win_ohlc_bars / stream_ohlc_bars / src_jsonl_scan late in the
-#: round) and 11 existing queries changed implementation, so the
-#: window is 32 age-0 (new + never-verified) + 11 touched-this-round
-#: + 7 of the 10 round-1-stale (trivial stateless ops; the 3 left
-#: out plus the 41 round-2-green refresh in round 5). The 36 round-2-green queries left outside did not change
+#: Round-4 recorded trade: 29 new queries joined the surface (the
+#: kmeans/SemDeDup/dup-span/domain-cap/OHLC/LDJSON cohort landed
+#: late in the round) and 11 existing queries changed
+#: implementation, so the window is 34 age-0 (new + never-verified)
+#: + 11 touched-this-round + 5 of the 10 round-1-stale (trivial
+#: stateless ops; the 5 left out plus the 41 round-2-green refresh
+#: in round 5). The 36 round-2-green queries left outside did not change
 #: this round and remain under pytest oracle parity; they refresh in
 #: round 5 when this round's cohort rotates to the back. Changed
 #: code outranks stale-but-unchanged code: a green signal from

@@ -286,3 +286,19 @@ def test_ohlc_tiebreak_and_order_independence(spark):
         assert r["high_v"] == 99.0 and r["low_v"] == 1.0
         assert r["volume"] == 5
     assert results[0] == results[1] == results[2]
+
+
+def test_dup_span_trim_consistent_with_profile(spark):
+    """The profile (ext_dup_span) and the removal (ext_dup_span_trim)
+    agree document by document: kept = total − duplicated, and the
+    cleaned text re-tokenizes to exactly n_kept tokens."""
+    from lapidus_spark.functions.corpus import ext_dup_span, ext_dup_span_trim
+
+    prof = {r["doc_id"]: r for r in ext_dup_span(spark, SF_DIR).collect()}
+    trim = {r["doc_id"]: r for r in ext_dup_span_trim(spark, SF_DIR).collect()}
+    assert set(prof) == set(trim)
+    for i, p in prof.items():
+        t = trim[i]
+        assert t["n_kept"] == p["n_tokens"] - p["n_dup_tokens"], i
+        retok = [x for x in t["clean_text"].split(" ") if x != ""]
+        assert len(retok) == t["n_kept"], i

@@ -107,3 +107,26 @@ def test_lsh_buckets_catch_planted_neighbor(spark):
     sigs = {r["vec_id"]: r["sig"] for r in df.collect()}
     ham = bin(sigs[1] ^ sigs[2]).count("1")
     assert ham <= 1, f"planted near pair separated by Hamming {ham}: {sigs}"
+
+
+def test_kmeans_iteration_refines(spark):
+    """The two-iteration Lloyd loop does real work on the fixture:
+    some vectors move to a fitted centroid, total quantized inertia
+    drops (the descent direction), and bookkeeping is conserved."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.functions.similarity import ext_kmeans_iter2, ext_kmeans_step
+
+    i1 = {r["cell"]: r for r in ext_kmeans_step(spark, SF_DIR).collect()}
+    out = ext_kmeans_iter2(spark, SF_DIR).collect()
+    n1 = sum(r["n_vecs"] for r in i1.values())
+    n2 = sum(r["n_vecs"] for r in out)
+    assert n1 == n2  # every vector assigned exactly once, both rounds
+    moved = sum(r["n_moved"] for r in out)
+    assert 0 < moved < n2, moved  # refit changes some, not all
+    inertia1 = sum(r["inertia_q"] for r in i1.values())
+    inertia2 = sum(r["inertia2_q"] for r in out)
+    assert inertia2 < inertia1, (inertia1, inertia2)
+    for r in out:
+        assert r["n_moved"] <= r["n_vecs"]
+        assert len(r["centroid2_q"].split("|")) == 64
