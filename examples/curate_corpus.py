@@ -11,18 +11,27 @@ production batch pipeline, where every stage writes annotations and
 the assembly step composes them. Stages:
 
   1. intake profile     (ext_profile_columns — trust the dump first)
-  2. quality gate       (ext_quality_logit, frozen-weight classifier)
-  3. exact dedup        (canonical = lowest QUALITY-SURVIVING doc per
+  2. span hygiene       (ext_dup_span_trim — docs that are mostly
+                         cross-corpus boilerplate 8-gram spans are
+                         dropped; ExactSubstr-style)
+  3. quality gate       (ext_quality_logit, frozen-weight classifier)
+  4. exact dedup        (canonical = lowest QUALITY-SURVIVING doc per
                          text hash — dedup runs after filtering, so a
                          group whose lowest-id copy failed quality
                          still keeps one representative)
-  4. near-dup dedup     (ext_dedup_components near-dup clusters →
+  5. near-dup dedup     (ext_dedup_components near-dup clusters →
                          keep the lowest surviving member per
                          component — pairwise doc_b-dropping would
                          lose whole clusters when doc_a was already
                          eliminated upstream)
-  5. decontamination    (ext_decontaminate, benchmark-overlap docs out)
-  6. split + manifest   (ext_split_hash, deterministic 90/5/5)
+  6. semantic dedup     (ext_semdedup cluster-blocked embedding
+                         dedup; the fixture pairs vec_id ≡ doc_id,
+                         the ext_dedup_crossmodal identification)
+  7. decontamination    (ext_decontaminate, benchmark-overlap docs out)
+  8. domain cap         (ext_domain_cap — at most N docs per source,
+                         the anti-monoculture guard; a pre-computed
+                         per-corpus verdict joined like the others)
+  9. split + manifest   (ext_split_hash, deterministic 90/5/5)
 
 At 100 TB every stage is the same code: the verdicts are narrow
 (doc_id + a few ints), so the joins are cheap; the heavy lifting
@@ -39,8 +48,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from lapidus_spark.functions.dedup import ext_dedup_components
-from lapidus_spark.functions.corpus import ext_decontaminate
-from lapidus_spark.functions.pipeline import ext_profile_columns, ext_quality_logit, ext_split_hash
+from lapidus_spark.functions.corpus import ext_decontaminate, ext_dup_span_trim
+from lapidus_spark.functions.similarity import ext_semdedup
+from lapidus_spark.functions.pipeline import (
+    ext_domain_cap,
+    ext_profile_columns,
+    ext_quality_logit,
+    ext_split_hash,
+)
 from lapidus_spark.session import get_spark
 from lapidus_spark.sources.tables import load_table
 
@@ -55,7 +70,21 @@ def main() -> None:
     for r in ext_profile_columns(spark, sf_dir).collect():
         print(f"  {r['col_name']:>8}: rows={r['n_rows']} nulls={r['n_nulls']} distinct={r['n_distinct']}")
 
-    quality = ext_quality_logit(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    # span hygiene: a doc keeping under 30% of its tokens after
+    # cross-corpus duplicated-span removal is boilerplate, not prose
+    span_ok = (
+        ext_dup_span_trim(spark, sf_dir)
+        .filter(F.col("n_kept") * 10 >= F.col("n_tokens") * 3)
+        .select("doc_id")
+    )
+    funnel.append(("span-hygiene", span_ok.count()))
+
+    quality = (
+        ext_quality_logit(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .join(span_ok, "doc_id")
+    )
     funnel.append(("quality", quality.count()))
 
     # exact dedup AFTER the quality gate: canonical = lowest
@@ -86,9 +115,32 @@ def main() -> None:
         keep_per_comp
     )
 
+    # semantic dedup: SemDeDup's per-cell dropped ids; the fixture
+    # pairs embeddings to documents by vec_id ≡ doc_id (the same
+    # identification ext_dedup_crossmodal uses)
+    sem_dropped = (
+        ext_semdedup(spark, sf_dir)
+        .select(F.explode(F.split("dropped_ids", r"\|")).alias("sid"))
+        .filter(F.col("sid") != "")
+        .select(F.col("sid").cast("long").alias("doc_id"))
+    )
+    deduped = deduped.join(sem_dropped, "doc_id", "left_anti")
+
     contaminated = ext_decontaminate(spark, sf_dir).select("doc_id")
     survivors = deduped.join(contaminated, "doc_id", "left_anti")
     funnel.append(("post-dedup+decontam", survivors.count()))
+
+    # per-domain cap: the anti-monoculture verdict (computed over the
+    # full corpus — a production run would recompute it over the
+    # survivors; joined here like every other annotation)
+    capped = (
+        ext_domain_cap(spark, sf_dir)
+        .select(F.explode(F.split("kept_ids", r"\|")).alias("kid"))
+        .filter(F.col("kid") != "")
+        .select(F.col("kid").cast("long").alias("doc_id"))
+    )
+    survivors = survivors.join(capped, "doc_id")
+    funnel.append(("domain-cap", survivors.count()))
 
     manifest = survivors.join(ext_split_hash(spark, sf_dir), "doc_id").groupBy(
         "split"

@@ -20,8 +20,9 @@ def test_curate_corpus_example_runs():
     import re
 
     funnel = [int(m) for m in re.findall(r"^\s+[\w+-]+: (\d+)$", out, re.M)]
-    # intake >= quality >= exact-dedup >= post-dedup+decontam > 0
-    stages = funnel[:4]
+    # intake >= span-hygiene >= quality >= exact-dedup >=
+    # post-dedup+decontam >= domain-cap > 0
+    stages = funnel[:6]
     assert stages == sorted(stages, reverse=True) and stages[-1] > 0
     manifest = [int(m) for m in re.findall(r"^\s+(?:train|val|test): (\d+) docs$", out, re.M)]
     assert sum(manifest) == stages[-1]
