@@ -945,3 +945,51 @@ def win_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("volume"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "win_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), p AS (
+      SELECT prev_type, event_type AS curr_type, count(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, curr_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+    FROM p
+    """,
+    operator="win + agg (behavioral transition matrix, gap §2.5)",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag() pairs each event with its predecessor "
+    "((ts, event_id) total order pins concurrent ties), then the "
+    "(prev, curr) counts normalize into row-stochastic probabilities "
+    "— the session-flow model behind next-action prediction and "
+    "funnel-shape drift monitoring. One entity-key window exchange + "
+    "one pair-count agg + one tiny matrix-row window; the "
+    "probability is a single exact-integer division (sum(n) is "
+    "computed once per matrix row, and the matrix is event-type² "
+    "sized — trivially broadcastable at any corpus scale).",
+)
+def win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    p = s.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count("*").alias("n")
+    )
+    row = Window.partitionBy("prev_type")
+    return p.select(
+        "prev_type",
+        "curr_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(row)).alias("p"),
+    )

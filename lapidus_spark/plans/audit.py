@@ -335,6 +335,11 @@ EXPECTATIONS: dict[str, dict] = {
     # LDJSON ingest: one scan, one tiny class agg (distinct-count
     # expands to two passes over the same exchange)
     "src_jsonl_scan": {"max_exchanges": 2, "no_single_partition": True},
+    # transition matrix: entity-key window + pair agg + type²-sized
+    # row window; scan pruned to 4 of 6 event columns
+    "win_transitions": {"max_exchanges": 3, "no_single_partition": True},
+    # ORC scan: one pruned columnar scan + one partial-aggregated agg
+    "src_orc_scan": {"max_exchanges": 1, "no_single_partition": True},
 }
 
 

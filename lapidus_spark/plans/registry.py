@@ -60,13 +60,13 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 29 new queries joined the surface (the
-#: kmeans/SemDeDup/dup-span/domain-cap/OHLC/LDJSON cohort landed
-#: late in the round) and 11 existing queries changed
-#: implementation, so the window is 34 age-0 (new + never-verified)
-#: + 11 touched-this-round + 5 of the 10 round-1-stale (trivial
-#: stateless ops; the 5 left out plus the 41 round-2-green refresh
-#: in round 5). The 36 round-2-green queries left outside did not change
+#: Round-4 recorded trade: 32 new queries joined the surface (the
+#: kmeans/SemDeDup/dup-span/domain-cap/OHLC/transition/format
+#: cohort landed late in the round) and 11 existing queries changed
+#: implementation, so the window is 37 age-0 (new + never-verified)
+#: + 11 touched-this-round + 2 of the 10 round-1-stale (trivial
+#: stateless ops; the 8 left out plus the 41 round-2-green refresh
+#: in round 5 — age-0 evidence debt outranks stale-refresh debt). The 36 round-2-green queries left outside did not change
 #: this round and remain under pytest oracle parity; they refresh in
 #: round 5 when this round's cohort rotates to the back. Changed
 #: code outranks stale-but-unchanged code: a green signal from

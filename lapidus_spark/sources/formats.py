@@ -266,3 +266,66 @@ def src_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("text_chars"),
         )
     )
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+def build_orc_capture(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process per sf_dir) the events table as ORC —
+    the columnar lake format the engine must read alongside parquet
+    (Spark's native ORC reader: vectorized, predicate-pushdown,
+    column-pruned). Distributed write; timestamps carried as
+    microsecond longs so the round-trip is bit-exact regardless of
+    either format's timestamp affordances."""
+    if sf_dir in _ORC_DIRS:
+        return _ORC_DIRS[sf_dir]
+    out = tempfile.mkdtemp(prefix="lapidus_orc_capture_")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    _ORC_DIRS[sf_dir] = out
+    return out
+
+
+@query(
+    "src_orc_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(event_id) AS first_id,
+           max(event_id) AS last_id,
+           min(epoch_us(ts)) AS first_ts_us,
+           max(epoch_us(ts)) AS last_ts_us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    operator="src scan on ORC (second columnar lake format, pushdown verified)",
+    doc="ORC ingest through Spark's native vectorized reader: the "
+    "events table round-tripped through an ORC write and verified "
+    "value-exactly against the generating table (ids, microsecond "
+    "timestamps, DECIMAL-exact sums). The same declarative plan "
+    "properties as the parquet scans — predicate pushdown, column "
+    "pruning, split-parallel scan — on the other columnar format a "
+    "lake actually contains; one scan, one tiny aggregation.",
+)
+def src_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_orc_capture(spark, sf_dir)
+    rows = spark.read.orc(path)
+    return rows.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -1219,3 +1219,50 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(bars, "stream_ohlc_bars_out", output_mode="complete", partitions=4)
+
+
+@query(
+    "stream_kmeans_assign",
+    oracle=None,  # bound below: composes the quantizer cell expression
+    operator="streaming nearest-centroid routing (ext_kmeans assignment, live)",
+    doc="The k-means/IVF assignment step as a live router: embeddings "
+    "arrive on a stream, join the BROADCAST static centroid table "
+    "(stream-static join — stateless, no watermark needed), and each "
+    "vector resolves its nearest cell through one streaming "
+    "aggregation (min over the 16 scored copies). This is the "
+    "ingest-time path that keeps the cell-partitioned IVF/SemDeDup "
+    "index current as new embeddings land — batch assignment "
+    "(ext_kmeans_step) and this stream produce identical routing by "
+    "construction (same centroid data, same fold, same tie rule), "
+    "which the shared oracle asserts.",
+)
+def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.functions.similarity import _CENT_SCORE, _centroid_df
+    from lapidus_spark.streaming.sources import stream_embeddings
+
+    e = stream_embeddings(spark, sf_dir)
+    cent = _centroid_df(spark)
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", F.expr(_CENT_SCORE).alias("score"), "cell"
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    return _run_to_memory(
+        best, "stream_kmeans_assign_out", output_mode="complete", partitions=4
+    )
+
+
+def _bind_kmeans_assign_oracle() -> None:
+    from lapidus_spark.functions.similarity import _cell_expr
+    from lapidus_spark.plans.registry import REGISTRY
+
+    REGISTRY["stream_kmeans_assign"].oracle = f"""
+    SELECT vec_id, {_cell_expr("duck", "embedding")} AS cell
+    FROM embeddings
+    """
+
+
+_bind_kmeans_assign_oracle()

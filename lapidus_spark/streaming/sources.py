@@ -131,3 +131,15 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the embeddings table as a file-source stream (same
+    single-source-of-truth schema rule as stream_events)."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
