@@ -390,3 +390,68 @@ def test_corpus_shard_layout(spark):
     pruned = spark.read.parquet(out).filter(F.col("split") == "train")
     facts = plan_facts(pruned)
     assert facts.partition_filters, "split=train must be a PartitionFilter"
+
+
+def test_semdedup_skew_guard_drops_degenerate_cell(spark, tmp_path):
+    """SemDeDup's cluster cap: 1500 zero vectors tie onto one cell
+    (every centroid score is 0 → first-minimum cell), exceed
+    MAX_BUCKET_VECS, and are pruned before the pair join — while a
+    genuine same-direction pair in a healthy cell is still caught."""
+    import pandas as pd
+
+    from lapidus_spark.functions.similarity import DIM
+    from lapidus_spark.plans.registry import load_all
+
+    zero = [0.0] * DIM
+    v = [0.5 if d % 3 == 0 else -0.25 for d in range(DIM)]
+    v2 = [x * 2.0 for x in v]  # same direction → same cell, cos = 1
+    vecs = [zero] * 1500 + [v, v2]
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": vecs, "label": [0] * len(vecs)}
+    )
+    sfdir = tmp_path / "semdd"
+    sfdir.mkdir()
+    pdf.to_parquet(str(sfdir / "embeddings.parquet"))
+
+    reg = load_all()
+    rows = {r["cell"]: r for r in reg["ext_semdedup"].fn(spark, str(sfdir)).collect()}
+    # the degenerate cell is absent entirely (pruned pre-join AND
+    # pre-report: a cell too hot to pair-join is a cell the report
+    # must not silently claim as deduplicated)
+    assert sum(r["n_vecs"] for r in rows.values()) == 2, rows
+    (pair_cell,) = [c for c, r in rows.items() if r["n_vecs"] == 2]
+    assert rows[pair_cell]["n_dropped"] == 1
+    assert rows[pair_cell]["dropped_ids"] == "1501"
+
+
+def test_domain_cap_bounds_hot_domain(spark, tmp_path):
+    """The per-domain cap under real skew: one domain with 400 docs is
+    cut to exactly DOMAIN_CAP (longest-first, doc_id tiebreak), a
+    small domain keeps everything."""
+    import pandas as pd
+
+    from lapidus_spark.functions.pipeline import DOMAIN_CAP
+    from lapidus_spark.plans.registry import load_all
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "w " * 5, "en", "hot.example", 100 + (i % 7)))
+    for i in range(400, 403):
+        rows.append((i, "w " * 5, "en", "small.example", 50))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sfdir = tmp_path / "domcap"
+    sfdir.mkdir()
+    pdf.to_parquet(str(sfdir / "documents.parquet"))
+
+    reg = load_all()
+    out = {r["source"]: r for r in reg["ext_domain_cap"].fn(spark, str(sfdir)).collect()}
+    assert out["hot.example"]["n_docs"] == 400
+    assert out["hot.example"]["n_kept"] == DOMAIN_CAP
+    kept = [int(x) for x in out["hot.example"]["kept_ids"].split("|")]
+    assert len(kept) == DOMAIN_CAP
+    # longest first; within equal n_chars the LOWEST doc_id wins
+    chars = {r[0]: r[4] for r in rows}
+    assert all(chars[k] == 106 for k in kept[:-1]) or kept == sorted(
+        kept, key=lambda k: (-chars[k], k)
+    )
+    assert out["small.example"]["n_kept"] == 3
