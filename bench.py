@@ -36,7 +36,14 @@ def main() -> None:
     from lapidus_spark.functions.similarity import build_ivf_index
     from lapidus_spark.functions.text import build_df_index
     from lapidus_spark.operators.graph import build_trade_graph
-    from lapidus_spark.sources.formats import build_csv_capture, build_evolved_parquet
+    from lapidus_spark.sources.formats import (
+        build_csv_capture,
+        build_evolved_parquet,
+        build_jsonl_capture,
+        build_orc_capture,
+        build_jsonl_capture,
+        build_orc_capture,
+    )
     from lapidus_spark.sources.jsoncdc import (
         build_jsoncdc_corrupt_replay,
         build_jsoncdc_replay,
@@ -50,6 +57,8 @@ def main() -> None:
         build_late_replay,
         build_csv_capture,
         build_evolved_parquet,
+        build_jsonl_capture,
+        build_orc_capture,
         build_fingerprint_index,
         build_df_index,
         build_corpus_shards,
