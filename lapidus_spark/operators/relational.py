@@ -297,8 +297,20 @@ def sort_global_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strictly higher-ranked rows than partition i+1, so the partition
     # id is the coarse rank. (RANK_PARTITIONS tracks cluster
     # parallelism at scale; the fixture uses the test session's 32.)
-    parts = ev.repartitionByRange(RANK_PARTITIONS, *order).withColumn(
-        "pid", F.spark_partition_id()
+    #
+    # localCheckpoint is CORRECTNESS, not caching: the pid column
+    # feeds two branches (the offset counts and the local ranks), and
+    # range-exchange bounds come from run-time SAMPLING — without a
+    # materialization the two branches may re-execute the exchange
+    # with differently-sampled bounds, silently mis-offsetting ranks.
+    # Caught by an sf0.1 full-corpus parity sweep (multi-split input
+    # is what makes the two samplings diverge; single-split fixtures
+    # can never trip it); pinning the assignment once makes any
+    # consistent bound choice produce the exact global order.
+    parts = (
+        ev.repartitionByRange(RANK_PARTITIONS, *order)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # Pass 2a: per-partition row counts → cumulative offsets. ≤k rows
     # of metadata; the triangular join stays broadcast (never a
