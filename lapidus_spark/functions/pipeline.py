@@ -217,8 +217,17 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Range-partition on doc_id: partition i holds strictly lower doc
     # ids than partition i+1, so a broadcast of per-partition token
     # totals yields each partition's global starting offset.
-    parts = docs.repartitionByRange(PACK_PARTITIONS, F.asc("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
+    # localCheckpoint for the same reason as sort_global_events
+    # (operators/relational.py): pid feeds BOTH the totals branch and
+    # the window branch, and the range-exchange bounds are sampled at
+    # run time — two un-pinned evaluations can land rows in different
+    # pids and silently shift every downstream bin. Multi-split
+    # inputs are what make the samplings diverge; the sf0.1 sweep
+    # caught the sibling bug in the rank operator.
+    parts = (
+        docs.repartitionByRange(PACK_PARTITIONS, F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     totals = parts.groupBy("pid").agg(F.sum("n_tok").alias("tok"))
     offsets = (

@@ -131,10 +131,12 @@ _TOUCHED_THIS_ROUND = (
     # one cell, partition prune read 100% of the corpus); query-side
     # Python scores updated to match
     "ext_ann_ivf",
-    # distributed-rank pid assignment pinned with localCheckpoint:
-    # the sampled range-exchange fed two branches that could resample
-    # differently (sf0.1 sweep caught a mis-offset rank)
+    # range-exchange pid assignment pinned with localCheckpoint:
+    # the sampled exchange fed two branches that could resample
+    # differently (sf0.1 sweep caught a mis-offset rank; seq_pack
+    # shares the pattern and got the same pin)
     "sort_global_events",
+    "ext_seq_pack",
     # streaming overhead cuts: read-back schema/coalesce, trigger
     # sizing, per-query state partitions; late-drop oracle ms floor
     "stream_upsert_snapshot",
