@@ -993,3 +993,83 @@ def win_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / F.sum("n").over(row)).alias("p"),
     )
+
+
+@query(
+    "win_cusum_drift",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS k
+      FROM events GROUP BY user_id
+    ), f AS (
+      SELECT user_id, n_events, k,
+             list_reduce(
+               -- field ORDER is load-bearing: DuckDB's list_reduce
+               -- updates struct fields SEQUENTIALLY, so a later field
+               -- reading a.s would see the value an earlier field just
+               -- wrote (verified by probe). 'm' therefore comes FIRST
+               -- (reads the old s), then 's' overwrites.
+               list_prepend({'m': CAST(0 AS DOUBLE), 's': CAST(0 AS DOUBLE)},
+                 list_transform(vs, x ->
+                   {'m': CAST(0 AS DOUBLE), 's': CAST(x AS DOUBLE)})),
+               (a, b) -> {'m': greatest(a.m,
+                                 greatest(CAST(0 AS DOUBLE), a.s + (b.s - k))),
+                          's': greatest(CAST(0 AS DOUBLE), a.s + (b.s - k))}
+             ) AS r
+      FROM seq
+    )
+    SELECT user_id AS entity_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           k AS mean_ref,
+           (r).m AS peak_cusum,
+           (r).s AS final_cusum,
+           CAST((r).m > k AS BIGINT) AS drift
+    FROM f
+    """,
+    operator="CUSUM drift detection (order-sensitive fold — gap §2.5 time series)",
+    doc="Per-entity one-sided CUSUM against the entity's own mean: "
+    "s_i = max(0, s_{i-1} + (x_i − k)) with the peak tracked in the "
+    "same pass — the classic sequential change-point statistic, "
+    "which (like the EMA) no window frame expresses because each "
+    "step depends on the previous RESULT. The fold carries a STRUCT "
+    "accumulator (running statistic + running peak) over the "
+    "(ts, event_id)-pinned sequence, identical arithmetic order on "
+    "both engines, so every float bit matches: the reference k is a "
+    "double derived from one exact DECIMAL sum, and max/plus "
+    "operations are order-pinned. One shuffle on the entity key; "
+    "per-group state is that entity's history — the same bound as "
+    "transaction assembly and win_ema. A drift flag trips when the "
+    "peak exceeds one mean-unit — the monitoring verdict a pipeline "
+    "would alert on.",
+)
+def win_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))), s -> s.value)"
+        ).alias("vs"),
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")
+        ).alias("k"),
+    )
+    # same field order as the oracle ('m' before 's'); Spark's
+    # named_struct evaluates fields independently, so this is purely
+    # for symmetry with the DuckDB sequential-update quirk noted there
+    fold = (
+        "aggregate(vs, named_struct('m', CAST(0 AS DOUBLE), 's', CAST(0 AS DOUBLE)), "
+        "(a, x) -> named_struct("
+        "'m', greatest(a.m, greatest(CAST(0 AS DOUBLE), a.s + (CAST(x AS DOUBLE) - k))), "
+        "'s', greatest(CAST(0 AS DOUBLE), a.s + (CAST(x AS DOUBLE) - k))))"
+    )
+    f = seq.withColumn("r", F.expr(fold))
+    return f.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("k").alias("mean_ref"),
+        F.col("r.m").alias("peak_cusum"),
+        F.col("r.s").alias("final_cusum"),
+        (F.col("r.m") > F.col("k")).cast("bigint").alias("drift"),
+    )

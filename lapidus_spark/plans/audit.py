@@ -340,6 +340,8 @@ EXPECTATIONS: dict[str, dict] = {
     "win_transitions": {"max_exchanges": 3, "no_single_partition": True},
     # ORC scan: one pruned columnar scan + one partial-aggregated agg
     "src_orc_scan": {"max_exchanges": 1, "no_single_partition": True},
+    # CUSUM: one entity-key shuffle; the fold is per-group arithmetic
+    "win_cusum_drift": {"max_exchanges": 1, "no_single_partition": True},
 }
 
 
