@@ -716,3 +716,56 @@ def ext_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("kept_ids"),
     )
+
+
+@query(
+    "ext_domain_gini",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS i
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS BIGINT)
+             AS gini_num,
+           CAST(count(*) * sum(n_chars) AS BIGINT) AS gini_den,
+           CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
+             / (count(*) * sum(n_chars)) AS gini
+    FROM r GROUP BY source
+    """,
+    operator="ext_sample (per-domain size-concentration audit)",
+    doc="Per-domain Gini coefficient of document sizes — the "
+    "concentration audit behind mix design: a domain whose token "
+    "mass sits in a few huge documents behaves differently under "
+    "sampling and packing than one with the same total spread "
+    "evenly, and caps/weights tuned on totals alone miss it. "
+    "Computed by the rank identity G = (2·Σi·x(i) − (n+1)·Σx) / "
+    "(n·Σx) over the ascending (n_chars, doc_id)-ranked sizes: one "
+    "window exchange on the domain key + the per-domain aggregation "
+    "sharing it; every term is an exact BIGINT and the coefficient "
+    "is a single exact-integer division, so the audit is "
+    "bit-identical under any partitioning. The exact numerator/"
+    "denominator travel with the ratio so downstream thresholds can "
+    "stay in integer space.",
+)
+def ext_domain_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", parallel=True)
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    r = d.select("source", "n_chars", F.row_number().over(w).alias("i"))
+    n = F.count("*")
+    sx = F.sum("n_chars")
+    six = F.sum(F.col("i") * F.col("n_chars"))
+    num = (2 * six - (n + 1) * sx).cast("bigint")
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        sx.cast("bigint").alias("total_chars"),
+        num.alias("gini_num"),
+        (n * sx).cast("bigint").alias("gini_den"),
+        (num.cast("double") / (n * sx)).alias("gini"),
+    )

@@ -342,6 +342,8 @@ EXPECTATIONS: dict[str, dict] = {
     "src_orc_scan": {"max_exchanges": 1, "no_single_partition": True},
     # CUSUM: one entity-key shuffle; the fold is per-group arithmetic
     "win_cusum_drift": {"max_exchanges": 1, "no_single_partition": True},
+    # Gini: domain-key window + per-domain agg (+ parallel-load crutch)
+    "ext_domain_gini": {"max_exchanges": 2, "no_single_partition": True},
 }
 
 

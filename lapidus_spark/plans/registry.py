@@ -60,7 +60,7 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 33 new queries joined the surface (the
+#: Round-4 recorded trade: 34 new queries joined the surface (the
 #: kmeans/SemDeDup/dup-span/domain-cap/OHLC/transition/format
 #: cohort landed late in the round) and 11 existing queries changed
 #: implementation, so the window is 37 age-0 (new + never-verified)
