@@ -60,17 +60,20 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 34 new queries joined the surface (the
-#: kmeans/SemDeDup/dup-span/domain-cap/OHLC/transition/format
-#: cohort landed late in the round) and 11 existing queries changed
-#: implementation, so the window is 37 age-0 (new + never-verified)
-#: + 11 touched-this-round + 2 of the 10 round-1-stale (trivial
-#: stateless ops; the 8 left out plus the 41 round-2-green refresh
-#: in round 5 — age-0 evidence debt outranks stale-refresh debt). The 36 round-2-green queries left outside did not change
-#: this round and remain under pytest oracle parity; they refresh in
-#: round 5 when this round's cohort rotates to the back. Changed
-#: code outranks stale-but-unchanged code: a green signal from
-#: before an implementation change is no evidence about the change.
+#: Round-4 recorded trade: 35 new queries joined the surface (the
+#: kmeans/SemDeDup/dup-span/domain-cap/OHLC/CUSUM/Gini/transition/
+#: format cohort) and 13 existing queries changed implementation
+#: (incl. sort_global_events + ext_seq_pack, whose shared sampled-
+#: range-exchange nondeterminism the sf0.1 parity sweep caught and a
+#: localCheckpoint pin fixed). 39 age-0 + 13 touched = 52 candidates
+#: for 50 slots; touched ranks IN the age-0 cohort (a green signal
+#: from before an implementation change is no evidence about the
+#: change, so a bug-fixed query must never lose its slot to a
+#: merely-new one), and heaviness drops the two stateless format
+#: scans (src_jsonl_scan, src_orc_scan — pytest + sf0.1-sweep
+#: verified, rotate in next round). Zero stale-refresh slots remain:
+#: the 10 round-1-stale plus the 41 round-2-green refresh in round 5
+#: — age-0/changed-code evidence debt outranks stale-refresh debt.
 
 
 _SIGNAL_AGES: dict[str, int] | None = None
@@ -206,9 +209,14 @@ def load_all() -> dict[str, QuerySpec]:
     def rank(n: str) -> tuple:
         age = ages.get(n, 0)
         if n in touched and age > 0:
-            # stale signal + fresh code: verify right after the
-            # never-driver-verified cohort
-            return (0, 1, _heaviness(n), reg_index[n])
+            # stale signal + fresh code: SAME cohort as never-driver-
+            # verified (not after it) — a green signal from before an
+            # implementation change is no evidence about the change,
+            # so a bug-fixed query must never lose its window slot to
+            # a merely-new one. Within the shared cohort heaviness
+            # decides (a fixed distributed-rank outranks a new
+            # stateless scan via its class), then registration order.
+            return (0, 0, _heaviness(n), reg_index[n])
         return (age, 0, _heaviness(n), reg_index[n])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=rank)}

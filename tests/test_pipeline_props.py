@@ -302,3 +302,59 @@ def test_dup_span_trim_consistent_with_profile(spark):
         assert t["n_kept"] == p["n_tokens"] - p["n_dup_tokens"], i
         retok = [x for x in t["clean_text"].split(" ") if x != ""]
         assert len(retok) == t["n_kept"], i
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_cusum_matches_bruteforce(spark, data):
+    """win_cusum_drift vs a direct Python fold on random event
+    sequences: statistic, peak, and drift flag must match exactly
+    (same mean reference, same clamped recursion, same order)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from lapidus_spark.operators.windows import win_cusum_drift
+    import lapidus_spark.operators.windows as W
+
+    n_users = data.draw(st.integers(2, 4))
+    t0 = dt.datetime(2026, 1, 1)
+    rows, expected = [], {}
+    eid = 0
+    for u in range(n_users):
+        n = data.draw(st.integers(1, 12))
+        vals = [
+            round(data.draw(st.floats(0, 1000, allow_nan=False)), 2) for _ in range(n)
+        ]
+        for j, v in enumerate(vals):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "e", v, "{}"))
+            eid += 1
+        # mirror the engines exactly: exact DECIMAL sum -> double cast
+        # -> IEEE double division (NOT Decimal division then float)
+        k = float(sum(Decimal(str(v)).quantize(Decimal("0.01")) for v in vals)) / n
+        s = m = 0.0
+        for x in vals:
+            s = max(0.0, s + (x - k))
+            m = max(m, s)
+        expected[u] = (n, m, s, int(m > k))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = W.load_table
+    try:
+        W.load_table = lambda _s, _d, name, **kw: ev  # noqa: ARG005
+        out = {r["entity_id"]: r for r in win_cusum_drift(spark, "ignored").collect()}
+    finally:
+        W.load_table = orig
+    assert set(out) == set(expected)
+    for u, (n, m, s, drift) in expected.items():
+        r = out[u]
+        assert r["n_events"] == n
+        assert r["peak_cusum"] == m, (u, rows)
+        assert r["final_cusum"] == s, (u, rows)
+        assert r["drift"] == drift
