@@ -41,8 +41,6 @@ def main() -> None:
         build_evolved_parquet,
         build_jsonl_capture,
         build_orc_capture,
-        build_jsonl_capture,
-        build_orc_capture,
     )
     from lapidus_spark.sources.jsoncdc import (
         build_jsoncdc_corrupt_replay,

@@ -693,7 +693,7 @@ DOMAIN_CAP = 10  # max docs kept per source domain
     "problem the cap exists to measure) — the window still bounds "
     "per-task work because rank only needs a per-domain sort, and a "
     "domain too hot for one task is exactly a domain the cap will "
-    "cut to {DOMAIN_CAP} rows anyway, so a pre-aggregation keeping "
+    f"cut to {DOMAIN_CAP} rows anyway, so a pre-aggregation keeping "
     "each domain's top rows per partition (partial TakeOrdered) "
     "bounds the exchange.",
 )

@@ -122,31 +122,16 @@ def _signal_ages() -> dict[str, int]:
 #: likely to have regressed. Listed here, they verify with the
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
-_TOUCHED_THIS_ROUND = (
-    # jsoncdc replay writer switched to gzip segments (split safety)
-    "src_jsoncdc_decode",
-    "src_jsoncdc_errors",
-    "stream_jsoncdc_decode",
-    "stream_jsoncdc_tx",
-    # PPJoin length+positional filters added to the candidate join
-    "ext_dedup_ngram",
-    # IVF quantizer normalized (was norm-dominated: every vector in
-    # one cell, partition prune read 100% of the corpus); query-side
-    # Python scores updated to match
-    "ext_ann_ivf",
-    # range-exchange pid assignment pinned with localCheckpoint:
-    # the sampled exchange fed two branches that could resample
-    # differently (sf0.1 sweep caught a mis-offset rank; seq_pack
-    # shares the pattern and got the same pin)
-    "sort_global_events",
-    "ext_seq_pack",
-    # streaming overhead cuts: read-back schema/coalesce, trigger
-    # sizing, per-query state partitions; late-drop oracle ms floor
-    "stream_upsert_snapshot",
-    "stream_stream_join",
-    "stream_outer_attrib",
-    "stream_late_drop",
-    "stream_funnel_state",
+_TOUCHED_THIS_ROUND: tuple[str, ...] = (
+    # Round 5 freezes the query surface so the 50-slot window exactly
+    # clears the driver-evidence debt: 2 never-verified format scans
+    # + 10 r1-stale + 38 r2-stale = 50 (VERDICT r4 directive #1).
+    # Implementation changes this round are held to ones whose plan
+    # contract asserts an IDENTICAL fixture-scale plan (e.g. the
+    # ext_pagerank broadcast-threshold guard) or whose oracle is
+    # unchanged and re-proven by the sf0.1 sweep; any query listed
+    # here consumes a slot and the traded-away stale refresh must be
+    # recorded below.
 )
 
 
@@ -209,14 +194,14 @@ def load_all() -> dict[str, QuerySpec]:
     def rank(n: str) -> tuple:
         age = ages.get(n, 0)
         if n in touched and age > 0:
-            # stale signal + fresh code: SAME cohort as never-driver-
-            # verified (not after it) — a green signal from before an
+            # stale signal + fresh code: STRICTLY ahead of the never-
+            # driver-verified cohort — a green signal from before an
             # implementation change is no evidence about the change,
-            # so a bug-fixed query must never lose its window slot to
-            # a merely-new one. Within the shared cohort heaviness
-            # decides (a fixed distributed-rank outranks a new
-            # stateless scan via its class), then registration order.
-            return (0, 0, _heaviness(n), reg_index[n])
+            # and a bug-fixed query must never lose its window slot
+            # to a merely-new one (second tuple element -1 enforces
+            # that ordering; round 4 had both at 0 with heaviness
+            # deciding, which only happened to work out).
+            return (0, -1, _heaviness(n), reg_index[n])
         return (age, 0, _heaviness(n), reg_index[n])
 
     return {name: REGISTRY[name] for name in sorted(REGISTRY, key=rank)}

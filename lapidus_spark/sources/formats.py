@@ -224,6 +224,7 @@ def build_jsonl_capture(spark: SparkSession, sf_dir: str) -> str:
     UNION ALL
     SELECT 'corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), NULL, NULL
     FROM documents WHERE doc_id % {JSONL_BAD_MOD} = 0
+    HAVING count(*) > 0
     """,
     operator="src_decode for LDJSON documents (nested-schema JSON lines ingest)",
     doc="LDJSON document ingest with the reference's error contract "

@@ -451,7 +451,5 @@ def test_domain_cap_bounds_hot_domain(spark, tmp_path):
     assert len(kept) == DOMAIN_CAP
     # longest first; within equal n_chars the LOWEST doc_id wins
     chars = {r[0]: r[4] for r in rows}
-    assert all(chars[k] == 106 for k in kept[:-1]) or kept == sorted(
-        kept, key=lambda k: (-chars[k], k)
-    )
+    assert kept == sorted(kept, key=lambda k: (-chars[k], k))
     assert out["small.example"]["n_kept"] == 3
