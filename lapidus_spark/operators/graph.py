@@ -37,6 +37,14 @@ PR_SCALE = 1_000_000_000
 PR_D_NUM, PR_D_DEN = 85, 100
 PR_DEN_MINUS = PR_D_DEN - PR_D_NUM
 PR_ITERATIONS = 3
+#: rank-side broadcast guard: a rank row is ~60 B in memory (short
+#: node string + two BIGINTs), so 2M nodes ≈ 120 MB — comfortably
+#: under executor broadcast budgets. Above this node-cardinality the
+#: explicit hint is DROPPED and the join strategy is left to the
+#: planner/AQE (sort-merge, or broadcast again if runtime stats
+#: allow): nodes ≪ edges makes broadcast the right default, but node
+#: count alone can exceed broadcast limits at cluster scale.
+PR_BROADCAST_MAX_NODES = 2_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -129,17 +137,23 @@ def build_trade_graph(spark: SparkSession, sf_dir: str) -> str:
     "distributed engine — is bit-identical across engines and "
     "partitionings, and the oracle states all three iterations as "
     "unrolled CTEs. Per iteration: one edges⋈ranks join (rank side "
-    "node-cardinality → broadcast at any edge scale) + one dst-key "
-    "aggregation — the Pregel/GraphX cost model in plain DataFrames.",
+    "node-cardinality → broadcast while nodes fit the "
+    "PR_BROADCAST_MAX_NODES budget; past it the hint is dropped and "
+    "the planner/AQE picks the strategy) + one dst-key aggregation — "
+    "the Pregel/GraphX cost model in plain DataFrames.",
 )
 def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = build_trade_graph(spark, sf_dir)
     edges = spark.read.parquet(g + "/edges")
     nodes = spark.read.parquet(g + "/nodes")
+    # One metadata-cheap count (parquet row-count pushdown on the
+    # persisted node table) decides the join strategy for ALL
+    # iterations: rank-table row count is invariant across them.
+    hint = F.broadcast if nodes.count() <= PR_BROADCAST_MAX_NODES else (lambda df: df)
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rq"), "wout")
     for _ in range(PR_ITERATIONS):
         contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            edges.join(hint(ranks), edges.src == ranks.node)
             .select(F.col("dst").alias("node"), F.expr("(rq * w) div wout").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").cast("bigint").alias("contrib"))

@@ -64,6 +64,76 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     )
 
 
+@dataclass
+class StreamFacts:
+    """Execution facts from a LIVE streaming run: the final micro-
+    batch's executed physical plan (the only place state operators,
+    their exchanges, and watermarks are visible) plus the query
+    progress telemetry."""
+
+    n_batches: int
+    state_ops: list[str]  # operatorName per stateOperator (progress)
+    max_state_partitions: int
+    state_rows_total: int
+    n_exchanges: int  # hash/range exchanges in the last batch plan
+    n_single_partition: int
+    has_watermark: bool
+    plan_ops: list[str]  # state-related physical operators
+    batch_durations_ms: list[int]  # triggerExecution per batch (diag)
+
+
+#: facts recorded by the streaming runners (``_run_to_memory`` and
+#: the foreachBatch harnesses) after each live run, keyed by registry
+#: query name. tests/test_plan_audit.py runs each streaming query
+#: then asserts STREAM_EXPECTATIONS against what actually executed.
+STREAM_RUN_FACTS: dict[str, StreamFacts] = {}
+
+
+def record_stream_run(name: str, q) -> None:
+    """Capture StreamFacts for a finished StreamingQuery ``q`` under
+    registry name ``name`` (sink-table names ending in ``_out`` are
+    normalized). Never raises — recording must not break a run."""
+    if name.endswith("_out"):
+        name = name[: -len("_out")]
+    try:
+        plan = q._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001 — plan capture is best-effort
+        plan = ""
+    try:
+        recent = q.recentProgress or []
+        prog = recent[-1] if recent else (q.lastProgress or {})
+    except Exception:  # noqa: BLE001
+        recent, prog = [], {}
+    ops = prog.get("stateOperators") or []
+    STREAM_RUN_FACTS[name] = StreamFacts(
+        n_batches=len(recent),
+        state_ops=[o.get("operatorName", "?") for o in ops],
+        max_state_partitions=max(
+            [int(o.get("numShufflePartitions", 0) or 0) for o in ops] or [0]
+        ),
+        state_rows_total=sum(int(o.get("numRowsTotal", 0) or 0) for o in ops),
+        n_exchanges=len(
+            re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        ),
+        n_single_partition=len(re.findall(r"Exchange SinglePartition", plan)),
+        has_watermark="EventTimeWatermark" in plan,
+        plan_ops=sorted(
+            set(
+                re.findall(
+                    r"(StateStoreSave|StreamingDeduplicate(?:WithinWatermark)?"
+                    r"|StreamingSymmetricHashJoin|FlatMapGroupsInPandasWithState"
+                    r"|TransformWithStateInPandas|SessionWindowStateStoreSave)",
+                    plan,
+                )
+            )
+        ),
+        batch_durations_ms=[
+            int((p.get("durationMs") or {}).get("triggerExecution", 0) or 0)
+            for p in recent
+        ],
+    )
+
+
 #: audited queries → expected plan shape (the 100 TB contract).
 EXPECTATIONS: dict[str, dict] = {
     "flt_exclude_tables": {"pushed": True, "max_exchanges": 0},
@@ -286,8 +356,11 @@ EXPECTATIONS: dict[str, dict] = {
     # sketch rides a second agg, then broadcasts (type-cardinality)
     "agg_quantile_gate": {"broadcasts": 1, "max_exchanges": 3, "no_single_partition": True},
     # PageRank: per iteration one edges-to-ranks BROADCAST join (rank
-    # side is node-cardinality at any edge scale) + the dst-key
-    # contribution agg; the tiny nodes-to-contrib merge rides along
+    # side is node-cardinality — at fixture scale the explicit hint
+    # holds, asserted here; past PR_BROADCAST_MAX_NODES the hint is
+    # dropped and the planner/AQE decides, so node-cardinality can
+    # never blow the broadcast budget) + the dst-key contribution
+    # agg; the tiny nodes-to-contrib merge rides along
     "ext_pagerank": {"broadcasts": 3, "max_exchanges": 8, "no_single_partition": True},
     # resample+ffill: per-entity bounds agg + ONE entity-key window
     # over the grid∪observations union — no point-in-time join
@@ -344,7 +417,158 @@ EXPECTATIONS: dict[str, dict] = {
     "win_cusum_drift": {"max_exchanges": 1, "no_single_partition": True},
     # Gini: domain-key window + per-domain agg (+ parallel-load crutch)
     "ext_domain_gini": {"max_exchanges": 2, "no_single_partition": True},
+    # ---- round-5 additions: the last uncontracted batch queries ----
+    # per-type event counts: one partial-aggregated exchange
+    "agg_type_counts": {"max_exchanges": 1, "no_single_partition": True},
+    # connected components: the per-round join/agg exchanges sit
+    # BEHIND the localCheckpoint pins (each round materializes), so
+    # the returned plan reads the final checkpoint — the contract is
+    # that convergence never funnels through one partition
+    "ext_dedup_components": {"max_exchanges": 1, "no_single_partition": True},
+    # multimodal codec paths: Arrow mapInPandas over the binary
+    # column + one tiny result agg; never a per-row Python UDF and
+    # never a single-partition funnel
+    "ext_multimodal_decode": {"max_exchanges": 1, "no_single_partition": True},
+    "ext_multimodal_frames": {"max_exchanges": 1, "no_single_partition": True},
+    "ext_multimodal_framesig": {"max_exchanges": 1, "no_single_partition": True},
+    # §2.2 filter gates: pure pushed-to-scan predicates, no exchange
+    # at any scale (the reference's per-event JS filter chain,
+    # postgresql.js:386-398, as scan-time pruning)
+    "flt_drop_blank": {"pushed": True, "max_exchanges": 0},
+    "flt_event_gate": {"pushed": True, "max_exchanges": 0},
+    "flt_system_tables": {"pushed": True, "max_exchanges": 0},
+    # §2.3 projections: zero-shuffle codegen row maps
+    "prj_cache_action": {"max_exchanges": 0},
+    "prj_pk_coalesce": {"max_exchanges": 0},
+    "prj_routing_key": {"max_exchanges": 0},
+    # DDL version history: per-table window + history agg share the
+    # table-key partitioning (2 = window + agg partials)
+    "src_schema_history": {"max_exchanges": 2, "no_single_partition": True},
+    # tumbling windows: filter pushed to scan, one window-key agg
+    "win_tumbling_counts": {"pushed": True, "max_exchanges": 1, "no_single_partition": True},
 }
+
+
+#: streaming queries → expected EXECUTED facts (the scale contract
+#: for the stateful layer): which state operators actually ran, that
+#: state partitioning stays bounded (the anti-200-default guard — a
+#: stateful stream pays a fixed per-partition-per-batch store commit,
+#: and partition count is frozen at first checkpoint), that the
+#: micro-batch plan never funnels through one partition, that
+#: watermarks are present where eviction correctness depends on them,
+#: and — where cross-trigger state carry-over IS the tested property —
+#: that the replay really ran multiple batches.
+STREAM_EXPECTATIONS: dict[str, dict] = {
+    # stateless envelope/decode paths: no state store, no shuffle
+    "stream_envelope_replay": {"plan_ops": [], "max_exchanges": 0},
+    "stream_jsoncdc_decode": {"plan_ops": [], "max_exchanges": 0, "min_batches": 2},
+    # foreachBatch assembly: per-batch BATCH aggs inside the sink fn,
+    # no streaming state; 2 batches so tx boundaries cross triggers
+    "stream_jsoncdc_tx": {"plan_ops": [], "max_exchanges": 0, "min_batches": 2},
+    # stream-static joins: dim/centroid side broadcast, stream side
+    # stateless (kmeans adds one complete-mode agg on the assignment)
+    "stream_enrich_dim": {"plan_ops": [], "max_exchanges": 0},
+    "stream_kmeans_assign": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    # incremental dedup probes the PERSISTED fingerprint index —
+    # build-once-probe-many, so the stream itself holds no state
+    "stream_dedup_incremental": {"plan_ops": [], "max_exchanges": 0},
+    # anomaly alert: stream-static threshold join (stats broadcast)
+    "stream_anomaly_alert": {"plan_ops": [], "max_exchanges": 2},
+    # exact streaming dedup: one dedupe state op on the event key
+    "stream_dedup_exact": {"plan_ops": ["StreamingDeduplicate"], "max_exchanges": 1},
+    # watermarked dedup→count: BOTH state ops share the key; the
+    # 3-batch replay proves rows dropped by the committed watermark
+    "stream_distinct_watermarked": {
+        "plan_ops": ["StateStoreSave", "StreamingDeduplicateWithinWatermark"],
+        "max_exchanges": 2,
+        "min_batches": 3,
+        "watermark": True,
+    },
+    # windowed/complete-mode aggregations: one StateStoreSave
+    "stream_windowed_counts": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    "stream_sliding_counts": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    "stream_schema_cache": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    "stream_schema_history": {
+        "plan_ops": ["StateStoreSave"],
+        "max_exchanges": 1,
+        "min_batches": 2,
+    },
+    "stream_topk_entities": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    "stream_ohlc_bars": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    "stream_upsert_snapshot": {"plan_ops": ["StateStoreSave"], "max_exchanges": 1},
+    "stream_window_distinct": {
+        "plan_ops": ["StateStoreSave", "StreamingDeduplicate"],
+        "max_exchanges": 2,
+    },
+    # late-data drop: watermarked windowed agg over the 3-file replay
+    # (3 batches = the two-watermark model demonstrably engaged)
+    "stream_late_drop": {
+        "plan_ops": ["StateStoreSave"],
+        "max_exchanges": 1,
+        "min_batches": 3,
+        "watermark": True,
+    },
+    # session windows: the dedicated session-store operator
+    "stream_sessionize": {
+        "plan_ops": ["SessionWindowStateStoreSave"],
+        "max_exchanges": 1,
+    },
+    # stream-stream joins: symmetric hash state, watermark-bounded
+    "stream_stream_join": {
+        "plan_ops": ["StreamingSymmetricHashJoin"],
+        "max_exchanges": 2,
+        "min_batches": 2,
+        "watermark": True,
+    },
+    "stream_outer_attrib": {
+        "plan_ops": ["StreamingSymmetricHashJoin"],
+        "max_exchanges": 2,
+        "min_batches": 2,
+        "watermark": True,
+    },
+    # Python-stateful paths: Arrow-batched per-group state, state
+    # provably carried across trigger boundaries
+    "stream_tx_assembly": {
+        "plan_ops": ["FlatMapGroupsInPandasWithState"],
+        "max_exchanges": 1,
+        "min_batches": 2,
+    },
+    "stream_funnel_state": {
+        "plan_ops": ["FlatMapGroupsInPandasWithState"],
+        "max_exchanges": 1,
+        "min_batches": 3,
+    },
+}
+
+#: every streaming run must keep state partitioning bounded — at
+#: replay scale more partitions than this is pure per-batch store-
+#: commit overhead (see STREAM_SHUFFLE_PARTITIONS).
+STREAM_MAX_STATE_PARTITIONS = 8
+
+
+def check_stream(name: str, facts: StreamFacts, exp: dict) -> list[str]:
+    errors = []
+    if "plan_ops" in exp and facts.plan_ops != sorted(exp["plan_ops"]):
+        errors.append(f"expected state ops {sorted(exp['plan_ops'])}, got {facts.plan_ops}")
+    if "max_exchanges" in exp and facts.n_exchanges > exp["max_exchanges"]:
+        errors.append(
+            f"expected ≤{exp['max_exchanges']} exchanges in the batch plan, "
+            f"got {facts.n_exchanges}"
+        )
+    if "min_batches" in exp and facts.n_batches < exp["min_batches"]:
+        errors.append(f"expected ≥{exp['min_batches']} micro-batches, got {facts.n_batches}")
+    if exp.get("watermark") and not facts.has_watermark:
+        errors.append("expected an EventTimeWatermark in the executed plan")
+    if facts.n_single_partition > 0:
+        errors.append(
+            f"expected no Exchange SinglePartition, got {facts.n_single_partition}"
+        )
+    if facts.max_state_partitions > STREAM_MAX_STATE_PARTITIONS:
+        errors.append(
+            f"state partitions {facts.max_state_partitions} > "
+            f"{STREAM_MAX_STATE_PARTITIONS} — per-batch store-commit overhead"
+        )
+    return errors
 
 
 def check(name: str, facts: PlanFacts, exp: dict) -> list[str]:
@@ -384,6 +608,27 @@ def audit(spark: SparkSession, sf_dir: str) -> dict[str, tuple[PlanFacts, list[s
     return out
 
 
+def audit_streaming(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, tuple[StreamFacts, list[str]]]:
+    """Run each contracted streaming query LIVE and check the facts
+    its runner recorded (state ops, bounded partitions, watermarks,
+    batch counts) — streaming plans only exist once executed."""
+    # the runners import (and record into) the canonical module
+    # object — under ``python -m`` THIS module is a second copy named
+    # __main__, so read the facts from the canonical one
+    import lapidus_spark.plans.audit as _canonical
+    from lapidus_spark.plans.registry import load_all
+
+    reg = load_all()
+    out = {}
+    for name, exp in STREAM_EXPECTATIONS.items():
+        reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        facts = _canonical.STREAM_RUN_FACTS[name]
+        out[name] = (facts, check_stream(name, facts, exp))
+    return out
+
+
 def main() -> int:
     from lapidus_spark.session import get_spark
 
@@ -409,6 +654,25 @@ def main() -> int:
         print(f"- whole-stage codegen spans: {f.codegen_spans}")
         if f.has_take_ordered:
             print("- top-k: TakeOrderedAndProject")
+        print()
+        failed += bool(errs)
+    print("# Streaming queries — executed-run facts\n")
+    print(
+        "Captured from the LIVE run (final micro-batch plan + progress\n"
+        "telemetry); asserted per run in tests/test_plan_audit.py.\n"
+    )
+    for name, (sf, errs) in audit_streaming(spark, sf_dir).items():
+        status = "OK" if not errs else "FAIL: " + "; ".join(errs)
+        print(f"## {name} — {status}\n")
+        print(f"- micro-batches: {sf.n_batches} ({sf.batch_durations_ms} ms)")
+        print(f"- state operators: {sf.plan_ops or '—'}")
+        print(
+            f"- state: {sf.state_rows_total} rows across "
+            f"{sf.max_state_partitions} partitions"
+        )
+        print(f"- batch-plan exchanges: {sf.n_exchanges}")
+        if sf.has_watermark:
+            print("- watermarked")
         print()
         failed += bool(errs)
     return 1 if failed else 0

@@ -589,6 +589,9 @@ def stream_jsoncdc_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from lapidus_spark.plans.audit import record_stream_run
+
+        record_stream_run("stream_jsoncdc_tx", q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)

@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lapidus_spark.plans.audit import record_stream_run
 from lapidus_spark.plans.registry import query
 from lapidus_spark.sources.cdc import CDC_TYPE_EXPR, normalize_events
 from lapidus_spark.sources.tables import load_table
@@ -76,6 +77,7 @@ def _run_to_memory(
             .start()
         )
         q.awaitTermination()
+        record_stream_run(name, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         for k, v in prev_confs.items():
@@ -467,7 +469,11 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        materialize(env, store_factory=partial(DirKVStore, root), checkpoint=ckpt)()
+        join = materialize(env, store_factory=partial(DirKVStore, root), checkpoint=ckpt)
+        join()
+        # materialize returns the query's bound awaitTermination; its
+        # __self__ IS the StreamingQuery — record the executed facts
+        record_stream_run("stream_upsert_snapshot", join.__self__)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Read the store back (verification harness, not the operator):
