@@ -26,3 +26,27 @@ def test_curate_corpus_example_runs():
     assert stages == sorted(stages, reverse=True) and stages[-1] > 0
     manifest = [int(m) for m in re.findall(r"^\s+(?:train|val|test): (\d+) docs$", out, re.M)]
     assert sum(manifest) == stages[-1]
+
+
+def test_curate_stream_example_runs():
+    """The continuous-ingestion arm runs on sf0.001: arrivals are
+    classified against the standing fingerprint index, admitted docs
+    are centroid-routed, and the cell-partitioned intake accounts for
+    every admitted doc."""
+    import re
+
+    out = subprocess.run(
+        [sys.executable, "examples/curate_stream.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    ).stdout
+    assert "== ingestion funnel ==" in out and "== intake by cell ==" in out
+    funnel = {
+        m[0]: int(m[1]) for m in re.findall(r"^\s+(\w+): (\d+)$", out, re.M)
+    }
+    assert funnel["arrived"] == funnel["dup_dropped"] + funnel["admitted"]
+    assert funnel["admitted"] > 0 and funnel["dup_dropped"] > 0
+    total = int(re.search(r"total admitted: (\d+) docs", out).group(1))
+    assert total == funnel["admitted"]
