@@ -147,6 +147,23 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — same isolation as the timed loop
         print(f"# streaming replay FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Executed-stream telemetry recorded by the runners during the
+    # timed pass (plans/audit.py): per streaming query, how many
+    # micro-batches ran and how much state lived on how many
+    # partitions — the round-over-round scale evidence for the
+    # stateful layer, free to emit since the runs already happened.
+    from lapidus_spark.plans.audit import STREAM_RUN_FACTS
+
+    stream_state = {
+        name: {
+            "batches": f.n_batches,
+            "state_rows": f.state_rows_total,
+            "state_partitions": f.max_state_partitions,
+            "state_ops": f.plan_ops,
+        }
+        for name, f in sorted(STREAM_RUN_FACTS.items())
+    }
+
     payload = json.dumps(
         {
             "metric": "total_query_wall_clock",
@@ -156,6 +173,7 @@ def main() -> None:
             "failed_queries": failures,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "streaming": streaming_stats,
+            "stream_state": stream_state,
         }
     )
     print(payload)

@@ -60,20 +60,17 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 #: in or out of the window — stays under pytest oracle parity each
 #: round (tests/test_oracle_parity.py).
 #:
-#: Round-4 recorded trade: 35 new queries joined the surface (the
-#: kmeans/SemDeDup/dup-span/domain-cap/OHLC/CUSUM/Gini/transition/
-#: format cohort) and 13 existing queries changed implementation
-#: (incl. sort_global_events + ext_seq_pack, whose shared sampled-
-#: range-exchange nondeterminism the sf0.1 parity sweep caught and a
-#: localCheckpoint pin fixed). 39 age-0 + 13 touched = 52 candidates
-#: for 50 slots; touched ranks IN the age-0 cohort (a green signal
-#: from before an implementation change is no evidence about the
-#: change, so a bug-fixed query must never lose its slot to a
-#: merely-new one), and heaviness drops the two stateless format
-#: scans (src_jsonl_scan, src_orc_scan — pytest + sf0.1-sweep
-#: verified, rotate in next round). Zero stale-refresh slots remain:
-#: the 10 round-1-stale plus the 41 round-2-green refresh in round 5
-#: — age-0/changed-code evidence debt outranks stale-refresh debt.
+#: Round-5 posture: the surface is FROZEN at 140 (no new queries, no
+#: implementation changes to out-of-window queries), so the derived
+#: window exactly clears the accumulated evidence debt — 2 never-
+#: driver-verified format scans + 10 round-1-stale + 38 round-2-stale
+#: = 50 slots, leaving no query's latest signal older than round 3.
+#: Round-5 perf directives resolved WITHOUT implementation changes
+#: (the r4 per-query bench spikes were a measured JVM transient, the
+#: RocksDB provider a recorded null result — BENCH.md), precisely so
+#: this window holds. Round-4's trade (heaviness dropping the two
+#: format scans from a 52-candidate window) is recorded in git
+#: history at plans/registry.py:62-76.
 
 
 _SIGNAL_AGES: dict[str, int] | None = None
