@@ -447,17 +447,28 @@ def _ngram_prefix_candidates(agg: DataFrame, threshold: float) -> DataFrame:
     "deliberately the formulation that does NOT scale.",
 )
 def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint (not persist) between rounds: it truncates the
-    # lineage, so iteration N's plan is one join deep instead of N joins
-    # deep — without it Catalyst re-analyzes a growing tree every round
-    # (measured 3× the whole query's runtime at sf0.1). Local checkpoints
-    # are not executor-loss-tolerant; a long production run on a real
-    # cluster would point sparkContext.setCheckpointDir at durable
-    # storage and use .checkpoint() instead.
     edges = (
         ext_dedup_minhash(spark, sf_dir)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+    return min_label_propagation(edges)
+
+
+def min_label_propagation(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Distributed min-label propagation over an undirected edge set
+    given as directed (src, dst) pairs (symmetrized here): every
+    vertex repeatedly adopts the min label among itself and its
+    neighbors until fixpoint — (doc_id, component) with component =
+    the min vertex id of the connected component.
+
+    localCheckpoint (not persist) between rounds: it truncates the
+    lineage, so iteration N's plan is one join deep instead of N joins
+    deep — without it Catalyst re-analyzes a growing tree every round
+    (measured 3× the whole query's runtime at sf0.1). Local checkpoints
+    are not executor-loss-tolerant; a long production run on a real
+    cluster would point sparkContext.setCheckpointDir at durable
+    storage and use .checkpoint() instead.
+    """
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -466,7 +477,7 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(32):  # bound >> any real component diameter
+    for _ in range(max_rounds):  # bound >> any real component diameter
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -490,7 +501,7 @@ def ext_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("prev")
         if changed == 0:
             return labels
-    raise RuntimeError("label propagation did not converge in 32 rounds")
+    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
 
 
 # ---------------------------------------------------- incremental dedup

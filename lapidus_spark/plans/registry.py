@@ -129,6 +129,11 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # unchanged and re-proven by the sf0.1 sweep; any query listed
     # here consumes a slot and the traded-away stale refresh must be
     # recorded below.
+    #
+    # label-propagation core extracted to min_label_propagation for
+    # direct union-find property testing (mechanical; r2-stale, so it
+    # was already in the window — no slot displaced)
+    "ext_dedup_components",
 )
 
 

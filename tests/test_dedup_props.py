@@ -1,0 +1,138 @@
+"""Adversarial correctness properties for the near-dup machinery.
+
+Two claims the pipeline's scale story leans on get direct tests
+against brute-force ground truth on seeded random inputs:
+
+1. The PPJoin candidate generator (prefix + length + positional
+   filters, functions/dedup.py:_ngram_prefix_candidates) is an
+   EXACT SUPERSET of the qualifying pairs within its (lang,
+   len_band) blocking — the round-4 claim that made the filters
+   admissible without parity risk.
+2. Distributed min-label propagation (min_label_propagation) equals
+   union-find connected components on arbitrary graphs, including
+   shapes the minhash fixture never produces (paths near the round
+   bound, stars, isolated edges, multi-component forests).
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lapidus_spark.functions.dedup import (
+    JACCARD_T,
+    LENGTH_BAND,
+    _ngram_df_sorted,
+    _ngram_prefix_candidates,
+    min_label_propagation,
+)
+
+
+def _brute_force_pairs(docs: list[tuple[int, str, str]]) -> set[tuple[int, int]]:
+    """All (doc_a < doc_b) with token-Jaccard >= JACCARD_T inside the
+    generator's (lang, len_band) blocking."""
+    toks = {d: set(t.lower().split(" ")) for d, _, t in docs}
+    lang = {d: lg for d, lg, _ in docs}
+    band = {d: len(t) // LENGTH_BAND for d, _, t in docs}
+    out = set()
+    for (a, _, _), (b, _, _) in itertools.combinations(docs, 2):
+        if lang[a] != lang[b] or band[a] != band[b]:
+            continue
+        inter = len(toks[a] & toks[b])
+        if inter and inter / (len(toks[a]) + len(toks[b]) - inter) >= JACCARD_T:
+            out.add((min(a, b), max(a, b)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101, 9001])
+def test_prefix_candidates_are_exact_superset(spark, seed):
+    """No qualifying pair is ever lost to the prefix, length, or
+    positional prune — on corpora with adversarial df skew (a
+    stopword in nearly every doc) and near-threshold pair sizes."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(2, 12)
+        words = rng.sample(vocab, n)
+        if rng.random() < 0.8:
+            words.append("the")  # corpus-wide stopword: worst-case df
+        # duplicate clusters: every 7th doc is a near-copy of doc i-1
+        if i % 7 == 1 and docs:
+            prev = docs[-1][2].split(" ")
+            keep = max(1, int(len(prev) * 0.8))
+            words = prev[:keep] + [rng.choice(vocab)]
+        docs.append((i, rng.choice(["en", "de"]), " ".join(dict.fromkeys(words))))
+
+    sdf = spark.createDataFrame(
+        [(d, lg, t, len(t)) for d, lg, t in docs],
+        "doc_id LONG, lang STRING, text STRING, n_chars LONG",
+    )
+    t = sdf.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
+        F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _ngram_prefix_candidates(_ngram_df_sorted(t), JACCARD_T).collect()
+    }
+    truth = _brute_force_pairs(docs)
+    missing = truth - cand
+    assert not missing, f"prefix filter lost qualifying pairs: {sorted(missing)}"
+
+
+def _union_find(n_edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        # a path whose min sits at one end: needs length-many rounds
+        ("path", [(i, i + 1) for i in range(20)]),
+        # star with the min at a leaf, plus an isolated edge
+        ("star+edge", [(5, i) for i in range(6, 16)] + [(0, 5), (100, 101)]),
+        # forest of rings of coprime sizes
+        ("rings", [(i, (i + 1) % 7) for i in range(7)]
+                  + [(10 + i, 10 + (i + 1) % 5) for i in range(5)]),
+    ],
+)
+def test_min_label_propagation_matches_union_find(spark, name, edges):
+    sdf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in min_label_propagation(sdf).collect()
+    }
+    assert got == _union_find(edges), name
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_min_label_propagation_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(25))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.08
+    ] or [(0, 1)]
+    sdf = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r["doc_id"]: r["component"] for r in min_label_propagation(sdf).collect()}
+    assert got == _union_find(edges)
