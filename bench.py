@@ -107,6 +107,11 @@ def main() -> None:
         for t in spark.catalog.listTables():
             if t.isTemporary and t.name.endswith("_out"):
                 spark.catalog.dropTempView(t.name)
+        # (A System.gc() settle after each streaming query was A/B
+        # tested in round 5 and made things WORSE — 155.0 s vs
+        # 134.7 s control, with the per-query transient landing
+        # anyway; forced full GCs across 32 threads cost more than
+        # they reclaim. Protocol stays untouched — BENCH.md.)
 
     # Streaming throughput (BASELINE.md bench protocol): replay the
     # events table through the envelope pipeline as a real stream into
