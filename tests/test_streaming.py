@@ -218,6 +218,77 @@ def test_tx_state_survives_restart(spark, tmp_path, tx_stream_dir):
     assert 3 not in second  # still uncommitted
 
 
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """CEP restart: candidate stages buffered in the state store
+    survive a full query stop/start cycle — run 1 sees only a view
+    and a purchase (no funnel entry, nothing emitted, candidates held
+    in checkpointed state); after a teardown, run 2 delivers a LATE,
+    earlier signup and the funnel completes from the recovered
+    candidate sets (signup -> that view -> that purchase)."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from lapidus_spark.streaming.cep import funnel_stream
+    from lapidus_spark.streaming.sources import stream_json_dir
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    live = tmp_path / "live"
+    live.mkdir()
+    ckpt = str(tmp_path / "funnelckpt")
+    out = str(tmp_path / "funnelout")
+
+    def write_batch(name, rows):
+        (live / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": e, "ts_us": t, "user_id": u, "event_type": ty}
+                )
+                for e, t, u, ty in rows
+            )
+        )
+
+    def run_once():
+        ev = stream_json_dir(spark, str(live), schema, max_files_per_trigger=1)
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            funnel_stream(ev)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: view + purchase only — no stage-1, so nothing may emit
+    write_batch("batch0.json", [(2, 20, 7, "view"), (3, 30, 7, "purchase")])
+    run_once()
+    assert spark.read.schema(
+        "entity_id LONG, version LONG, signup_us LONG, view_us LONG, purchase_us LONG"
+    ).parquet(out).count() == 0
+
+    # teardown done (availableNow drained); the LATE signup arrives
+    # with an EARLIER timestamp; a new query resumes from checkpoint
+    write_batch("batch1.json", [(1, 10, 7, "signup")])
+    run_once()
+    rows = {r["entity_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[7]["signup_us"] == 10
+    assert rows[7]["view_us"] == 20  # recovered candidate, re-resolved
+    assert rows[7]["purchase_us"] == 30
+    assert rows[7]["version"] == 2  # state version carried across runs
+
+
 def test_pipeline_fanout_and_gating(spark, tmp_path):
     """End-to-end daemon run: file backend → two sinks with different
     type gates (per-sink emit flags, postgresql.js:88-97)."""
