@@ -51,7 +51,13 @@ def _brute_force_pairs(docs: list[tuple[int, str, str]]) -> set[tuple[int, int]]
 def test_prefix_candidates_are_exact_superset(spark, seed):
     """No qualifying pair is ever lost to the prefix, length, or
     positional prune — on corpora with adversarial df skew (a
-    stopword in nearly every doc) and near-threshold pair sizes."""
+    stopword in nearly every doc) and near-threshold pair sizes.
+
+    Complements test_scale.py's lemma test (raw token sets, one
+    blocking bucket): this one drives the FULL text path — real
+    tokenization, n_chars-derived length bands, two languages — so
+    the (lang, len_band) blocking semantics are part of the oracle,
+    not fixed out."""
     rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(30)]
     docs = []
