@@ -25,6 +25,13 @@ from lapidus_spark.sources.tables import load_table
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 _STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+#: the [a-zA-Z0-9 ] character class as a translate() deletion table —
+#: counting chars OUTSIDE a single-char class needs no regex engine
+#: at all (length(text) vs length(translate(text, class, ''))).
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
 #: marker-word profile per language, checked in deterministic order.
 LANG_MARKERS = (("en", "the"), ("es", "el"), ("de", "der"), ("fr", "le"), ("zh", "的"))
 
@@ -119,15 +126,33 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     operator="ext_token_count",
     doc="Token counting: whitespace tokens + BPE-ish regex classes "
-    "(word pieces vs non-alnum symbols).",
+    "(word pieces vs non-alnum symbols). Counts are computed WITHOUT "
+    "materializing match arrays or extra regex scans — the round-5 "
+    "scaling probe measured the naive 3-regex regexp_extract_all "
+    "form at ~5x the cost on 500k docs (21.6s -> 3.4-4.7s, values "
+    "bit-identical): one regex pass collapses word runs to a marker "
+    "('x' cannot survive outside a run — a literal x is itself "
+    "alnum and gets consumed), then plain replace/translate "
+    "char-table passes do all three counts.",
 )
 def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.functions.exprs import let_
+
     d = load_table(spark, sf_dir, "documents", parallel=True)
+    word_runs = let_(
+        "regexp_replace(lower(text), '[a-z0-9]+', 'x')",
+        "c",
+        "length(c) - length(replace(c, 'x', ''))",
+    )
     return d.select(
         "doc_id",
-        F.expr("size(split(text, ' '))").alias("n_ws_tokens"),
-        F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").alias("n_word_tokens"),
-        F.expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").alias("n_other_tokens"),
+        (F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + F.lit(1))
+        .cast("int")
+        .alias("n_ws_tokens"),
+        F.expr(word_runs).cast("int").alias("n_word_tokens"),
+        F.length(F.expr(f"translate(text, '{_ALNUM_SPACE}', '')"))
+        .cast("int")
+        .alias("n_other_tokens"),
     )
 
 
@@ -157,13 +182,20 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", parallel=True)
+    # n_toks and n_punct need no regex engine (space count + translate
+    # char table — see ext_token_count's measured 5x); only the
+    # stopword membership genuinely needs tokenization.
     t = d.select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars_exact"),
-        F.expr("size(split(text, ' '))").alias("n_toks"),
+        (F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + F.lit(1))
+        .cast("int")
+        .alias("n_toks"),
         F.expr(f"size(filter(split(lower(text), ' '), t -> t IN {_STOP_IN}))").alias("n_stop"),
-        F.expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").alias("n_punct"),
+        F.length(F.expr(f"translate(text, '{_ALNUM_SPACE}', '')"))
+        .cast("int")
+        .alias("n_punct"),
     )
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_toks")
     punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_exact")

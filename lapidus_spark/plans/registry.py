@@ -134,6 +134,12 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # direct union-find property testing (mechanical; r2-stale, so it
     # was already in the window — no slot displaced)
     "ext_dedup_components",
+    # token/punct counting moved off regexp_extract_all match arrays
+    # to one-regex-pass + translate/replace char tables (measured 5x
+    # at 500k docs, values bit-identical; both r2-stale and already
+    # in the window — no slot displaced)
+    "ext_token_count",
+    "ext_quality_score",
 )
 
 
