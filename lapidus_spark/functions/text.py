@@ -130,26 +130,20 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materializing match arrays or extra regex scans — the round-5 "
     "scaling probe measured the naive 3-regex regexp_extract_all "
     "form at ~5x the cost on 500k docs (21.6s -> 3.4-4.7s, values "
-    "bit-identical): one regex pass collapses word runs to a marker "
-    "('x' cannot survive outside a run — a literal x is itself "
-    "alnum and gets consumed), then plain replace/translate "
-    "char-table passes do all three counts.",
+    "bit-identical): regexp_count does the one regex scan with no "
+    "match materialization at all (3-4x faster again than a "
+    "collapse-to-marker regexp_replace — replacement-string "
+    "building is itself a cost), and the whitespace/symbol counts "
+    "are plain replace/translate char-table passes.",
 )
 def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lapidus_spark.functions.exprs import let_
-
     d = load_table(spark, sf_dir, "documents", parallel=True)
-    word_runs = let_(
-        "regexp_replace(lower(text), '[a-z0-9]+', 'x')",
-        "c",
-        "length(c) - length(replace(c, 'x', ''))",
-    )
     return d.select(
         "doc_id",
         (F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + F.lit(1))
         .cast("int")
         .alias("n_ws_tokens"),
-        F.expr(word_runs).cast("int").alias("n_word_tokens"),
+        F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+")).cast("int").alias("n_word_tokens"),
         F.length(F.expr(f"translate(text, '{_ALNUM_SPACE}', '')"))
         .cast("int")
         .alias("n_other_tokens"),
