@@ -73,7 +73,7 @@ def main() -> None:
     )
 
     intake = tempfile.mkdtemp(prefix="lapidus_intake_")
-    funnel: dict[str, int] = {"arrived": 0, "dup_dropped": 0, "admitted": 0}
+    funnel: dict[str, int] = {"arrived": 0, "dup_dropped": 0, "admitted": 0, "deferred": 0}
 
     def admit(batch_df, epoch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -84,17 +84,32 @@ def main() -> None:
             }
             funnel["arrived"] += sum(counts.values())
             funnel["dup_dropped"] += counts.get("dup", 0)
-            funnel["admitted"] += counts.get("new", 0)
             fresh = batch_df.filter(F.col("status") == "new")
+            # LEFT join: an admitted doc with no embedding row must not
+            # vanish from the intake while still counted as admitted
+            # (ADVICE r5) — it routes to the holding cell -1 and counts
+            # as 'deferred' until an embedding arrives.
+            with_emb = fresh.join(
+                embeddings, fresh.doc_id == embeddings.vec_id, "left"
+            ).persist()
+            deferred = with_emb.filter(F.col("vec_id").isNull()).select(
+                "doc_id", "source", F.lit(-1).alias("cell")
+            )
+            n_deferred = deferred.count()
+            funnel["deferred"] += n_deferred
+            funnel["admitted"] += counts.get("new", 0) - n_deferred
             routed = (
-                fresh.join(embeddings, fresh.doc_id == embeddings.vec_id)
+                with_emb.filter(F.col("vec_id").isNotNull())
                 .join(F.broadcast(centroids))
                 .select("doc_id", "source", F.expr(_CENT_SCORE).alias("score"), "cell")
                 .groupBy("doc_id", "source")
                 .agg(F.min(F.struct("score", "cell")).alias("m"))
                 .select("doc_id", "source", F.col("m.cell").alias("cell"))
             )
-            routed.write.mode("append").partitionBy("cell").parquet(intake)
+            routed.unionByName(deferred).write.mode("append").partitionBy(
+                "cell"
+            ).parquet(intake)
+            with_emb.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -110,7 +125,7 @@ def main() -> None:
     print("== ingestion funnel ==")
     for stage, n in funnel.items():
         print(f"  {stage:>12}: {n}")
-    print("== intake by cell ==")
+    print("== intake by cell (cell -1 = embedding-less holding) ==")
     cells = (
         spark.read.parquet(intake)
         .groupBy("cell")
@@ -120,7 +135,9 @@ def main() -> None:
     )
     for r in cells:
         print(f"  cell {r['cell']:>3}: {r['docs']} docs")
-    print(f"  total admitted: {sum(r['docs'] for r in cells)} docs")
+    total = sum(r["docs"] for r in cells)
+    print(f"  total intake: {total} docs (admitted {funnel['admitted']} + deferred {funnel['deferred']})")
+    assert total == funnel["admitted"] + funnel["deferred"], "intake accounting drifted"
 
 
 if __name__ == "__main__":

@@ -76,18 +76,21 @@ def query(name: str, oracle: str | None, operator: str, doc: str = ""):
 _SIGNAL_AGES: dict[str, int] | None = None
 
 
-def _signal_ages() -> dict[str, int]:
+def _signal_ages(root=None) -> dict[str, int]:
     """Latest driver round with a fully-green row per query, from the
     committed CORRECTNESS_r*.json artifacts (parsed once per process).
-    Missing → never verified."""
+    Missing → never verified. ``root`` overrides the artifact
+    directory (uncached) so the window-policy tests can run against a
+    synthesized future-round artifact set."""
     global _SIGNAL_AGES
-    if _SIGNAL_AGES is not None:
+    if root is None and _SIGNAL_AGES is not None:
         return _SIGNAL_AGES
     import json
     import re
     from pathlib import Path
 
-    root = Path(__file__).resolve().parents[2]
+    caching = root is None
+    root = Path(root) if root is not None else Path(__file__).resolve().parents[2]
     ages: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
@@ -109,7 +112,8 @@ def _signal_ages() -> dict[str, int]:
             )
             if green:
                 ages[name] = max(ages.get(name, 0), rnd)
-    _SIGNAL_AGES = ages
+    if caching:
+        _SIGNAL_AGES = ages
     return ages
 
 
@@ -120,26 +124,16 @@ def _signal_ages() -> dict[str, int]:
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # Round 5 freezes the query surface so the 50-slot window exactly
-    # clears the driver-evidence debt: 2 never-verified format scans
-    # + 10 r1-stale + 38 r2-stale = 50 (VERDICT r4 directive #1).
-    # Implementation changes this round are held to ones whose plan
-    # contract asserts an IDENTICAL fixture-scale plan (e.g. the
-    # ext_pagerank broadcast-threshold guard) or whose oracle is
-    # unchanged and re-proven by the sf0.1 sweep; any query listed
-    # here consumes a slot and the traded-away stale refresh must be
-    # recorded below.
+    # Round-6 window accounting (r5 left zero debt: every query's
+    # latest signal is r3/r4/r5). The derived ordering spends the 50
+    # slots as: touched-below first, then the round's new queries
+    # (never-verified), then the 40 r3-stale signals, then the
+    # heaviest r4-stale — exactly the rotation VERDICT r5 #2 asks for.
     #
-    # label-propagation core extracted to min_label_propagation for
-    # direct union-find property testing (mechanical; r2-stale, so it
-    # was already in the window — no slot displaced)
-    "ext_dedup_components",
-    # token/punct counting moved off regexp_extract_all match arrays
-    # to one-regex-pass + translate/replace char tables (measured 5x
-    # at 500k docs, values bit-identical; both r2-stale and already
-    # in the window — no slot displaced)
-    "ext_token_count",
-    "ext_quality_score",
+    # src_csv_scan: corrupt-branch oracle gains HAVING count(*) > 0,
+    # matching the jsonl sibling (VERDICT r5 #4) — oracle change, so
+    # the r4 green signal is no longer evidence.
+    "src_csv_scan",
 )
 
 

@@ -78,6 +78,7 @@ def build_csv_capture(spark: SparkSession, sf_dir: str) -> str:
     UNION ALL
     SELECT 'corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), NULL
     FROM events WHERE event_id % {CSV_BAD_MOD} = 0
+    HAVING count(*) > 0
     """,
     operator="src_decode for CSV (PERMISSIVE triage — the src_stderr contract on a lake format)",
     doc="CSV ingest with the reference's error-handling contract "

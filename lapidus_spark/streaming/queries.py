@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lapidus_spark.plans.audit import record_stream_run
+from lapidus_spark.plans.audit import STREAM_RUN_FACTS, record_stream_run
 from lapidus_spark.plans.registry import query
 from lapidus_spark.sources.cdc import CDC_TYPE_EXPR, normalize_events
 from lapidus_spark.sources.tables import load_table
@@ -59,6 +59,10 @@ def _run_to_memory(
     on a cluster, state partitions should track total executor cores
     (they are fixed at first checkpoint)."""
     spark = df.sparkSession
+    # Drop any previous run's facts up front: if this run fails before
+    # record_stream_run, a later audit must see "no facts" rather than
+    # silently asserting against the stale entry (ADVICE r5).
+    STREAM_RUN_FACTS.pop(name, None)
     ckpt = tempfile.mkdtemp(prefix=f"lapidus_{name}_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_confs = {k: spark.conf.get(k, None) for k in (confs or {})}

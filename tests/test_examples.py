@@ -42,11 +42,14 @@ def test_curate_stream_example_runs():
         timeout=300,
         check=True,
     ).stdout
-    assert "== ingestion funnel ==" in out and "== intake by cell ==" in out
+    assert "== ingestion funnel ==" in out and "== intake by cell" in out
     funnel = {
         m[0]: int(m[1]) for m in re.findall(r"^\s+(\w+): (\d+)$", out, re.M)
     }
-    assert funnel["arrived"] == funnel["dup_dropped"] + funnel["admitted"]
+    assert (
+        funnel["arrived"]
+        == funnel["dup_dropped"] + funnel["admitted"] + funnel["deferred"]
+    )
     assert funnel["admitted"] > 0 and funnel["dup_dropped"] > 0
-    total = int(re.search(r"total admitted: (\d+) docs", out).group(1))
-    assert total == funnel["admitted"]
+    total = int(re.search(r"total intake: (\d+) docs", out).group(1))
+    assert total == funnel["admitted"] + funnel["deferred"]

@@ -65,12 +65,68 @@ def test_untouched_never_verified_beats_touched_policy_only_when_listed(monkeypa
     assert order[0] == "src_jsonl_scan"
 
 
-def test_current_window_is_the_evidence_debt():
-    """With the committed artifacts (r1–r4) and a frozen surface, the
-    50-slot window is exactly: every never-verified query + every
-    r1/r2-stale query — and nothing verified at r3+ sneaks in."""
-    reg = load_all()
-    ages = registry._signal_ages()
-    window, rest = list(reg)[:50], list(reg)[50:]
-    assert all(ages.get(n, 0) <= 2 for n in window)
-    assert all(ages.get(n, 99) >= 3 for n in rest)
+def _assert_window_invariant(order, ages, touched):
+    """The relative window invariant (replaces the r5 absolute
+    'age <= 2' assertion that every new CORRECTNESS_r*.json artifact
+    falsified): the 50-slot window holds the stalest evidence.
+
+    1. every touched-with-stale-signal query is inside the window;
+    2. every never-verified UNTOUCHED query precedes every verified
+       untouched query;
+    3. no untouched query outside the window has a strictly staler
+       (lower-round, never-verified = 0) signal than any untouched
+       query inside it.
+    """
+    window, rest = order[:50], order[50:]
+    touched_stale = {n for n in touched if ages.get(n, 0) > 0}
+    assert touched_stale <= set(window)
+    untouched = [n for n in order if n not in touched_stale]
+    verified_seen = False
+    for n in untouched:
+        if ages.get(n, 0) == 0:
+            assert not verified_seen, f"never-verified {n} after a verified query"
+        else:
+            verified_seen = True
+    win_max = max((ages.get(n, 0) for n in window if n not in touched_stale), default=0)
+    rest_min = min((ages.get(n, 0) for n in rest if n not in touched_stale), default=win_max)
+    assert win_max <= rest_min
+
+
+def test_current_window_holds_the_stalest_evidence():
+    """Against the committed artifacts at HEAD, whatever rounds they
+    span — the invariant is relative, so a new round's artifact
+    landing in the repo root rotates the window instead of breaking
+    this test."""
+    order = list(load_all())
+    _assert_window_invariant(order, registry._signal_ages(), registry._TOUCHED_THIS_ROUND)
+
+
+def test_window_invariant_survives_next_round_artifact(tmp_path, monkeypatch):
+    """Round-proofing (VERDICT r5 #1): synthesize the NEXT round's
+    CORRECTNESS artifact — all-green for the current window — into a
+    scratch root, re-derive ages from it, and assert the same relative
+    invariant. This is exactly the event that broke the r5 test."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(registry.__file__).resolve().parents[2]
+    latest = 0
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if m:
+            latest = max(latest, int(m.group(1)))
+        (tmp_path / p.name).write_text(p.read_text())
+    current_window = list(load_all())[:50]
+    green = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+        for n in current_window
+    }
+    (tmp_path / f"CORRECTNESS_r{latest + 1:02d}.json").write_text(json.dumps(green))
+
+    next_ages = registry._signal_ages(root=tmp_path)
+    assert all(next_ages[n] == latest + 1 for n in current_window)
+    # next round: the touched list resets (fresh code would be re-listed)
+    monkeypatch.setattr(registry, "_SIGNAL_AGES", dict(next_ages))
+    monkeypatch.setattr(registry, "_TOUCHED_THIS_ROUND", ())
+    _assert_window_invariant(list(load_all()), next_ages, ())
