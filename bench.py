@@ -46,10 +46,15 @@ def main() -> None:
         build_jsoncdc_corrupt_replay,
         build_jsoncdc_replay,
     )
-    from lapidus_spark.streaming.queries import build_late_replay, build_tx_replay_input
+    from lapidus_spark.streaming.queries import (
+        build_late_replay,
+        build_merge_replay,
+        build_tx_replay_input,
+    )
 
     for builder in (
         build_tx_replay_input,
+        build_merge_replay,
         build_jsoncdc_replay,
         build_jsoncdc_corrupt_replay,
         build_late_replay,
@@ -69,11 +74,24 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — dependents fail individually
             print(f"# setup {builder.__name__} failed: {e}", file=sys.stderr)
 
+    # Execution order: batch cohort first, streaming cohort LAST.
+    # Round 4/5 showed a decaying post-streaming-cohort JVM transient
+    # (2-8x one-off spikes) landing on whichever BATCH queries ran
+    # right after the 23-query stream_* stretch — alphabetical order
+    # put src_*/top_*/win_* exactly there. Running batch from the
+    # quiet JVM and streaming at the end keeps the transient out of
+    # the batch record entirely (VERDICT r5 #6).
+    order = [n for n in sorted(reg) if not n.startswith("stream_")] + [
+        n for n in sorted(reg) if n.startswith("stream_")
+    ]
+
     # Warm pass at the smallest SF: triggers codegen/JIT of every
     # query shape once, so the timed numbers measure engine work on
-    # the target data, not first-use compilation.
+    # the target data, not first-use compilation. Same order as the
+    # timed pass, so warmup's own streaming stretch (tiny, sf0.001)
+    # also sits at the maximum distance from the timed batch cohort.
     warm_dir = "/root/testdata/sf0.001"
-    for name in sorted(reg):
+    for name in order:
         try:
             reg[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — warmup must not kill the bench
@@ -85,7 +103,7 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     total = 0.0
     failures = 0
-    for name in sorted(reg):
+    for name in order:
         fn = reg[name].fn
         t0 = time.perf_counter()
         # Per-query exception isolation: one broken query must never

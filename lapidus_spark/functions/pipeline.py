@@ -769,3 +769,153 @@ def ext_domain_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * sx).cast("bigint").alias("gini_den"),
         (num.cast("double") / (n * sx)).alias("gini"),
     )
+
+
+# --- two-stage retrieval: dense ANN candidates → lexical re-rank ---
+
+#: stage-1 candidate pool (dense recall set) and final result size.
+RERANK_CANDIDATES = 50
+RERANK_TOPK = 10
+
+
+def _retrieve_rerank_oracle() -> str:
+    from lapidus_spark.functions.similarity import (
+        N_PROBE,
+        QUERY_VEC_ID,
+        _cell_expr,
+        _cos,
+        _scores_arr,
+    )
+
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = _bm25_score_sql().replace(" DIV ", " // ")
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_cell_expr("duck", "embedding")} AS cell
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qe,
+             {_scores_arr("duck", "embedding")} AS qscores
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), cand AS (
+      SELECT s.vec_id, {_cos("duck", "s.embedding", "q.qe")} AS cos_sim
+      FROM s CROSS JOIN q
+      WHERE q.qscores[s.cell + 1] <= list_sort(q.qscores)[{N_PROBE}]
+        AND s.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cos_sim DESC, s.vec_id ASC
+      LIMIT {RERANK_CANDIDATES}
+    ), d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM d
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS n_tokens,
+             {df_cols}
+      FROM t
+    )
+    SELECT t.doc_id, {score} AS score, c.cos_sim
+    FROM cand c JOIN t ON t.doc_id = c.vec_id CROSS JOIN st
+    ORDER BY score DESC, c.cos_sim DESC, t.doc_id ASC
+    LIMIT {RERANK_TOPK}
+    """
+
+
+@query(
+    "ext_retrieve_rerank",
+    oracle=_retrieve_rerank_oracle(),
+    operator="two-stage retrieval (ANN recall → BM25 precision re-rank)",
+    doc="The standard retrieval composition as ONE audited plan: "
+    "stage 1 probes the cell-partitioned IVF index (ext_ann_ivf's "
+    "partition-pruned read — n_probe/k of the files) for the top-"
+    f"{RERANK_CANDIDATES} dense candidates by exact cosine; stage 2 "
+    "re-ranks ONLY those candidates lexically with the frozen fixed-"
+    "point BM25 (ext_bm25_topk's scoring, corpus-wide stats). The "
+    "candidate set joins back to documents as a broadcast (50 rows "
+    "of ids — the build side of a broadcast hash join, never a "
+    "shuffle), the stats row is one broadcast scalar, and the final "
+    "ranking is (bm25, cosine, id) — fully deterministic, bit-"
+    "identical across engines. At 100 TB: the IVF probe stays "
+    "pruned, corpus stats are a persisted ingest-time artifact "
+    "(per ext_bm25_topk's note), and the candidate fetch becomes a "
+    "keyed point-read against the doc store; the one full documents "
+    "scan here exists only to compute those stats on the fly.",
+)
+def ext_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from lapidus_spark.functions.similarity import (
+        DIM,
+        N_CELLS,
+        N_PROBE,
+        QUERY_VEC_ID,
+        _cos,
+        _ivf_weight,
+        build_ivf_index,
+    )
+
+    idx_path = build_ivf_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    # driver-side probe-cell selection: same metadata-sized step as
+    # ext_ann_ivf (one pushed-filter scan of one row; the Python fold
+    # is bit-identical to the SQL quantizer's)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    qscores = []
+    for i in range(N_CELLS):
+        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
+        dot = 0.0
+        for d in range(1, DIM + 1):
+            dot = dot + _ivf_weight(i, d) * float(qrow.embedding[d - 1])
+        qscores.append(-dot / norm)
+    thr = sorted(qscores)[N_PROBE - 1]
+    cells = [c for c, s in enumerate(qscores) if s <= thr]
+    qe = F.array(*[F.lit(float(v)) for v in qrow.embedding])
+    cand = (
+        spark.read.parquet(idx_path)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("qe", qe)
+        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(RERANK_CANDIDATES)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    return (
+        per_doc.join(F.broadcast(cand), per_doc.doc_id == cand.vec_id)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(_bm25_score_sql()))
+        .select("doc_id", "score", "cos_sim")
+        .orderBy(F.desc("score"), F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(RERANK_TOPK)
+    )

@@ -187,6 +187,16 @@ EXPECTATIONS: dict[str, dict] = {
     # → the scan itself is partition-pruned (reads n_probe/16 of the
     # files); rerank is TakeOrderedAndProject, zero shuffles
     "ext_ann_ivf": {"partition_pruned": True, "take_ordered": True, "max_exchanges": 0},
+    # two-stage retrieval: pruned IVF probe (stage 1), candidates +
+    # stats as broadcasts (stage 2), final TakeOrdered; the single
+    # shuffle is load_table(parallel=True)'s fixture-split crutch
+    "ext_retrieve_rerank": {
+        "partition_pruned": True,
+        "take_ordered": True,
+        "broadcasts": 3,
+        "max_exchanges": 1,
+        "no_single_partition": True,
+    },
     # per-file decode windows: one exchange per window key (file, then
     # file×table) — decode parallelism is the capture-file count
     "src_jsoncdc_decode": {"max_exchanges": 2, "no_single_partition": True},
@@ -465,6 +475,10 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # foreachBatch assembly: per-batch BATCH aggs inside the sink fn,
     # no streaming state; 2 batches so tx boundaries cross triggers
     "stream_jsoncdc_tx": {"plan_ops": [], "max_exchanges": 0, "min_batches": 2},
+    # foreachBatch MERGE into the bucketed lake: combine + overwrite
+    # run as batch jobs inside the sink fn (the lake IS the state);
+    # 3 batches with entities scattered across them
+    "stream_merge_lake": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
     # stream-static joins: dim/centroid side broadcast, stream side
     # stateless (kmeans adds one complete-mode agg on the assignment)
     "stream_enrich_dim": {"plan_ops": [], "max_exchanges": 0},

@@ -468,6 +468,7 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapidus_spark.streaming.materialize import DirKVStore, materialize
 
     env = normalize_events(stream_events(spark, sf_dir))
+    STREAM_RUN_FACTS.pop("stream_upsert_snapshot", None)
     root = tempfile.mkdtemp(prefix="lapidus_upsert_store_")
     ckpt = tempfile.mkdtemp(prefix="lapidus_upsert_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1276,3 +1277,110 @@ def _bind_kmeans_assign_oracle() -> None:
 
 
 _bind_kmeans_assign_oracle()
+
+
+#: 3-split merge replay dirs, cached per (process, sf_dir).
+_MERGE_REPLAY_DIRS: dict[str, str] = {}
+
+
+def build_merge_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Three-micro-batch replay for the lake MERGE: events split by
+    ``event_id % 3``, so every entity's history is scattered ACROSS
+    batches (not ordered runs) — the merge must be correct as a
+    semilattice join, not because arrival happened to be ordered.
+    One file per split = one micro-batch each; distinct mtimes pin
+    replay order (file source orders by modification time)."""
+    if sf_dir in _MERGE_REPLAY_DIRS:
+        return _MERGE_REPLAY_DIRS[sf_dir]
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="lapidus_mergereplay_")
+    (
+        ev.withColumn("batch", (F.col("event_id") % 3).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(replay_dir)
+    )
+    now = time.time()
+    for i in (0, 1, 2):
+        sub = os.path.join(replay_dir, f"batch={i}")
+        for fn in os.listdir(sub):
+            os.utime(os.path.join(sub, fn), (now + i * 10, now + i * 10))
+    _MERGE_REPLAY_DIRS[sf_dir] = replay_dir
+    return replay_dir
+
+
+@query(
+    "stream_merge_lake",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="sink_cache MERGE consumer (idempotent lake-table materialization)",
+    doc="The CDC snapshot materialized as a TABLE, not a KV store: "
+    "envelope stream → foreachBatch MERGE into a bucket-partitioned "
+    "parquet lake via dynamic partition overwrite (merge_lake_sink). "
+    "Each micro-batch LWW-combines to one row per key, reads back "
+    "ONLY its affected buckets (partition-pruned literal IN on the "
+    "bucket column), lattice-joins old∪new, and rewrites exactly "
+    "those bucket dirs — so replays produce byte-identical buckets "
+    "(exactly-once effect from at-least-once delivery, the "
+    "MERGE INTO contract on plain parquet). Delete tombstones stay "
+    "in the table so they keep beating late/replayed older updates; "
+    "the consumer view filters them (cache purge, nats.js:25-28). "
+    "Replayed in THREE batches split event_id%3 — entities scattered "
+    "across batches prove merge order-independence, and the oracle "
+    "is the batch LWW snapshot over the whole history.",
+)
+def stream_merge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import timestamp_micros
+    from lapidus_spark.streaming.materialize import merge_lake_sink, read_lake_snapshot
+
+    STREAM_RUN_FACTS.pop("stream_merge_lake", None)
+    replay_dir = build_merge_replay(spark, sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", timestamp_micros(F.expr("ts div 1000")))
+    env = normalize_events(raw)
+    lake = tempfile.mkdtemp(prefix="lapidus_merge_lake_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_merge_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            merge_lake_sink(env, lake)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_stream_run("stream_merge_lake", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
