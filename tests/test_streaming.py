@@ -1364,3 +1364,81 @@ def test_merge_lake_rewrites_only_affected_buckets(spark, tmp_path):
     after = bucket_mtimes()
     changed = {d for d in after if after[d] != before.get(d)}
     assert len(changed) == 1, f"expected exactly one bucket rewritten, got {changed}"
+
+
+def test_merge_lake_checkpoint_restart(spark, tmp_path):
+    """Crash-restart across the MERGE sink: drain batch 1, then
+    restart from the checkpoint with two more files present — the
+    resumed query must process ONLY the new batches (slot-cursor
+    semantics) and the final lake must equal the one-shot merge of
+    the full history (exactly-once effect on the table)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        merge_lake_sink,
+        read_lake_snapshot,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    d = tmp_path / "replay"
+    d.mkdir()
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+        for fn in os.listdir(d / f"b{i}"):
+            os.utime(d / f"b{i}" / fn, (time.time() + i * 10,) * 2)
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    os.rename(d / "b1", staged / "b1")
+    os.rename(d / "b2", staged / "b2")
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    raw_schema = ev.schema
+
+    def run_once(src):
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            merge_lake_sink(normalize_events(raw), lake)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return len(q.recentProgress or [])
+
+    assert run_once(d) == 1  # crash point: only batch 0 merged
+    # two more files "arrive", restart from the checkpoint
+    os.rename(staged / "b1", d / "b1")
+    os.rename(staged / "b2", d / "b2")
+    n2 = run_once(d)
+    assert n2 == 2, f"resume must process exactly the 2 new files, got {n2}"
+
+    got = sorted(
+        map(
+            tuple,
+            read_lake_snapshot(spark, lake)
+            .select("entity_id", "last_seq", "last_type")
+            .collect(),
+        )
+    )
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    oneshot = str(tmp_path / "lake_oneshot")
+    merge_batch_into_lake(normalize_events(ev), oneshot)
+    want = sorted(
+        map(
+            tuple,
+            read_lake_snapshot(spark, oneshot)
+            .select("entity_id", "last_seq", "last_type")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
