@@ -175,7 +175,14 @@ def materialize(
 #: physical layout key for the lake snapshot: hash-bucket of the
 #: entity id. At 100 TB this is the table's partition/cluster key —
 #: a micro-batch rewrites only the buckets its keys fall in, and a
-#: point lookup prunes to one bucket.
+#: point lookup prunes to one bucket. The count is a FIXED property
+#: of a given lake's layout (the hash derivation must never change
+#: under a table once written); it is the knob that makes merge cost
+#: proportional to the BATCH, not the table: a batch touching k of B
+#: buckets reads+rewrites k·(table/B) — size B so that a typical
+#: batch's keys land in a small fraction of buckets
+#: (experiments/merge_scaling.py measures the curve). 8 suits the
+#: ~6k-entity replay fixture; a 100 TB table wants 10^4-10^5.
 MERGE_LAKE_BUCKETS = 8
 
 
@@ -203,14 +210,18 @@ def _lww_combine(envelopes_or_rows: DataFrame) -> DataFrame:
     )
 
 
-def merge_batch_into_lake(batch_df: DataFrame, lake_dir: str) -> None:
+def merge_batch_into_lake(
+    batch_df: DataFrame, lake_dir: str, n_buckets: int = MERGE_LAKE_BUCKETS
+) -> None:
     """One MERGE step (steps 1-4 of merge_lake_sink's contract),
     callable directly on a batch DataFrame — the unit the idempotency
-    and order-independence tests drive without a streaming harness."""
+    and order-independence tests drive without a streaming harness.
+    ``n_buckets`` must be the SAME value for every merge into a given
+    ``lake_dir`` (it defines the table's physical layout)."""
     spark = batch_df.sparkSession
     updates = snapshot_stream(batch_df).withColumn(
         "bucket",
-        F.pmod(F.xxhash64("entity_id"), F.lit(MERGE_LAKE_BUCKETS)).cast("int"),
+        F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
     )
     updates = updates.persist()
     try:
