@@ -92,24 +92,28 @@ def main() -> None:
             with_emb = fresh.join(
                 embeddings, fresh.doc_id == embeddings.vec_id, "left"
             ).persist()
-            deferred = with_emb.filter(F.col("vec_id").isNull()).select(
-                "doc_id", "source", F.lit(-1).alias("cell")
-            )
-            n_deferred = deferred.count()
-            funnel["deferred"] += n_deferred
-            funnel["admitted"] += counts.get("new", 0) - n_deferred
-            routed = (
-                with_emb.filter(F.col("vec_id").isNotNull())
-                .join(F.broadcast(centroids))
-                .select("doc_id", "source", F.expr(_CENT_SCORE).alias("score"), "cell")
-                .groupBy("doc_id", "source")
-                .agg(F.min(F.struct("score", "cell")).alias("m"))
-                .select("doc_id", "source", F.col("m.cell").alias("cell"))
-            )
-            routed.unionByName(deferred).write.mode("append").partitionBy(
-                "cell"
-            ).parquet(intake)
-            with_emb.unpersist()
+            try:
+                deferred = with_emb.filter(F.col("vec_id").isNull()).select(
+                    "doc_id", "source", F.lit(-1).alias("cell")
+                )
+                n_deferred = deferred.count()
+                funnel["deferred"] += n_deferred
+                funnel["admitted"] += counts.get("new", 0) - n_deferred
+                routed = (
+                    with_emb.filter(F.col("vec_id").isNotNull())
+                    .join(F.broadcast(centroids))
+                    .select("doc_id", "source", F.expr(_CENT_SCORE).alias("score"), "cell")
+                    .groupBy("doc_id", "source")
+                    .agg(F.min(F.struct("score", "cell")).alias("m"))
+                    .select("doc_id", "source", F.col("m.cell").alias("cell"))
+                )
+                routed.unionByName(deferred).write.mode("append").partitionBy(
+                    "cell"
+                ).parquet(intake)
+            finally:
+                # inside the batch's own finally: a failed write must
+                # not leak the cached join for the daemon's lifetime
+                with_emb.unpersist()
         finally:
             batch_df.unpersist()
 

@@ -418,15 +418,61 @@ def _bm25_score_sql() -> str:
     return " + ".join(terms)
 
 
-def _bm25_oracle() -> str:
-    tf_cols = ",\n             ".join(
+def _bm25_tf_sql() -> str:
+    """Per-doc tf_<t> columns (DuckDB dialect) — shared by the BM25
+    oracle and the re-rank oracle so the frozen arithmetic has one
+    source of truth."""
+    return ",\n             ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
         for t in BM25_TERMS
     )
-    df_cols = ",\n             ".join(
+
+
+def _bm25_df_sql() -> str:
+    """Corpus df_<t> columns (DuckDB dialect), same sharing rule."""
+    return ",\n             ".join(
         f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
         for t in BM25_TERMS
     )
+
+
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 term frame (doc_id, dl, tf_<t>...) — the Spark
+    twin of the oracle's t CTE, shared by ext_bm25_topk and
+    ext_retrieve_rerank."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+
+def _bm25_stats(per_doc: DataFrame) -> DataFrame:
+    """One-row corpus stats (n_docs, n_tokens, df_<t>...) — the Spark
+    twin of the oracle's s/st CTE; broadcast by both consumers."""
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = _bm25_tf_sql()
+    df_cols = _bm25_df_sql()
     score = _bm25_score_sql().replace(" DIV ", " // ")
     tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
     return f"""
@@ -469,29 +515,8 @@ def _bm25_oracle() -> str:
     "once T*tf approaches 2^63/22000.",
 )
 def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
-    )
-    scored_in = docs.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
-            .cast("bigint")
-            .alias(f"tf_{t}")
-            for t in BM25_TERMS
-        ],
-    )
-    stats = scored_in.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("n_tokens"),
-        *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df_{t}")
-            for t in BM25_TERMS
-        ],
-    )
+    scored_in = _bm25_per_doc(spark, sf_dir)
+    stats = _bm25_stats(scored_in)
     tf_out = [f"tf_{t}" for t in BM25_TERMS]
     return (
         scored_in.crossJoin(F.broadcast(stats))
@@ -787,14 +812,8 @@ def _retrieve_rerank_oracle() -> str:
         _scores_arr,
     )
 
-    tf_cols = ",\n             ".join(
-        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
-        for t in BM25_TERMS
-    )
-    df_cols = ",\n             ".join(
-        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
-        for t in BM25_TERMS
-    )
+    tf_cols = _bm25_tf_sql()
+    df_cols = _bm25_df_sql()
     score = _bm25_score_sql().replace(" DIV ", " // ")
     return f"""
     WITH s AS (
@@ -851,66 +870,11 @@ def _retrieve_rerank_oracle() -> str:
     "scan here exists only to compute those stats on the fly.",
 )
 def ext_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    from lapidus_spark.functions.similarity import ivf_candidates
 
-    from lapidus_spark.functions.similarity import (
-        DIM,
-        N_CELLS,
-        N_PROBE,
-        QUERY_VEC_ID,
-        _cos,
-        _ivf_weight,
-        build_ivf_index,
-    )
-
-    idx_path = build_ivf_index(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings", parallel=True)
-    # driver-side probe-cell selection: same metadata-sized step as
-    # ext_ann_ivf (one pushed-filter scan of one row; the Python fold
-    # is bit-identical to the SQL quantizer's)
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    qscores = []
-    for i in range(N_CELLS):
-        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
-        dot = 0.0
-        for d in range(1, DIM + 1):
-            dot = dot + _ivf_weight(i, d) * float(qrow.embedding[d - 1])
-        qscores.append(-dot / norm)
-    thr = sorted(qscores)[N_PROBE - 1]
-    cells = [c for c, s in enumerate(qscores) if s <= thr]
-    qe = F.array(*[F.lit(float(v)) for v in qrow.embedding])
-    cand = (
-        spark.read.parquet(idx_path)
-        .filter(F.col("cell").isin(cells))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("qe", qe)
-        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(RERANK_CANDIDATES)
-    )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
-    )
-    per_doc = docs.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
-            .cast("bigint")
-            .alias(f"tf_{t}")
-            for t in BM25_TERMS
-        ],
-    )
-    stats = per_doc.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("n_tokens"),
-        *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df_{t}")
-            for t in BM25_TERMS
-        ],
-    )
+    cand = ivf_candidates(spark, sf_dir, RERANK_CANDIDATES)
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    stats = _bm25_stats(per_doc)
     return (
         per_doc.join(F.broadcast(cand), per_doc.doc_id == cand.vec_id)
         .crossJoin(F.broadcast(stats))

@@ -335,6 +335,51 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ivf_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Top-``k`` exact-cosine candidates from the probed IVF cells —
+    the dense-recall stage shared by ext_ann_ivf (k = TOP_K) and
+    ext_retrieve_rerank (k = RERANK_CANDIDATES): one extracted
+    implementation so the frozen probe arithmetic can never diverge
+    between the two queries.
+
+    Query-side index metadata is fetched driver-side (one pushed-
+    filter scan of one row). The cell scores are computed in Python
+    with the SAME left-to-right IEEE-double fold the SQL quantizer
+    uses (int weight × double element, then −dot/|c| against the
+    norm-normalized centroids — see _cell_scores), so every bit
+    matches the engines' arithmetic — and the 16×64-term score
+    expression never enters this query's plan (it would dominate the
+    probe via codegen compilation; it belongs to the index build)."""
+    idx_path = build_ivf_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    import math
+
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    qscores = []
+    for i in range(N_CELLS):
+        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
+        dot = 0.0
+        for d in range(1, DIM + 1):
+            dot = dot + _ivf_weight(i, d) * float(qrow.embedding[d - 1])
+        qscores.append(-dot / norm)
+    thr = sorted(qscores)[N_PROBE - 1]
+    # <= keeps score ties, same as the oracle's predicate
+    cells = [c for c, s in enumerate(qscores) if s <= thr]
+    qe = F.array(*[F.lit(float(v)) for v in qrow.embedding])
+    # literal cell IN (...) on the partition column → static partition
+    # pruning: the scan reads only the probed cells' files
+    return (
+        spark.read.parquet(idx_path)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("qe", qe)
+        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+
 @query(
     "ext_ann_ivf",
     oracle=f"""
@@ -364,41 +409,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     "ext_ann_lsh's bucket join.",
 )
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx_path = build_ivf_index(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings", parallel=True)
-    # Query-side index metadata, fetched driver-side (one pushed-
-    # filter scan of one row). The cell scores are computed in Python
-    # with the SAME left-to-right IEEE-double fold the SQL quantizer
-    # uses (int weight × double element, then −dot/|c| against the
-    # norm-normalized centroids — see _cell_scores), so every bit
-    # matches the engines' arithmetic — and the 16×64-term score
-    # expression never enters this query's plan (it would dominate the
-    # probe via codegen compilation; it belongs to the index build).
-    import math
-
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    qscores = []
-    for i in range(N_CELLS):
-        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
-        dot = 0.0
-        for d in range(1, DIM + 1):
-            dot = dot + _ivf_weight(i, d) * float(qrow.embedding[d - 1])
-        qscores.append(-dot / norm)
-    thr = sorted(qscores)[N_PROBE - 1]
-    # <= keeps score ties, same as the oracle's predicate
-    cells = [c for c, s in enumerate(qscores) if s <= thr]
-    qe = F.array(*[F.lit(float(v)) for v in qrow.embedding])
-    # literal cell IN (...) on the partition column → static partition
-    # pruning: the scan reads only the probed cells' files
-    return (
-        spark.read.parquet(idx_path)
-        .filter(F.col("cell").isin(cells))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("qe", qe)
-        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(TOP_K)
-    )
+    return ivf_candidates(spark, sf_dir, TOP_K)
 
 
 #: multi-probe masks: the query's own bucket plus every bucket at

@@ -89,6 +89,17 @@ class StreamFacts:
 STREAM_RUN_FACTS: dict[str, StreamFacts] = {}
 
 
+def clear_stream_run(name: str) -> None:
+    """Drop a query's recorded facts before a new run (same ``_out``
+    normalization as record_stream_run, so the pop actually hits the
+    stored key): if the run fails before record_stream_run, a later
+    audit must see "no facts" rather than silently asserting against
+    the previous run's entry."""
+    if name.endswith("_out"):
+        name = name[: -len("_out")]
+    STREAM_RUN_FACTS.pop(name, None)
+
+
 def record_stream_run(name: str, q) -> None:
     """Capture StreamFacts for a finished StreamingQuery ``q`` under
     registry name ``name`` (sink-table names ending in ``_out`` are

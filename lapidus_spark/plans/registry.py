@@ -134,6 +134,16 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # matching the jsonl sibling (VERDICT r5 #4) — oracle change, so
     # the r4 green signal is no longer evidence.
     "src_csv_scan",
+    # self-review dedup extraction (mechanical, oracles unchanged,
+    # full sf0.1 sweep re-proves both): ext_ann_ivf's probe+candidate
+    # stage became ivf_candidates(k) shared with ext_retrieve_rerank;
+    # ext_bm25_topk's per-doc/stats builders became _bm25_per_doc/
+    # _bm25_stats shared the same way. Slot accounting: ext_ann_ivf
+    # was r4-stale (already in the window's r4 band — no displacement);
+    # ext_bm25_topk was r5-green, so listing it displaces one r4-stale
+    # refresh to next round.
+    "ext_ann_ivf",
+    "ext_bm25_topk",
 )
 
 

@@ -228,10 +228,22 @@ def merge_batch_into_lake(
         buckets = [r["bucket"] for r in updates.select("bucket").distinct().collect()]
         if not buckets:
             return
+        from pyspark.errors import AnalysisException
+
         try:
             current = spark.read.parquet(lake_dir).filter(F.col("bucket").isin(buckets))
             merged = _lww_combine(current.unionByName(updates))
-        except Exception:  # noqa: BLE001 — first batch: no table yet
+        except AnalysisException:
+            # Only the first batch (no table yet) may fall through to
+            # a batch-only merge — if bucket dirs already exist, this
+            # is a DAMAGED read of real data and overwriting the
+            # affected buckets with batch-only content would silently
+            # destroy previously merged rows. Any non-analysis error
+            # (IO, permissions) propagates for the same reason.
+            if os.path.isdir(lake_dir) and any(
+                e.startswith("bucket=") for e in os.listdir(lake_dir)
+            ):
+                raise
             merged = _lww_combine(updates)
         # eager pin BEFORE the overwrite deletes the input files
         merged = merged.localCheckpoint(eager=True)

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lapidus_spark.plans.audit import STREAM_RUN_FACTS, record_stream_run
+from lapidus_spark.plans.audit import clear_stream_run, record_stream_run
 from lapidus_spark.plans.registry import query
 from lapidus_spark.sources.cdc import CDC_TYPE_EXPR, normalize_events
 from lapidus_spark.sources.tables import load_table
@@ -62,7 +62,7 @@ def _run_to_memory(
     # Drop any previous run's facts up front: if this run fails before
     # record_stream_run, a later audit must see "no facts" rather than
     # silently asserting against the stale entry (ADVICE r5).
-    STREAM_RUN_FACTS.pop(name, None)
+    clear_stream_run(name)
     ckpt = tempfile.mkdtemp(prefix=f"lapidus_{name}_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_confs = {k: spark.conf.get(k, None) for k in (confs or {})}
@@ -468,7 +468,7 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lapidus_spark.streaming.materialize import DirKVStore, materialize
 
     env = normalize_events(stream_events(spark, sf_dir))
-    STREAM_RUN_FACTS.pop("stream_upsert_snapshot", None)
+    clear_stream_run("stream_upsert_snapshot")
     root = tempfile.mkdtemp(prefix="lapidus_upsert_store_")
     ckpt = tempfile.mkdtemp(prefix="lapidus_upsert_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1347,20 +1347,20 @@ def build_merge_replay(spark: SparkSession, sf_dir: str) -> str:
     "is the batch LWW snapshot over the whole history.",
 )
 def stream_merge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import timestamp_micros
     from lapidus_spark.streaming.materialize import merge_lake_sink, read_lake_snapshot
 
-    STREAM_RUN_FACTS.pop("stream_merge_lake", None)
+    clear_stream_run("stream_merge_lake")
     replay_dir = build_merge_replay(spark, sf_dir)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # Schema of what the replay dir actually CONTAINS: load_table's
+    # output (ts already converted to timestamp), not the raw fixture
+    # file — on a nanos-as-long fixture the raw schema would declare
+    # ts:bigint against the replay's timestamp column.
     raw = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(replay_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", timestamp_micros(F.expr("ts div 1000")))
     env = normalize_events(raw)
     lake = tempfile.mkdtemp(prefix="lapidus_merge_lake_")
     ckpt = tempfile.mkdtemp(prefix="lapidus_merge_ckpt_")

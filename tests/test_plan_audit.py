@@ -46,3 +46,19 @@ def test_every_query_has_a_contract():
     assert not missing, f"queries without a plan contract: {missing}"
     unknown = sorted(covered - set(REG))
     assert not unknown, f"contracts for unregistered queries: {unknown}"
+
+
+def test_clear_stream_run_normalizes_sink_names():
+    """clear_stream_run must strip the '_out' sink suffix exactly as
+    record_stream_run does — _run_to_memory passes the sink name, and
+    an unnormalized pop would silently leave the previous run's facts
+    in place (the ADVICE-r5 staleness bug's original fix was exactly
+    this no-op)."""
+    from lapidus_spark.plans.audit import clear_stream_run
+
+    STREAM_RUN_FACTS["stream_policy_probe"] = object()
+    clear_stream_run("stream_policy_probe_out")
+    assert "stream_policy_probe" not in STREAM_RUN_FACTS
+    STREAM_RUN_FACTS["stream_policy_probe"] = object()
+    clear_stream_run("stream_policy_probe")
+    assert "stream_policy_probe" not in STREAM_RUN_FACTS

@@ -1442,3 +1442,25 @@ def test_merge_lake_checkpoint_restart(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_merge_lake_refuses_batch_only_overwrite_on_unreadable_table(spark, tmp_path):
+    """If the lake has bucket directories but cannot be READ, the
+    merge must RAISE — falling through to a batch-only merge would
+    dynamic-overwrite the affected buckets with only the batch's
+    rows, silently destroying previously merged data. Only a truly
+    absent table may take the first-batch path."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    lake = tmp_path / "lake"
+    (lake / "bucket=0").mkdir(parents=True)
+    (lake / "bucket=0" / "junk.parquet").write_text("this is not parquet")
+    env = normalize_events(load_table(spark, SF_DIR, "events")).filter(
+        F.col("event_seq") < 100
+    )
+    with pytest.raises(Exception):
+        merge_batch_into_lake(env, str(lake))
+    # and the garbage "table" was not replaced by batch-only content
+    assert (lake / "bucket=0" / "junk.parquet").read_text() == "this is not parquet"
