@@ -142,3 +142,49 @@ def test_min_label_propagation_random_graphs(spark, seed):
     sdf = spark.createDataFrame(edges, "src LONG, dst LONG")
     got = {r["doc_id"]: r["component"] for r in min_label_propagation(sdf).collect()}
     assert got == _union_find(edges)
+
+
+@pytest.mark.parametrize("seed", [11, 47, 313])
+def test_lww_merge_is_a_semilattice_join(spark, seed):
+    """The lake MERGE's correctness claim (streaming/materialize.py):
+    incremental LWW-combining arbitrary batch groupings — with
+    replayed rows — equals the one-shot combine of the whole history.
+    Adversarial inputs the fixture never produces: same-entity
+    same-ts different-seq ties, deletes in the middle and at the end,
+    entities confined to one batch, rows duplicated across batches."""
+    import datetime
+
+    from lapidus_spark.streaming.materialize import _lww_combine
+
+    rng = random.Random(seed)
+    rows = []
+    for seq in range(120):
+        ent = f"e{rng.randrange(12)}"
+        # coarse ts: many exact ts-ties so the seq tiebreak is live
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=rng.randrange(8))
+        typ = rng.choice(["insert", "update", "update", "delete"])
+        rows.append((ent, seq, ts, typ, None if typ == "delete" else f"v{seq}", seq % 4))
+    schema = "entity_id string, last_seq long, last_ts timestamp, last_type string, item string, bucket int"
+    df = spark.createDataFrame(rows, schema)
+
+    oneshot = _lww_combine(df)
+
+    # random batch grouping, shuffled apply order, one batch replayed
+    n_batches = rng.randrange(2, 5)
+    assignment = [rng.randrange(n_batches) for _ in rows]
+    batches = [
+        spark.createDataFrame([r for r, b in zip(rows, assignment) if b == i], schema)
+        for i in range(n_batches)
+    ]
+    order = list(range(n_batches))
+    rng.shuffle(order)
+    order.append(order[0])  # at-least-once: replay one batch
+    acc = batches[order[0]]
+    state = _lww_combine(acc)
+    for i in order[1:]:
+        state = _lww_combine(state.unionByName(batches[i]))
+
+    cols = ["entity_id", "last_seq", "last_type", "item"]
+    got = sorted(map(tuple, state.select(*cols).collect()))
+    want = sorted(map(tuple, oneshot.select(*cols).collect()))
+    assert got == want
