@@ -47,6 +47,8 @@ QUERIES = [
     "ext_dedup_minhash",     # banded LSH pair join
     "ext_kmeans_step",       # broadcast assign + (cell,dim) agg
     "ext_embed_centroid",    # two-level exact agg
+    "ext_bm25_topk",         # corpus-stats agg + zero-shuffle score
+    "ext_retrieve_rerank",   # pruned IVF probe + stats + bcast re-rank
 ]
 for n in QUERIES:
     reg[n].fn(spark, SF).write.format("noop").mode("overwrite").save()
