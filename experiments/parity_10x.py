@@ -41,7 +41,13 @@ MULT = 10
 SPLITS = 8
 SHIFT = 10_000_000
 
-# The blocked-join cohort and the tables each derives from.
+# The blocked-join cohort and the tables each derives from — plus
+# (round-6 extension) the RANGE/SAMPLED-EXCHANGE class: queries whose
+# plans sample partition bounds or assign global offsets, the exact
+# family where the r4 multi-split-only nondeterminism bug lived
+# (sort_global_events). Multi-split 10x events data is the layout
+# that reproduces that class; none of these had value parity above
+# sf0.1 before.
 COHORT = [
     "ext_dedup_minhash",
     "ext_dedup_ngram",
@@ -50,8 +56,19 @@ COHORT = [
     "ext_dup_span_trim",
     "ext_dedup_components",
     "ext_pagerank",
+    # range/sampled-exchange + per-group-fold class (events side)
+    "sort_global_events",
+    "agg_tx_assembly",
+    "win_ema",
+    "win_running_total",
+    # range-exchange offsets + hive-layout round trips (docs side)
+    "ext_seq_pack",
+    "ext_corpus_shard",
+    "ext_domain_cap",
+    "ext_domain_gini",
+    "ext_split_hash",
 ]
-DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem")
+DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 
 
 def build_derived(spark) -> str:
@@ -73,6 +90,14 @@ def build_derived(spark) -> str:
             return t.withColumn(
                 "l_orderkey", F.col("l_orderkey") + F.lit(i * SHIFT)
             ).withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * SHIFT))
+        if name == "events":
+            # shifted ids, UNSHIFTED ts: the copies interleave in event
+            # time, so the global sort / range exchange cannot fall
+            # back to per-copy runs — ties across copies are broken by
+            # the shifted event_id, keeping the total order exact.
+            return t.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * SHIFT)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
         raise KeyError(name)
 
     for name in DERIVED_TABLES:
