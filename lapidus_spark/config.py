@@ -19,7 +19,7 @@ import re
 from dataclasses import dataclass, field
 
 BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file", "jsoncdc")
-SINK_TYPES = ("console", "parquet", "memory", "kafka")
+SINK_TYPES = ("console", "parquet", "memory", "kafka", "lake")
 EVENT_TYPES = ("insert", "update", "delete")
 
 #: plugin sink types (sink_plugin, lapidus.js:28-49): factories
@@ -236,6 +236,12 @@ def _sink(s: dict) -> SinkConfig:
         raise ConfigError("sink: parquet sink requires options.path")
     if stype == "kafka" and not opts.get("bootstrap_servers"):
         raise ConfigError("sink: kafka sink requires options.bootstrap_servers")
+    if stype == "lake":
+        if not opts.get("path"):
+            raise ConfigError("sink: lake sink requires options.path")
+        buckets = opts.get("buckets")
+        if buckets is not None and (not isinstance(buckets, int) or buckets < 1):
+            raise ConfigError("sink: lake sink options.buckets must be a positive int")
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

@@ -257,7 +257,9 @@ def merge_batch_into_lake(
         updates.unpersist()
 
 
-def merge_lake_sink(envelopes: DataFrame, lake_dir: str) -> DataStreamWriter:
+def merge_lake_sink(
+    envelopes: DataFrame, lake_dir: str, n_buckets: int = MERGE_LAKE_BUCKETS
+) -> DataStreamWriter:
     """Idempotent MERGE-style CDC materialization into a bucketed
     parquet lake table via ``foreachBatch`` + DYNAMIC partition
     overwrite — the production consumer of the snapshot semantics
@@ -290,7 +292,7 @@ def merge_lake_sink(envelopes: DataFrame, lake_dir: str) -> DataStreamWriter:
     step 2-4 collapse into one ``MERGE INTO`` with the same combine."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_batch_into_lake(batch_df, lake_dir)
+        merge_batch_into_lake(batch_df, lake_dir, n_buckets=n_buckets)
 
     # append mode: the stateful combine lives INSIDE the batch merge,
     # not in a streaming state store — the lake IS the state.

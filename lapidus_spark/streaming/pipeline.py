@@ -71,6 +71,22 @@ def start_sink(
         writer = sink_mod.memory_sink(
             sink_mod.gate_types(env, enabled), sink.options.get("table", backend.name)
         )
+    elif sink.type == "lake":
+        # the MERGE materialization as a daemon sink (sink_cache's
+        # populate/invalidate/purge intent on a TABLE, nats.js:25-28):
+        # each micro-batch LWW-merges into the bucket-partitioned
+        # parquet lake at options.path; deletes become retained
+        # tombstones (read_lake_snapshot filters them)
+        from lapidus_spark.streaming.materialize import (
+            MERGE_LAKE_BUCKETS,
+            merge_lake_sink,
+        )
+
+        writer = merge_lake_sink(
+            sink_mod.gate_types(env, enabled),
+            sink.options["path"],
+            n_buckets=sink.options.get("buckets", MERGE_LAKE_BUCKETS),
+        )
     elif sink.type == "kafka":
         # sink_nats on a real broker (src/plugins/nats.js) — plan
         # construction needs no connector; .start() does

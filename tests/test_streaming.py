@@ -1464,3 +1464,87 @@ def test_merge_lake_refuses_batch_only_overwrite_on_unreadable_table(spark, tmp_
         merge_batch_into_lake(env, str(lake))
     # and the garbage "table" was not replaced by batch-only content
     assert (lake / "bucket=0" / "junk.parquet").read_text() == "this is not parquet"
+
+
+def test_lake_sink_from_config(spark, tmp_path):
+    """The MERGE materialization driven from the daemon's control
+    plane (sink type 'lake'): the snapshot in the configured lake
+    must equal the batch LWW snapshot, deletes purged from the
+    consumer view, bucket count taken from options.buckets."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    lake = str(tmp_path / "cfg_lake")
+    cfg = parse_config(
+        json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "pg_main",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "sinks": [
+                            {
+                                "type": "lake",
+                                "options": {"path": lake, "buckets": 4},
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    run(spark, cfg, checkpoint_root=str(tmp_path / "lakeckpt"))
+    got = read_lake_snapshot(spark, lake)
+    batch = normalize_events(load_table(spark, SF_DIR, "events"))
+    want = (
+        batch.groupBy(F.col("pk").alias("entity_id"))
+        .agg(
+            F.max_by(F.struct("event_seq", "type"), F.struct("ts", "event_seq")).alias("l")
+        )
+        .filter(F.col("l.type") != "delete")
+        .select("entity_id", F.col("l.event_seq").alias("last_seq"))
+    )
+    g = sorted(map(tuple, got.select("entity_id", "last_seq").collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+    buckets = {d for d in os.listdir(lake) if d.startswith("bucket=")}
+    assert len(buckets) == 4
+
+
+def test_config_lake_sink_validation():
+    with pytest.raises(ConfigError, match="lake sink requires options.path"):
+        parse_config(
+            json.dumps(
+                {
+                    "backends": [
+                        {
+                            "name": "b",
+                            "type": "file",
+                            "path": "/tmp",
+                            "sinks": [{"type": "lake", "options": {}}],
+                        }
+                    ]
+                }
+            )
+        )
+    with pytest.raises(ConfigError, match="buckets must be a positive int"):
+        parse_config(
+            json.dumps(
+                {
+                    "backends": [
+                        {
+                            "name": "b",
+                            "type": "file",
+                            "path": "/tmp",
+                            "sinks": [
+                                {"type": "lake", "options": {"path": "/tmp/x", "buckets": 0}}
+                            ],
+                        }
+                    ]
+                }
+            )
+        )
