@@ -1548,3 +1548,17 @@ def test_config_lake_sink_validation():
                 }
             )
         )
+
+
+def test_example_configs_validate():
+    """Every shipped example config must pass --validate-only (the
+    reference's -t flag) — docs that rot into invalid configs are
+    worse than no docs."""
+    import glob
+
+    from lapidus_spark.__main__ import main
+
+    cfgs = sorted(glob.glob("examples/config*.json"))
+    assert len(cfgs) >= 3
+    for c in cfgs:
+        assert main(["-c", c, "--validate-only"]) == 0, c
