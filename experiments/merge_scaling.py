@@ -94,9 +94,15 @@ for B in (8, 64, 256):
     best = min(
         _t(lambda: merge_batch_into_lake(probe, lake, n_buckets=B)) for _ in range(3)
     )
+    # rewritten bytes = the probe's live bucket dir, resolved through
+    # the manifest (each merge writes a fresh commit dir and flips
+    # the pointer — see materialize._commit_manifest)
+    from lapidus_spark.streaming.materialize import _read_manifest
+
+    live_rel = _read_manifest(lake)["buckets"][str(probe_bucket)]
     rewritten = int(
         subprocess.run(
-            ["du", "-sm", f"{lake}/bucket={probe_bucket}"], capture_output=True, text=True
+            ["du", "-sm", f"{lake}/{live_rel}"], capture_output=True, text=True
         ).stdout.split()[0]
     )
     print(

@@ -177,13 +177,145 @@ def materialize(
 #: a micro-batch rewrites only the buckets its keys fall in, and a
 #: point lookup prunes to one bucket. The count is a FIXED property
 #: of a given lake's layout (the hash derivation must never change
-#: under a table once written); it is the knob that makes merge cost
-#: proportional to the BATCH, not the table: a batch touching k of B
-#: buckets reads+rewrites k·(table/B) — size B so that a typical
-#: batch's keys land in a small fraction of buckets
+#: under a table once written — the manifest persists it and
+#: ``merge_batch_into_lake`` raises on mismatch); it is the knob that
+#: makes merge cost proportional to the BATCH, not the table: a batch
+#: touching k of B buckets reads+rewrites k·(table/B) — size B so
+#: that a typical batch's keys land in a small fraction of buckets
 #: (experiments/merge_scaling.py measures the curve). 8 suits the
 #: ~6k-entity replay fixture; a 100 TB table wants 10^4-10^5.
 MERGE_LAKE_BUCKETS = 8
+
+#: the lake's commit pointer — a single JSON file naming the live
+#: directory per bucket plus the pinned layout (n_buckets). Flipped
+#: atomically (tmp + fsync + rename), it IS the commit: readers and
+#: the merge's own read-back resolve data through it, so files not
+#: yet named by a manifest do not exist as far as the table is
+#: concerned. This is the poor-man's Delta/Iceberg snapshot log,
+#: built from the one atomic primitive plain filesystems give us.
+MANIFEST_NAME = "_lapidus_manifest.json"
+
+#: write-side name of the bucket partition column. partitionBy drops
+#: its column from the data files, and readers resolve bucket dirs
+#: directly from the manifest (no partition-inference root), so the
+#: merge writes the bucket TWICE: as data column ``bucket`` (survives
+#: in the files) and as partition column ``pb`` (drives the one-job
+#: split into per-bucket directories).
+_PARTITION_COL = "pb"
+
+#: fault-injection point for crash tests: set the env var
+#: LAPIDUS_FAILPOINT=<name>[:<nth>] in a *subprocess* and the process
+#: SIGKILLs itself at the nth traversal of that failpoint — a genuine
+#: kill-mid-commit, not an exception the code could catch.
+_FAILPOINT_HITS: dict[str, int] = {}
+
+
+def _failpoint(name: str) -> None:
+    spec = os.environ.get("LAPIDUS_FAILPOINT", "")
+    if not spec:
+        return
+    target, _, nth = spec.partition(":")
+    if target != name:
+        return
+    _FAILPOINT_HITS[name] = _FAILPOINT_HITS.get(name, 0) + 1
+    if _FAILPOINT_HITS[name] >= int(nth or "1"):
+        import signal
+
+        os.kill(os.getpid(), signal.SIGKILL)
+
+
+def _read_manifest(lake_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(lake_dir, MANIFEST_NAME)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _commit_manifest(lake_dir: str, manifest: dict) -> None:
+    """THE commit point: stage the new manifest next to the old one,
+    fsync, then one atomic ``os.replace``. Every byte of merged data
+    is already durable in its commit directory before this runs; a
+    crash anywhere before the replace leaves the previous manifest —
+    and therefore the previous table contents — fully intact."""
+    _failpoint("lake_merge.before_manifest_flip")
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".manifest.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, sort_keys=True, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(lake_dir, MANIFEST_NAME))
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _gc_unreferenced(lake_dir: str, manifest: dict) -> None:
+    """Best-effort removal of commit dirs / legacy bucket dirs no
+    manifest references (orphans from crashed merges, superseded
+    versions). Safe because it runs only AFTER a successful flip and
+    only deletes paths the live manifest does not name; failures are
+    swallowed — an orphan is wasted space, never wrong data."""
+    import shutil
+
+    live_commits = {p.split("/", 2)[1] for p in manifest["buckets"].values() if p.startswith("commits/")}
+    live_legacy = {p for p in manifest["buckets"].values() if p.startswith("bucket=")}
+    try:
+        commits_root = os.path.join(lake_dir, "commits")
+        if os.path.isdir(commits_root):
+            for d in os.listdir(commits_root):
+                if d not in live_commits:
+                    shutil.rmtree(os.path.join(commits_root, d), ignore_errors=True)
+        for d in os.listdir(lake_dir):
+            if d.startswith("bucket=") and d not in live_legacy:
+                shutil.rmtree(os.path.join(lake_dir, d), ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _live_paths(lake_dir: str, manifest: dict | None, buckets=None) -> tuple[list[str], list[str]]:
+    """Resolve (legacy_paths, commit_paths) for ``buckets`` (all live
+    buckets when None). Legacy paths are pre-manifest root
+    ``bucket=K`` dirs — their bucket value is partition-encoded, so
+    they read with ``basePath`` inference; commit paths carry
+    ``bucket`` as a data column and read directly."""
+    if manifest is None:
+        return [], []
+    legacy, commits = [], []
+    for b, rel in manifest["buckets"].items():
+        if buckets is not None and int(b) not in buckets:
+            continue
+        (legacy if rel.startswith("bucket=") else commits).append(os.path.join(lake_dir, rel))
+    return sorted(legacy), sorted(commits)
+
+
+_LAKE_COLS = ["entity_id", "last_seq", "last_ts", "last_type", "item", "bucket"]
+
+
+def _read_live(spark, lake_dir: str, manifest: dict, buckets=None) -> DataFrame | None:
+    """Manifest-resolved read of the live table (optionally pruned to
+    ``buckets`` — path-level pruning, stronger than a pushed filter:
+    unreferenced and orphaned files are never opened at all)."""
+    legacy, commits = _live_paths(lake_dir, manifest, buckets)
+    parts = []
+    if legacy:
+        parts.append(
+            spark.read.option("basePath", lake_dir)
+            .parquet(*legacy)
+            .withColumn("bucket", F.col("bucket").cast("int"))
+        )
+    if commits:
+        parts.append(spark.read.parquet(*commits))
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.select(*_LAKE_COLS).unionByName(p.select(*_LAKE_COLS))
+    return df.select(*_LAKE_COLS)
 
 
 def _lww_combine(envelopes_or_rows: DataFrame) -> DataFrame:
@@ -214,45 +346,84 @@ def merge_batch_into_lake(
     batch_df: DataFrame, lake_dir: str, n_buckets: int = MERGE_LAKE_BUCKETS
 ) -> None:
     """One MERGE step (steps 1-4 of merge_lake_sink's contract),
-    callable directly on a batch DataFrame — the unit the idempotency
-    and order-independence tests drive without a streaming harness.
-    ``n_buckets`` must be the SAME value for every merge into a given
-    ``lake_dir`` (it defines the table's physical layout)."""
+    callable directly on a batch DataFrame — the unit the idempotency,
+    order-independence, and crash tests drive without a streaming
+    harness.
+
+    ``n_buckets`` defines the table's physical layout, so it is
+    pinned in the manifest on first write; a later merge with a
+    different value raises instead of silently corrupting the table
+    (updates would hash to new buckets while stored rows keep their
+    old ones, so the affected-bucket read-back would miss them)."""
+    if isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1:
+        raise ValueError(f"n_buckets must be a positive int, got {n_buckets!r}")
     spark = batch_df.sparkSession
+    manifest = _read_manifest(lake_dir)
+    if manifest is not None and manifest["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"lake at {lake_dir} has n_buckets={manifest['n_buckets']} "
+            f"(pinned in {MANIFEST_NAME}); merge called with {n_buckets} — "
+            "the bucket layout is immutable once written"
+        )
+    if manifest is None and os.path.isdir(lake_dir):
+        # pre-manifest layout (root bucket=K dirs from the r6 dynamic-
+        # overwrite scheme): adopt the existing dirs as the live set;
+        # subsequent merges migrate touched buckets into commit dirs.
+        legacy = sorted(
+            d for d in os.listdir(lake_dir) if d.startswith("bucket=") and "=" in d
+        )
+        if legacy:
+            manifest = {
+                "format": 1,
+                "version": 0,
+                "n_buckets": n_buckets,
+                "buckets": {d.split("=", 1)[1]: d for d in legacy},
+            }
+
     updates = snapshot_stream(batch_df).withColumn(
         "bucket",
         F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
     )
     updates = updates.persist()
     try:
-        buckets = [r["bucket"] for r in updates.select("bucket").distinct().collect()]
-        if not buckets:
+        touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+        if not touched:
             return
-        from pyspark.errors import AnalysisException
+        current = _read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
+        if current is not None:
+            merged = _lww_combine(current.unionByName(updates.select(*_LAKE_COLS)))
+        else:
+            merged = _lww_combine(updates.select(*_LAKE_COLS))
 
-        try:
-            current = spark.read.parquet(lake_dir).filter(F.col("bucket").isin(buckets))
-            merged = _lww_combine(current.unionByName(updates))
-        except AnalysisException:
-            # Only the first batch (no table yet) may fall through to
-            # a batch-only merge — if bucket dirs already exist, this
-            # is a DAMAGED read of real data and overwriting the
-            # affected buckets with batch-only content would silently
-            # destroy previously merged rows. Any non-analysis error
-            # (IO, permissions) propagates for the same reason.
-            if os.path.isdir(lake_dir) and any(
-                e.startswith("bucket=") for e in os.listdir(lake_dir)
-            ):
-                raise
-            merged = _lww_combine(updates)
-        # eager pin BEFORE the overwrite deletes the input files
-        merged = merged.localCheckpoint(eager=True)
+        # Write the merged buckets to a FRESH commit directory — never
+        # into live paths, so readers (and a replay after a crash) are
+        # untouched until the manifest flip below publishes it.
+        version = (manifest["version"] if manifest else 0) + 1
+        commit_rel = f"commits/{version:010d}"
+        commit_abs = os.path.join(lake_dir, commit_rel)
         (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(lake_dir)
+            merged.withColumn(_PARTITION_COL, F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy(_PARTITION_COL)
+            .parquet(commit_abs)
         )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(commit_abs)
+            if d.startswith(f"{_PARTITION_COL}=")
+        }
+        if written != set(touched):  # layout invariant, not reachable in normal runs
+            raise RuntimeError(f"merge wrote buckets {written}, expected {touched}")
+        new_manifest = {
+            "format": 1,
+            "version": version,
+            "n_buckets": n_buckets,
+            "buckets": {**(manifest["buckets"] if manifest else {})},
+        }
+        for b in touched:
+            new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
+        _commit_manifest(lake_dir, new_manifest)
+        _gc_unreferenced(lake_dir, new_manifest)
     finally:
         updates.unpersist()
 
@@ -260,36 +431,44 @@ def merge_batch_into_lake(
 def merge_lake_sink(
     envelopes: DataFrame, lake_dir: str, n_buckets: int = MERGE_LAKE_BUCKETS
 ) -> DataStreamWriter:
-    """Idempotent MERGE-style CDC materialization into a bucketed
-    parquet lake table via ``foreachBatch`` + DYNAMIC partition
-    overwrite — the production consumer of the snapshot semantics
-    (sink_cache's populate/invalidate/purge intent, nats.js:25-28)
-    expressed as a table format instead of a KV service.
+    """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
+    a bucketed parquet lake table via ``foreachBatch`` + a manifest
+    commit pointer — the production consumer of the snapshot
+    semantics (sink_cache's populate/invalidate/purge intent,
+    nats.js:25-28) expressed as a table format instead of a KV
+    service, modeling the reference's no-loss-after-ack contract
+    (slot replay, src/postgresql.js:290-354) on the storage side.
 
     Per micro-batch MERGE:
 
     1. combine the batch to ≤1 row per key (last-write-wins), stamp
        the hash bucket;
-    2. read back ONLY the affected buckets from the lake (literal
-       ``bucket IN (...)`` on the partition column → partition-pruned
-       scan; the bucket list is metadata-sized, like the IVF probe's
-       cell list);
+    2. read back ONLY the affected buckets, resolved through the
+       manifest (path-level pruning — the bucket list is
+       metadata-sized, like the IVF probe's cell list);
     3. LWW-merge existing rows with the batch rows — delete
        tombstones are RETAINED in the lake (a tombstone must keep
        winning over late-arriving older updates and over replays;
        consumers filter ``last_type != 'delete'``, the purge view);
-    4. pin the merged result with an eager ``localCheckpoint`` (it is
-       about to overwrite the very files it reads — lineage must not
-       reach back into them) and write with
-       ``partitionOverwriteMode=dynamic``, which replaces exactly the
-       bucket directories present in the output.
+    4. write the merged buckets to a FRESH ``commits/<version>/``
+       directory (live files are never modified), then atomically
+       flip ``_lapidus_manifest.json`` to point the affected buckets
+       at it. The single ``os.replace`` IS the commit.
 
-    Because step 3 is a semilattice join, a re-delivered micro-batch
-    rewrites the affected buckets with byte-identical content —
-    exactly-once effect on the table from at-least-once delivery,
-    the same contract Delta/Iceberg MERGE INTO provides, built from
-    primitives available to plain parquet. On a real table format,
-    step 2-4 collapse into one ``MERGE INTO`` with the same combine."""
+    Durability: a crash at ANY point before the flip leaves the
+    previous manifest — and therefore the previous table contents —
+    fully intact (the half-written commit dir is unreferenced and
+    GC'd later); a crash after the flip leaves the merge fully
+    applied. Combined with checkpointed offsets (an unflipped merge
+    means an uncommitted batch, so the source re-delivers it) and
+    step 3's semilattice combine (a re-delivered batch produces
+    byte-identical logical content), this is exactly-once effect on
+    the table from at-least-once delivery — the contract
+    Delta/Iceberg ``MERGE INTO`` provides, built from the one atomic
+    primitive plain filesystems offer (rename). Single-writer per
+    lake_dir assumed, as with any file-based table format's simplest
+    deployment. On a real table format, steps 2-4 collapse into one
+    ``MERGE INTO`` with the same combine."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         merge_batch_into_lake(batch_df, lake_dir, n_buckets=n_buckets)
@@ -299,7 +478,18 @@ def merge_lake_sink(
     return envelopes.writeStream.foreachBatch(merge).outputMode("append")
 
 
-def read_lake_snapshot(spark, lake_dir: str) -> DataFrame:
-    """Consumer view of the merged lake table: tombstones filtered
-    (purge semantics); partition-pruned by bucket for point reads."""
-    return spark.read.parquet(lake_dir).filter(F.col("last_type") != "delete")
+def read_lake_snapshot(spark, lake_dir: str, buckets=None) -> DataFrame:
+    """Consumer view of the merged lake table, resolved through the
+    manifest (orphaned / half-committed files are invisible by
+    construction): tombstones filtered (purge semantics). Pass
+    ``buckets`` to prune a point read to the key's bucket — path
+    pruning, no file outside those buckets is even opened. Falls back
+    to a direct read for pre-manifest lakes."""
+    manifest = _read_manifest(lake_dir)
+    if manifest is None:
+        df = spark.read.parquet(lake_dir)
+    else:
+        df = _read_live(spark, lake_dir, manifest, set(buckets) if buckets is not None else None)
+        if df is None:
+            raise ValueError(f"lake at {lake_dir} has an empty manifest bucket set")
+    return df.filter(F.col("last_type") != "delete")
