@@ -24,6 +24,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="validate config and exit",
     )
+    ap.add_argument(
+        "--checkpoint-root",
+        default=None,
+        help="durable checkpoint dir (overrides config checkpointRoot); "
+        "restarting with the same dir resumes from committed offsets",
+    )
     args = ap.parse_args(argv)
 
     try:
@@ -39,7 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     from lapidus_spark.streaming.pipeline import run
 
     spark = get_spark("lapidus_spark_daemon")
-    run(spark, cfg, await_termination=True)
+    run(spark, cfg, checkpoint_root=args.checkpoint_root, await_termination=True)
     return 0
 
 

@@ -138,6 +138,10 @@ class BackendConfig:
     emit: EmitFlags = field(default_factory=EmitFlags)
     wrappers: WrapperCascade = field(default_factory=WrapperCascade)
     sinks: list[SinkConfig] = field(default_factory=list)
+    #: micro-batch size knob for the replay backends (file/jsoncdc):
+    #: at most N input files per trigger. None → Spark default (all
+    #: available files in one batch).
+    max_files_per_trigger: int | None = None
 
     def enabled_types(self) -> list[str] | None:
         """Flag cascade: an explicit ``emitTypes`` list wins; otherwise
@@ -153,6 +157,12 @@ class BackendConfig:
 class EngineConfig:
     backends: list[BackendConfig]
     sinks: list[SinkConfig] = field(default_factory=list)  # global default
+    #: durable checkpoint directory (the daemon's slot-cursor
+    #: analog, src_slot / postgresql.js slot semantics): a restarted
+    #: daemon with the same checkpointRoot resumes from committed
+    #: offsets instead of replaying history. None → ephemeral tempdir
+    #: (tests / one-shot runs).
+    checkpoint_root: str | None = None
 
 
 def parse_config(text: str) -> EngineConfig:
@@ -186,6 +196,13 @@ def validate_config(raw: dict) -> EngineConfig:
             # friendly error at validate time instead of a TypeError
             # deep inside stream_events (mirrors the pg slot check)
             raise ConfigError(f"backend[{i}]: {btype} backend requires a 'path'")
+        mfpt = b.get("maxFilesPerTrigger")
+        if mfpt is not None and (
+            isinstance(mfpt, bool) or not isinstance(mfpt, int) or mfpt < 1
+        ):
+            raise ConfigError(
+                f"backend[{i}]: maxFilesPerTrigger must be a positive int"
+            )
         sinks = [_sink(s) for s in b.get("sinks", [])] or global_sinks  # lapidus.js:96
         master = b.get("emitEvents", True)
         if not isinstance(master, bool):
@@ -218,9 +235,13 @@ def validate_config(raw: dict) -> EngineConfig:
                 emit=emit,
                 wrappers=wrappers,
                 sinks=sinks,
+                max_files_per_trigger=mfpt,
             )
         )
-    return EngineConfig(backends=backends, sinks=global_sinks)
+    ckpt_root = raw.get("checkpointRoot")
+    if ckpt_root is not None and not isinstance(ckpt_root, str):
+        raise ConfigError("checkpointRoot must be a path string")
+    return EngineConfig(backends=backends, sinks=global_sinks, checkpoint_root=ckpt_root)
 
 
 def _sink(s: dict) -> SinkConfig:
@@ -240,7 +261,11 @@ def _sink(s: dict) -> SinkConfig:
         if not opts.get("path"):
             raise ConfigError("sink: lake sink requires options.path")
         buckets = opts.get("buckets")
-        if buckets is not None and (not isinstance(buckets, int) or buckets < 1):
+        # bool is an int subclass: "buckets": true would otherwise
+        # validate and silently mean a degenerate 1-bucket layout
+        if buckets is not None and (
+            isinstance(buckets, bool) or not isinstance(buckets, int) or buckets < 1
+        ):
             raise ConfigError("sink: lake sink options.buckets must be a positive int")
     return SinkConfig(
         type=stype,

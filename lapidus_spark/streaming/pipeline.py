@@ -33,9 +33,16 @@ def envelope_stream(spark: SparkSession, backend: BackendConfig) -> DataFrame:
         # --plugin jsoncdc output) → stateless decode → envelope
         from lapidus_spark.sources.jsoncdc import stream_jsoncdc_envelope
 
-        env = stream_jsoncdc_envelope(spark, backend.path, source=backend.name)
+        env = stream_jsoncdc_envelope(
+            spark,
+            backend.path,
+            source=backend.name,
+            max_files_per_trigger=backend.max_files_per_trigger,
+        )
     elif backend.type == "file":
-        raw = stream_events(spark, backend.path)
+        raw = stream_events(
+            spark, backend.path, max_files_per_trigger=backend.max_files_per_trigger
+        )
         env = normalize_events(raw, source=backend.name)
     else:
         raise NotImplementedError(
@@ -119,8 +126,11 @@ def run(
     checkpoint_root: str | None = None,
     await_termination: bool = True,
 ) -> list[StreamingQuery]:
-    """Start one query per (backend, sink); optionally block."""
-    checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="lapidus_ckpt_")
+    """Start one query per (backend, sink); optionally block. The
+    checkpoint root resolves: explicit argument → config's
+    ``checkpointRoot`` (durable daemon restarts, the slot-cursor
+    analog) → ephemeral tempdir."""
+    checkpoint_root = checkpoint_root or cfg.checkpoint_root or tempfile.mkdtemp(prefix="lapidus_ckpt_")
     queries: list[StreamingQuery] = []
     for backend in cfg.backends:
         env = envelope_stream(spark, backend)

@@ -40,8 +40,12 @@ def stream_events(
     reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        # file source requires a directory; glob-filter to the events file
-        .option("pathGlobFilter", "events.parquet")
+        # file source requires a directory; glob-filter to the events
+        # file(s) — the star admits multi-file replay dirs
+        # (events.parquet, events1.parquet, ...) so maxFilesPerTrigger
+        # can split history into micro-batches; sf dirs contain
+        # exactly one match
+        .option("pathGlobFilter", "events*.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
