@@ -1335,35 +1335,35 @@ def test_merge_lake_idempotent_and_order_independent(spark, tmp_path):
 
 
 def test_merge_lake_rewrites_only_affected_buckets(spark, tmp_path):
-    """Dynamic partition overwrite: a micro-batch touching one key
-    must rewrite ONLY that key's bucket directory — the property that
-    keeps a 100 TB lake's merge cost proportional to the batch, not
-    the table."""
+    """A micro-batch touching one key must write ONLY that key's
+    bucket into the new commit and remap only that bucket in the
+    manifest — the property that keeps a 100 TB lake's merge cost
+    proportional to the batch, not the table."""
     import os
 
     from pyspark.sql import functions as F
 
-    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        merge_batch_into_lake,
+    )
 
     env = normalize_events(load_table(spark, SF_DIR, "events"))
     lake = str(tmp_path / "lake")
     merge_batch_into_lake(env, lake)
 
-    def bucket_mtimes():
-        out = {}
-        for d in os.listdir(lake):
-            if d.startswith("bucket="):
-                p = os.path.join(lake, d)
-                out[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
-        return out
-
-    before = bucket_mtimes()
-    assert len(before) > 1, "fixture must spread keys over several buckets"
+    before = _read_manifest(lake)
+    assert len(before["buckets"]) > 1, "fixture must spread keys over several buckets"
     one_key = env.limit(1).select("pk").first()["pk"]
     merge_batch_into_lake(env.filter(F.col("pk") == one_key), lake)
-    after = bucket_mtimes()
-    changed = {d for d in after if after[d] != before.get(d)}
-    assert len(changed) == 1, f"expected exactly one bucket rewritten, got {changed}"
+    after = _read_manifest(lake)
+    assert after["version"] == before["version"] + 1
+    changed = {b for b in after["buckets"] if after["buckets"][b] != before["buckets"][b]}
+    assert len(changed) == 1, f"expected exactly one bucket remapped, got {changed}"
+    # and the new commit dir physically contains exactly that bucket
+    commit_rel = after["buckets"][next(iter(changed))].rsplit("/", 1)[0]
+    parts = [d for d in os.listdir(os.path.join(lake, commit_rel)) if d.startswith("pb=")]
+    assert len(parts) == 1
 
 
 def test_merge_lake_checkpoint_restart(spark, tmp_path):
@@ -1445,11 +1445,14 @@ def test_merge_lake_checkpoint_restart(spark, tmp_path):
 
 
 def test_merge_lake_refuses_batch_only_overwrite_on_unreadable_table(spark, tmp_path):
-    """If the lake has bucket directories but cannot be READ, the
-    merge must RAISE — falling through to a batch-only merge would
-    dynamic-overwrite the affected buckets with only the batch's
-    rows, silently destroying previously merged data. Only a truly
-    absent table may take the first-batch path."""
+    """If the lake has (pre-manifest legacy) bucket directories but
+    cannot be READ, the merge must RAISE — falling through to a
+    batch-only merge would commit a manifest pointing the affected
+    buckets at batch-only content, silently dropping previously
+    merged data. Only a truly absent table may take the first-batch
+    path; and because data is staged to a fresh commit dir and the
+    manifest never flips, the failed merge leaves the damaged-but-
+    live files byte-identical."""
     from pyspark.sql import functions as F
 
     from lapidus_spark.streaming.materialize import merge_batch_into_lake
@@ -1511,8 +1514,10 @@ def test_lake_sink_from_config(spark, tmp_path):
     g = sorted(map(tuple, got.select("entity_id", "last_seq").collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
-    buckets = {d for d in os.listdir(lake) if d.startswith("bucket=")}
-    assert len(buckets) == 4
+    from lapidus_spark.streaming.materialize import _read_manifest
+
+    manifest = _read_manifest(lake)
+    assert manifest["n_buckets"] == 4 and len(manifest["buckets"]) == 4
 
 
 def test_config_lake_sink_validation():
@@ -1562,3 +1567,315 @@ def test_example_configs_validate():
     assert len(cfgs) >= 3
     for c in cfgs:
         assert main(["-c", c, "--validate-only"]) == 0, c
+
+
+# --- crash atomicity: the manifest commit protocol (VERDICT r6 #1/#5) ---
+
+
+def _lake_rows(spark, lake):
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    return sorted(
+        map(
+            tuple,
+            read_lake_snapshot(spark, lake)
+            .select("entity_id", "last_seq", "last_ts", "last_type")
+            .collect(),
+        )
+    )
+
+
+def test_merge_lake_layout_pinned_rejects_bucket_change(spark, tmp_path):
+    """n_buckets is the table's physical layout: the manifest pins it
+    on first write and a merge with a different value must RAISE
+    (updates would hash to new buckets while stored rows keep their
+    old ones — the affected-bucket read-back would silently miss
+    them; ADVICE r6 #1)."""
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env, lake, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8.*immutable"):
+        merge_batch_into_lake(env, lake, n_buckets=16)
+    with pytest.raises(ValueError, match="positive int"):
+        merge_batch_into_lake(env, lake, n_buckets=True)
+
+
+def test_merge_lake_crash_before_flip_preserves_table(spark, tmp_path, monkeypatch):
+    """Fault-inject the committer: a merge that dies between writing
+    its commit directory and flipping the manifest must leave the
+    table EXACTLY as before (reads resolve through the old manifest;
+    the half-commit is invisible), and replaying the same batch must
+    converge to the oracle snapshot — no rows from earlier batches
+    lost (the r6 torn-write window, closed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming import materialize
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    batches = [env.filter(F.col("event_seq") % 3 == i) for i in range(3)]
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(batches[0], lake)
+    merge_batch_into_lake(batches[1], lake)
+    before = _lake_rows(spark, lake)
+
+    real_commit = materialize._commit_manifest
+
+    def exploding_commit(lake_dir, manifest):
+        raise RuntimeError("injected crash before manifest flip")
+
+    monkeypatch.setattr(materialize, "_commit_manifest", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_batch_into_lake(batches[2], lake)
+    # the failed merge is invisible: same rows, and the orphan commit
+    # dir exists but is unreferenced
+    assert _lake_rows(spark, lake) == before
+    commits = set(os.listdir(os.path.join(lake, "commits")))
+    monkeypatch.setattr(materialize, "_commit_manifest", real_commit)
+
+    # replay heals: final snapshot == one-shot oracle of full history
+    merge_batch_into_lake(batches[2], lake)
+    oneshot = str(tmp_path / "oneshot")
+    merge_batch_into_lake(env, oneshot)
+    assert _lake_rows(spark, lake) == _lake_rows(spark, oneshot)
+    # and the successful merge GC'd everything unreferenced
+    from lapidus_spark.streaming.materialize import _read_manifest
+
+    live = {
+        p.split("/")[1]
+        for p in _read_manifest(lake)["buckets"].values()
+        if p.startswith("commits/")
+    }
+    after = set(os.listdir(os.path.join(lake, "commits")))
+    assert after == live and len(commits - after) >= 0
+
+
+@pytest.mark.slow
+def test_merge_lake_sigkill_mid_commit(spark, tmp_path):
+    """The REAL crash: a subprocess merge SIGKILLs itself at the
+    commit point (env failpoint — between the durable commit-dir
+    write and the manifest flip). The table must read back exactly
+    as before the crash, and replaying the killed batch must yield
+    the full-history oracle snapshot."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 0), lake)
+    before = _lake_rows(spark, lake)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc_env = dict(
+        os.environ,
+        LAPIDUS_FAILPOINT="lake_merge.before_manifest_flip",
+        SPARK_DRIVER_MEMORY="2g",
+        PYTHONPATH=repo_root,
+    )
+    p = subprocess.run(
+        [sys.executable, "tests/lake_crash_driver.py", lake, SF_DIR, "3", "1"],
+        env=proc_env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert p.returncode == -signal.SIGKILL, (p.returncode, p.stdout[-500:], p.stderr[-2000:])
+    # crash mid-commit is invisible to readers...
+    assert _lake_rows(spark, lake) == before
+    # ...but the commit dir was written before the kill (the crash
+    # really was between data-write and flip, not before the work)
+    assert os.path.isdir(os.path.join(lake, "commits")) and any(
+        d for d in os.listdir(os.path.join(lake, "commits"))
+    )
+
+    # replay the killed batch (at-least-once redelivery) → oracle
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 1), lake)
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 2), lake)
+    oneshot = str(tmp_path / "oneshot")
+    merge_batch_into_lake(env, oneshot)
+    assert _lake_rows(spark, lake) == _lake_rows(spark, oneshot)
+
+
+def test_merge_lake_legacy_layout_adoption(spark, tmp_path):
+    """A pre-manifest lake (r6's root bucket=K dynamic-overwrite
+    layout) is adopted in place: the first manifest merge reads the
+    legacy dirs via partition inference, migrates touched buckets
+    into commit dirs, keeps untouched legacy dirs live, and ends at
+    the same snapshot as a from-scratch merge of the full history."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        merge_batch_into_lake,
+        snapshot_stream,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    old_half = env.filter(F.col("event_seq") % 2 == 0)
+    lake = str(tmp_path / "legacy_lake")
+    # reproduce the legacy layout exactly: snapshot + bucket as a
+    # PARTITION column at the lake root, no manifest
+    (
+        snapshot_stream(old_half)
+        .withColumn("bucket", F.pmod(F.xxhash64("entity_id"), F.lit(8)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(lake)
+    )
+    assert _read_manifest(lake) is None
+    assert any(d.startswith("bucket=") for d in os.listdir(lake))
+
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake, n_buckets=8)
+    m = _read_manifest(lake)
+    assert m is not None and m["n_buckets"] == 8
+
+    oneshot = str(tmp_path / "oneshot")
+    merge_batch_into_lake(env, oneshot)
+    assert _lake_rows(spark, lake) == _lake_rows(spark, oneshot)
+
+
+@pytest.mark.slow
+def test_daemon_sigkill_mid_batch_resumes_from_checkpoint(spark, tmp_path):
+    """ctl_lifecycle under a hard kill (the reference's worker-exit
+    contract, postgresql.js:356-371): run the CLI daemon over a
+    multi-file replay with a lake sink, SIGKILL it mid-merge of the
+    SECOND micro-batch (env failpoint), restart with the same
+    checkpointRoot, and require the final lake snapshot to equal the
+    one-shot oracle — the killed batch is re-delivered from the
+    checkpoint and the manifest protocol makes its half-commit
+    invisible."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    ev = load_table(spark, SF_DIR, "events")
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    # three replay files, mtime-ordered so maxFilesPerTrigger=1
+    # yields deterministic micro-batches; one must be named exactly
+    # events.parquet (schema anchor)
+    names = ["events.parquet", "events1.parquet", "events2.parquet"]
+    for i, name in enumerate(names):
+        part = ev.filter(F.col("event_id") % 3 == i).coalesce(1)
+        staging = tmp_path / f"stage{i}"
+        part.write.mode("overwrite").parquet(str(staging))
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(staging / src, replay / name)
+        os.utime(replay / name, (time.time() + i * 10,) * 2)
+
+    lake = str(tmp_path / "lake")
+    cfg = tmp_path / "daemon.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "checkpointRoot": str(tmp_path / "ckpt"),
+                "backends": [
+                    {
+                        "name": "pg_main",
+                        "type": "file",
+                        "path": str(replay),
+                        "maxFilesPerTrigger": 1,
+                        "sinks": [{"type": "lake", "options": {"path": lake}}],
+                    }
+                ],
+            }
+        )
+    )
+
+    def daemon(failpoint: str | None):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env_vars = dict(
+            os.environ,
+            SPARK_DRIVER_MEMORY="2g",
+            SPARK_GRAFT_CPUS="4",
+            PYTHONPATH=repo_root,
+        )
+        if failpoint:
+            env_vars["LAPIDUS_FAILPOINT"] = failpoint
+        else:
+            env_vars.pop("LAPIDUS_FAILPOINT", None)
+        return subprocess.run(
+            [sys.executable, "-m", "lapidus_spark", "-c", str(cfg)],
+            env=env_vars,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+
+    # run 1: SIGKILL at the 2nd merge's commit point (batch 0
+    # committed, batch 1 half-merged)
+    p1 = daemon("lake_merge.before_manifest_flip:2")
+    assert p1.returncode == -signal.SIGKILL, (p1.returncode, p1.stderr[-2000:])
+    # batch 0 must be visible and intact after the crash
+    batch0 = normalize_events(ev.filter(F.col("event_id") % 3 == 0))
+    want0 = str(tmp_path / "want0")
+    merge_batch_into_lake(batch0, want0)
+    assert _lake_rows(spark, lake) == _lake_rows(spark, want0)
+
+    # run 2: clean restart, same checkpointRoot → resumes, re-delivers
+    # the killed batch, drains the rest
+    p2 = daemon(None)
+    assert p2.returncode == 0, (p2.returncode, p2.stderr[-2000:])
+    oneshot = str(tmp_path / "oneshot")
+    merge_batch_into_lake(normalize_events(ev), oneshot)
+    assert _lake_rows(spark, lake) == _lake_rows(spark, oneshot)
+
+
+def test_config_rejects_bool_buckets_and_bad_mfpt():
+    """JSON true is an int subclass in Python: "buckets": true must
+    be a config error, not a silent 1-bucket layout (ADVICE r6 #3);
+    same guard for maxFilesPerTrigger and checkpointRoot types."""
+    base = {"name": "b", "type": "file", "path": "/tmp"}
+    with pytest.raises(ConfigError, match="buckets must be a positive int"):
+        parse_config(
+            json.dumps(
+                {
+                    "backends": [
+                        {
+                            **base,
+                            "sinks": [
+                                {"type": "lake", "options": {"path": "/tmp/x", "buckets": True}}
+                            ],
+                        }
+                    ]
+                }
+            )
+        )
+    with pytest.raises(ConfigError, match="maxFilesPerTrigger"):
+        parse_config(
+            json.dumps({"backends": [{**base, "maxFilesPerTrigger": True, "sinks": []}]})
+        )
+    with pytest.raises(ConfigError, match="maxFilesPerTrigger"):
+        parse_config(
+            json.dumps({"backends": [{**base, "maxFilesPerTrigger": 0, "sinks": []}]})
+        )
+    with pytest.raises(ConfigError, match="checkpointRoot"):
+        parse_config(json.dumps({"checkpointRoot": 7, "backends": [base]}))
+    cfg = parse_config(
+        json.dumps(
+            {
+                "checkpointRoot": "/tmp/ck",
+                "backends": [{**base, "maxFilesPerTrigger": 2}],
+            }
+        )
+    )
+    assert cfg.checkpoint_root == "/tmp/ck"
+    assert cfg.backends[0].max_files_per_trigger == 2
