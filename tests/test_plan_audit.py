@@ -62,3 +62,24 @@ def test_clear_stream_run_normalizes_sink_names():
     STREAM_RUN_FACTS["stream_policy_probe"] = object()
     clear_stream_run("stream_policy_probe")
     assert "stream_policy_probe" not in STREAM_RUN_FACTS
+
+
+def test_pagerank_builder_runs_no_spark_jobs(spark):
+    """VERDICT r6 #2: ext_pagerank's join-strategy guard must come
+    from the build-time statistic (stats.json beside the persisted
+    graph), not a driver-side count — on the warm path, CONSTRUCTING
+    the query DataFrame must trigger zero Spark jobs (at 100 TB edge
+    scale an eager guard job costs a full aggregation before the
+    real query starts)."""
+    from lapidus_spark.operators.graph import build_trade_graph, ext_pagerank
+
+    build_trade_graph(spark, SF_DIR)  # warm: one-time ingest work
+    sc = spark.sparkContext
+    sc.setJobGroup("pr_builder_audit", "pagerank builder must be lazy")
+    try:
+        df = ext_pagerank(spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("pr_builder_audit")
+    assert list(jobs) == [], f"builder ran Spark jobs: {jobs}"
+    assert df.columns == ["node", "rank_q"]
