@@ -124,26 +124,22 @@ def _signal_ages(root=None) -> dict[str, int]:
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # Round-6 window accounting (r5 left zero debt: every query's
-    # latest signal is r3/r4/r5). The derived ordering spends the 50
-    # slots as: touched-below first, then the round's new queries
-    # (never-verified), then the 40 r3-stale signals, then the
-    # heaviest r4-stale — exactly the rotation VERDICT r5 #2 asks for.
+    # Round-7 window accounting (after r6 the ages are 50 r6 + 49 r5
+    # + 43 r4; VERDICT r6 #4 directs the window onto the r4-stale
+    # cohort). The derived ordering spends the 50 slots as: the two
+    # touched queries below first, then the 42 remaining r4-stale
+    # signals, then the heaviest r5-stale — leaving no signal older
+    # than r5 after this round.
     #
-    # src_csv_scan: corrupt-branch oracle gains HAVING count(*) > 0,
-    # matching the jsonl sibling (VERDICT r5 #4) — oracle change, so
-    # the r4 green signal is no longer evidence.
-    "src_csv_scan",
-    # self-review dedup extraction (mechanical, oracles unchanged,
-    # full sf0.1 sweep re-proves both): ext_ann_ivf's probe+candidate
-    # stage became ivf_candidates(k) shared with ext_retrieve_rerank;
-    # ext_bm25_topk's per-doc/stats builders became _bm25_per_doc/
-    # _bm25_stats shared the same way. Slot accounting: ext_ann_ivf
-    # was r4-stale (already in the window's r4 band — no displacement);
-    # ext_bm25_topk was r5-green, so listing it displaces one r4-stale
-    # refresh to next round.
-    "ext_ann_ivf",
-    "ext_bm25_topk",
+    # stream_merge_lake: the lake MERGE gained the crash-atomic
+    # manifest commit protocol (materialize.py — commit dirs + atomic
+    # pointer flip, VERDICT r6 #1); its r6 green predates the change.
+    "stream_merge_lake",
+    # ext_pagerank: broadcast guard moved from a hot-path
+    # nodes.count() to the build-time statistic (stats.json,
+    # VERDICT r6 #2) + explicit read schemas; its r4 green predates
+    # the change (it is also in the stale cohort — no displacement).
+    "ext_pagerank",
 )
 
 
