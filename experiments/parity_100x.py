@@ -70,7 +70,13 @@ SHIFT = 10_000_000
 M = 2_147_483_647
 PRIMES = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41]
 
-#: float-free queries in the range/sampled-exchange + fold class.
+#: float-free queries in the range/sampled-exchange + fold class —
+#: plus (round 7, VERDICT r6 #6) the first BLOCKED-JOIN operator:
+#: ext_dedup_minhash's (doc_a, doc_b) candidate-pair set is integer-
+#: only, so the generic in-engine row digest compares the full pair
+#: set (~25M pairs at 100x: 5k clusters × C(100,2)) with O(1) driver
+#: transfer — value parity for the banded bucket-join itself, at a
+#: layout where every cluster spans splits.
 COHORT = [
     "sort_global_events",
     "win_running_total",
@@ -80,6 +86,7 @@ COHORT = [
     "ext_dedup_exact",
     "ext_token_count",
     "ext_text_stats",
+    "ext_dedup_minhash",
 ]
 DERIVED_TABLES = ("documents", "events")
 
@@ -155,12 +162,23 @@ def _terms(schema):
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", help="subset to (re)run; merges into PARITY_100X.json")
+    only = ap.parse_args().queries
     spark = get_spark("parity_100x", cpus=32)
     reg = load_all()
     derived = build_derived(spark)
     con = duck_connection_100x(derived)
     results: dict[str, dict] = {}
-    for name in COHORT:
+    if only:
+        try:
+            with open("/root/repo/PARITY_100X.json") as f:
+                results = json.load(f)["results"]
+        except FileNotFoundError:
+            pass
+    for name in only or COHORT:
         spec = reg[name]
         t0 = time.time()
         try:
