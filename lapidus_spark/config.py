@@ -267,6 +267,13 @@ def _sink(s: dict) -> SinkConfig:
             isinstance(buckets, bool) or not isinstance(buckets, int) or buckets < 1
         ):
             raise ConfigError("sink: lake sink options.buckets must be a positive int")
+        retain = opts.get("retainVersions")
+        if retain is not None and (
+            isinstance(retain, bool) or not isinstance(retain, int) or retain < 1
+        ):
+            raise ConfigError(
+                "sink: lake sink options.retainVersions must be a positive int"
+            )
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

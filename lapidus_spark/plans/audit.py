@@ -467,6 +467,15 @@ EXPECTATIONS: dict[str, dict] = {
     "src_schema_history": {"max_exchanges": 2, "no_single_partition": True},
     # tumbling windows: filter pushed to scan, one window-key agg
     "win_tumbling_counts": {"pushed": True, "max_exchanges": 1, "no_single_partition": True},
+    # ---- round-7 additions: the versioned-lake consumer surface ----
+    # time travel: a retained manifest resolves the bucket dirs live
+    # at that version, so the plan is a plain pruned scan + pushed
+    # tombstone filter — identical to a live read, zero exchanges
+    "lake_time_travel": {"pushed": True, "max_exchanges": 0},
+    # change feed: entity-level join of the two versions' CHANGED
+    # buckets only; ≤2 exchanges (SMJ both sides) and AQE free to
+    # broadcast the small side at fixture scale
+    "lake_changes_feed": {"max_exchanges": 2, "no_single_partition": True},
 }
 
 

@@ -203,11 +203,35 @@ MANIFEST_NAME = "_lapidus_manifest.json"
 #: split into per-bucket directories).
 _PARTITION_COL = "pb"
 
+#: committed manifests are retained under ``_history/<version>.json``
+#: (written right after each successful flip), which is what makes
+#: the lake a VERSIONED table: ``read_lake_snapshot(version=N)`` is
+#: time travel and ``lake_changes`` is a change-data-feed between two
+#: versions — both resolved purely through manifests, reading only
+#: the buckets whose pointers differ. ``retain_versions`` on the
+#: merge governs how many versions' data directories GC keeps (1 =
+#: live only, today's default; history JSON beyond the horizon is
+#: pruned too, so an unretained version fails fast and explicitly).
+HISTORY_DIR = "_history"
+
+#: single-writer guard: the merge takes a lock file for the duration
+#: of a commit. Plain O_CREAT|O_EXCL — the second atomic primitive a
+#: plain filesystem offers — with the holder's pid recorded, so a
+#: crashed holder's lock is detected as stale (dead pid, same host)
+#: and broken by the next writer. Cross-host writers on shared
+#: storage cannot check liveness and fail closed; that deployment
+#: wants a real table format's commit service or an external lock.
+LOCK_NAME = "_lapidus_lock.json"
+
 #: fault-injection point for crash tests: set the env var
 #: LAPIDUS_FAILPOINT=<name>[:<nth>] in a *subprocess* and the process
 #: SIGKILLs itself at the nth traversal of that failpoint — a genuine
 #: kill-mid-commit, not an exception the code could catch.
 _FAILPOINT_HITS: dict[str, int] = {}
+
+
+class ConcurrentMergeError(RuntimeError):
+    """Another live writer holds the lake's merge lock."""
 
 
 def _failpoint(name: str) -> None:
@@ -232,6 +256,90 @@ def _read_manifest(lake_dir: str) -> dict | None:
         return None
 
 
+def _manifest_at(lake_dir: str, version: int | None) -> dict | None:
+    """Manifest for a specific committed version (None → live). The
+    live manifest is authoritative; superseded versions come from
+    ``_history/`` and exist only inside the retention horizon."""
+    live = _read_manifest(lake_dir)
+    if version is None or (live is not None and live["version"] == version):
+        return live
+    path = os.path.join(lake_dir, HISTORY_DIR, f"{version:010d}.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"lake at {lake_dir} has no retained version {version} "
+            f"(live is {live['version'] if live else 'absent'}; older versions "
+            "exist only inside the merge's retain_versions horizon)"
+        ) from None
+
+
+def _write_history(lake_dir: str, manifest: dict) -> None:
+    """Record a just-committed manifest under ``_history/``. Runs
+    AFTER the flip, so history ⊆ committed versions; a crash between
+    flip and this write is healed by the next merge (which re-records
+    the live manifest before building on it)."""
+    hist = os.path.join(lake_dir, HISTORY_DIR)
+    os.makedirs(hist, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=hist, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    os.replace(tmp, os.path.join(hist, f"{manifest['version']:010d}.json"))
+
+
+def _acquire_lock(lake_dir: str) -> str:
+    """Take the single-writer merge lock (O_CREAT|O_EXCL). A lock
+    whose recorded pid is dead on THIS host is stale (a SIGKILLed
+    writer) and is broken; a live holder — or any holder on another
+    host, whose liveness we cannot check — raises
+    ``ConcurrentMergeError`` so two writers can never interleave
+    read-back and flip (lost-update protection)."""
+    import socket
+
+    os.makedirs(lake_dir, exist_ok=True)
+    path = os.path.join(lake_dir, LOCK_NAME)
+    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(me, f)
+            return path
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    holder = json.load(f)
+            except (OSError, ValueError):
+                holder = None  # torn lock write: treat as stale
+            if holder is not None and holder.get("host") == me["host"]:
+                try:
+                    os.kill(int(holder["pid"]), 0)
+                    alive = True
+                except (ProcessLookupError, ValueError):
+                    alive = False
+                except PermissionError:
+                    alive = True
+                if alive:
+                    raise ConcurrentMergeError(
+                        f"lake at {lake_dir} is locked by live writer "
+                        f"pid {holder['pid']} ({LOCK_NAME})"
+                    ) from None
+            elif holder is not None:
+                raise ConcurrentMergeError(
+                    f"lake at {lake_dir} is locked by writer on host "
+                    f"{holder.get('host')!r}; cross-host liveness is "
+                    "unknowable on plain files — break the lock manually "
+                    f"or use an external commit service ({LOCK_NAME})"
+                ) from None
+            if attempt == 0:
+                try:
+                    os.remove(path)  # stale: holder dead or torn
+                except FileNotFoundError:
+                    pass
+    raise ConcurrentMergeError(f"could not acquire {path}")
+
+
 def _commit_manifest(lake_dir: str, manifest: dict) -> None:
     """THE commit point: stage the new manifest next to the old one,
     fsync, then one atomic ``os.replace``. Every byte of merged data
@@ -254,16 +362,45 @@ def _commit_manifest(lake_dir: str, manifest: dict) -> None:
         raise
 
 
-def _gc_unreferenced(lake_dir: str, manifest: dict) -> None:
-    """Best-effort removal of commit dirs / legacy bucket dirs no
-    manifest references (orphans from crashed merges, superseded
-    versions). Safe because it runs only AFTER a successful flip and
-    only deletes paths the live manifest does not name; failures are
-    swallowed — an orphan is wasted space, never wrong data."""
+def _gc_unreferenced(lake_dir: str, manifest: dict, retain_versions: int = 1) -> None:
+    """Best-effort removal of commit dirs / legacy bucket dirs that no
+    RETAINED manifest references (orphans from crashed merges,
+    versions beyond the retention horizon). Retained = the live
+    manifest plus the newest ``retain_versions - 1`` history
+    manifests below it; history JSON outside the horizon is pruned
+    with the data so an expired time-travel read fails fast instead
+    of hitting missing files. Safe because it runs only AFTER a
+    successful flip and only deletes paths no retained manifest
+    names; failures are swallowed — an orphan is wasted space, never
+    wrong data."""
     import shutil
 
-    live_commits = {p.split("/", 2)[1] for p in manifest["buckets"].values() if p.startswith("commits/")}
-    live_legacy = {p for p in manifest["buckets"].values() if p.startswith("bucket=")}
+    retained = [manifest]
+    hist_root = os.path.join(lake_dir, HISTORY_DIR)
+    try:
+        if os.path.isdir(hist_root):
+            for fn in sorted(os.listdir(hist_root), reverse=True):
+                if not fn.endswith(".json"):
+                    continue
+                v = int(fn.split(".")[0])
+                if v >= manifest["version"]:
+                    continue  # live (or a healed duplicate) already counted
+                if len(retained) < retain_versions:
+                    with open(os.path.join(hist_root, fn)) as f:
+                        retained.append(json.load(f))
+                else:
+                    os.remove(os.path.join(hist_root, fn))
+    except (OSError, ValueError):
+        pass
+    live_commits = {
+        p.split("/", 2)[1]
+        for m in retained
+        for p in m["buckets"].values()
+        if p.startswith("commits/")
+    }
+    live_legacy = {
+        p for m in retained for p in m["buckets"].values() if p.startswith("bucket=")
+    }
     try:
         commits_root = os.path.join(lake_dir, "commits")
         if os.path.isdir(commits_root):
@@ -343,7 +480,10 @@ def _lww_combine(envelopes_or_rows: DataFrame) -> DataFrame:
 
 
 def merge_batch_into_lake(
-    batch_df: DataFrame, lake_dir: str, n_buckets: int = MERGE_LAKE_BUCKETS
+    batch_df: DataFrame,
+    lake_dir: str,
+    n_buckets: int = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
 ) -> None:
     """One MERGE step (steps 1-4 of merge_lake_sink's contract),
     callable directly on a batch DataFrame — the unit the idempotency,
@@ -354,11 +494,41 @@ def merge_batch_into_lake(
     pinned in the manifest on first write; a later merge with a
     different value raises instead of silently corrupting the table
     (updates would hash to new buckets while stored rows keep their
-    old ones, so the affected-bucket read-back would miss them)."""
+    old ones, so the affected-bucket read-back would miss them).
+
+    ``retain_versions`` is an operational knob (not pinned): how many
+    committed versions' data GC keeps after this merge. 1 = live
+    only; K > 1 enables ``read_lake_snapshot(version=...)`` time
+    travel and ``lake_changes`` over the last K versions."""
     if isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1:
         raise ValueError(f"n_buckets must be a positive int, got {n_buckets!r}")
+    if (
+        isinstance(retain_versions, bool)
+        or not isinstance(retain_versions, int)
+        or retain_versions < 1
+    ):
+        raise ValueError(f"retain_versions must be a positive int, got {retain_versions!r}")
     spark = batch_df.sparkSession
+    lock = _acquire_lock(lake_dir)
+    try:
+        _merge_locked(spark, batch_df, lake_dir, n_buckets, retain_versions)
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _merge_locked(
+    spark, batch_df: DataFrame, lake_dir: str, n_buckets: int, retain_versions: int
+) -> None:
     manifest = _read_manifest(lake_dir)
+    if manifest is not None:
+        # heal the flip→history crash window: the live manifest must
+        # be in history before we build the next version on it
+        hist = os.path.join(lake_dir, HISTORY_DIR, f"{manifest['version']:010d}.json")
+        if not os.path.exists(hist):
+            _write_history(lake_dir, manifest)
     if manifest is not None and manifest["n_buckets"] != n_buckets:
         raise ValueError(
             f"lake at {lake_dir} has n_buckets={manifest['n_buckets']} "
@@ -423,13 +593,17 @@ def merge_batch_into_lake(
         for b in touched:
             new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
         _commit_manifest(lake_dir, new_manifest)
-        _gc_unreferenced(lake_dir, new_manifest)
+        _write_history(lake_dir, new_manifest)
+        _gc_unreferenced(lake_dir, new_manifest, retain_versions)
     finally:
         updates.unpersist()
 
 
 def merge_lake_sink(
-    envelopes: DataFrame, lake_dir: str, n_buckets: int = MERGE_LAKE_BUCKETS
+    envelopes: DataFrame,
+    lake_dir: str,
+    n_buckets: int = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
 ) -> DataStreamWriter:
     """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
     a bucketed parquet lake table via ``foreachBatch`` + a manifest
@@ -466,30 +640,103 @@ def merge_lake_sink(
     the table from at-least-once delivery — the contract
     Delta/Iceberg ``MERGE INTO`` provides, built from the one atomic
     primitive plain filesystems offer (rename). Single-writer per
-    lake_dir assumed, as with any file-based table format's simplest
-    deployment. On a real table format, steps 2-4 collapse into one
-    ``MERGE INTO`` with the same combine."""
+    lake_dir is ENFORCED by a stale-aware lock file (a live second
+    writer raises ``ConcurrentMergeError``; a SIGKILLed writer's
+    lock is detected dead and broken). Committed manifests are
+    retained under ``_history/`` within the ``retain_versions``
+    horizon, giving ``read_lake_snapshot(version=...)`` time travel
+    and ``lake_changes`` a bucket-pruned change-data-feed. On a real
+    table format, steps 2-4 collapse into one ``MERGE INTO`` with
+    the same combine."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_batch_into_lake(batch_df, lake_dir, n_buckets=n_buckets)
+        merge_batch_into_lake(
+            batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
+        )
 
     # append mode: the stateful combine lives INSIDE the batch merge,
     # not in a streaming state store — the lake IS the state.
     return envelopes.writeStream.foreachBatch(merge).outputMode("append")
 
 
-def read_lake_snapshot(spark, lake_dir: str, buckets=None) -> DataFrame:
+def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None = None) -> DataFrame:
     """Consumer view of the merged lake table, resolved through the
     manifest (orphaned / half-committed files are invisible by
     construction): tombstones filtered (purge semantics). Pass
     ``buckets`` to prune a point read to the key's bucket — path
-    pruning, no file outside those buckets is even opened. Falls back
-    to a direct read for pre-manifest lakes."""
-    manifest = _read_manifest(lake_dir)
+    pruning, no file outside those buckets is even opened. Pass
+    ``version`` to time-travel to an earlier committed snapshot (the
+    version must be inside the merge's ``retain_versions`` horizon);
+    a version is just a different manifest, so the read plan is
+    identical to a live read. Falls back to a direct read for
+    pre-manifest lakes."""
+    manifest = _manifest_at(lake_dir, version)
     if manifest is None:
+        if version is not None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to time-travel in")
         df = spark.read.parquet(lake_dir)
     else:
         df = _read_live(spark, lake_dir, manifest, set(buckets) if buckets is not None else None)
         if df is None:
             raise ValueError(f"lake at {lake_dir} has an empty manifest bucket set")
     return df.filter(F.col("last_type") != "delete")
+
+
+def lake_changes(
+    spark, lake_dir: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change-data-feed between two committed versions: one row per
+    entity whose snapshot state differs, with the POST-image and a
+    ``change_type`` (insert / update / delete — delete meaning the
+    entity's latest state became a tombstone).
+
+    Scale contract: versions are manifests, so the changed-entity set
+    is computed by reading ONLY the buckets whose manifest pointers
+    differ between the two versions (path-level pruning — a merge
+    that touched k of B buckets makes this a k·(table/B) read, never
+    a table scan), then an entity-level anti-equality join of old vs
+    new within those buckets. Rows are never physically dropped
+    (tombstones persist), so new ⊇ old keys and a left join from the
+    new side is complete."""
+    m_new = _manifest_at(lake_dir, to_version)
+    if m_new is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest")
+    m_old = _manifest_at(lake_dir, from_version)
+    changed = {
+        int(b)
+        for b, rel in m_new["buckets"].items()
+        if (m_old["buckets"].get(b) if m_old else None) != rel
+    }
+    schema = (
+        "entity_id string, change_type string, last_seq bigint, "
+        "last_ts timestamp_ntz, last_type string, item string"
+    )
+    if not changed:
+        return spark.createDataFrame([], schema)
+    new_df = _read_live(spark, lake_dir, m_new, changed)
+    old_df = _read_live(spark, lake_dir, m_old, changed) if m_old else None
+    if old_df is None:
+        old_df = spark.createDataFrame([], new_df.schema)
+    n, o = new_df.alias("n"), old_df.select("entity_id", "last_seq", "last_ts", "last_type").alias("o")
+    return (
+        n.join(o, "entity_id", "left")
+        .filter(
+            F.col("o.last_seq").isNull()
+            | (F.col("o.last_seq") != F.col("n.last_seq"))
+            | (F.col("o.last_ts") != F.col("n.last_ts"))
+        )
+        .select(
+            "entity_id",
+            F.when(F.col("n.last_type") == "delete", F.lit("delete"))
+            .when(
+                F.col("o.last_seq").isNull() | (F.col("o.last_type") == "delete"),
+                F.lit("insert"),
+            )
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("n.last_seq").alias("last_seq"),
+            F.col("n.last_ts").alias("last_ts"),
+            F.col("n.last_type").alias("last_type"),
+            F.col("n.item").alias("item"),
+        )
+    )

@@ -93,6 +93,7 @@ def start_sink(
             sink_mod.gate_types(env, enabled),
             sink.options["path"],
             n_buckets=sink.options.get("buckets", MERGE_LAKE_BUCKETS),
+            retain_versions=sink.options.get("retainVersions", 1),
         )
     elif sink.type == "kafka":
         # sink_nats on a real broker (src/plugins/nats.js) — plan

@@ -1333,11 +1333,14 @@ def build_merge_replay(spark: SparkSession, sf_dir: str) -> str:
     operator="sink_cache MERGE consumer (idempotent lake-table materialization)",
     doc="The CDC snapshot materialized as a TABLE, not a KV store: "
     "envelope stream → foreachBatch MERGE into a bucket-partitioned "
-    "parquet lake via dynamic partition overwrite (merge_lake_sink). "
-    "Each micro-batch LWW-combines to one row per key, reads back "
-    "ONLY its affected buckets (partition-pruned literal IN on the "
-    "bucket column), lattice-joins old∪new, and rewrites exactly "
-    "those bucket dirs — so replays produce byte-identical buckets "
+    "parquet lake via the crash-atomic manifest protocol "
+    "(merge_lake_sink). Each micro-batch LWW-combines to one row per "
+    "key, reads back ONLY its affected buckets (resolved through "
+    "_lapidus_manifest.json — path-level pruning), lattice-joins "
+    "old∪new, writes the merged buckets to a fresh commits/<version> "
+    "dir, and atomically flips the manifest — so replays produce "
+    "identical logical content and a crash at any point leaves "
+    "either the old or the new snapshot, never a torn one "
     "(exactly-once effect from at-least-once delivery, the "
     "MERGE INTO contract on plain parquet). Delete tombstones stay "
     "in the table so they keep beating late/replayed older updates; "
@@ -1379,6 +1382,133 @@ def stream_merge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return read_lake_snapshot(spark, lake).select(
         "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+#: versioned lake per (process, sf_dir): three merges — event_id%3
+#: batches 0,1,2 → versions 1,2,3 — with retain_versions=4 so every
+#: version's data survives GC for the time-travel/CDF queries.
+_VERSIONED_LAKES: dict[str, str] = {}
+
+
+def build_versioned_lake(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _VERSIONED_LAKES:
+        return _VERSIONED_LAKES[sf_dir]
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_versioned_lake_")
+    for i in (0, 1, 2):
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i), lake, retain_versions=4
+        )
+    _VERSIONED_LAKES[sf_dir] = lake
+    return lake
+
+
+@query(
+    "lake_time_travel",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 IN (0, 1)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="sink_cache MERGE consumer — snapshot time travel over manifest versions",
+    doc="Time travel on the manifest-versioned lake: three merges "
+    "(event_id%3 batches) commit versions 1..3 with retain_versions=4, "
+    "then the query reads the table AS OF version 2 — the committed "
+    "manifest for v2 resolves the exact bucket directories that were "
+    "live then, so the read plan is identical to a live read (no "
+    "log replay, no file diffing) and the oracle is the LWW snapshot "
+    "over only the first two batches. This is the Delta/Iceberg "
+    "VERSION AS OF contract built from retained manifest JSONs; GC "
+    "keeps data inside the retain_versions horizon and prunes both "
+    "data and history beyond it (expired reads fail fast).",
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    lake = build_versioned_lake(spark, sf_dir)
+    return read_lake_snapshot(spark, lake, version=2).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_changes_feed",
+    oracle="""
+    WITH old_snap AS (
+      SELECT * FROM (
+        SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id AS last_seq,
+               ts AS last_ts,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 3 IN (0, 1)
+      ) WHERE rn = 1
+    ),
+    new_snap AS (
+      SELECT * FROM (
+        SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id AS last_seq,
+               ts AS last_ts,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE props END AS item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT n.entity_id,
+           CASE WHEN n.last_type = 'delete' THEN 'delete'
+                WHEN o.entity_id IS NULL OR o.last_type = 'delete' THEN 'insert'
+                ELSE 'update' END AS change_type,
+           n.last_seq, n.last_ts, n.last_type, n.item
+    FROM new_snap n LEFT JOIN old_snap o USING (entity_id)
+    WHERE o.entity_id IS NULL
+       OR o.last_seq <> n.last_seq OR o.last_ts <> n.last_ts
+    """,
+    operator="sink_cache MERGE consumer — change-data-feed between manifest versions",
+    doc="Change-data-feed on the manifest-versioned lake: the delta "
+    "between version 2 and version 3 (= the effect of the third "
+    "merge batch on the snapshot), one row per changed entity with "
+    "the post-image and change_type insert/update/delete (delete = "
+    "the latest state became a tombstone). Scale contract: the two "
+    "versions are manifests, so only buckets whose pointers DIFFER "
+    "are read from either side (path pruning — a merge touching k of "
+    "B buckets makes the feed a k·(table/B) read, never a table "
+    "scan); within those buckets an entity-level left join filters "
+    "unchanged rows. Keys are never physically dropped (tombstones "
+    "persist), so new ⊇ old and the left join is complete — the "
+    "Delta CDF / Iceberg changelog contract from retained manifests.",
+)
+def lake_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import lake_changes
+
+    lake = build_versioned_lake(spark, sf_dir)
+    return lake_changes(spark, lake, from_version=2, to_version=3).select(
+        "entity_id",
+        "change_type",
         "last_seq",
         F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
         "last_type",

@@ -1879,3 +1879,215 @@ def test_config_rejects_bool_buckets_and_bad_mfpt():
     )
     assert cfg.checkpoint_root == "/tmp/ck"
     assert cfg.backends[0].max_files_per_trigger == 2
+
+
+# --- versioned lake: time travel, change feed, writer lock (round 7) ---
+
+
+def _snapshot_rows(spark, lake, version=None):
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    return sorted(
+        map(
+            tuple,
+            read_lake_snapshot(spark, lake, version=version)
+            .select("entity_id", "last_seq", "last_ts", "last_type")
+            .collect(),
+        )
+    )
+
+
+def test_lake_time_travel_matches_per_version_oracles(spark, tmp_path):
+    """Each committed version must read back as the LWW snapshot of
+    exactly the batches merged up to it — a retained manifest IS the
+    table as of that commit. Expired versions (beyond the
+    retain_versions horizon) must fail fast with a clear error, and
+    their data directories must actually be GC'd."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        HISTORY_DIR,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    batches = [env.filter(F.col("event_seq") % 3 == i) for i in range(3)]
+    lake = str(tmp_path / "lake")
+    for b in batches:
+        merge_batch_into_lake(b, lake, retain_versions=4)
+
+    # version k == from-scratch merge of batches[:k]
+    for k in (1, 2, 3):
+        want = str(tmp_path / f"want{k}")
+        for b in batches[:k]:
+            merge_batch_into_lake(b, want)
+        assert _snapshot_rows(spark, lake, version=k) == _snapshot_rows(spark, want), k
+    # live read == newest version read
+    assert _snapshot_rows(spark, lake) == _snapshot_rows(spark, lake, version=3)
+    assert len(os.listdir(os.path.join(lake, HISTORY_DIR))) == 3
+
+    # tighten retention: next merge keeps only the last 2 versions
+    merge_batch_into_lake(batches[0], lake, retain_versions=2)  # replay → v4
+    hist = sorted(os.listdir(os.path.join(lake, HISTORY_DIR)))
+    assert [int(h.split(".")[0]) for h in hist] == [3, 4]
+    with pytest.raises(ValueError, match="no retained version 1"):
+        _snapshot_rows(spark, lake, version=1)
+    # v3/v4 still readable, and v4 (an idempotent replay) == v3
+    assert _snapshot_rows(spark, lake, version=4) == _snapshot_rows(spark, lake, version=3)
+
+
+def test_lake_changes_prunes_to_touched_buckets(spark, tmp_path):
+    """The change feed between two versions must (a) report exactly
+    the entities whose state changed, with post-images, and (b) READ
+    only the buckets whose manifest pointers differ — path-level
+    pruning, asserted on the plan's actual input files."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _manifest_at,
+        lake_changes,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env, lake, retain_versions=4)  # v1: full history
+    one_key = env.limit(1).select("pk").first()["pk"]
+    bump = (
+        env.filter(F.col("pk") == one_key)
+        .limit(1)
+        .withColumn("event_seq", F.lit(10_000_000).cast(env.schema["event_seq"].dataType))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1000 DAYS"))
+        .withColumn("type", F.lit("update"))
+    )
+    merge_batch_into_lake(bump, lake, retain_versions=4)  # v2: one entity bumped
+
+    feed = lake_changes(spark, lake, from_version=1, to_version=2)
+    rows = feed.collect()
+    assert [(r["entity_id"], r["change_type"], r["last_seq"]) for r in rows] == [
+        (one_key, "update", 10_000_000)
+    ]
+    # path pruning: exactly one bucket pointer differs, and the scan
+    # reads files from that bucket's two versions only
+    m1, m2 = _manifest_at(lake, 1), _manifest_at(lake, 2)
+    changed = {b for b in m2["buckets"] if m1["buckets"][b] != m2["buckets"][b]}
+    assert len(changed) == 1
+    rels = {m["buckets"][b] for m in (m1, m2) for b in changed}
+    files = feed.inputFiles()
+    assert files and all(any(rel in f for rel in rels) for f in files)
+    # no-op distance: same version twice → empty feed, schema intact
+    empty = lake_changes(spark, lake, from_version=2, to_version=2)
+    assert empty.count() == 0
+    assert empty.columns == ["entity_id", "change_type", "last_seq", "last_ts", "last_type", "item"]
+
+
+def test_lake_changes_classifies_insert_update_delete(spark, tmp_path):
+    """change_type taxonomy: first-appearance → insert, newer image →
+    update, tombstone-latest → delete, and re-insert after a delete →
+    insert again."""
+    import datetime
+
+    from lapidus_spark.streaming.materialize import lake_changes, merge_batch_into_lake
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    seq,
+                    "pg_main",
+                    typ,
+                    "public",
+                    "users",
+                    pk,
+                    None if typ == "delete" else f"v{seq}",
+                    0,
+                    datetime.datetime(2024, 1, 1, 0, 0, seq),
+                )
+                for seq, pk, typ in rows
+            ],
+            "event_seq long, source string, type string, schema_name string, "
+            "table_name string, pk string, item string, tx_id long, ts timestamp_ntz",
+        )
+
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(
+        batch([(1, "a", "insert"), (2, "b", "insert"), (3, "c", "insert"), (4, "d", "delete")]),
+        lake,
+        retain_versions=4,
+    )
+    merge_batch_into_lake(
+        batch([(5, "a", "update"), (6, "b", "delete"), (7, "d", "insert"), (8, "e", "insert")]),
+        lake,
+        retain_versions=4,
+    )
+    feed = {
+        r["entity_id"]: r["change_type"]
+        for r in lake_changes(spark, lake, from_version=1, to_version=2).collect()
+    }
+    assert feed == {"a": "update", "b": "delete", "d": "insert", "e": "insert"}
+
+
+def test_merge_lake_writer_lock(spark, tmp_path):
+    """Single-writer protection: a LIVE holder's lock makes a second
+    merge raise ConcurrentMergeError; a stale lock (dead pid — the
+    SIGKILLed-writer case) is broken and the merge proceeds; the lock
+    is released after a successful merge."""
+    import json as _json
+    import os
+    import socket
+
+    from lapidus_spark.streaming.materialize import (
+        LOCK_NAME,
+        ConcurrentMergeError,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    lock = os.path.join(lake, LOCK_NAME)
+
+    # live holder (this very process) → refuse
+    with open(lock, "w") as f:
+        _json.dump({"pid": os.getpid(), "host": socket.gethostname()}, f)
+    with pytest.raises(ConcurrentMergeError, match="live writer"):
+        merge_batch_into_lake(env, lake)
+
+    # stale holder (dead pid on this host) → broken, merge proceeds,
+    # lock released afterwards
+    with open(lock, "w") as f:
+        _json.dump({"pid": 2**22 + 12345, "host": socket.gethostname()}, f)
+    merge_batch_into_lake(env, lake)
+    assert not os.path.exists(lock)
+    assert len(_lake_rows(spark, lake)) > 0
+
+    # cross-host holder → fail closed (liveness unknowable)
+    with open(lock, "w") as f:
+        _json.dump({"pid": 1, "host": "some-other-host"}, f)
+    with pytest.raises(ConcurrentMergeError, match="cross-host"):
+        merge_batch_into_lake(env, lake)
+
+
+def test_config_lake_retain_versions():
+    with pytest.raises(ConfigError, match="retainVersions"):
+        parse_config(
+            json.dumps(
+                {
+                    "backends": [
+                        {
+                            "name": "b",
+                            "type": "file",
+                            "path": "/tmp",
+                            "sinks": [
+                                {
+                                    "type": "lake",
+                                    "options": {"path": "/tmp/x", "retainVersions": True},
+                                }
+                            ],
+                        }
+                    ]
+                }
+            )
+        )
