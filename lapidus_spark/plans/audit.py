@@ -476,6 +476,13 @@ EXPECTATIONS: dict[str, dict] = {
     # buckets only; ≤2 exchanges (SMJ both sides) and AQE free to
     # broadcast the small side at fixture scale
     "lake_changes_feed": {"max_exchanges": 2, "no_single_partition": True},
+    # compaction read-back: time travel to the compacted version is a
+    # plain manifest-resolved scan + pushed tombstone filter — the
+    # rewrite itself happened at build time under the commit protocol
+    "lake_compaction": {"pushed": True, "max_exchanges": 0},
+    # post-rebucket point read: key-bucket dirs only + pushed isin/
+    # tombstone filters; zero exchanges (pruning is path-level)
+    "lake_rebucket": {"pushed": True, "max_exchanges": 0},
 }
 
 

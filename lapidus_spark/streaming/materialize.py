@@ -482,7 +482,7 @@ def _lww_combine(envelopes_or_rows: DataFrame) -> DataFrame:
 def merge_batch_into_lake(
     batch_df: DataFrame,
     lake_dir: str,
-    n_buckets: int = MERGE_LAKE_BUCKETS,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
     retain_versions: int = 1,
 ) -> None:
     """One MERGE step (steps 1-4 of merge_lake_sink's contract),
@@ -495,13 +495,18 @@ def merge_batch_into_lake(
     different value raises instead of silently corrupting the table
     (updates would hash to new buckets while stored rows keep their
     old ones, so the affected-bucket read-back would miss them).
+    Pass ``n_buckets=None`` to ADOPT the pinned layout — the right
+    call for writers that should follow ``rebucket_lake`` layout
+    changes instead of asserting a fixed one.
 
     ``retain_versions`` is an operational knob (not pinned): how many
     committed versions' data GC keeps after this merge. 1 = live
     only; K > 1 enables ``read_lake_snapshot(version=...)`` time
     travel and ``lake_changes`` over the last K versions."""
-    if isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1:
-        raise ValueError(f"n_buckets must be a positive int, got {n_buckets!r}")
+    if n_buckets is not None and (
+        isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1
+    ):
+        raise ValueError(f"n_buckets must be a positive int or None, got {n_buckets!r}")
     if (
         isinstance(retain_versions, bool)
         or not isinstance(retain_versions, int)
@@ -519,21 +524,30 @@ def merge_batch_into_lake(
             pass
 
 
-def _merge_locked(
-    spark, batch_df: DataFrame, lake_dir: str, n_buckets: int, retain_versions: int
-) -> None:
+def _healed_manifest(lake_dir: str) -> dict | None:
+    """Live manifest with the flip→history crash window healed: the
+    live manifest must be recorded in ``_history/`` before any op
+    builds the next version on it."""
     manifest = _read_manifest(lake_dir)
     if manifest is not None:
-        # heal the flip→history crash window: the live manifest must
-        # be in history before we build the next version on it
         hist = os.path.join(lake_dir, HISTORY_DIR, f"{manifest['version']:010d}.json")
         if not os.path.exists(hist):
             _write_history(lake_dir, manifest)
+    return manifest
+
+
+def _merge_locked(
+    spark, batch_df: DataFrame, lake_dir: str, n_buckets: int | None, retain_versions: int
+) -> None:
+    manifest = _healed_manifest(lake_dir)
+    if n_buckets is None:
+        n_buckets = manifest["n_buckets"] if manifest else MERGE_LAKE_BUCKETS
     if manifest is not None and manifest["n_buckets"] != n_buckets:
         raise ValueError(
             f"lake at {lake_dir} has n_buckets={manifest['n_buckets']} "
             f"(pinned in {MANIFEST_NAME}); merge called with {n_buckets} — "
-            "the bucket layout is immutable once written"
+            "the bucket layout only changes through rebucket_lake "
+            "(pass n_buckets=None to adopt the pinned layout)"
         )
     if manifest is None and os.path.isdir(lake_dir):
         # pre-manifest layout (root bucket=K dirs from the r6 dynamic-
@@ -565,44 +579,64 @@ def _merge_locked(
         else:
             merged = _lww_combine(updates.select(*_LAKE_COLS))
 
-        # Write the merged buckets to a FRESH commit directory — never
-        # into live paths, so readers (and a replay after a crash) are
-        # untouched until the manifest flip below publishes it.
-        version = (manifest["version"] if manifest else 0) + 1
-        commit_rel = f"commits/{version:010d}"
-        commit_abs = os.path.join(lake_dir, commit_rel)
-        (
-            merged.withColumn(_PARTITION_COL, F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy(_PARTITION_COL)
-            .parquet(commit_abs)
+        _publish_version(
+            lake_dir, manifest, merged, touched, n_buckets, retain_versions
         )
-        written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(commit_abs)
-            if d.startswith(f"{_PARTITION_COL}=")
-        }
-        if written != set(touched):  # layout invariant, not reachable in normal runs
-            raise RuntimeError(f"merge wrote buckets {written}, expected {touched}")
-        new_manifest = {
-            "format": 1,
-            "version": version,
-            "n_buckets": n_buckets,
-            "buckets": {**(manifest["buckets"] if manifest else {})},
-        }
-        for b in touched:
-            new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
-        _commit_manifest(lake_dir, new_manifest)
-        _write_history(lake_dir, new_manifest)
-        _gc_unreferenced(lake_dir, new_manifest, retain_versions)
     finally:
         updates.unpersist()
+
+
+def _publish_version(
+    lake_dir: str,
+    manifest: dict | None,
+    rows: DataFrame,
+    touched: list,
+    n_buckets: int,
+    retain_versions: int,
+    replace_all: bool = False,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """The shared publish step of every table-mutating op (merge,
+    compact, rebucket): write ``rows`` (bucket column already set) for
+    exactly the ``touched`` buckets into a FRESH ``commits/<version>``
+    directory — never into live paths, so readers (and a replay after
+    a crash) are untouched — then atomically flip the manifest,
+    record it in ``_history/``, and GC beyond the retention horizon.
+    ``replace_all`` swaps the ENTIRE bucket map (rebucket: the old
+    layout's pointers must not survive) instead of updating the
+    touched pointers."""
+    version = (manifest["version"] if manifest else 0) + 1
+    commit_rel = f"commits/{version:010d}"
+    commit_abs = os.path.join(lake_dir, commit_rel)
+    writer = rows.withColumn(_PARTITION_COL, F.col("bucket")).write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(_PARTITION_COL).parquet(commit_abs)
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(commit_abs)
+        if d.startswith(f"{_PARTITION_COL}=")
+    }
+    if written != set(touched):  # layout invariant, not reachable in normal runs
+        raise RuntimeError(f"publish wrote buckets {written}, expected {sorted(touched)}")
+    new_manifest = {
+        "format": 1,
+        "version": version,
+        "n_buckets": n_buckets,
+        "buckets": {} if replace_all else {**(manifest["buckets"] if manifest else {})},
+    }
+    for b in touched:
+        new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
+    _commit_manifest(lake_dir, new_manifest)
+    _write_history(lake_dir, new_manifest)
+    _gc_unreferenced(lake_dir, new_manifest, retain_versions)
+    return new_manifest
 
 
 def merge_lake_sink(
     envelopes: DataFrame,
     lake_dir: str,
-    n_buckets: int = MERGE_LAKE_BUCKETS,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
     retain_versions: int = 1,
 ) -> DataStreamWriter:
     """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
@@ -659,6 +693,145 @@ def merge_lake_sink(
     return envelopes.writeStream.foreachBatch(merge).outputMode("append")
 
 
+def compact_lake(
+    spark,
+    lake_dir: str,
+    target_files_per_bucket: int = 1,
+    max_records_per_file: int | None = None,
+    retain_versions: int = 1,
+) -> dict:
+    """OPTIMIZE for the lake: rewrite the buckets whose physical
+    layout has degraded — more than ``target_files_per_bucket``
+    parquet files (each micro-batch overwrite leaves one file per
+    writing task, so a long-running merge sink accretes small files),
+    or a pre-manifest legacy ``bucket=K`` dir — into one fresh commit
+    directory, published through the SAME atomic manifest flip as a
+    merge. Logical content is untouched (a pure physical rewrite):
+    the new version's snapshot is bit-identical to the old one.
+
+    Scale contract: only degraded buckets are read and rewritten
+    (k·(table/B) bytes, never a full-table pass unless every bucket
+    is degraded); the rewrite repartitions on the bucket column so
+    each bucket lands in exactly one task → one output file, with
+    ``max_records_per_file`` as the splitting valve for buckets too
+    large for a single file. Crash-safe like the merge: all new
+    bytes go to ``commits/<version>`` and the flip publishes them
+    atomically; a crash leaves the old layout fully live. Takes the
+    single-writer lock (compaction and merges never interleave).
+
+    Returns ``{"version", "compacted_buckets"}`` — version unchanged
+    when nothing needed work (no empty commits)."""
+    lock = _acquire_lock(lake_dir)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to compact")
+        degraded = []
+        for b, rel in manifest["buckets"].items():
+            if rel.startswith("bucket="):
+                degraded.append(int(b))  # legacy layout: always migrate
+                continue
+            try:
+                nfiles = sum(
+                    1
+                    for f in os.listdir(os.path.join(lake_dir, rel))
+                    if f.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                nfiles = 0
+            if nfiles > target_files_per_bucket:
+                degraded.append(int(b))
+        if not degraded:
+            return {"version": manifest["version"], "compacted_buckets": 0}
+        rows = _read_live(spark, lake_dir, manifest, set(degraded))
+        packed = rows.repartition(len(degraded), F.col("bucket"))
+        _publish_version(
+            lake_dir,
+            manifest,
+            packed,
+            sorted(degraded),
+            manifest["n_buckets"],
+            retain_versions,
+            max_records_per_file=max_records_per_file,
+        )
+        return {"version": manifest["version"] + 1, "compacted_buckets": len(degraded)}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def rebucket_lake(
+    spark, lake_dir: str, new_n_buckets: int, retain_versions: int = 1
+) -> dict:
+    """Change the lake's pinned bucket layout — the scale-out path
+    when a table outgrows the ``n_buckets`` chosen at creation (each
+    merge rewrites whole touched buckets, so oversized buckets make
+    every merge's write amplification worse; more buckets restore
+    the k·(table/B) contract). A rebucket is necessarily a one-time
+    full-table rewrite (every row re-hashes), published as ONE
+    atomic manifest flip that swaps the entire bucket map and the
+    pinned ``n_buckets`` together: readers and crash-replays see
+    either the old layout or the new, never a mix, and retained
+    older versions still time-travel through their own manifests
+    (a version's manifest carries its own layout). Subsequent
+    merges must pass the new ``n_buckets`` — or ``None`` to adopt
+    whatever layout is pinned. Takes the single-writer lock."""
+    if (
+        isinstance(new_n_buckets, bool)
+        or not isinstance(new_n_buckets, int)
+        or new_n_buckets < 1
+    ):
+        raise ValueError(f"new_n_buckets must be a positive int, got {new_n_buckets!r}")
+    lock = _acquire_lock(lake_dir)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to rebucket")
+        if manifest["n_buckets"] == new_n_buckets:
+            return {"version": manifest["version"], "n_buckets": new_n_buckets}
+        rows = _read_live(spark, lake_dir, manifest)
+        if rows is None:  # empty table: the layout change is pure metadata
+            _commit_manifest(
+                lake_dir,
+                {
+                    "format": 1,
+                    "version": manifest["version"] + 1,
+                    "n_buckets": new_n_buckets,
+                    "buckets": {},
+                },
+            )
+            _write_history(lake_dir, _read_manifest(lake_dir))
+            return {"version": manifest["version"] + 1, "n_buckets": new_n_buckets}
+        rehashed = rows.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("entity_id"), F.lit(new_n_buckets)).cast("int"),
+        ).repartition(new_n_buckets, F.col("bucket"))
+        rehashed = rehashed.persist()
+        try:
+            touched = sorted(
+                r["bucket"] for r in rehashed.select("bucket").distinct().collect()
+            )
+            _publish_version(
+                lake_dir,
+                manifest,
+                rehashed,
+                touched,
+                new_n_buckets,
+                retain_versions,
+                replace_all=True,
+            )
+        finally:
+            rehashed.unpersist()
+        return {"version": manifest["version"] + 1, "n_buckets": new_n_buckets}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None = None) -> DataFrame:
     """Consumer view of the merged lake table, resolved through the
     manifest (orphaned / half-committed files are invisible by
@@ -680,6 +853,36 @@ def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None =
         if df is None:
             raise ValueError(f"lake at {lake_dir} has an empty manifest bucket set")
     return df.filter(F.col("last_type") != "delete")
+
+
+def lake_point_read(
+    spark, lake_dir: str, keys: list, version: int | None = None
+) -> DataFrame:
+    """Pruned point read: hash the requested keys to their buckets
+    under the manifest's pinned layout (a metadata-sized computation
+    on the key list itself — the one driver-side step, proportional
+    to the keys you asked for, never the table) and read ONLY those
+    bucket directories, then filter to the keys. This is the lookup
+    path a serving layer uses: at 100 TB a k-key read opens
+    ≤k·(table/B) bytes regardless of table size, and stays correct
+    across ``rebucket_lake`` layout changes because the bucket
+    computation always follows the manifest being read."""
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest for point reads")
+    key_strs = [str(k) for k in keys]
+    kdf = spark.createDataFrame([(k,) for k in key_strs], "entity_id string")
+    buckets = {
+        r["b"]
+        for r in kdf.select(
+            F.pmod(F.xxhash64("entity_id"), F.lit(manifest["n_buckets"]))
+            .cast("int")
+            .alias("b")
+        ).collect()
+    }
+    return read_lake_snapshot(spark, lake_dir, buckets=buckets, version=version).filter(
+        F.col("entity_id").isin(key_strs)
+    )
 
 
 def lake_changes(

@@ -84,15 +84,15 @@ def start_sink(
         # each micro-batch LWW-merges into the bucket-partitioned
         # parquet lake at options.path; deletes become retained
         # tombstones (read_lake_snapshot filters them)
-        from lapidus_spark.streaming.materialize import (
-            MERGE_LAKE_BUCKETS,
-            merge_lake_sink,
-        )
+        from lapidus_spark.streaming.materialize import merge_lake_sink
 
+        # buckets absent from config → None: adopt the layout pinned
+        # in the lake's manifest (follows rebucket_lake changes across
+        # daemon restarts; MERGE_LAKE_BUCKETS only for a brand-new lake)
         writer = merge_lake_sink(
             sink_mod.gate_types(env, enabled),
             sink.options["path"],
-            n_buckets=sink.options.get("buckets", MERGE_LAKE_BUCKETS),
+            n_buckets=sink.options.get("buckets"),
             retain_versions=sink.options.get("retainVersions", 1),
         )
     elif sink.type == "kafka":

@@ -1514,3 +1514,128 @@ def lake_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
     )
+
+
+#: maintenance lake per (process, sf_dir): quarter-batches merged at
+#: B=8 (small-file accretion), OPTIMIZE compaction, an 8→16 rebucket,
+#: then a post-rebucket merge that ADOPTS the new layout
+#: (n_buckets=None) — the full table-maintenance lifecycle. Retention
+#: is wide enough that every committed version survives GC, so the
+#: compaction query can time-travel back to the compacted snapshot.
+_MAINT_LAKES: dict[str, dict] = {}
+
+
+def build_maintenance_lake(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir in _MAINT_LAKES:
+        return _MAINT_LAKES[sf_dir]
+    from lapidus_spark.streaming.materialize import (
+        compact_lake,
+        merge_batch_into_lake,
+        rebucket_lake,
+    )
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_maint_lake_")
+    for i in (0, 1, 2):
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 4 == i), lake, n_buckets=8, retain_versions=8
+        )
+    compacted = compact_lake(spark, lake, retain_versions=8)
+    rebucket_lake(spark, lake, 16, retain_versions=8)
+    merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 4 == 3), lake, n_buckets=None, retain_versions=8
+    )
+    info = {"lake": lake, "compact_version": compacted["version"]}
+    _MAINT_LAKES[sf_dir] = info
+    return info
+
+
+@query(
+    "lake_compaction",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 4 IN (0, 1, 2)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="lake OPTIMIZE — small-file compaction under the manifest commit protocol",
+    doc="Compaction is a pure physical rewrite: after three merges at "
+    "B=8 accrete one parquet file per writing task per overwrite, "
+    "compact_lake rewrites each degraded bucket into exactly one "
+    "file (repartition on the bucket column → one task → one file; "
+    "maxRecordsPerFile is the splitting valve for oversized buckets) "
+    "and publishes through the SAME atomic manifest flip as a merge "
+    "— so the compacted version's snapshot must be bit-identical to "
+    "the LWW snapshot of the three merged quarter-batches, which is "
+    "what this query proves by time-traveling to the compacted "
+    "version (later lifecycle steps — rebucket, a fourth merge — "
+    "already happened on this lake). Only degraded buckets are read "
+    "and rewritten: k·(table/B) bytes, never a full-table pass.",
+)
+def lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    info = build_maintenance_lake(spark, sf_dir)
+    return read_lake_snapshot(spark, info["lake"], version=info["compact_version"]).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_rebucket",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error' AND user_id BETWEEN 1 AND 8
+    """,
+    operator="lake rebucket (layout scale-out) + manifest-pruned point read",
+    doc="The scale-out path when a table outgrows its pinned bucket "
+    "count: rebucket_lake re-hashes every row 8→16 buckets and "
+    "publishes the ENTIRE new bucket map + pinned n_buckets in ONE "
+    "atomic manifest flip (readers and crash-replays see old or new "
+    "layout, never a mix); a fourth quarter-batch then merges with "
+    "n_buckets=None, ADOPTING the new layout — which is what this "
+    "query verifies end to end via lake_point_read: the keys' "
+    "buckets are computed under the CURRENT manifest (a key-list- "
+    "sized local step, never a table action), only those bucket "
+    "dirs are opened (path pruning survives the layout change), and "
+    "the result must equal the full-corpus LWW snapshot restricted "
+    "to those keys — wrong layout adoption would lose the fourth "
+    "batch's updates, wrong pruning would miss moved rows.",
+)
+def lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import lake_point_read
+
+    info = build_maintenance_lake(spark, sf_dir)
+    return lake_point_read(spark, info["lake"], [str(u) for u in range(1, 9)]).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )

@@ -1596,7 +1596,7 @@ def test_merge_lake_layout_pinned_rejects_bucket_change(spark, tmp_path):
     env = normalize_events(load_table(spark, SF_DIR, "events"))
     lake = str(tmp_path / "lake")
     merge_batch_into_lake(env, lake, n_buckets=8)
-    with pytest.raises(ValueError, match="n_buckets=8.*immutable"):
+    with pytest.raises(ValueError, match="n_buckets=8.*rebucket_lake"):
         merge_batch_into_lake(env, lake, n_buckets=16)
     with pytest.raises(ValueError, match="positive int"):
         merge_batch_into_lake(env, lake, n_buckets=True)
@@ -2091,3 +2091,210 @@ def test_config_lake_retain_versions():
                 }
             )
         )
+
+
+# --- lake maintenance: compaction, rebucket, point reads (round 7) ---
+
+
+def test_compact_lake_physical_only(spark, tmp_path):
+    """Compaction must change the physical layout (degraded buckets →
+    one file each, a new committed version) while leaving the logical
+    snapshot bit-identical; a second compact must be a no-op (no
+    empty commits)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        compact_lake,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    # degrade the layout deliberately: at fixture scale AQE coalesces
+    # each merge to one file per bucket, so split the writes the way
+    # a long-running production sink's task fan-out would
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        for i in range(3):
+            merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == i), lake, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    before = _snapshot_rows(spark, lake)
+    m0 = _read_manifest(lake)
+
+    def files_per_bucket(m):
+        return {
+            b: sum(1 for f in os.listdir(os.path.join(lake, rel)) if f.endswith(".parquet"))
+            for b, rel in m["buckets"].items()
+        }
+
+    assert any(n > 1 for n in files_per_bucket(m0).values()), "fixture not degraded"
+    res = compact_lake(spark, lake)
+    m1 = _read_manifest(lake)
+    assert res["version"] == m0["version"] + 1 == m1["version"]
+    assert res["compacted_buckets"] > 0
+    assert all(n == 1 for n in files_per_bucket(m1).values())
+    assert _snapshot_rows(spark, lake) == before
+    # idempotent: nothing degraded now → no new version
+    res2 = compact_lake(spark, lake)
+    assert res2 == {"version": m1["version"], "compacted_buckets": 0}
+    assert _read_manifest(lake)["version"] == m1["version"]
+
+
+def test_compact_lake_crash_before_flip_is_invisible(spark, tmp_path, monkeypatch):
+    """A compaction that dies before the manifest flip (the shared
+    _commit_manifest commit point — same machinery the SIGKILL merge
+    test exercises) must leave the old snapshot fully live, release
+    the writer lock, and a retried compaction must succeed."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming import materialize as M
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        for i in range(2):
+            M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == i), lake, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    before = _snapshot_rows(spark, lake)
+    v0 = M._read_manifest(lake)["version"]
+
+    def boom(lake_dir, manifest):
+        raise RuntimeError("injected crash before flip")
+
+    monkeypatch.setattr(M, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        M.compact_lake(spark, lake)
+    monkeypatch.undo()
+    assert M._read_manifest(lake)["version"] == v0
+    assert _snapshot_rows(spark, lake) == before
+    res = M.compact_lake(spark, lake)  # lock released, retry lands
+    assert res["compacted_buckets"] > 0
+    assert _snapshot_rows(spark, lake) == before
+
+
+def test_rebucket_lake_switches_layout_atomically(spark, tmp_path):
+    """Rebucket 4→8 must re-home every row (all manifest pointers in
+    the new commit, n_buckets re-pinned), preserve the snapshot AND
+    the tombstones (a rebucket that drops tombstones would resurrect
+    dead keys on the next late replay), reject merges asserting the
+    old layout, and accept adopting merges (n_buckets=None)."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _read_live,
+        _read_manifest,
+        merge_batch_into_lake,
+        rebucket_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake, n_buckets=4)
+    before = _snapshot_rows(spark, lake)
+    tombs_before = (
+        _read_live(spark, lake, _read_manifest(lake))
+        .filter(F.col("last_type") == "delete")
+        .count()
+    )
+    assert tombs_before > 0, "fixture has no tombstones"
+
+    res = rebucket_lake(spark, lake, 8)
+    m = _read_manifest(lake)
+    assert res == {"version": m["version"], "n_buckets": 8}
+    assert m["n_buckets"] == 8
+    commit_rel = f"commits/{m['version']:010d}"
+    assert all(rel.startswith(commit_rel) for rel in m["buckets"].values())
+    assert _snapshot_rows(spark, lake) == before
+    tombs_after = (
+        _read_live(spark, lake, m).filter(F.col("last_type") == "delete").count()
+    )
+    assert tombs_after == tombs_before
+
+    batch2 = env.filter(F.col("event_seq") % 2 == 1)
+    with pytest.raises(ValueError, match="rebucket_lake"):
+        merge_batch_into_lake(batch2, lake, n_buckets=4)
+    merge_batch_into_lake(batch2, lake, n_buckets=None)  # adopt pinned layout
+    want = str(tmp_path / "want")
+    merge_batch_into_lake(env, want, n_buckets=8)
+    assert _snapshot_rows(spark, lake) == _snapshot_rows(spark, want)
+    # no-op path: same layout → version unchanged
+    v = _read_manifest(lake)["version"]
+    assert rebucket_lake(spark, lake, 8) == {"version": v, "n_buckets": 8}
+
+
+def test_lake_point_read_opens_only_key_buckets(spark, tmp_path):
+    """lake_point_read must return exactly the keys' live rows while
+    opening NO file outside the keys' bucket directories (path-level
+    pruning, asserted on the plan's actual inputFiles)."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        lake_point_read,
+        merge_batch_into_lake,
+        read_lake_snapshot,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env, lake, n_buckets=8)
+    keys = [str(u) for u in range(1, 6)]
+    got = lake_point_read(spark, lake, keys)
+    want = read_lake_snapshot(spark, lake).filter(F.col("entity_id").isin(keys))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    m = _read_manifest(lake)
+    kdf = spark.createDataFrame([(k,) for k in keys], "entity_id string")
+    expect_buckets = {
+        r["b"]
+        for r in kdf.select(
+            F.pmod(F.xxhash64("entity_id"), F.lit(8)).cast("int").alias("b")
+        ).collect()
+    }
+    allowed = {m["buckets"][str(b)] for b in expect_buckets}
+    assert len(allowed) < len(m["buckets"]), "fixture keys hit every bucket"
+    for f in got.inputFiles():
+        assert any(f"/{rel}/" in f or f.split(lake + "/", 1)[1].startswith(rel) for rel in allowed), f
+
+
+def test_cli_maintenance_commands(spark, tmp_path, capsys):
+    """ctl_cli maintenance surface: --compact and --rebucket operate a
+    lake in place and exit 0; argument misuse errors out before any
+    Spark work."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.__main__ import main
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        merge_batch_into_lake(env, lake, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+
+    before = _snapshot_rows(spark, lake)
+    assert main(["--compact", lake]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["--rebucket", lake, "--buckets", "8"]) == 0
+    assert _read_manifest(lake)["n_buckets"] == 8
+    assert _snapshot_rows(spark, lake) == before
+
+    for bad in (
+        ["--rebucket", lake],  # missing --buckets
+        ["--compact", lake, "--rebucket", lake, "--buckets", "8"],
+        ["--compact", lake, "-c", "x.json"],
+    ):
+        with pytest.raises(SystemExit) as e:
+            main(bad)
+        assert e.value.code == 2
