@@ -67,6 +67,15 @@ COHORT = [
     "ext_domain_cap",
     "ext_domain_gini",
     "ext_split_hash",
+    # round-7 lake surface: the manifest commit protocol under 10x
+    # multi-split envelopes — merge/compact/rebucket lifecycle,
+    # retained-version time travel, and the bucket-pruned change feed
+    # all value-compared against the same DuckDB snapshot oracles
+    "stream_merge_lake",
+    "lake_time_travel",
+    "lake_changes_feed",
+    "lake_compaction",
+    "lake_rebucket",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 
