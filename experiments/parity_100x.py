@@ -87,6 +87,16 @@ COHORT = [
     "ext_token_count",
     "ext_text_stats",
     "ext_dedup_minhash",
+    # round-7 lake surface (all-digestable schemas: string/bigint/
+    # timestamp): the manifest commit protocol's full lifecycle —
+    # streamed MERGE, retained-version time travel, bucket-pruned
+    # change feed, compaction, rebucket + point read — value-digested
+    # at 10M envelopes / 32 splits, where every bucket spans splits
+    "stream_merge_lake",
+    "lake_time_travel",
+    "lake_changes_feed",
+    "lake_compaction",
+    "lake_rebucket",
 ]
 DERIVED_TABLES = ("documents", "events")
 
