@@ -274,6 +274,15 @@ def _sink(s: dict) -> SinkConfig:
             raise ConfigError(
                 "sink: lake sink options.retainVersions must be a positive int"
             )
+        compact_every = opts.get("compactEvery")
+        if compact_every is not None and (
+            isinstance(compact_every, bool)
+            or not isinstance(compact_every, int)
+            or compact_every < 1
+        ):
+            raise ConfigError(
+                "sink: lake sink options.compactEvery must be a positive int"
+            )
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

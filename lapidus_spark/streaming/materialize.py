@@ -638,6 +638,7 @@ def merge_lake_sink(
     lake_dir: str,
     n_buckets: int | None = MERGE_LAKE_BUCKETS,
     retain_versions: int = 1,
+    compact_every: int | None = None,
 ) -> DataStreamWriter:
     """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
     a bucketed parquet lake table via ``foreachBatch`` + a manifest
@@ -679,14 +680,27 @@ def merge_lake_sink(
     lock is detected dead and broken). Committed manifests are
     retained under ``_history/`` within the ``retain_versions``
     horizon, giving ``read_lake_snapshot(version=...)`` time travel
-    and ``lake_changes`` a bucket-pruned change-data-feed. On a real
-    table format, steps 2-4 collapse into one ``MERGE INTO`` with
-    the same combine."""
+    and ``lake_changes`` a bucket-pruned change-data-feed.
+    ``compact_every=K`` runs ``compact_lake`` in-line after every
+    K-th micro-batch, so a long-running sink heals its own
+    small-file accretion without operator cron. On a real table
+    format, steps 2-4 collapse into one ``MERGE INTO`` with the
+    same combine."""
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         merge_batch_into_lake(
             batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
         )
+        # opportunistic maintenance: every compact_every-th micro-batch
+        # heals the sink's own small-file accretion in-line (a no-op —
+        # no new version — when nothing is degraded, so checkpoint
+        # replays of a compacting epoch stay idempotent). Runs between
+        # this batch's commit and the next batch's lock acquisition,
+        # so it never interleaves with a merge.
+        if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            compact_lake(
+                batch_df.sparkSession, lake_dir, retain_versions=retain_versions
+            )
 
     # append mode: the stateful combine lives INSIDE the batch merge,
     # not in a streaming state store — the lake IS the state.

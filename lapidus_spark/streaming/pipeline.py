@@ -94,6 +94,7 @@ def start_sink(
             sink.options["path"],
             n_buckets=sink.options.get("buckets"),
             retain_versions=sink.options.get("retainVersions", 1),
+            compact_every=sink.options.get("compactEvery"),
         )
     elif sink.type == "kafka":
         # sink_nats on a real broker (src/plugins/nats.js) — plan

@@ -2298,3 +2298,101 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
         with pytest.raises(SystemExit) as e:
             main(bad)
         assert e.value.code == 2
+
+
+def test_merge_lake_auto_compaction(spark, tmp_path):
+    """compact_every=K runs OPTIMIZE in-line after every K-th
+    micro-batch: two degraded merges (one-row files), then the third
+    batch's epoch triggers compaction — the final layout must be one
+    file per bucket and the snapshot must equal the one-shot merge;
+    config accepts the knob and rejects nonsense values. Batches are
+    split BY USER so the third merge's own bucket rewrites don't
+    erase the earlier batches' degradation (a merge rewrites every
+    bucket it touches) — compaction must have real work left."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        merge_batch_into_lake,
+        merge_lake_sink,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    d = tmp_path / "replay"
+    d.mkdir()
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+        for fn in os.listdir(d / f"b{i}"):
+            os.utime(d / f"b{i}" / fn, (time.time() + i * 10,) * 2)
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    os.rename(d / "b2", staged / "b2")
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    raw_schema = ev.schema
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(d))
+        )
+        q = (
+            merge_lake_sink(normalize_events(raw), lake, n_buckets=8, compact_every=3)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # epochs 0-1: degraded merges (one-row files), no compaction yet
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    m = _read_manifest(lake)
+    assert m["version"] == 2
+    assert any(
+        sum(1 for f in os.listdir(os.path.join(lake, rel)) if f.endswith(".parquet")) > 1
+        for rel in m["buckets"].values()
+    ), "fixture not degraded before the compacting epoch"
+
+    # epoch 2 arrives: merge (v3) then in-line compaction (v4)
+    os.rename(staged / "b2", d / "b2")
+    run_once()
+    m = _read_manifest(lake)
+    assert m["version"] == 4
+    assert all(
+        sum(1 for f in os.listdir(os.path.join(lake, rel)) if f.endswith(".parquet")) == 1
+        for rel in m["buckets"].values()
+    )
+    oneshot = str(tmp_path / "oneshot")
+    merge_batch_into_lake(normalize_events(ev), oneshot, n_buckets=8)
+    assert _snapshot_rows(spark, lake) == _snapshot_rows(spark, oneshot)
+
+    cfg = {
+        "backends": [
+            {
+                "name": "pg",
+                "type": "file",
+                "path": SF_DIR,
+                "sinks": [
+                    {
+                        "type": "lake",
+                        "options": {"path": lake, "compactEvery": 5},
+                    }
+                ],
+            }
+        ]
+    }
+    parse_config(json.dumps(cfg))  # valid knob accepted
+    for bad in (0, True, "5"):
+        cfg["backends"][0]["sinks"][0]["options"]["compactEvery"] = bad
+        with pytest.raises(ConfigError, match="compactEvery"):
+            parse_config(json.dumps(cfg))
