@@ -855,8 +855,11 @@ def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None =
     ``version`` to time-travel to an earlier committed snapshot (the
     version must be inside the merge's ``retain_versions`` horizon);
     a version is just a different manifest, so the read plan is
-    identical to a live read. Falls back to a direct read for
-    pre-manifest lakes."""
+    identical to a live read. Reader-vs-GC contract (same as Delta
+    VACUUM): the manifest is resolved at open, so a writer GC'ing
+    that version can invalidate an in-flight scan — size
+    ``retain_versions`` to cover the longest concurrent reader.
+    Falls back to a direct read for pre-manifest lakes."""
     manifest = _manifest_at(lake_dir, version)
     if manifest is None:
         if version is not None:

@@ -1683,7 +1683,7 @@ def test_merge_lake_sigkill_mid_commit(spark, tmp_path):
         PYTHONPATH=repo_root,
     )
     p = subprocess.run(
-        [sys.executable, "tests/lake_crash_driver.py", lake, SF_DIR, "3", "1"],
+        [sys.executable, "tests/lake_crash_driver.py", lake, SF_DIR, "merge", "3", "1"],
         env=proc_env,
         capture_output=True,
         text=True,
@@ -2396,3 +2396,76 @@ def test_merge_lake_auto_compaction(spark, tmp_path):
         cfg["backends"][0]["sinks"][0]["options"]["compactEvery"] = bad
         with pytest.raises(ConfigError, match="compactEvery"):
             parse_config(json.dumps(cfg))
+
+
+@pytest.mark.slow
+def test_maintenance_sigkill_breaks_stale_lock_and_preserves_table(spark, tmp_path):
+    """Kill-mid-commit for the MAINTENANCE ops, cross-process: a
+    subprocess compaction (then rebucket) SIGKILLs itself at the
+    shared manifest-flip failpoint. Each crash must (a) leave the
+    table bit-identical for readers, (b) leave the dead writer's
+    LOCK FILE behind — which the next in-process writer must detect
+    as stale (dead pid, same host) and break — and (c) allow the
+    retried op to land. This is the dead-pid lock-breaking path
+    exercised by a REAL kill, not a unit-level simulation."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        LOCK_NAME,
+        _read_manifest,
+        compact_lake,
+        merge_batch_into_lake,
+        rebucket_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        for i in range(2):
+            merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == i), lake, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    before = _snapshot_rows(spark, lake)
+    v0 = _read_manifest(lake)["version"]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc_env = dict(
+        os.environ,
+        LAPIDUS_FAILPOINT="lake_merge.before_manifest_flip",
+        SPARK_DRIVER_MEMORY="2g",
+        PYTHONPATH=repo_root,
+    )
+
+    def killed(args):
+        p = subprocess.run(
+            [sys.executable, "tests/lake_crash_driver.py", lake, SF_DIR, *args],
+            env=proc_env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert p.returncode == -signal.SIGKILL, (p.returncode, p.stderr[-2000:])
+
+    killed(["compact"])
+    assert _read_manifest(lake)["version"] == v0
+    assert _snapshot_rows(spark, lake) == before
+    assert os.path.exists(os.path.join(lake, LOCK_NAME)), "dead writer's lock expected"
+    res = compact_lake(spark, lake)  # breaks the stale lock, lands
+    assert res["compacted_buckets"] > 0
+    assert _snapshot_rows(spark, lake) == before
+    v1 = _read_manifest(lake)["version"]
+
+    killed(["rebucket", "16"])
+    m = _read_manifest(lake)
+    assert m["version"] == v1 and m["n_buckets"] == 4  # old layout fully live
+    assert _snapshot_rows(spark, lake) == before
+    assert os.path.exists(os.path.join(lake, LOCK_NAME))
+    assert rebucket_lake(spark, lake, 16)["n_buckets"] == 16
+    assert _read_manifest(lake)["n_buckets"] == 16
+    assert _snapshot_rows(spark, lake) == before
