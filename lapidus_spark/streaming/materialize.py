@@ -275,6 +275,35 @@ def _manifest_at(lake_dir: str, version: int | None) -> dict | None:
         ) from None
 
 
+def _atomic_write_json(path: str, obj: dict, sync_dir: bool = False) -> None:
+    """The one stage-fsync-rename JSON writer: stage next to the
+    target, fsync the bytes, one atomic ``os.replace``; with
+    ``sync_dir`` also fsync the containing directory so the rename
+    itself survives power loss (a SIGKILL can't lose a rename, but
+    an unjournaled directory entry can). The staged temp is removed
+    on any failure — no leaked ``.tmp`` files."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, sort_keys=True, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        if sync_dir:
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def _write_history(lake_dir: str, manifest: dict) -> None:
     """Record a just-committed manifest under ``_history/``. Runs
     AFTER the flip, so history ⊆ committed versions; a crash between
@@ -282,84 +311,93 @@ def _write_history(lake_dir: str, manifest: dict) -> None:
     the live manifest before building on it)."""
     hist = os.path.join(lake_dir, HISTORY_DIR)
     os.makedirs(hist, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=hist, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, sort_keys=True, indent=1)
-    os.replace(tmp, os.path.join(hist, f"{manifest['version']:010d}.json"))
+    _atomic_write_json(
+        os.path.join(hist, f"{manifest['version']:010d}.json"), manifest
+    )
 
 
 def _acquire_lock(lake_dir: str) -> str:
-    """Take the single-writer merge lock (O_CREAT|O_EXCL). A lock
-    whose recorded pid is dead on THIS host is stale (a SIGKILLed
-    writer) and is broken; a live holder — or any holder on another
-    host, whose liveness we cannot check — raises
-    ``ConcurrentMergeError`` so two writers can never interleave
-    read-back and flip (lost-update protection)."""
+    """Take the single-writer merge lock. The lock body is staged in
+    a private temp file and PUBLISHED with ``os.link`` — atomic
+    create-with-content, so a reader can never observe a torn or
+    empty lock from a live writer (an unreadable lock is therefore
+    always a crashed one). A lock whose recorded pid is dead on THIS
+    host is stale (a SIGKILLed writer) and is broken by an atomic
+    rename to a unique tombstone — of N racing breakers exactly one
+    wins the rename, the losers see FileNotFoundError and re-contend
+    on the link, so two writers can never both hold the lock. A live
+    holder — or any holder on another host, whose liveness we cannot
+    check — raises ``ConcurrentMergeError`` so writers never
+    interleave read-back and flip (lost-update protection)."""
     import socket
 
     os.makedirs(lake_dir, exist_ok=True)
     path = os.path.join(lake_dir, LOCK_NAME)
     me = {"pid": os.getpid(), "host": socket.gethostname()}
-    for attempt in (0, 1):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                json.dump(me, f)
-            return path
-        except FileExistsError:
+    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".lock.tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(me, f)
+        for _attempt in range(3):
             try:
-                with open(path) as f:
-                    holder = json.load(f)
-            except (OSError, ValueError):
-                holder = None  # torn lock write: treat as stale
-            if holder is not None and holder.get("host") == me["host"]:
+                os.link(tmp, path)
+                return path
+            except FileExistsError:
                 try:
-                    os.kill(int(holder["pid"]), 0)
-                    alive = True
-                except (ProcessLookupError, ValueError):
-                    alive = False
-                except PermissionError:
-                    alive = True
-                if alive:
+                    with open(path) as f:
+                        holder = json.load(f)
+                except (OSError, ValueError):
+                    holder = None  # unreadable ⇒ crashed writer (see above)
+                if holder is not None and holder.get("host") == me["host"]:
+                    try:
+                        os.kill(int(holder["pid"]), 0)
+                        alive = True
+                    except (ProcessLookupError, ValueError):
+                        alive = False
+                    except PermissionError:
+                        alive = True
+                    if alive:
+                        raise ConcurrentMergeError(
+                            f"lake at {lake_dir} is locked by live writer "
+                            f"pid {holder['pid']} ({LOCK_NAME})"
+                        ) from None
+                elif holder is not None:
                     raise ConcurrentMergeError(
-                        f"lake at {lake_dir} is locked by live writer "
-                        f"pid {holder['pid']} ({LOCK_NAME})"
+                        f"lake at {lake_dir} is locked by writer on host "
+                        f"{holder.get('host')!r}; cross-host liveness is "
+                        "unknowable on plain files — break the lock manually "
+                        f"or use an external commit service ({LOCK_NAME})"
                     ) from None
-            elif holder is not None:
-                raise ConcurrentMergeError(
-                    f"lake at {lake_dir} is locked by writer on host "
-                    f"{holder.get('host')!r}; cross-host liveness is "
-                    "unknowable on plain files — break the lock manually "
-                    f"or use an external commit service ({LOCK_NAME})"
-                ) from None
-            if attempt == 0:
+                # stale: break via atomic rename (single winner), retry
+                tomb = os.path.join(lake_dir, f"{LOCK_NAME}.stale.{os.getpid()}")
                 try:
-                    os.remove(path)  # stale: holder dead or torn
+                    os.rename(path, tomb)
+                    os.remove(tomb)
                 except FileNotFoundError:
-                    pass
-    raise ConcurrentMergeError(f"could not acquire {path}")
+                    pass  # another breaker won the rename; re-contend
+        raise ConcurrentMergeError(f"could not acquire {path}")
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _commit_manifest(lake_dir: str, manifest: dict) -> None:
     """THE commit point: stage the new manifest next to the old one,
-    fsync, then one atomic ``os.replace``. Every byte of merged data
-    is already durable in its commit directory before this runs; a
-    crash anywhere before the replace leaves the previous manifest —
-    and therefore the previous table contents — fully intact."""
+    fsync, one atomic ``os.replace``, then fsync the lake directory
+    so the rename itself is journaled — without the directory fsync
+    a power loss (not a mere crash) after the flip could resurrect
+    the old manifest while the source has already acked the batch.
+    Every byte of merged data is written to its commit directory
+    before this runs (data-file sync rides on Spark's committer /
+    the filesystem); a crash anywhere before the replace leaves the
+    previous manifest — and therefore the previous table contents —
+    fully intact."""
     _failpoint("lake_merge.before_manifest_flip")
-    fd, tmp = tempfile.mkstemp(dir=lake_dir, suffix=".manifest.tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, sort_keys=True, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(lake_dir, MANIFEST_NAME))
-    except BaseException:
-        try:
-            os.remove(tmp)
-        except OSError:
-            pass
-        raise
+    _atomic_write_json(
+        os.path.join(lake_dir, MANIFEST_NAME), manifest, sync_dir=True
+    )
 
 
 def _gc_unreferenced(lake_dir: str, manifest: dict, retain_versions: int = 1) -> None:
@@ -375,23 +413,35 @@ def _gc_unreferenced(lake_dir: str, manifest: dict, retain_versions: int = 1) ->
     wrong data."""
     import shutil
 
+    # Collect the retained manifests FAIL-CLOSED: if any retained
+    # history JSON cannot be read, skip GC entirely — deleting from
+    # an under-filled retained set would destroy data still inside
+    # the retention horizon (an orphan is wasted space; a deleted
+    # retained version is wrong data). Only the deletions themselves
+    # are best-effort.
     retained = [manifest]
+    expired: list[str] = []
     hist_root = os.path.join(lake_dir, HISTORY_DIR)
     try:
-        if os.path.isdir(hist_root):
-            for fn in sorted(os.listdir(hist_root), reverse=True):
-                if not fn.endswith(".json"):
-                    continue
-                v = int(fn.split(".")[0])
-                if v >= manifest["version"]:
-                    continue  # live (or a healed duplicate) already counted
-                if len(retained) < retain_versions:
-                    with open(os.path.join(hist_root, fn)) as f:
-                        retained.append(json.load(f))
-                else:
-                    os.remove(os.path.join(hist_root, fn))
+        names = sorted(os.listdir(hist_root), reverse=True) if os.path.isdir(hist_root) else []
+        for fn in names:
+            if not fn.endswith(".json"):
+                continue
+            v = int(fn.split(".")[0])
+            if v >= manifest["version"]:
+                continue  # live (or a healed duplicate) already counted
+            if len(retained) < retain_versions:
+                with open(os.path.join(hist_root, fn)) as f:
+                    retained.append(json.load(f))
+            else:
+                expired.append(fn)
     except (OSError, ValueError):
-        pass
+        return
+    for fn in expired:
+        try:
+            os.remove(os.path.join(hist_root, fn))
+        except OSError:
+            pass
     live_commits = {
         p.split("/", 2)[1]
         for m in retained
@@ -595,6 +645,7 @@ def _publish_version(
     retain_versions: int,
     replace_all: bool = False,
     max_records_per_file: int | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """The shared publish step of every table-mutating op (merge,
     compact, rebucket): write ``rows`` (bucket column already set) for
@@ -625,6 +676,13 @@ def _publish_version(
         "n_buckets": n_buckets,
         "buckets": {} if replace_all else {**(manifest["buckets"] if manifest else {})},
     }
+    # carry the last compaction record through merges (a rebucket —
+    # replace_all — drops it: the layout changed); a merged bucket's
+    # pointer leaves that commit, so the record stays truthful
+    if not replace_all and manifest and "compaction" in manifest:
+        new_manifest["compaction"] = manifest["compaction"]
+    if extra:
+        new_manifest.update(extra)
     for b in touched:
         new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
     _commit_manifest(lake_dir, new_manifest)
@@ -697,7 +755,13 @@ def merge_lake_sink(
         # replays of a compacting epoch stay idempotent). Runs between
         # this batch's commit and the next batch's lock acquisition,
         # so it never interleaves with a merge.
-        if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+        # guard: all-empty/gated batches so far mean no manifest yet —
+        # skip rather than kill the stream on "no manifest to compact"
+        if (
+            compact_every is not None
+            and (epoch_id + 1) % compact_every == 0
+            and _read_manifest(lake_dir) is not None
+        ):
             compact_lake(
                 batch_df.sparkSession, lake_dir, retain_versions=retain_versions
             )
@@ -734,17 +798,30 @@ def compact_lake(
     single-writer lock (compaction and merges never interleave).
 
     Returns ``{"version", "compacted_buckets"}`` — version unchanged
-    when nothing needed work (no empty commits)."""
+    when nothing needed work (no empty commits). Convergent under a
+    valve: the committed manifest records which commit was a
+    compaction and with what valve, so a bucket the valve split into
+    several files is NOT re-counted as degraded by the next
+    compaction (same valve) — no endless rewrite/version churn; a
+    merge that rewrites the bucket moves its pointer off the
+    compaction commit and re-arms the check."""
     lock = _acquire_lock(lake_dir)
     try:
         manifest = _healed_manifest(lake_dir)
         if manifest is None:
             raise ValueError(f"lake at {lake_dir} has no manifest to compact")
+        comp = manifest.get("compaction")
         degraded = []
         for b, rel in manifest["buckets"].items():
             if rel.startswith("bucket="):
                 degraded.append(int(b))  # legacy layout: always migrate
                 continue
+            if (
+                comp is not None
+                and comp.get("valve") == max_records_per_file
+                and rel.startswith(f"commits/{comp['version']:010d}/")
+            ):
+                continue  # already compacted under this exact valve
             try:
                 nfiles = sum(
                     1
@@ -759,6 +836,7 @@ def compact_lake(
             return {"version": manifest["version"], "compacted_buckets": 0}
         rows = _read_live(spark, lake_dir, manifest, set(degraded))
         packed = rows.repartition(len(degraded), F.col("bucket"))
+        version = manifest["version"] + 1
         _publish_version(
             lake_dir,
             manifest,
@@ -767,8 +845,9 @@ def compact_lake(
             manifest["n_buckets"],
             retain_versions,
             max_records_per_file=max_records_per_file,
+            extra={"compaction": {"version": version, "valve": max_records_per_file}},
         )
-        return {"version": manifest["version"] + 1, "compacted_buckets": len(degraded)}
+        return {"version": version, "compacted_buckets": len(degraded)}
     finally:
         try:
             os.remove(lock)
@@ -872,6 +951,13 @@ def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None =
     return df.filter(F.col("last_type") != "delete")
 
 
+#: canonical snapshot-row schema (what _read_live returns)
+_SNAPSHOT_SCHEMA = (
+    "entity_id string, last_seq bigint, last_ts timestamp_ntz, "
+    "last_type string, item string, bucket int"
+)
+
+
 def lake_point_read(
     spark, lake_dir: str, keys: list, version: int | None = None
 ) -> DataFrame:
@@ -882,23 +968,33 @@ def lake_point_read(
     bucket directories, then filter to the keys. This is the lookup
     path a serving layer uses: at 100 TB a k-key read opens
     ≤k·(table/B) bytes regardless of table size, and stays correct
-    across ``rebucket_lake`` layout changes because the bucket
-    computation always follows the manifest being read."""
+    across ``rebucket_lake`` layout changes because the manifest is
+    resolved ONCE and both the bucket computation and the read use
+    that same manifest (a rebucket committing between two separate
+    resolutions could otherwise prune under the wrong layout). Keys
+    hashing to never-written buckets simply contribute no rows —
+    the normal missing-key lookup outcome."""
     manifest = _manifest_at(lake_dir, version)
     if manifest is None:
         raise ValueError(f"lake at {lake_dir} has no manifest for point reads")
     key_strs = [str(k) for k in keys]
-    kdf = spark.createDataFrame([(k,) for k in key_strs], "entity_id string")
-    buckets = {
-        r["b"]
-        for r in kdf.select(
-            F.pmod(F.xxhash64("entity_id"), F.lit(manifest["n_buckets"]))
-            .cast("int")
-            .alias("b")
-        ).collect()
-    }
-    return read_lake_snapshot(spark, lake_dir, buckets=buckets, version=version).filter(
-        F.col("entity_id").isin(key_strs)
+    if key_strs:
+        kdf = spark.createDataFrame([(k,) for k in key_strs], "entity_id string")
+        buckets = {
+            r["b"]
+            for r in kdf.select(
+                F.pmod(F.xxhash64("entity_id"), F.lit(manifest["n_buckets"]))
+                .cast("int")
+                .alias("b")
+            ).collect()
+        }
+    else:
+        buckets = set()
+    df = _read_live(spark, lake_dir, manifest, buckets)
+    if df is None:  # every requested bucket is unwritten: no rows
+        df = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+    return df.filter(
+        (F.col("last_type") != "delete") & F.col("entity_id").isin(key_strs)
     )
 
 
@@ -922,19 +1018,31 @@ def lake_changes(
     if m_new is None:
         raise ValueError(f"lake at {lake_dir} has no manifest")
     m_old = _manifest_at(lake_dir, from_version)
-    changed = {
-        int(b)
-        for b, rel in m_new["buckets"].items()
-        if (m_old["buckets"].get(b) if m_old else None) != rel
-    }
+    if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
+        # a rebucket between the versions: bucket ids mean different
+        # hash ranges, so pointer-diff pruning is meaningless — read
+        # both sides fully (each through its OWN manifest, so old-
+        # layout-only buckets are not dropped). The entity-level join
+        # below is layout-independent; a rebucket is a rare full
+        # rewrite anyway, so the feed matching its cost is honest.
+        changed_new = {int(b) for b in m_new["buckets"]}
+        changed_old = {int(b) for b in m_old["buckets"]}
+    else:
+        changed_new = {
+            int(b)
+            for b, rel in m_new["buckets"].items()
+            if (m_old["buckets"].get(b) if m_old else None) != rel
+        }
+        changed_old = changed_new
+    changed = changed_new
     schema = (
         "entity_id string, change_type string, last_seq bigint, "
         "last_ts timestamp_ntz, last_type string, item string"
     )
     if not changed:
         return spark.createDataFrame([], schema)
-    new_df = _read_live(spark, lake_dir, m_new, changed)
-    old_df = _read_live(spark, lake_dir, m_old, changed) if m_old else None
+    new_df = _read_live(spark, lake_dir, m_new, changed_new)
+    old_df = _read_live(spark, lake_dir, m_old, changed_old) if m_old else None
     if old_df is None:
         old_df = spark.createDataFrame([], new_df.schema)
     n, o = new_df.alias("n"), old_df.select("entity_id", "last_seq", "last_ts", "last_type").alias("o")

@@ -2469,3 +2469,126 @@ def test_maintenance_sigkill_breaks_stale_lock_and_preserves_table(spark, tmp_pa
     assert rebucket_lake(spark, lake, 16)["n_buckets"] == 16
     assert _read_manifest(lake)["n_buckets"] == 16
     assert _snapshot_rows(spark, lake) == before
+
+
+# --- review-found regressions (round 7): CDF across rebucket, point
+# reads of unwritten buckets, empty-stream auto-compaction, valve
+# convergence ---
+
+
+def test_lake_changes_across_rebucket_layouts(spark, tmp_path):
+    """A rebucket between two versions makes bucket ids incomparable
+    (different hash ranges), so the feed must read each side through
+    its OWN manifest instead of pointer-diffing: a pure rebucket —
+    SHRINKING included, the case where old-only buckets were silently
+    dropped and unchanged entities came back as spurious inserts —
+    yields an EMPTY feed, and a post-rebucket merge yields exactly
+    that batch's changes."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        lake_changes,
+        merge_batch_into_lake,
+        rebucket_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake, n_buckets=8, retain_versions=8)
+    v_pre = _read_manifest(lake)["version"]
+    rebucket_lake(spark, lake, 4, retain_versions=8)  # SHRINK 8→4
+    v_post = _read_manifest(lake)["version"]
+    assert lake_changes(spark, lake, from_version=v_pre, to_version=v_post).count() == 0
+
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake, n_buckets=None, retain_versions=8)
+    feed = lake_changes(spark, lake, from_version=v_pre)
+    # the feed across the layout change equals the logical delta of
+    # batch 2 on the snapshot: every changed entity's post-image
+    snap_pre = dict(
+        (r["entity_id"], r["last_seq"])
+        for r in lake_changes(spark, lake, from_version=v_post).select("entity_id", "last_seq").collect()
+    )
+    got = {(r["entity_id"], r["last_seq"]) for r in feed.select("entity_id", "last_seq").collect()}
+    assert got == set(snap_pre.items())  # same delta whether measured from v_pre or v_post
+    assert feed.count() > 0
+
+
+def test_lake_point_read_unwritten_buckets_and_empty_keys(spark, tmp_path):
+    """Missing-key lookups are the NORMAL outcome: keys hashing to
+    never-written buckets (and an empty key list) must return zero
+    rows, not raise."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        lake_point_read,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    # 4096 buckets, 15 users: almost every bucket is unwritten
+    lake = str(tmp_path / "lake")
+    merge_batch_into_lake(env, lake, n_buckets=4096)
+    ghosts = [f"no-such-user-{i}" for i in range(20)]
+    assert lake_point_read(spark, lake, ghosts).count() == 0
+    assert lake_point_read(spark, lake, []).count() == 0
+    # mixed present/absent: returns exactly the present keys' rows
+    got = lake_point_read(spark, lake, ["1", "no-such-user-x"])
+    assert {r["entity_id"] for r in got.collect()} <= {"1"}
+
+
+def test_merge_lake_auto_compaction_skips_manifestless_lake(spark, tmp_path):
+    """All-empty micro-batches never create a manifest; a compacting
+    epoch must SKIP (not kill the stream with 'no manifest')."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import MANIFEST_NAME, merge_lake_sink
+
+    ev = load_table(spark, SF_DIR, "events")
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src"))
+    raw = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "src"))
+    empty = normalize_events(raw).filter(F.lit(False))
+    q = (
+        merge_lake_sink(empty, lake, compact_every=1)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # must not raise
+    assert not os.path.exists(os.path.join(lake, MANIFEST_NAME))
+
+
+def test_compact_lake_valve_convergence(spark, tmp_path):
+    """A valve-split bucket must not be re-counted as degraded by the
+    next same-valve compaction (no endless rewrite churn); changing
+    the valve re-arms the check once, then converges again."""
+    from pyspark.sql import functions as F
+
+    from lapidus_spark.streaming.materialize import (
+        compact_lake,
+        merge_batch_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    lake = str(tmp_path / "lake")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        for i in range(2):
+            merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == i), lake, n_buckets=4)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    before = _snapshot_rows(spark, lake)
+
+    r1 = compact_lake(spark, lake, max_records_per_file=2)
+    assert r1["compacted_buckets"] > 0
+    # same valve again: buckets the valve split stay converged
+    r2 = compact_lake(spark, lake, max_records_per_file=2)
+    assert r2 == {"version": r1["version"], "compacted_buckets": 0}
+    # valve change re-arms exactly once, then converges
+    r3 = compact_lake(spark, lake)
+    assert r3["version"] == r1["version"] + 1 and r3["compacted_buckets"] > 0
+    assert compact_lake(spark, lake)["compacted_buckets"] == 0
+    assert _snapshot_rows(spark, lake) == before
