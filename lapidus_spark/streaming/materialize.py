@@ -215,12 +215,14 @@ _PARTITION_COL = "pb"
 HISTORY_DIR = "_history"
 
 #: single-writer guard: the merge takes a lock file for the duration
-#: of a commit. Plain O_CREAT|O_EXCL — the second atomic primitive a
-#: plain filesystem offers — with the holder's pid recorded, so a
-#: crashed holder's lock is detected as stale (dead pid, same host)
-#: and broken by the next writer. Cross-host writers on shared
-#: storage cannot check liveness and fail closed; that deployment
-#: wants a real table format's commit service or an external lock.
+#: of a commit, published via os.link of a pre-written body (atomic
+#: create-with-content — no reader can see a torn lock) with the
+#: holder's pid recorded, so a crashed holder's lock is detected as
+#: stale (dead pid, same host) and broken by an atomic tombstone
+#: rename (one winner among racing breakers). Cross-host writers on
+#: shared storage cannot check liveness and fail closed; that
+#: deployment wants a real table format's commit service or an
+#: external lock.
 LOCK_NAME = "_lapidus_lock.json"
 
 #: fault-injection point for crash tests: set the env var
