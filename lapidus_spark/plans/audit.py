@@ -506,6 +506,10 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # run as batch jobs inside the sink fn (the lake IS the state);
     # 3 batches with entities scattered across them
     "stream_merge_lake": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # the lake as a streaming SOURCE (python data source, offsets =
+    # manifest versions): stateless pass-through to the sink, one
+    # rate-limited micro-batch per committed version
+    "stream_lake_cdf": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
     # stream-static joins: dim/centroid side broadcast, stream side
     # stateless (kmeans adds one complete-mode agg on the assignment)
     "stream_enrich_dim": {"plan_ops": [], "max_exchanges": 0},

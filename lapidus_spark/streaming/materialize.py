@@ -1019,7 +1019,9 @@ def lake_changes(
     m_new = _manifest_at(lake_dir, to_version)
     if m_new is None:
         raise ValueError(f"lake at {lake_dir} has no manifest")
-    m_old = _manifest_at(lake_dir, from_version)
+    # from_version=0 = "from empty" (Delta CDF's startingVersion=0):
+    # the first version's whole snapshot arrives as inserts/deletes
+    m_old = _manifest_at(lake_dir, from_version) if from_version >= 1 else None
     if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
         # a rebucket between the versions: bucket ids mean different
         # hash ranges, so pointer-diff pruning is meaningless — read

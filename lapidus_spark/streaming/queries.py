@@ -45,6 +45,7 @@ def _run_to_memory(
     output_mode: str = "append",
     confs: dict[str, str] | None = None,
     partitions: int | None = None,
+    process_all: bool = False,
 ) -> DataFrame:
     """Start an availableNow query into a memory sink, await, return
     the result table (driver-side harness; the data path is
@@ -72,16 +73,27 @@ def _run_to_memory(
         "spark.sql.shuffle.partitions", str(partitions or STREAM_SHUFFLE_PARTITIONS)
     )
     try:
-        q = (
+        w = (
             df.writeStream.format("memory")
             .queryName(name)
             .option("checkpointLocation", ckpt)
             .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination()
-        record_stream_run(name, q)
+        if process_all:
+            # Python data sources fall back to single-batch execution
+            # under Trigger.AvailableNow (no SupportsTriggerAvailableNow
+            # on PythonMicroBatchStream): drain with processAllAvailable
+            # so rate-limited sources (lake_cdf maxVersionsPerBatch)
+            # genuinely step through multiple triggers.
+            q = w.start()
+            q.processAllAvailable()
+            record_stream_run(name, q)
+            q.stop()
+            q.awaitTermination()
+        else:
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination()
+            record_stream_run(name, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         for k, v in prev_confs.items():
@@ -1513,6 +1525,73 @@ def lake_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
         "last_type",
         "item",
+    )
+
+
+@query(
+    "stream_lake_cdf",
+    oracle="""
+    WITH snap AS (
+      SELECT * FROM (
+        SELECT g.v AS v, CAST(user_id AS VARCHAR) AS entity_id,
+               event_id AS last_seq, ts AS last_ts,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE props END AS item,
+               row_number() OVER (PARTITION BY g.v, user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events CROSS JOIN (SELECT unnest([1, 2, 3]) AS v) g
+        WHERE event_id % 3 < g.v
+      ) WHERE rn = 1
+    )
+    SELECT n.entity_id,
+           CASE WHEN n.last_type = 'delete' THEN 'delete'
+                WHEN o.entity_id IS NULL OR o.last_type = 'delete' THEN 'insert'
+                ELSE 'update' END AS change_type,
+           n.last_seq, n.last_ts, n.last_type, n.item,
+           CAST(n.v AS INTEGER) AS ver
+    FROM snap n LEFT JOIN snap o
+      ON o.v = n.v - 1 AND o.entity_id = n.entity_id
+    WHERE o.entity_id IS NULL
+       OR o.last_seq <> n.last_seq OR o.last_ts <> n.last_ts
+    """,
+    operator="src_slot — the lake as a STREAMING source (change-feed subscription)",
+    doc="Incremental consumption OF the lake: a Spark 4 Python "
+    "streaming data source (format 'lake_cdf', "
+    "streaming/lake_source.py) whose offsets are manifest versions — "
+    "the durable-cursor contract the reference's slot gives its "
+    "downstream consumers (src_slot, postgresql.js:290-354; the "
+    "nats.js:23-28 subscribers react to changes, never rescan). The "
+    "versioned lake's three commits replay as three rate-limited "
+    "micro-batches (maxVersionsPerBatch=1); each batch's partitions "
+    "are (version step, manifest-pointer-changed bucket) pairs, read "
+    "and diffed executor-side via Arrow, so a merge touching k of B "
+    "buckets costs k·(table/B) — never a table scan — and the row "
+    "set is per-version deterministic regardless of trigger "
+    "grouping. The oracle recomputes every per-version LWW snapshot "
+    "diff from raw events; startingVersion=0 makes version 1 arrive "
+    "as pure inserts.",
+)
+def stream_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.lake_source import register_lake_cdf
+
+    register_lake_cdf(spark)
+    lake = build_versioned_lake(spark, sf_dir)
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+    )
+    out = _run_to_memory(feed, "stream_lake_cdf_out", process_all=True)
+    return out.select(
+        "entity_id",
+        "change_type",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+        "ver",
     )
 
 
