@@ -126,14 +126,15 @@ def _signal_ages(root=None) -> dict[str, int]:
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # Round-7 window accounting (after r6 the ages are 50 r6 + 49 r5
     # + 43 r4; VERDICT r6 #4 directs the window onto the r4-stale
-    # cohort). The derived ordering spends the 50 slots as: the five
+    # cohort). The derived ordering spends the 50 slots as: the two
+    # touched queries below (rank (0,-1), strictly first), the five
     # round-7 queries (lake_time_travel, lake_changes_feed,
     # lake_compaction, lake_rebucket, stream_lake_cdf — never
-    # driver-verified, age 0, automatically first) and the two
-    # touched queries below, then the 39 remaining r4-stale signals,
-    # then the heaviest r5-stale. Five slots fewer for the stale
-    # cohort than VERDICT r6 #4 assumed — the cost of growing the
-    # surface — so 5 of the 43 r4-stale signals roll to round 8.
+    # driver-verified, age 0), then the 42 r4-stale signals not
+    # already covered (ext_pagerank is both touched and r4-stale),
+    # then 1 slot for the heaviest r5-stale: 2 + 5 + 42 + 1 = 50,
+    # so the whole r4-stale cohort clears this round despite the
+    # surface growing by five.
     #
     # stream_merge_lake: the lake MERGE gained the crash-atomic
     # manifest commit protocol (materialize.py — commit dirs + atomic

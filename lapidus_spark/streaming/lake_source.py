@@ -82,7 +82,15 @@ def _bucket_files(lake_dir: str, manifest: dict | None, bucket: int) -> list:
         return []
     d = os.path.join(lake_dir, rel)
     if not os.path.isdir(d):
-        return []
+        # a retained manifest's pointers are covered by the reader-vs-GC
+        # contract: a missing dir is corruption (partial restore, manual
+        # deletion), and reading it as "empty" would silently re-emit the
+        # whole bucket as inserts — fail fast instead.
+        raise ValueError(
+            f"lake_cdf: manifest of {lake_dir} references missing bucket "
+            f"dir {rel!r} — lake corrupted (partial restore?); restore the "
+            "dir or restart the consumer from a full snapshot"
+        )
     return sorted(
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
     )
@@ -123,21 +131,20 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         self._floor = max(self._floor, s, e)
         parts: list[InputPartition] = []
+        m_prev: dict | None = None
         for v in range(s + 1, e + 1):
+            # _manifest_at raises for a GC'd version, naming the
+            # retain_versions horizon — the consumer lagged past
+            # retention and must restart from a full snapshot.
+            # Carrying m_new forward as the next step's m_old halves
+            # the driver-side manifest reads on long catch-ups.
             m_new = _manifest_at(self.lake_dir, v)
-            if m_new is None:
-                raise ValueError(
-                    f"lake_cdf: version {v} of {self.lake_dir} has no retained "
-                    "manifest (GC'd past retain_versions?) — raise the lake's "
-                    "retain_versions above the consumer's maximum lag"
-                )
-            m_old = _manifest_at(self.lake_dir, v - 1) if v - 1 >= 1 else None
-            if v - 1 >= 1 and m_old is None:
-                raise ValueError(
-                    f"lake_cdf: version {v - 1} of {self.lake_dir} has no "
-                    "retained manifest (GC'd past retain_versions?) — raise "
-                    "the lake's retain_versions above the consumer's maximum lag"
-                )
+            m_old = (
+                m_prev
+                if m_prev is not None
+                else (_manifest_at(self.lake_dir, v - 1) if v - 1 >= 1 else None)
+            )
+            m_prev = m_new
             if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
                 raise ValueError(
                     f"lake_cdf: rebucket between versions {v - 1} and {v} "
@@ -183,10 +190,17 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         if new.empty:
             return
         old = read_side(partition.old_files, _OLD_COLS)
+        # nullable Int64 BEFORE the merge: a plain left merge upcasts
+        # the missing side to float64, which loses seq exactness above
+        # 2^53 and could silently drop a change the batch-side
+        # lake_changes (exact bigint <>) would emit.
+        old["last_seq"] = old["last_seq"].astype("Int64")
         m = new.merge(old, on="entity_id", how="left", suffixes=("", "_o"))
-        missing = m["last_seq_o"].isna()
-        changed = missing | (m["last_seq_o"] != m["last_seq"]) | (
-            m["last_ts_o"] != m["last_ts"]
+        missing = m["last_seq_o"].isna().to_numpy(dtype=bool)
+        changed = (
+            missing
+            | m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
+            | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
         )
         m = m[changed]
         if m.empty:

@@ -1020,7 +1020,14 @@ def lake_changes(
     if m_new is None:
         raise ValueError(f"lake at {lake_dir} has no manifest")
     # from_version=0 = "from empty" (Delta CDF's startingVersion=0):
-    # the first version's whole snapshot arrives as inserts/deletes
+    # the first version's whole snapshot arrives as inserts/deletes.
+    # Only 0 is the from-empty sentinel — a negative from_version is a
+    # caller bug and must not silently return a full load.
+    if from_version < 0:
+        raise ValueError(
+            f"lake_changes: from_version must be >= 0 (0 = from empty), "
+            f"got {from_version}"
+        )
     m_old = _manifest_at(lake_dir, from_version) if from_version >= 1 else None
     if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
         # a rebucket between the versions: bucket ids mean different

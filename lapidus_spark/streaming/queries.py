@@ -86,9 +86,13 @@ def _run_to_memory(
             # so rate-limited sources (lake_cdf maxVersionsPerBatch)
             # genuinely step through multiple triggers.
             q = w.start()
-            q.processAllAvailable()
-            record_stream_run(name, q)
-            q.stop()
+            try:
+                q.processAllAvailable()
+                record_stream_run(name, q)
+            finally:
+                # without this, a failure mid-drain leaks a
+                # continuously-triggering query for the session
+                q.stop()
             q.awaitTermination()
         else:
             q = w.trigger(availableNow=True).start()

@@ -157,6 +157,84 @@ def test_restart_resumes_at_committed_version(spark, tmp_path):
     assert len(second) > len(first)
 
 
+def test_diff_is_exact_above_2_53(tmp_path):
+    """The per-bucket diff must compare seqs as exact integers. A left
+    merge with any missing entity upcasts the old seq column to
+    float64, where 2^53 and 2^53+1 collide — the update would silently
+    vanish while the batch-side lake_changes (bigint <>) emits it.
+    Executor-side logic, tested directly (plain pyarrow/pandas)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lapidus_spark.streaming.lake_source import (
+        LakeCDFPartition,
+        LakeCDFStreamReader,
+    )
+
+    ts = pa.array([1_700_000_000_000_000] * 2, type=pa.timestamp("us"))
+    old_f = str(tmp_path / "old.parquet")
+    new_f = str(tmp_path / "new.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "entity_id": ["e", "stable"],
+                "last_seq": pa.array([2**53, 7], type=pa.int64()),
+                "last_ts": ts,
+                "last_type": ["update", "update"],
+            }
+        ),
+        old_f,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # "n" is NEW: its absence from the old side is what
+                # forces the float64 upcast in an unprotected merge
+                "entity_id": ["e", "stable", "n"],
+                "last_seq": pa.array([2**53 + 1, 7, 1], type=pa.int64()),
+                "last_ts": pa.concat_arrays([ts, ts[:1]]),
+                "last_type": ["update", "update", "insert"],
+                "item": ["i1", "i2", "i3"],
+            }
+        ),
+        new_f,
+    )
+    reader = LakeCDFStreamReader({"path": str(tmp_path)})
+    part = LakeCDFPartition(ver=2, bucket=0, new_files=[new_f], old_files=[old_f])
+    batches = list(reader.read(part))
+    assert len(batches) == 1
+    rows = {
+        r["entity_id"]: (r["change_type"], r["last_seq"])
+        for r in batches[0].to_pylist()
+    }
+    assert rows == {"e": ("update", 2**53 + 1), "n": ("insert", 1)}
+    assert "stable" not in rows  # unchanged row stays suppressed
+
+
+def test_missing_bucket_dir_fails_fast(tmp_path):
+    """A retained manifest pointing at an absent bucket dir is lake
+    corruption: reading it as 'empty' would re-emit the whole bucket
+    as inserts, so _bucket_files raises instead."""
+    from lapidus_spark.streaming.lake_source import _bucket_files
+
+    manifest = {"buckets": {"0": "gone_dir"}}
+    with pytest.raises(ValueError, match="missing bucket dir"):
+        _bucket_files(str(tmp_path), manifest, 0)
+    # an unwritten bucket (no pointer) is genuinely empty, not corrupt
+    assert _bucket_files(str(tmp_path), {"buckets": {}}, 0) == []
+
+
+def test_lake_changes_rejects_negative_from_version(spark, tmp_path):
+    """Only 0 is the from-empty sentinel: a negative from_version is a
+    caller bug and must raise, not return a duplicate full load."""
+    from lapidus_spark.streaming.materialize import lake_changes
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake, n_batches=1)
+    with pytest.raises(ValueError, match="from_version must be >= 0"):
+        lake_changes(spark, lake, from_version=-1)
+
+
 def test_rebucket_between_versions_raises(spark, tmp_path):
     """Bucket ids are not comparable across layouts: a rebucket inside
     the consumed range fails fast with the restart-from-snapshot
