@@ -33,7 +33,10 @@ def main() -> None:
     # the timed pass.
     from lapidus_spark.functions.dedup import build_fingerprint_index, build_ngram_index
     from lapidus_spark.functions.pipeline import build_corpus_shards
-    from lapidus_spark.functions.similarity import build_ivf_index
+    from lapidus_spark.functions.similarity import (
+        build_ivf_incremental_index,
+        build_ivf_index,
+    )
     from lapidus_spark.functions.text import build_df_index
     from lapidus_spark.operators.graph import build_trade_graph
     from lapidus_spark.sources.formats import (
@@ -48,10 +51,19 @@ def main() -> None:
     )
     from lapidus_spark.streaming.queries import (
         build_late_replay,
+        build_maintenance_lake,
         build_merge_replay,
         build_tx_replay_input,
+        build_versioned_lake,
     )
 
+    # One-time fixture construction is SETUP, not operator work: each
+    # build is timed into the separate "fixtures" block so the
+    # per-query line items read on steady-state query cost alone
+    # (VERDICT r7 #3 — the five lake queries' r7 numbers carried ~14 s
+    # of lake construction). The lake builders are process-cached per
+    # sf_dir, so the timed pass hits the cache.
+    fixture_times: dict[str, float] = {}
     for builder in (
         build_tx_replay_input,
         build_merge_replay,
@@ -66,13 +78,19 @@ def main() -> None:
         build_df_index,
         build_corpus_shards,
         build_ivf_index,
+        build_ivf_incremental_index,
         build_ngram_index,
         build_trade_graph,
+        build_versioned_lake,
+        build_maintenance_lake,
     ):
+        t0 = time.perf_counter()
         try:
             builder(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 — dependents fail individually
             print(f"# setup {builder.__name__} failed: {e}", file=sys.stderr)
+            continue
+        fixture_times[builder.__name__] = round(time.perf_counter() - t0, 4)
 
     # Execution order: batch cohort first, streaming cohort LAST.
     # Round 4/5 showed a decaying post-streaming-cohort JVM transient
@@ -194,6 +212,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "failed_queries": failures,
+            "fixtures": fixture_times,
+            "fixtures_total": round(sum(fixture_times.values()), 4),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "streaming": streaming_stats,
             "stream_state": stream_state,

@@ -335,7 +335,9 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def ivf_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+def ivf_candidates(
+    spark: SparkSession, sf_dir: str, k: int, idx_path: str | None = None
+) -> DataFrame:
     """Top-``k`` exact-cosine candidates from the probed IVF cells —
     the dense-recall stage shared by ext_ann_ivf (k = TOP_K) and
     ext_retrieve_rerank (k = RERANK_CANDIDATES): one extracted
@@ -350,7 +352,8 @@ def ivf_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     matches the engines' arithmetic — and the 16×64-term score
     expression never enters this query's plan (it would dominate the
     probe via codegen compilation; it belongs to the index build)."""
-    idx_path = build_ivf_index(spark, sf_dir)
+    if idx_path is None:
+        idx_path = build_ivf_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
     import math
 
@@ -410,6 +413,101 @@ def ivf_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 )
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_candidates(spark, sf_dir, TOP_K)
+
+
+#: arrivals cohort for the incremental index: vec_id % 5 == 0 (20% of
+#: the corpus) — the same arrivals-vs-standing-corpus split
+#: ext_dedup_incremental uses on documents.
+ANN_ARRIVAL_MOD = 5
+
+#: incrementally-maintained IVF index dirs per (process, sf_dir)
+_IVF_INCR_DIRS: dict[str, str] = {}
+
+
+def build_ivf_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """IVF index maintained INCREMENTALLY: the standing corpus
+    (vec_id % 5 != 0) is built once as cell-partitioned parquet,
+    then an arrival batch is assigned to its cells through the SAME
+    frozen broadcast-centroid quantizer (never refit — that is what
+    makes append sound: an arrival's cell equals the cell a full
+    rebuild would give it) and APPENDED as new files inside the
+    existing cell=K directories. No standing-corpus file is rewritten
+    — at 100 TB an arrival batch costs O(batch), not O(corpus), and
+    probes keep their partition pruning because the layout key is
+    unchanged. The append-only posture of ext_dedup_incremental's
+    fingerprint index, applied to the ANN index."""
+    if sf_dir in _IVF_INCR_DIRS:
+        return _IVF_INCR_DIRS[sf_dir]
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="lapidus_ivf_incr_")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    base = e.filter(F.col("vec_id") % ANN_ARRIVAL_MOD != 0)
+    (
+        base.join(assign_cells(spark, base).drop("mn"), "vec_id")
+        .select("vec_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    arrivals = e.filter(F.col("vec_id") % ANN_ARRIVAL_MOD == 0)
+    append_to_ivf_index(spark, arrivals, path)
+    _IVF_INCR_DIRS[sf_dir] = path
+    return path
+
+
+def append_to_ivf_index(spark: SparkSession, arrivals: DataFrame, path: str) -> None:
+    """The per-batch maintenance step: cell-assign ``arrivals``
+    through the frozen quantizer and append them as NEW files inside
+    the existing cell=K dirs (parquet append never rewrites existing
+    files — tests/test_scale.py pins that contract by mtime/size)."""
+    (
+        arrivals.join(assign_cells(spark, arrivals).drop("mn"), "vec_id")
+        .select("vec_id", "embedding", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+@query(
+    "ext_ann_incremental",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_cell_expr("duck", "embedding")} AS cell
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qe,
+             {_scores_arr("duck", "embedding")} AS qscores
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT s.vec_id, {_cos("duck", "s.embedding", "q.qe")} AS cos_sim,
+           s.vec_id % {ANN_ARRIVAL_MOD} = 0 AS is_arrival
+    FROM s CROSS JOIN q
+    WHERE q.qscores[s.cell + 1] <= list_sort(q.qscores)[{N_PROBE}]
+      AND s.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, s.vec_id ASC
+    LIMIT {TOP_K}
+    """,
+    operator="ext_sim_search (incremental ANN index maintenance)",
+    doc="Incremental ANN index maintenance (VERDICT r7 #6): the IVF "
+    "index is built from the standing corpus only, then an arrival "
+    "batch (vec_id % 5 == 0) is cell-assigned through the frozen "
+    "broadcast-centroid quantizer and APPENDED as new files inside "
+    "the existing cell=K partition dirs — no rebuild, no rewrite of "
+    "standing files (asserted by tests/test_scale.py). The probe "
+    "then runs against the incrementally-maintained index and must "
+    "equal a from-scratch full-corpus index probe exactly — which is "
+    "what the oracle computes — because the frozen quantizer gives "
+    "every vector the same cell either way. is_arrival marks top-k "
+    "hits contributed by the appended batch, proving the probe reads "
+    "both file generations through one pruned scan.",
+)
+def ext_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_ivf_incremental_index(spark, sf_dir)
+    return ivf_candidates(spark, sf_dir, TOP_K, idx_path=idx).withColumn(
+        "is_arrival", (F.col("vec_id") % ANN_ARRIVAL_MOD == 0).alias("is_arrival")
+    )
 
 
 #: multi-probe masks: the query's own bucket plus every bucket at

@@ -198,6 +198,14 @@ EXPECTATIONS: dict[str, dict] = {
     # → the scan itself is partition-pruned (reads n_probe/16 of the
     # files); rerank is TakeOrderedAndProject, zero shuffles
     "ext_ann_ivf": {"partition_pruned": True, "take_ordered": True, "max_exchanges": 0},
+    # same probe shape over the incrementally-appended index: the
+    # appended files live inside the same cell=K dirs, so pruning and
+    # the shuffle-free TakeOrdered survive index maintenance
+    "ext_ann_incremental": {
+        "partition_pruned": True,
+        "take_ordered": True,
+        "max_exchanges": 0,
+    },
     # two-stage retrieval: pruned IVF probe (stage 1), candidates +
     # stats as broadcasts (stage 2), final TakeOrdered; the single
     # shuffle is load_table(parallel=True)'s fixture-split crutch

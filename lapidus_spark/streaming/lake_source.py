@@ -27,12 +27,20 @@ Scale contract (the same one ``lake_changes`` documents):
   RecordBatch — the layout pins an entity to its bucket, so the
   per-bucket diff equals the global diff.
 
-Failure posture: a rebucket between consumed versions changes what a
-bucket id MEANS, so the source raises and the consumer restarts from
-a full snapshot (Delta CDF takes the same stance on incompatible
-rewrites); a version GC'd past ``retain_versions`` raises with the
-retention knob named. Rate limiting via ``maxVersionsPerBatch`` is
-admission control only — content is per-version either way.
+Physical-only commits are free: a compaction (OPTIMIZE) moves bucket
+pointers without changing content, and the manifest's per-bucket
+``data_versions`` stamps prove it — those version steps plan ZERO
+partitions (Delta CDF's ``dataChange=false`` skip), so routine table
+maintenance never costs subscribers a re-read. A marked rebucket
+commit is likewise snapshot-identical (a pure layout swap) and its
+step is skipped; consumers stream straight across it.
+
+Failure posture: a layout change WITHOUT a rebucket marker (foreign
+writer, manual surgery) is not interpretable, so the source raises
+and the consumer restarts from a full snapshot; a version GC'd past
+``retain_versions`` raises with the retention knob named. Rate
+limiting via ``maxVersionsPerBatch`` is admission control only —
+content is per-version either way.
 """
 
 from __future__ import annotations
@@ -126,7 +134,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return {"version": cur}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from lapidus_spark.streaming.materialize import _manifest_at
+        from lapidus_spark.streaming.materialize import (
+            _bucket_content_changed,
+            _manifest_at,
+        )
 
         s, e = int(start["version"]), int(end["version"])
         self._floor = max(self._floor, s, e)
@@ -146,16 +157,33 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             )
             m_prev = m_new
             if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
+                reb = m_new.get("rebucket")
+                if reb is not None and int(reb.get("version", -1)) == v:
+                    # marked rebucket commit: rebucket_lake reads the
+                    # live snapshot and only re-hashes the bucket
+                    # column, published as one atomic flip — the step
+                    # is snapshot-identical, so the correct change feed
+                    # for it is ZERO rows. Skip it (zero partitions,
+                    # zero bucket reads) and keep streaming; the next
+                    # step diffs within the new layout. This matches
+                    # the batch twin's layout-independent diff (which
+                    # would read both sides in full to emit the same
+                    # zero rows) at none of its cost.
+                    continue
                 raise ValueError(
-                    f"lake_cdf: rebucket between versions {v - 1} and {v} "
-                    f"({m_old['n_buckets']} -> {m_new['n_buckets']} buckets) — "
-                    "bucket ids are not comparable across layouts; restart the "
-                    "consumer from a full snapshot at or after the rebucket"
+                    f"lake_cdf: bucket layout changed between versions {v - 1} "
+                    f"and {v} ({m_old['n_buckets']} -> {m_new['n_buckets']} "
+                    "buckets) without a rebucket marker — bucket ids are not "
+                    "comparable across layouts; restart the consumer from a "
+                    "full snapshot at or after the layout change"
                 )
             for b_str, rel in m_new["buckets"].items():
                 b = int(b_str)
-                if m_old is not None and m_old["buckets"].get(b_str) == rel:
-                    continue  # pointer unchanged: bucket cannot differ
+                if not _bucket_content_changed(m_old, m_new, b_str):
+                    # pointer unchanged, or moved only by physical-only
+                    # commits (compaction — dataChange=false): content
+                    # provably identical, skip without reading.
+                    continue
                 parts.append(
                     LakeCDFPartition(
                         ver=v,

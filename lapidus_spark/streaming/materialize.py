@@ -648,6 +648,7 @@ def _publish_version(
     replace_all: bool = False,
     max_records_per_file: int | None = None,
     extra: dict | None = None,
+    data_change: bool = True,
 ) -> dict:
     """The shared publish step of every table-mutating op (merge,
     compact, rebucket): write ``rows`` (bucket column already set) for
@@ -657,7 +658,15 @@ def _publish_version(
     record it in ``_history/``, and GC beyond the retention horizon.
     ``replace_all`` swaps the ENTIRE bucket map (rebucket: the old
     layout's pointers must not survive) instead of updating the
-    touched pointers."""
+    touched pointers.
+
+    ``data_change=False`` declares the commit a PURE PHYSICAL rewrite
+    (compaction): the touched buckets' pointers move, but their
+    ``data_versions`` stamps — the per-bucket last data-changing
+    commit, Delta's ``dataChange`` bit at bucket granularity — carry
+    through unchanged, so change-feed consumers (``lake_changes``,
+    the ``lake_cdf`` streaming source) skip the rewritten buckets
+    entirely instead of re-reading them to emit zero rows."""
     version = (manifest["version"] if manifest else 0) + 1
     commit_rel = f"commits/{version:010d}"
     commit_abs = os.path.join(lake_dir, commit_rel)
@@ -685,8 +694,18 @@ def _publish_version(
         new_manifest["compaction"] = manifest["compaction"]
     if extra:
         new_manifest.update(extra)
+    # per-bucket last data-changing commit: carried forward, stamped
+    # only when this commit actually changes content (a bucket with a
+    # missing stamp — pre-data_versions manifests — degrades the diff
+    # paths to the conservative pointer comparison)
+    data_versions = (
+        {} if replace_all else dict((manifest or {}).get("data_versions", {}))
+    )
     for b in touched:
         new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
+        if data_change:
+            data_versions[str(b)] = version
+    new_manifest["data_versions"] = data_versions
     _commit_manifest(lake_dir, new_manifest)
     _write_history(lake_dir, new_manifest)
     _gc_unreferenced(lake_dir, new_manifest, retain_versions)
@@ -848,6 +867,7 @@ def compact_lake(
             retain_versions,
             max_records_per_file=max_records_per_file,
             extra={"compaction": {"version": version, "valve": max_records_per_file}},
+            data_change=False,
         )
         return {"version": version, "compacted_buckets": len(degraded)}
     finally:
@@ -895,6 +915,12 @@ def rebucket_lake(
                     "version": manifest["version"] + 1,
                     "n_buckets": new_n_buckets,
                     "buckets": {},
+                    "data_versions": {},
+                    "rebucket": {
+                        "version": manifest["version"] + 1,
+                        "from": manifest["n_buckets"],
+                        "to": new_n_buckets,
+                    },
                 },
             )
             _write_history(lake_dir, _read_manifest(lake_dir))
@@ -916,6 +942,19 @@ def rebucket_lake(
                 new_n_buckets,
                 retain_versions,
                 replace_all=True,
+                # the rebucket marker lets the streaming CDF source
+                # recognize this exact version step as a snapshot-
+                # identical layout swap (zero change rows) instead of
+                # demanding a full-snapshot restart; data stamps still
+                # reset (data_change=True) because bucket ids change
+                # meaning across the swap.
+                extra={
+                    "rebucket": {
+                        "version": manifest["version"] + 1,
+                        "from": manifest["n_buckets"],
+                        "to": new_n_buckets,
+                    }
+                },
             )
         finally:
             rehashed.unpersist()
@@ -1000,6 +1039,29 @@ def lake_point_read(
     )
 
 
+def _bucket_content_changed(m_old: dict | None, m_new: dict, b_str: str) -> bool:
+    """Can bucket ``b_str``'s CONTENT differ between two committed
+    manifests of the same layout? Pointer equality proves identity
+    (commit dirs are immutable). A moved pointer with EQUAL
+    ``data_versions`` stamps proves the move came only from
+    physical-only commits (compaction) — skip it: this is Delta CDF's
+    ``dataChange=false`` skip at bucket granularity, and it is what
+    keeps a routine OPTIMIZE from costing every change-feed consumer
+    a full re-read of the compacted buckets to emit zero rows. A
+    missing stamp on either side (pre-``data_versions`` manifests)
+    falls back to the conservative pointer comparison."""
+    if m_old is None:
+        return True
+    rel = m_new["buckets"].get(b_str)
+    if m_old["buckets"].get(b_str) == rel:
+        return False
+    dv_new = m_new.get("data_versions", {}).get(b_str)
+    dv_old = m_old.get("data_versions", {}).get(b_str)
+    if dv_new is not None and dv_old is not None and dv_new == dv_old:
+        return False
+    return True
+
+
 def lake_changes(
     spark, lake_dir: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -1039,10 +1101,14 @@ def lake_changes(
         changed_new = {int(b) for b in m_new["buckets"]}
         changed_old = {int(b) for b in m_old["buckets"]}
     else:
+        # pointer diff refined by the per-bucket dataChange stamps:
+        # a bucket whose pointer moved only through physical-only
+        # commits (compaction) in (from, to] is provably identical
+        # and is neither read nor joined.
         changed_new = {
             int(b)
-            for b, rel in m_new["buckets"].items()
-            if (m_old["buckets"].get(b) if m_old else None) != rel
+            for b in m_new["buckets"]
+            if _bucket_content_changed(m_old, m_new, b)
         }
         changed_old = changed_new
     changed = changed_new

@@ -453,3 +453,50 @@ def test_domain_cap_bounds_hot_domain(spark, tmp_path):
     chars = {r[0]: r[4] for r in rows}
     assert kept == sorted(kept, key=lambda k: (-chars[k], k))
     assert out["small.example"]["n_kept"] == 3
+
+
+def test_ann_incremental_append_is_no_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance (VERDICT r7 #6): appending an
+    arrival batch must (a) leave every standing-corpus index file
+    byte-untouched (O(batch) maintenance, not O(corpus)), (b) add new
+    files inside the existing cell=K layout, and (c) leave the probe
+    answering EXACTLY like a from-scratch full-corpus index — the
+    frozen quantizer gives every vector the same cell either way."""
+    import os
+
+    from lapidus_spark.functions import similarity as S
+
+    e = load_table(spark, SF_DIR, "embeddings", parallel=True)
+    path = str(tmp_path / "ivf")
+    base = e.filter(F.col("vec_id") % S.ANN_ARRIVAL_MOD != 0)
+    (
+        base.join(S.assign_cells(spark, base).drop("mn"), "vec_id")
+        .select("vec_id", "embedding", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+    def listing():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = listing()
+    assert before  # the base build wrote real cell files
+    arrivals = e.filter(F.col("vec_id") % S.ANN_ARRIVAL_MOD == 0)
+    S.append_to_ivf_index(spark, arrivals, path)
+    after = listing()
+    assert set(before) <= set(after)  # no standing file deleted/renamed
+    for p, sig in before.items():
+        assert after[p] == sig  # ...or rewritten (size + mtime pinned)
+    assert len(after) > len(before)  # the batch landed as NEW files
+    # probe equivalence: incrementally-maintained == from-scratch
+    incr = S.ivf_candidates(spark, SF_DIR, S.TOP_K, idx_path=path).collect()
+    scratch = S.ivf_candidates(spark, SF_DIR, S.TOP_K).collect()
+    assert [tuple(r) for r in incr] == [tuple(r) for r in scratch]
