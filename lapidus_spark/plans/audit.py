@@ -491,6 +491,11 @@ EXPECTATIONS: dict[str, dict] = {
     # post-rebucket point read: key-bucket dirs only + pushed isin/
     # tombstone filters; zero exchanges (pruning is path-level)
     "lake_rebucket": {"pushed": True, "max_exchanges": 0},
+    # ---- round-8 addition: optimistic multi-writer concurrency ----
+    # the concurrency machinery is all commit-time (staging + flip);
+    # the read stays a plain manifest-resolved pruned scan + pushed
+    # tombstone filter, zero exchanges — identical to any live read
+    "lake_concurrent_merge": {"pushed": True, "max_exchanges": 0},
 }
 
 

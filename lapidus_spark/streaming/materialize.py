@@ -236,6 +236,20 @@ class ConcurrentMergeError(RuntimeError):
     """Another live writer holds the lake's merge lock."""
 
 
+class CommitConflictError(RuntimeError):
+    """An optimistic merge lost every retry to concurrent commits
+    that data-changed its buckets (or to a held flip lock)."""
+
+
+#: Unreferenced ``commits/`` dirs younger than this are NOT garbage:
+#: an optimistic writer stages its commit directory BEFORE taking the
+#: flip lock, so a concurrent committer's GC must leave fresh staged
+#: dirs alone (a crashed writer's orphan ages past the grace and is
+#: collected by any later commit — same shape as Delta VACUUM's
+#: retention window protecting in-flight, not-yet-committed files).
+GC_GRACE_SECONDS = 3600.0
+
+
 def _failpoint(name: str) -> None:
     spec = os.environ.get("LAPIDUS_FAILPOINT", "")
     if not spec:
@@ -318,7 +332,26 @@ def _write_history(lake_dir: str, manifest: dict) -> None:
     )
 
 
-def _acquire_lock(lake_dir: str) -> str:
+def _acquire_lock(lake_dir: str, wait_s: float = 0.0) -> str:
+    """Take the single-writer merge lock, re-contending against LIVE
+    holders for up to ``wait_s`` seconds (optimistic writers use this
+    for the manifest flip — the critical section is a JSON rename,
+    so a short bounded wait rides out another writer's flip instead
+    of failing; the default 0 keeps the classic fail-fast posture).
+    See ``_acquire_lock_once`` for the lock protocol itself."""
+    import time
+
+    deadline = time.monotonic() + wait_s
+    while True:
+        try:
+            return _acquire_lock_once(lake_dir)
+        except ConcurrentMergeError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.05)
+
+
+def _acquire_lock_once(lake_dir: str) -> str:
     """Take the single-writer merge lock. The lock body is staged in
     a private temp file and PUBLISHED with ``os.link`` — atomic
     create-with-content, so a reader can never observe a torn or
@@ -402,7 +435,12 @@ def _commit_manifest(lake_dir: str, manifest: dict) -> None:
     )
 
 
-def _gc_unreferenced(lake_dir: str, manifest: dict, retain_versions: int = 1) -> None:
+def _gc_unreferenced(
+    lake_dir: str,
+    manifest: dict,
+    retain_versions: int = 1,
+    grace_seconds: float | None = None,
+) -> None:
     """Best-effort removal of commit dirs / legacy bucket dirs that no
     RETAINED manifest references (orphans from crashed merges,
     versions beyond the retention horizon). Retained = the live
@@ -412,8 +450,13 @@ def _gc_unreferenced(lake_dir: str, manifest: dict, retain_versions: int = 1) ->
     of hitting missing files. Safe because it runs only AFTER a
     successful flip and only deletes paths no retained manifest
     names; failures are swallowed — an orphan is wasted space, never
-    wrong data."""
+    wrong data. Unreferenced commit dirs younger than
+    ``grace_seconds`` (default ``GC_GRACE_SECONDS``) are spared: they
+    may be an optimistic writer's staged-not-yet-flipped commit."""
     import shutil
+
+    if grace_seconds is None:
+        grace_seconds = GC_GRACE_SECONDS
 
     # Collect the retained manifests FAIL-CLOSED: if any retained
     # history JSON cannot be read, skip GC entirely — deleting from
@@ -454,11 +497,31 @@ def _gc_unreferenced(lake_dir: str, manifest: dict, retain_versions: int = 1) ->
         p for m in retained for p in m["buckets"].values() if p.startswith("bucket=")
     }
     try:
+        import time
+
         commits_root = os.path.join(lake_dir, "commits")
         if os.path.isdir(commits_root):
+            now = time.time()
             for d in os.listdir(commits_root):
-                if d not in live_commits:
-                    shutil.rmtree(os.path.join(commits_root, d), ignore_errors=True)
+                if d in live_commits:
+                    continue
+                # grace window, OPTIMISTIC commit dirs only (nonce-
+                # suffixed names): such a dir may be a concurrent
+                # writer's staged-not-yet-flipped commit — staging
+                # runs outside the lock — so only ones older than the
+                # grace are certainly crashed-writer orphans. Every
+                # file write updates the dir mtime, so a staging in
+                # progress always reads as fresh. Locked-path dirs
+                # (plain zero-padded names) are never in flight
+                # outside the lock and keep immediate collection.
+                if "." in d:
+                    try:
+                        st = os.stat(os.path.join(commits_root, d))
+                        if now - st.st_mtime < grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                shutil.rmtree(os.path.join(commits_root, d), ignore_errors=True)
         for d in os.listdir(lake_dir):
             if d.startswith("bucket=") and d not in live_legacy:
                 shutil.rmtree(os.path.join(lake_dir, d), ignore_errors=True)
@@ -638,6 +701,153 @@ def _merge_locked(
         updates.unpersist()
 
 
+def _occ_conflicts(base: dict | None, cur: dict | None, touched: list, n_buckets: int) -> bool:
+    """Must an optimistic merge computed against ``base`` recompute
+    before flipping onto ``cur``? False when nothing landed in
+    between, or when everything that landed provably left the
+    merge's ``touched`` buckets' CONTENT alone — the per-bucket
+    ``data_versions`` stamps prove that across pointer moves, so an
+    interleaved compaction (pure physical rewrite) never forces a
+    recompute. A layout change (rebucket) always conflicts: bucket
+    ids are not comparable across layouts."""
+    base_v = base["version"] if base else 0
+    cur_v = cur["version"] if cur else 0
+    if cur_v == base_v:
+        return False
+    if cur is None or cur["n_buckets"] != n_buckets:
+        return True
+    if base is None:
+        # merged against an empty table: any intervening write to a
+        # touched bucket would be lost by our snapshot — conflict.
+        return any(str(b) in cur["buckets"] for b in touched)
+    return any(_bucket_content_changed(base, cur, str(b)) for b in touched)
+
+
+def merge_batch_optimistic(
+    batch_df: DataFrame,
+    lake_dir: str,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
+    max_attempts: int = 5,
+    flip_wait_s: float = 30.0,
+    _race_hook: Callable[[int], None] | None = None,
+) -> dict | None:
+    """MERGE with OPTIMISTIC concurrency control — multiple writers
+    share one lake, Delta-style. Where ``merge_batch_into_lake``
+    holds the single-writer lock across the whole merge (Spark jobs
+    included), this writer:
+
+    1. reads the manifest (the BASE version) with no lock;
+    2. computes the merged buckets against base and stages them into
+       a uniquely-named commit dir ``commits/<v>.<nonce>`` — the
+       expensive Spark work, fully concurrent with other writers
+       (the nonce prevents dir collisions; GC's grace window keeps a
+       concurrent committer from collecting the staging);
+    3. takes the lock only for the FLIP (a JSON rename — the critical
+       section shrinks from the whole merge to milliseconds), re-reads
+       the manifest, and:
+       - unchanged → flip normally;
+       - advanced, but every intervening commit left this merge's
+         buckets' content alone (disjoint-bucket merges; compactions
+         — their ``data_versions`` stamps carry through) → REBASE:
+         flip the staged pointers onto the newer manifest;
+       - a data change in one of OUR buckets, or a rebucket → the
+         merge was computed against stale content: drop the staging,
+         recompute against the fresh manifest, retry (bounded by
+         ``max_attempts``, then ``CommitConflictError``).
+
+    The flip order serializes writers; each one's LWW combine is a
+    semilattice join, so any interleaving converges to the same
+    snapshot a serial replay would produce. Reader/GC contract: a
+    concurrent commit with ``retain_versions=1`` may GC the base
+    version's files while step 2 is still reading them — the staging
+    fails and retries against the fresh manifest (run concurrent
+    writers with ``retain_versions >= 2`` to make that window a full
+    version wide; same posture as Delta VACUUM vs in-flight reads).
+    Requires a manifested lake (or an empty/new dir); pre-manifest
+    legacy layouts migrate via one locked merge first.
+
+    Returns the committed manifest (None for an empty batch).
+    ``_race_hook(attempt)`` is a test seam invoked between staging
+    and flip — deterministic interleave injection."""
+    if n_buckets is not None and (
+        isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1
+    ):
+        raise ValueError(f"n_buckets must be a positive int or None, got {n_buckets!r}")
+    if (
+        isinstance(retain_versions, bool)
+        or not isinstance(retain_versions, int)
+        or retain_versions < 1
+    ):
+        raise ValueError(f"retain_versions must be a positive int, got {retain_versions!r}")
+    import shutil
+    import uuid
+
+    spark = batch_df.sparkSession
+    snap = snapshot_stream(batch_df)
+    for attempt in range(max_attempts):
+        base = _healed_manifest(lake_dir)
+        if base is not None and n_buckets is not None and base["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"lake at {lake_dir} has n_buckets={base['n_buckets']} "
+                f"(pinned in {MANIFEST_NAME}); merge called with {n_buckets} — "
+                "the bucket layout only changes through rebucket_lake "
+                "(pass n_buckets=None to adopt the pinned layout)"
+            )
+        nb = (base["n_buckets"] if base else None) or n_buckets or MERGE_LAKE_BUCKETS
+        updates = snap.withColumn(
+            "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
+        ).persist()
+        commit_rel = None
+        try:
+            touched = sorted(
+                r["bucket"] for r in updates.select("bucket").distinct().collect()
+            )
+            if not touched:
+                return base
+            current = _read_live(spark, lake_dir, base, set(touched)) if base else None
+            if current is not None:
+                merged = _lww_combine(current.unionByName(updates.select(*_LAKE_COLS)))
+            else:
+                merged = _lww_combine(updates.select(*_LAKE_COLS))
+            commit_rel = (
+                f"commits/{(base['version'] if base else 0) + 1:010d}.{uuid.uuid4().hex[:8]}"
+            )
+            _stage_commit(lake_dir, merged, touched, commit_rel)
+        except Exception:
+            if commit_rel is not None:
+                shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+            live_now = _read_manifest(lake_dir)
+            if (live_now["version"] if live_now else 0) != (
+                base["version"] if base else 0
+            ):
+                continue  # GC-vs-read race under a concurrent commit: retry fresh
+            raise
+        finally:
+            updates.unpersist()
+        if _race_hook is not None:
+            _race_hook(attempt)
+        lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+        try:
+            cur = _healed_manifest(lake_dir)
+            if not _occ_conflicts(base, cur, touched, nb):
+                return _flip_version(
+                    lake_dir, cur, commit_rel, touched, nb, retain_versions
+                )
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+        # a conflicting commit landed between read and flip: drop the
+        # staging and recompute against the manifest it produced
+        shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+    raise CommitConflictError(
+        f"optimistic merge into {lake_dir} lost {max_attempts} straight races "
+        "to concurrent data-changing commits on its buckets"
+    )
+
+
 def _publish_version(
     lake_dir: str,
     manifest: dict | None,
@@ -669,6 +879,32 @@ def _publish_version(
     entirely instead of re-reading them to emit zero rows."""
     version = (manifest["version"] if manifest else 0) + 1
     commit_rel = f"commits/{version:010d}"
+    _stage_commit(lake_dir, rows, touched, commit_rel, max_records_per_file)
+    return _flip_version(
+        lake_dir,
+        manifest,
+        commit_rel,
+        touched,
+        n_buckets,
+        retain_versions,
+        replace_all=replace_all,
+        extra=extra,
+        data_change=data_change,
+    )
+
+
+def _stage_commit(
+    lake_dir: str,
+    rows: DataFrame,
+    touched: list,
+    commit_rel: str,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``rows`` for exactly the ``touched`` buckets into a fresh
+    commit directory — all the Spark work of a commit, none of the
+    metadata. Runs OUTSIDE any lock: the directory is invisible until
+    a manifest flip references it, and GC's grace window protects it
+    from a concurrent committer's cleanup meanwhile."""
     commit_abs = os.path.join(lake_dir, commit_rel)
     writer = rows.withColumn(_PARTITION_COL, F.col("bucket")).write.mode("overwrite")
     if max_records_per_file is not None:
@@ -681,6 +917,27 @@ def _publish_version(
     }
     if written != set(touched):  # layout invariant, not reachable in normal runs
         raise RuntimeError(f"publish wrote buckets {written}, expected {sorted(touched)}")
+
+
+def _flip_version(
+    lake_dir: str,
+    manifest: dict | None,
+    commit_rel: str,
+    touched: list,
+    n_buckets: int,
+    retain_versions: int,
+    replace_all: bool = False,
+    extra: dict | None = None,
+    data_change: bool = True,
+) -> dict:
+    """The metadata half of a commit: build the next manifest on
+    ``manifest`` with ``touched`` pointed at ``commit_rel``, flip
+    atomically, record history, GC. Must run under the writer lock.
+    ``manifest`` need not be the one the staged rows were computed
+    against — an optimistic merge REBASES by flipping onto a newer
+    manifest once it has proven (via the ``data_versions`` stamps)
+    that no intervening commit data-changed its buckets."""
+    version = (manifest["version"] if manifest else 0) + 1
     new_manifest = {
         "format": 1,
         "version": version,
@@ -718,6 +975,7 @@ def merge_lake_sink(
     n_buckets: int | None = MERGE_LAKE_BUCKETS,
     retain_versions: int = 1,
     compact_every: int | None = None,
+    concurrency: str = "locked",
 ) -> DataStreamWriter:
     """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
     a bucketed parquet lake table via ``foreachBatch`` + a manifest
@@ -756,7 +1014,10 @@ def merge_lake_sink(
     primitive plain filesystems offer (rename). Single-writer per
     lake_dir is ENFORCED by a stale-aware lock file (a live second
     writer raises ``ConcurrentMergeError``; a SIGKILLed writer's
-    lock is detected dead and broken). Committed manifests are
+    lock is detected dead and broken) — or pass
+    ``concurrency="optimistic"`` to let multiple sinks share the
+    lake, staging unlocked and locking only the manifest flip
+    (``merge_batch_optimistic``). Committed manifests are
     retained under ``_history/`` within the ``retain_versions``
     horizon, giving ``read_lake_snapshot(version=...)`` time travel
     and ``lake_changes`` a bucket-pruned change-data-feed.
@@ -765,11 +1026,26 @@ def merge_lake_sink(
     small-file accretion without operator cron. On a real table
     format, steps 2-4 collapse into one ``MERGE INTO`` with the
     same combine."""
+    if concurrency not in ("locked", "optimistic"):
+        raise ValueError(
+            f"concurrency must be 'locked' or 'optimistic', got {concurrency!r}"
+        )
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_batch_into_lake(
-            batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
-        )
+        if concurrency == "optimistic":
+            # multiple sinks (daemons) sharing one lake: stage
+            # unlocked, lock only the manifest flip, rebase across
+            # disjoint-bucket / physical-only commits (see
+            # merge_batch_optimistic). Each sink still checkpoints
+            # its own offsets; the semilattice combine makes any
+            # commit interleaving converge.
+            merge_batch_optimistic(
+                batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
+            )
+        else:
+            merge_batch_into_lake(
+                batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
+            )
         # opportunistic maintenance: every compact_every-th micro-batch
         # heals the sink's own small-file accretion in-line (a no-op —
         # no new version — when nothing is degraded, so checkpoint

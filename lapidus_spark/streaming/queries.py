@@ -1722,3 +1722,89 @@ def lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
     )
+
+
+#: concurrently-written lake per (process, sf_dir): writer A commits
+#: a third of the history locked, then an OPTIMISTIC writer stages
+#: another third and — in its stage-to-flip window — loses a race to
+#: BOTH a conflicting locked merge of the final third AND an OPTIMIZE
+#: compaction, forcing one recompute-and-retry before its flip lands.
+_CONCURRENT_LAKES: dict[str, str] = {}
+
+
+def build_concurrent_lake(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _CONCURRENT_LAKES:
+        return _CONCURRENT_LAKES[sf_dir]
+    from lapidus_spark.streaming.materialize import (
+        compact_lake,
+        merge_batch_into_lake,
+        merge_batch_optimistic,
+    )
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_occ_lake_")
+    merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 0), lake)  # v1
+
+    def interloper(attempt: int) -> None:
+        if attempt == 0:
+            # a data-changing merge on (mostly) the same buckets plus
+            # a physical-only compaction, both landing inside the
+            # optimistic writer's stage-to-flip window
+            merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 2), lake)
+            compact_lake(spark, lake, target_files_per_bucket=0)
+
+    merge_batch_optimistic(
+        env.filter(F.col("event_seq") % 3 == 1), lake, _race_hook=interloper
+    )
+    _CONCURRENT_LAKES[sf_dir] = lake
+    return lake
+
+
+@query(
+    "lake_concurrent_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="lake MERGE — optimistic multi-writer concurrency (Delta-style commit protocol)",
+    doc="Two writers share one lake with NO lock held across their "
+    "Spark work: the optimistic writer (merge_batch_optimistic) "
+    "computes and stages its commit unlocked into a nonce-named "
+    "commits/<v>.<nonce> dir, takes the lock only for the manifest "
+    "flip, and on discovering that a conflicting locked merge AND an "
+    "OPTIMIZE compaction both landed mid-flight, drops its staging "
+    "and recomputes against the fresh manifest (a pure-physical "
+    "compaction alone would NOT force that — the per-bucket "
+    "data_versions stamps prove content unchanged and the writer "
+    "rebases across it, tests/test_occ_merge.py). The flip order "
+    "serializes the writers and each merge is a semilattice join, so "
+    "the final snapshot must equal the serial LWW oracle over the "
+    "full history regardless of interleaving — which is what this "
+    "query checks. At 100 TB this shrinks the writer critical "
+    "section from the whole merge (Spark jobs under lock) to one "
+    "JSON rename, letting N daemons share a table the way Delta's "
+    "optimistic committers do.",
+)
+def lake_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    lake = build_concurrent_lake(spark, sf_dir)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )

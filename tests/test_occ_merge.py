@@ -1,0 +1,313 @@
+"""Optimistic multi-writer concurrency for the lake MERGE
+(``merge_batch_optimistic``): stage unlocked, lock only the manifest
+flip, rebase onto intervening commits when the per-bucket
+``data_versions`` stamps prove this merge's buckets' content
+unchanged, recompute on a true conflict. Models Delta's optimistic
+commit protocol on the manifest lake; the reference's analog is one
+worker per backend (src/lapidus.js:88-109) — this is the rung above
+it for two daemons sharing a lake.
+
+Deterministic interleaves are injected through ``_race_hook`` (runs
+between staging and flip — exactly the window where another writer
+can commit); the true-parallelism test races two subprocesses with no
+scheduling control at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lapidus_spark.sources.cdc import normalize_events
+from lapidus_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+COLS = ["entity_id", "last_seq", "last_ts", "last_type", "item"]
+
+
+def _env(spark):
+    return normalize_events(load_table(spark, SF_DIR, "events"))
+
+
+def _rows(spark, lake):
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    return sorted(map(tuple, read_lake_snapshot(spark, lake).select(*COLS).collect()))
+
+
+def _oneshot(spark, tmp_path, name="oneshot"):
+    """The serial oracle: one locked merge of the full history."""
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    lake = str(tmp_path / name)
+    merge_batch_into_lake(_env(spark), lake)
+    return _rows(spark, lake)
+
+
+def test_occ_uncontended_equals_locked(spark, tmp_path):
+    """With no concurrent writer, the optimistic merge commits on its
+    first attempt and produces the same versions and snapshot as the
+    locked path."""
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        merge_batch_optimistic,
+    )
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    m1 = merge_batch_optimistic(env.filter(F.col("event_seq") % 2 == 0), lake)
+    m2 = merge_batch_optimistic(env.filter(F.col("event_seq") % 2 == 1), lake)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert _read_manifest(lake)["version"] == 2
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+    # commit dirs carry the nonce suffix (collision-free staging)
+    for rel in m2["buckets"].values():
+        assert "." in rel.split("/")[1]
+
+
+def test_occ_rebase_across_disjoint_commit(spark, tmp_path):
+    """Another writer commits to DISJOINT buckets between our staging
+    and our flip: the stamps prove our buckets untouched, so we flip
+    WITHOUT recomputing (attempt 0), rebased onto the intervening
+    version — and the final snapshot carries both writers' rows."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    # split by BUCKET so the two writers are provably disjoint
+    bucketed = env.withColumn(
+        "b", F.pmod(F.xxhash64(F.col("pk").cast("string")), F.lit(8)).cast("int")
+    )
+    mine = bucketed.filter(F.col("b") < 4).drop("b")
+    theirs = bucketed.filter(F.col("b") >= 4).drop("b")
+    M.merge_batch_into_lake(mine.filter(F.col("event_seq") % 2 == 0), lake)  # v1
+
+    attempts = []
+
+    def interloper(attempt):
+        attempts.append(attempt)
+        M.merge_batch_into_lake(theirs, lake, n_buckets=None)  # v2 lands mid-flight
+
+    m = M.merge_batch_optimistic(
+        mine.filter(F.col("event_seq") % 2 == 1), lake, _race_hook=interloper
+    )
+    assert attempts == [0]  # no recompute: the rebase happened on attempt 0
+    assert m["version"] == 3
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_conflict_recomputes_and_converges(spark, tmp_path):
+    """Another writer data-changes OUR buckets mid-flight: attempt 0
+    must NOT flip (its staged merge is stale — flipping would lose
+    the interloper's rows), the staging is dropped, and attempt 1
+    recomputes against the interloper's manifest. Final snapshot =
+    the serial oracle over all three batches."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    batches = [env.filter(F.col("event_seq") % 3 == i) for i in range(3)]
+    M.merge_batch_into_lake(batches[0], lake)  # v1
+
+    attempts = []
+
+    def interloper(attempt):
+        attempts.append(attempt)
+        if attempt == 0:
+            M.merge_batch_into_lake(batches[2], lake)  # same entities → same buckets
+
+    m = M.merge_batch_optimistic(batches[1], lake, _race_hook=interloper)
+    assert attempts == [0, 1]  # one recompute
+    assert m["version"] == 3
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+    # the losing attempt's staging was cleaned up, not left as orphan
+    noncey = [
+        d for d in os.listdir(os.path.join(lake, "commits")) if "." in d
+    ]
+    live = {p.split("/")[1] for p in m["buckets"].values()}
+    assert set(noncey) <= live
+
+
+def test_occ_rebases_across_interleaved_compaction(spark, tmp_path):
+    """An OPTIMIZE lands between staging and flip. Compaction moves
+    every degraded bucket's pointer but is a pure physical rewrite —
+    the data_versions stamps carry through unchanged — so the
+    optimistic writer flips on attempt 0 (no recompute, the exact
+    payoff of tracking dataChange at bucket granularity)."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 0), lake)  # v1
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 1), lake)  # v2
+
+    attempts = []
+
+    def compactor(attempt):
+        attempts.append(attempt)
+        res = M.compact_lake(spark, lake, target_files_per_bucket=0)
+        assert res["compacted_buckets"] > 0  # it really rewrote our buckets
+
+    m = M.merge_batch_optimistic(
+        env.filter(F.col("event_seq") % 3 == 2), lake, _race_hook=compactor
+    )
+    assert attempts == [0]  # rebased straight across the compaction
+    assert m["version"] == 4
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_conflicts_on_rebucket(spark, tmp_path):
+    """A rebucket between staging and flip changes what bucket ids
+    MEAN: never rebase across it. The writer recomputes under the
+    new layout (n_buckets=None adopts it) and converges."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)  # v1, 8 buckets
+
+    attempts = []
+
+    def rebucketer(attempt):
+        attempts.append(attempt)
+        if attempt == 0:
+            M.rebucket_lake(spark, lake, new_n_buckets=4)
+
+    m = M.merge_batch_optimistic(
+        env.filter(F.col("event_seq") % 2 == 1), lake, n_buckets=None, _race_hook=rebucketer
+    )
+    assert attempts == [0, 1]
+    assert m["n_buckets"] == 4  # recomputed under the adopted layout
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_exhausts_attempts(spark, tmp_path):
+    """A writer that loses every race raises CommitConflictError and
+    leaves the table exactly as the winners built it (all stagings
+    cleaned up, manifest untouched by the loser)."""
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.streaming.materialize import CommitConflictError
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 0), lake)
+
+    def always_conflict(attempt):
+        # a fresh data change to (at least) the loser's buckets each time
+        M.merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == 2).withColumn(
+                "event_seq", F.col("event_seq") + 1_000_000 * (attempt + 1)
+            ),
+            lake,
+        )
+
+    before_version = M._read_manifest(lake)["version"]
+    with pytest.raises(CommitConflictError, match="lost 2 straight races"):
+        M.merge_batch_optimistic(
+            env.filter(F.col("event_seq") % 3 == 1),
+            lake,
+            max_attempts=2,
+            _race_hook=always_conflict,
+        )
+    m = M._read_manifest(lake)
+    assert m["version"] == before_version + 2  # only the interloper's commits
+    noncey = [d for d in os.listdir(os.path.join(lake, "commits")) if "." in d]
+    assert noncey == []  # every losing staging was dropped
+
+
+def test_occ_empty_batch_is_noop(spark, tmp_path):
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env, lake)
+    before = M._read_manifest(lake)
+    out = M.merge_batch_optimistic(env.filter(F.lit(False)), lake)
+    assert out == before and M._read_manifest(lake) == before
+
+
+def test_occ_arg_validation(spark, tmp_path):
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    with pytest.raises(ValueError, match="positive int"):
+        M.merge_batch_optimistic(env, lake, n_buckets=0)
+    with pytest.raises(ValueError, match="positive int"):
+        M.merge_batch_optimistic(env, lake, retain_versions=0)
+    M.merge_batch_into_lake(env, lake, n_buckets=8)
+    with pytest.raises(ValueError, match="rebucket_lake"):
+        M.merge_batch_optimistic(env, lake, n_buckets=16)
+    with pytest.raises(ValueError, match="locked.*optimistic"):
+        M.merge_lake_sink(env, lake, concurrency="chaotic")
+
+
+def test_gc_grace_spares_fresh_occ_staging_only(spark, tmp_path):
+    """The GC contract that makes unlocked staging safe: a FRESH
+    nonce-named commit dir survives another writer's GC (it may be an
+    in-flight staging), an AGED one is collected (crashed-writer
+    orphan), and plain locked-path dirs keep immediate collection."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)  # v1
+
+    # simulate an in-flight OCC staging from another writer
+    staged = os.path.join(lake, "commits", "0000000002.deadbeef")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "w") as fh:
+        fh.write("x")
+
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake)  # v2 + GC
+    assert os.path.isdir(staged)  # fresh staging spared
+
+    # age it past the grace → the next commit's GC collects it
+    os.utime(staged, (1, 1))
+    M.merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 2 == 1).withColumn(
+            "event_seq", F.col("event_seq") + 1_000_000
+        ),
+        lake,
+    )
+    assert not os.path.isdir(staged)  # aged orphan collected
+
+
+@pytest.mark.slow
+def test_occ_two_process_race(spark, tmp_path):
+    """TRUE parallelism, no scheduling control: two subprocess writers
+    each optimistically merge 3 batches into one shared lake,
+    launched simultaneously. Both must finish (retries absorb the
+    races), the version count must equal the total number of commits,
+    and the final snapshot must equal the serial oracle over the
+    union of everything either writer merged."""
+    import subprocess
+    import sys
+
+    import lapidus_spark.streaming.materialize as M
+
+    lake = str(tmp_path / "lake")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ, SPARK_DRIVER_MEMORY="2g", PYTHONPATH=repo_root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/occ_race_driver.py", lake, str(w), "3"],
+            env=base_env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and "WRITER_OK" in out, err[-2000:]
+
+    m = M._read_manifest(lake)
+    assert m["version"] == 6  # every commit serialized into its own version
+    env = _env(spark)
+    oracle_lake = str(tmp_path / "oracle")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 7 < 6), oracle_lake)
+    assert _rows(spark, lake) == _rows(spark, oracle_lake)
