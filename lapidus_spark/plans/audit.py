@@ -496,6 +496,15 @@ EXPECTATIONS: dict[str, dict] = {
     # the read stays a plain manifest-resolved pruned scan + pushed
     # tombstone filter, zero exchanges — identical to any live read
     "lake_concurrent_merge": {"pushed": True, "max_exchanges": 0},
+    # row-level pre/post-image feed: ONE pruned entity-level join
+    # (array-of-changes explode adds no exchange); ≤2 = SMJ both
+    # sides, AQE free to broadcast the small side at fixture scale
+    "lake_cdf_preimages": {"max_exchanges": 2, "no_single_partition": True},
+    # incremental gold fold: three per-step pruned diffs unioned into
+    # one grouped sum — exchanges = the step joins (AQE-broadcast at
+    # fixture scale) + the final shard agg's partials; never a
+    # single-partition collapse and never a snapshot rescan
+    "lake_gold_incremental": {"max_exchanges": 7, "no_single_partition": True},
 }
 
 

@@ -1338,20 +1338,16 @@ def _bucket_content_changed(m_old: dict | None, m_new: dict, b_str: str) -> bool
     return True
 
 
-def lake_changes(
-    spark, lake_dir: str, from_version: int, to_version: int | None = None
-) -> DataFrame:
-    """Change-data-feed between two committed versions: one row per
-    entity whose snapshot state differs, with the POST-image and a
-    ``change_type`` (insert / update / delete — delete meaning the
-    entity's latest state became a tombstone).
-
-    Scale contract: versions are manifests, so the changed-entity set
-    is computed by reading ONLY the buckets whose manifest pointers
-    differ between the two versions (path-level pruning — a merge
-    that touched k of B buckets makes this a k·(table/B) read, never
-    a table scan), then an entity-level anti-equality join of old vs
-    new within those buckets. Rows are never physically dropped
+def _cdf_frames(
+    spark, lake_dir: str, from_version: int, to_version: int | None, caller: str
+):
+    """Shared preamble of both change feeds: resolve the two
+    manifests, compute the data-changed bucket set (pointer diff
+    refined by the ``data_versions`` stamps — physical-only pointer
+    moves are skipped; a rebucket degrades to a layout-independent
+    full diff, each side through its OWN manifest), and return
+    ``(new_df, old_df)`` pruned to those buckets — ``(None, None)``
+    when nothing data-changed. Rows are never physically dropped
     (tombstones persist), so new ⊇ old keys and a left join from the
     new side is complete."""
     m_new = _manifest_at(lake_dir, to_version)
@@ -1363,7 +1359,7 @@ def lake_changes(
     # caller bug and must not silently return a full load.
     if from_version < 0:
         raise ValueError(
-            f"lake_changes: from_version must be >= 0 (0 = from empty), "
+            f"{caller}: from_version must be >= 0 (0 = from empty), "
             f"got {from_version}"
         )
     m_old = _manifest_at(lake_dir, from_version) if from_version >= 1 else None
@@ -1387,17 +1383,38 @@ def lake_changes(
             if _bucket_content_changed(m_old, m_new, b)
         }
         changed_old = changed_new
-    changed = changed_new
-    schema = (
-        "entity_id string, change_type string, last_seq bigint, "
-        "last_ts timestamp_ntz, last_type string, item string"
-    )
-    if not changed:
-        return spark.createDataFrame([], schema)
+    if not changed_new:
+        return None, None
     new_df = _read_live(spark, lake_dir, m_new, changed_new)
     old_df = _read_live(spark, lake_dir, m_old, changed_old) if m_old else None
     if old_df is None:
         old_df = spark.createDataFrame([], new_df.schema)
+    return new_df, old_df
+
+
+def lake_changes(
+    spark, lake_dir: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change-data-feed between two committed versions: one row per
+    entity whose snapshot state differs, with the POST-image and a
+    ``change_type`` (insert / update / delete — delete meaning the
+    entity's latest state became a tombstone).
+
+    Scale contract: versions are manifests, so the changed-entity set
+    is computed by reading ONLY the buckets whose manifest pointers
+    differ between the two versions (path-level pruning — a merge
+    that touched k of B buckets makes this a k·(table/B) read, never
+    a table scan), then an entity-level anti-equality join of old vs
+    new within those buckets. Rows are never physically dropped
+    (tombstones persist), so new ⊇ old keys and a left join from the
+    new side is complete."""
+    new_df, old_df = _cdf_frames(spark, lake_dir, from_version, to_version, "lake_changes")
+    schema = (
+        "entity_id string, change_type string, last_seq bigint, "
+        "last_ts timestamp_ntz, last_type string, item string"
+    )
+    if new_df is None:
+        return spark.createDataFrame([], schema)
     n, o = new_df.alias("n"), old_df.select("entity_id", "last_seq", "last_ts", "last_type").alias("o")
     return (
         n.join(o, "entity_id", "left")
@@ -1420,4 +1437,86 @@ def lake_changes(
             F.col("n.last_type").alias("last_type"),
             F.col("n.item").alias("item"),
         )
+    )
+
+
+def lake_changes_rows(
+    spark, lake_dir: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level change feed WITH PRE-IMAGES — Delta CDF's full
+    ``_change_type`` vocabulary over the consumer view (tombstones
+    filtered on both sides):
+
+    - visible in new only            → one ``insert`` row (new values)
+    - visible in both, values differ → ``update_preimage`` (old
+      values) + ``update_postimage`` (new values)
+    - visible in old only            → one ``delete`` row (OLD values
+      — the content that was removed, not the tombstone)
+
+    Pre-images are what make downstream aggregates INCREMENTALLY
+    maintainable without keeping per-entity state: every emitted row
+    carries a sign (+1 for insert/update_postimage, -1 for
+    delete/update_preimage), so ``gold += sign · f(row)`` folds the
+    feed into any group-by sum/count — the retraction algebra
+    streaming engines call upsert→retract conversion. The old rows
+    are already in the buckets this feed must read for the diff, so
+    pre-images cost ZERO extra I/O over ``lake_changes``; the same
+    stamp-refined pointer pruning applies (compactions skipped,
+    k·(table/B) reads). A tombstone refreshed by a newer tombstone is
+    logically absent→absent and emits NOTHING here (the entity-state
+    feed ``lake_changes`` reports it; this feed is the logical-row
+    view). Emission is one pass: the joined row builds an array of
+    candidate change structs, filters nulls, explodes — no
+    re-reading the join output per change type."""
+    new_df, old_df = _cdf_frames(
+        spark, lake_dir, from_version, to_version, "lake_changes_rows"
+    )
+    schema = (
+        "entity_id string, change_type string, last_seq bigint, "
+        "last_ts timestamp_ntz, last_type string, item string"
+    )
+    if new_df is None:
+        return spark.createDataFrame([], schema)
+    n = new_df.alias("n")
+    o = old_df.select("entity_id", "last_seq", "last_ts", "last_type", "item").alias("o")
+    # old-row existence via a never-null payload column: the USING
+    # join coalesces entity_id itself, so the o-side key is not
+    # addressable after the join
+    old_vis = F.col("o.last_seq").isNotNull() & (F.col("o.last_type") != "delete")
+    new_vis = F.col("n.last_type") != "delete"
+    updated = (
+        old_vis
+        & new_vis
+        & (
+            (F.col("o.last_seq") != F.col("n.last_seq"))
+            | (F.col("o.last_ts") != F.col("n.last_ts"))
+        )
+    )
+
+    def change(kind: str, side: str):
+        return F.struct(
+            F.lit(kind).alias("change_type"),
+            F.col(f"{side}.last_seq").alias("last_seq"),
+            F.col(f"{side}.last_ts").alias("last_ts"),
+            F.col(f"{side}.last_type").alias("last_type"),
+            F.col(f"{side}.item").alias("item"),
+        )
+
+    null_change = F.lit(None).cast(
+        "struct<change_type:string,last_seq:bigint,last_ts:timestamp_ntz,"
+        "last_type:string,item:string>"
+    )
+    changes = F.array(
+        F.when(~old_vis & new_vis, change("insert", "n")).otherwise(null_change),
+        F.when(updated, change("update_preimage", "o")).otherwise(null_change),
+        F.when(updated, change("update_postimage", "n")).otherwise(null_change),
+        F.when(old_vis & ~new_vis, change("delete", "o")).otherwise(null_change),
+    )
+    return (
+        n.join(o, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.explode(F.filter(changes, lambda c: c.isNotNull())).alias("c"),
+        )
+        .select("entity_id", "c.*")
     )

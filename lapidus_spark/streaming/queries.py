@@ -1808,3 +1808,138 @@ def lake_concurrent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
     )
+
+
+@query(
+    "lake_cdf_preimages",
+    oracle="""
+    WITH old_snap AS (
+      SELECT * FROM (
+        SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id AS last_seq,
+               ts AS last_ts,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+               props AS item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 3 IN (0, 1)
+      ) WHERE rn = 1 AND last_type <> 'delete'
+    ),
+    new_snap AS (
+      SELECT * FROM (
+        SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id AS last_seq,
+               ts AS last_ts,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                    WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+               props AS item,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND last_type <> 'delete'
+    )
+    SELECT n.entity_id, 'insert' AS change_type,
+           n.last_seq, n.last_ts, n.last_type, n.item
+    FROM new_snap n LEFT JOIN old_snap o USING (entity_id)
+    WHERE o.entity_id IS NULL
+    UNION ALL
+    SELECT n.entity_id, 'update_preimage',
+           o.last_seq, o.last_ts, o.last_type, o.item
+    FROM new_snap n JOIN old_snap o USING (entity_id)
+    WHERE o.last_seq <> n.last_seq OR o.last_ts <> n.last_ts
+    UNION ALL
+    SELECT n.entity_id, 'update_postimage',
+           n.last_seq, n.last_ts, n.last_type, n.item
+    FROM new_snap n JOIN old_snap o USING (entity_id)
+    WHERE o.last_seq <> n.last_seq OR o.last_ts <> n.last_ts
+    UNION ALL
+    SELECT o.entity_id, 'delete', o.last_seq, o.last_ts, o.last_type, o.item
+    FROM old_snap o LEFT JOIN new_snap n USING (entity_id)
+    WHERE n.entity_id IS NULL
+    """,
+    operator="lake change feed — row-level pre/post images (Delta CDF _change_type vocabulary)",
+    doc="The FULL Delta-CDF change vocabulary between two lake "
+    "versions, over the consumer view: insert (new values), "
+    "update_preimage (old values) + update_postimage (new values), "
+    "delete (the REMOVED content, not the tombstone). Pre-images "
+    "cost zero extra I/O — the old rows are already in the buckets "
+    "the diff must read — and the same data_versions-stamp pruning "
+    "applies (compaction steps skipped, k·(table/B) reads). "
+    "Emission is ONE pass over the pruned join: each joined row "
+    "builds an array of candidate change structs, null-filters, "
+    "explodes — no per-change-type re-read. Pre-images are what "
+    "make downstream aggregates incrementally maintainable without "
+    "per-entity state (see lake_gold_incremental).",
+)
+def lake_cdf_preimages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import lake_changes_rows
+
+    lake = build_versioned_lake(spark, sf_dir)
+    return lake_changes_rows(spark, lake, from_version=2, to_version=3).select(
+        "entity_id",
+        "change_type",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_gold_incremental",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id % 10 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(event_id) AS BIGINT) AS sum_seq
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1
+    """,
+    operator="incremental view maintenance from the pre-image change feed (medallion gold layer)",
+    doc="The gold layer maintained INCREMENTALLY: fold the signed "
+    "pre/post-image feed of each version step (0→1, 1→2, 2→3) into "
+    "a grouped aggregate — +f(row) for insert/update_postimage, "
+    "-f(row) for delete/update_preimage — with NO per-entity state "
+    "and NO snapshot rescan (the retraction algebra of upsert→"
+    "retract conversion; each step reads only its data-changed "
+    "buckets). Because every step's pre-image is bit-identical to "
+    "the previous step's post-image (both are the same stored lake "
+    "row), the contributions telescope per entity, so the fold must "
+    "equal the direct aggregate over the FINAL snapshot — which is "
+    "what the oracle computes from raw history. Groups whose "
+    "entities all net out (count 0) are dropped, matching the "
+    "direct aggregate's group set. At 100 TB this is the difference "
+    "between re-aggregating the table per refresh and touching "
+    "k·(table/B) changed bytes.",
+)
+def lake_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from lapidus_spark.streaming.materialize import lake_changes_rows
+
+    lake = build_versioned_lake(spark, sf_dir)
+    feed = reduce(
+        lambda a, b: a.unionByName(b),
+        [lake_changes_rows(spark, lake, v - 1, v) for v in (1, 2, 3)],
+    )
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        feed.select(
+            (F.col("entity_id").cast("long") % 10).alias("shard"),
+            sign.alias("sign"),
+            "last_seq",
+        )
+        .groupBy("shard")
+        .agg(
+            F.sum("sign").alias("n_entities"),
+            F.sum(F.col("sign") * F.col("last_seq")).alias("sum_seq"),
+        )
+        .filter(F.col("n_entities") > 0)
+    )
