@@ -532,6 +532,15 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # manifest versions): stateless pass-through to the sink, one
     # rate-limited micro-batch per committed version
     "stream_lake_cdf": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # continuously-maintained gold layer from the rowChanges feed:
+    # state = ONE complete-mode agg row per gold group (never per
+    # entity — the pre-images carry the retractions), one exchange
+    # for the group key; 3 batches = one per committed lake version
+    "stream_lake_gold": {
+        "plan_ops": ["StateStoreSave"],
+        "max_exchanges": 1,
+        "min_batches": 3,
+    },
     # stream-static joins: dim/centroid side broadcast, stream side
     # stateless (kmeans adds one complete-mode agg on the assignment)
     "stream_enrich_dim": {"plan_ops": [], "max_exchanges": 0},

@@ -127,15 +127,15 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # Round-8 window accounting (after r7 the ages are 50 r7 + 49 r6
     # + 48 r5; VERDICT r7 #2 directs the window onto the 48 r5-stale
     # signals plus anything touched by the change-feed work). The
-    # surface grew by FOUR this round (ext_ann_incremental,
-    # lake_concurrent_merge, lake_cdf_preimages,
-    # lake_gold_incremental — never driver-verified, age 0), so
-    # demand is 54 for 50 slots: the two touched queries below (rank
-    # (0,-1), strictly first), the four new, then 44 of the 48
-    # r5-stale. The four r5-stale that carry one more round are, by
-    # the heaviness ordering, the most trivial stateless queries in
-    # the cohort — each stays under per-round pytest oracle parity
-    # and the committed 149/149 sf0.1 sweep meanwhile (the same
+    # surface grew by FIVE this round (ext_ann_incremental,
+    # lake_concurrent_merge, lake_cdf_preimages, lake_gold_incremental,
+    # stream_lake_gold — never driver-verified, age 0), so demand is
+    # 55 for 50 slots: the two touched queries below (rank (0,-1),
+    # strictly first), the five new, then 43 of the 48 r5-stale. The
+    # five r5-stale that carry one more round are, by the heaviness
+    # ordering, the most trivial stateless queries in the cohort —
+    # each stays under per-round pytest oracle parity and the
+    # committed full-surface sf0.1 sweep meanwhile (the same
     # documented trade as round 4's format scans; feature growth is
     # what the slots are for).
     #

@@ -65,6 +65,9 @@ CDF_SCHEMA = (
 
 _NEW_COLS = ["entity_id", "last_seq", "last_ts", "last_type", "item"]
 _OLD_COLS = ["entity_id", "last_seq", "last_ts", "last_type"]
+#: rowChanges=true needs the old payload too: pre-image rows carry
+#: the OLD values in the same value columns
+_OLD_COLS_PRE = ["entity_id", "last_seq", "last_ts", "last_type", "item"]
 
 
 class LakeCDFPartition(InputPartition):
@@ -111,6 +114,13 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             raise ValueError("lake_cdf source requires option 'path' (the lake dir)")
         self.starting_version = int(options.get("startingversion", 0))
         self.max_versions = int(options.get("maxversionsperbatch", 0))
+        #: rowChanges=true switches the feed from entity-state rows
+        #: (one post-image row per changed entity) to the row-level
+        #: Delta-CDF vocabulary WITH pre-images over the consumer
+        #: view: insert / update_preimage / update_postimage / delete
+        #: — the streaming twin of lake_changes_rows, same schema
+        #: (pre-image rows carry the old values in the value columns).
+        self.row_changes = str(options.get("rowchanges", "false")).lower() == "true"
         #: admission-control frontier (driver-side only — NOT the
         #: committed offset, which lives in the checkpoint). After a
         #: restart it re-climbs from startingVersion; partitions()
@@ -217,13 +227,18 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         new = read_side(partition.new_files, _NEW_COLS)
         if new.empty:
             return
-        old = read_side(partition.old_files, _OLD_COLS)
+        old = read_side(
+            partition.old_files, _OLD_COLS_PRE if self.row_changes else _OLD_COLS
+        )
         # nullable Int64 BEFORE the merge: a plain left merge upcasts
         # the missing side to float64, which loses seq exactness above
         # 2^53 and could silently drop a change the batch-side
         # lake_changes (exact bigint <>) would emit.
         old["last_seq"] = old["last_seq"].astype("Int64")
         m = new.merge(old, on="entity_id", how="left", suffixes=("", "_o"))
+        if self.row_changes:
+            yield from self._row_change_batches(m, partition.ver)
+            return
         missing = m["last_seq_o"].isna().to_numpy(dtype=bool)
         changed = (
             missing
@@ -258,6 +273,76 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                    "last_type", "item", "ver"],
         )
 
+    def _row_change_batches(self, m, ver: int) -> Iterator:
+        """rowChanges=true executor path: the row-level Delta-CDF
+        vocabulary over the consumer view (the streaming twin of
+        ``lake_changes_rows``, same semantics test-pinned there):
+        insert = appeared visible (new values); update = visible both
+        sides with changed (seq, ts) → pre-image row (OLD values) +
+        post-image row (new values); delete = went invisible (the
+        REMOVED content, not the tombstone). A tombstone refreshed by
+        a newer tombstone is absent→absent and emits nothing."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        present = ~m["last_seq_o"].isna()
+        old_vis = (present & m["last_type_o"].ne("delete")).to_numpy(dtype=bool)
+        new_vis = m["last_type"].ne("delete").to_numpy(dtype=bool)
+        changed = (
+            old_vis
+            & new_vis
+            & (
+                m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
+                | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
+            )
+        )
+
+        def frame(mask, side: str, kind: str) -> pd.DataFrame | None:
+            sub = m[mask]
+            if sub.empty:
+                return None
+            return pd.DataFrame(
+                {
+                    "entity_id": sub["entity_id"].to_numpy(),
+                    "change_type": kind,
+                    "last_seq": sub["last_seq" + side].astype("Int64").to_numpy(),
+                    "last_ts": sub["last_ts" + side].to_numpy(),
+                    "last_type": sub["last_type" + side].to_numpy(),
+                    "item": sub["item" + side].to_numpy(),
+                }
+            )
+
+        frames = [
+            f
+            for f in (
+                frame(~old_vis & new_vis, "", "insert"),
+                frame(changed, "_o", "update_preimage"),
+                frame(changed, "", "update_postimage"),
+                frame(old_vis & ~new_vis, "_o", "delete"),
+            )
+            if f is not None
+        ]
+        if not frames:
+            return
+        out = pd.concat(frames, ignore_index=True)
+        ts = pc.assume_timezone(
+            pa.Array.from_pandas(out["last_ts"], type=pa.timestamp("us")), "UTC"
+        )
+        yield pa.record_batch(
+            [
+                pa.Array.from_pandas(out["entity_id"], type=pa.string()),
+                pa.Array.from_pandas(out["change_type"], type=pa.string()),
+                pa.Array.from_pandas(out["last_seq"], type=pa.int64()),
+                ts,
+                pa.Array.from_pandas(out["last_type"], type=pa.string()),
+                pa.Array.from_pandas(out["item"], type=pa.string()),
+                pa.array([ver] * len(out), type=pa.int32()),
+            ],
+            names=["entity_id", "change_type", "last_seq", "last_ts",
+                   "last_type", "item", "ver"],
+        )
+
     def commit(self, end: dict) -> None:
         self._floor = max(self._floor, int(end["version"]))
 
@@ -265,8 +350,11 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 class LakeChangeFeedDataSource(DataSource):
     """``spark.readStream.format("lake_cdf").option("path", lake)`` —
     options: ``startingVersion`` (diff base, exclusive; default 0 =
-    from empty, i.e. the full first version arrives as inserts) and
-    ``maxVersionsPerBatch`` (admission control; 0 = unbounded)."""
+    from empty, i.e. the full first version arrives as inserts),
+    ``maxVersionsPerBatch`` (admission control; 0 = unbounded), and
+    ``rowChanges`` (true = the row-level pre/post-image vocabulary of
+    ``lake_changes_rows`` instead of entity-state rows; same schema,
+    pre-image rows carry the old values)."""
 
     @classmethod
     def name(cls) -> str:

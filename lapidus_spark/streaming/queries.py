@@ -1943,3 +1943,75 @@ def lake_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_entities") > 0)
     )
+
+
+@query(
+    "stream_lake_gold",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id % 10 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(event_id) AS BIGINT) AS sum_seq
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1
+    """,
+    operator="streaming incremental view maintenance (gold layer) from the pre-image change feed",
+    doc="The medallion gold layer maintained CONTINUOUSLY: subscribe "
+    "to the lake's change feed with rowChanges=true (the row-level "
+    "pre/post-image vocabulary, emitted executor-side from the same "
+    "k·(table/B) pruned bucket diffs) and fold the signed rows into "
+    "a streaming grouped aggregate — +f(row) for insert/"
+    "update_postimage, -f(row) for delete/update_preimage. The "
+    "streaming state is ONE row per gold group (the aggregate "
+    "itself), NOT per entity — pre-images are exactly what removes "
+    "the per-entity state a plain upsert feed would force on the "
+    "aggregator; that is the retraction algebra streaming engines "
+    "use for upsert→retract conversion. Replayed over the versioned "
+    "lake's three commits as three rate-limited micro-batches; the "
+    "telescoping of per-step pre/post images makes the final fold "
+    "equal the direct aggregate over the final snapshot, which the "
+    "oracle computes from raw history.",
+)
+def stream_lake_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.lake_source import register_lake_cdf
+
+    register_lake_cdf(spark)
+    lake = build_versioned_lake(spark, sf_dir)
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake)
+        .option("maxVersionsPerBatch", "1")
+        .option("rowChanges", "true")
+        .load()
+    )
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    gold = (
+        feed.select(
+            (F.col("entity_id").cast("long") % 10).alias("shard"),
+            sign.alias("sign"),
+            "last_seq",
+        )
+        .groupBy("shard")
+        .agg(
+            F.sum("sign").alias("n_entities"),
+            F.sum(F.col("sign") * F.col("last_seq")).alias("sum_seq"),
+        )
+    )
+    out = _run_to_memory(
+        gold,
+        "stream_lake_gold_out",
+        output_mode="complete",
+        process_all=True,
+        partitions=4,
+    )
+    # groups whose entities all net out drop at the edge, matching the
+    # direct aggregate's group set (complete mode keeps them in state)
+    return out.filter(F.col("n_entities") > 0)

@@ -467,3 +467,74 @@ def test_medallion_chain_exactly_once_across_sigkill(spark, tmp_path):
     assert der_rows == src_rows  # full-history equality, tombstones included
     assert len(src_rows) > 0
     assert any(r[2] == "delete" for r in src_rows)  # the contract covers deletes
+
+
+def test_row_changes_stream_matches_batch_per_step(spark, tmp_path):
+    """rowChanges=true: the streamed pre/post-image rows of every
+    version step must equal the batch lake_changes_rows diff for that
+    step exactly — same vocabulary, same old-values pre-images —
+    including across a lifecycle with updates, deletes, a compaction
+    (zero rows, zero partitions) and a re-insert."""
+    from lapidus_spark.streaming.materialize import (
+        compact_lake,
+        lake_changes_rows,
+        merge_batch_into_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake, n_batches=3)  # versions 1..3
+    compact_lake(spark, lake, target_files_per_bucket=0, retain_versions=7)  # v4
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    merge_batch_into_lake(  # v5: fresh updates on top of the compacted state
+        env.filter(F.col("event_seq") % 5 == 0).withColumn(
+            "event_seq", F.col("event_seq") + 3_000_000
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 500 DAYS")),
+        lake,
+        n_buckets=None,
+        retain_versions=7,
+    )
+
+    register_lake_cdf(spark)
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake)
+        .option("maxVersionsPerBatch", "1")
+        .option("rowChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("row_changes_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = spark.table("row_changes_stream")
+
+    cols = ["entity_id", "change_type", "last_seq", "last_ts", "last_type", "item"]
+    for v in (1, 2, 3, 4, 5):
+        streamed = sorted(
+            map(
+                tuple,
+                got.filter(F.col("ver") == v)
+                .select(*cols[:3], F.col("last_ts").cast("timestamp_ntz"), *cols[4:])
+                .collect(),
+            )
+        )
+        batch = sorted(
+            map(
+                tuple,
+                lake_changes_rows(spark, lake, v - 1, v).select(*cols).collect(),
+            )
+        )
+        assert streamed == batch, f"step {v}"
+        if v == 4:
+            assert streamed == []  # the compaction step is silent
+        else:
+            assert streamed  # every data step emits something
+    # the vocabulary really appeared (pre-images included)
+    kinds = {r[0] for r in got.select("change_type").distinct().collect()}
+    assert {"insert", "update_preimage", "update_postimage"} <= kinds
