@@ -97,6 +97,14 @@ COHORT = [
     "lake_changes_feed",
     "lake_compaction",
     "lake_rebucket",
+    # round-8 surface (all-digestable schemas): OCC commit protocol,
+    # row-level pre/post-image feed, and the incremental gold fold
+    # (batch + streaming twin — the gold schema is pure bigint) at
+    # 10M envelopes / 32 splits
+    "lake_concurrent_merge",
+    "lake_cdf_preimages",
+    "lake_gold_incremental",
+    "stream_lake_gold",
 ]
 DERIVED_TABLES = ("documents", "events")
 

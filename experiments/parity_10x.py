@@ -76,6 +76,16 @@ COHORT = [
     "lake_changes_feed",
     "lake_compaction",
     "lake_rebucket",
+    # round-8 surface: optimistic multi-writer commits, the row-level
+    # pre/post-image feed, the incremental gold fold (batch + its
+    # streaming twin), and the incrementally-appended ANN index —
+    # each value-compared at 10x/8-split layouts where buckets and
+    # cells span splits and every interleave crosses real parallelism
+    "lake_concurrent_merge",
+    "lake_cdf_preimages",
+    "lake_gold_incremental",
+    "stream_lake_gold",
+    "ext_ann_incremental",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 
