@@ -1059,8 +1059,14 @@ def merge_lake_sink(
             and (epoch_id + 1) % compact_every == 0
             and _read_manifest(lake_dir) is not None
         ):
+            # optimistic sinks compact optimistically too: a sibling
+            # sink's mid-flight merge just drops those buckets from
+            # this compaction instead of deadlocking on the lock
             compact_lake(
-                batch_df.sparkSession, lake_dir, retain_versions=retain_versions
+                batch_df.sparkSession,
+                lake_dir,
+                retain_versions=retain_versions,
+                concurrency=concurrency,
             )
 
     # append mode: the stateful combine lives INSIDE the batch merge,
@@ -1074,6 +1080,7 @@ def compact_lake(
     target_files_per_bucket: int = 1,
     max_records_per_file: int | None = None,
     retain_versions: int = 1,
+    concurrency: str = "locked",
 ) -> dict:
     """OPTIMIZE for the lake: rewrite the buckets whose physical
     layout has degraded — more than ``target_files_per_bucket``
@@ -1101,34 +1108,33 @@ def compact_lake(
     several files is NOT re-counted as degraded by the next
     compaction (same valve) — no endless rewrite/version churn; a
     merge that rewrites the bucket moves its pointer off the
-    compaction commit and re-arms the check."""
+    compaction commit and re-arms the check.
+
+    ``concurrency="optimistic"`` removes the LONGEST lock-hold in the
+    system: the rewrite stages unlocked (writers keep committing) and
+    the flip applies PARTIALLY — any bucket a concurrent commit
+    data-changed mid-flight is simply dropped from the compaction
+    (the merge's pointer wins; the bucket re-arms for the next
+    OPTIMIZE). No retry loop is ever needed because partial
+    application is CORRECT for a pure physical rewrite — unlike a
+    merge, losing a race loses no data, only deferred maintenance.
+    Adds ``skipped_buckets`` to the result."""
+    if concurrency not in ("locked", "optimistic"):
+        raise ValueError(
+            f"concurrency must be 'locked' or 'optimistic', got {concurrency!r}"
+        )
+    if concurrency == "optimistic":
+        return _compact_optimistic(
+            spark, lake_dir, target_files_per_bucket, max_records_per_file, retain_versions
+        )
     lock = _acquire_lock(lake_dir)
     try:
         manifest = _healed_manifest(lake_dir)
         if manifest is None:
             raise ValueError(f"lake at {lake_dir} has no manifest to compact")
-        comp = manifest.get("compaction")
-        degraded = []
-        for b, rel in manifest["buckets"].items():
-            if rel.startswith("bucket="):
-                degraded.append(int(b))  # legacy layout: always migrate
-                continue
-            if (
-                comp is not None
-                and comp.get("valve") == max_records_per_file
-                and rel.startswith(f"commits/{comp['version']:010d}/")
-            ):
-                continue  # already compacted under this exact valve
-            try:
-                nfiles = sum(
-                    1
-                    for f in os.listdir(os.path.join(lake_dir, rel))
-                    if f.endswith(".parquet")
-                )
-            except FileNotFoundError:
-                nfiles = 0
-            if nfiles > target_files_per_bucket:
-                degraded.append(int(b))
+        degraded = _degraded_buckets(
+            lake_dir, manifest, target_files_per_bucket, max_records_per_file
+        )
         if not degraded:
             return {"version": manifest["version"], "compacted_buckets": 0}
         rows = _read_live(spark, lake_dir, manifest, set(degraded))
@@ -1138,14 +1144,143 @@ def compact_lake(
             lake_dir,
             manifest,
             packed,
-            sorted(degraded),
+            degraded,
             manifest["n_buckets"],
             retain_versions,
             max_records_per_file=max_records_per_file,
-            extra={"compaction": {"version": version, "valve": max_records_per_file}},
+            extra={
+                "compaction": {
+                    "version": version,
+                    "valve": max_records_per_file,
+                    "rel": f"commits/{version:010d}",
+                }
+            },
             data_change=False,
         )
         return {"version": version, "compacted_buckets": len(degraded)}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _degraded_buckets(
+    lake_dir: str,
+    manifest: dict,
+    target_files_per_bucket: int,
+    max_records_per_file: int | None,
+) -> list:
+    """Buckets whose physical layout needs an OPTIMIZE under this
+    valve: legacy root dirs (always migrate), else more parquet files
+    than the target — excluding buckets still pointing into the last
+    compaction commit under the SAME valve (the convergence check;
+    keyed on the recorded commit ``rel`` so it survives nonce-named
+    optimistic compaction dirs, with the version-derived name as the
+    pre-``rel`` manifest fallback)."""
+    comp = manifest.get("compaction")
+    comp_prefix = None
+    if comp is not None and comp.get("valve") == max_records_per_file:
+        comp_prefix = (comp.get("rel") or f"commits/{comp['version']:010d}") + "/"
+    degraded = []
+    for b, rel in manifest["buckets"].items():
+        if rel.startswith("bucket="):
+            degraded.append(int(b))  # legacy layout: always migrate
+            continue
+        if comp_prefix is not None and rel.startswith(comp_prefix):
+            continue  # already compacted under this exact valve
+        try:
+            nfiles = sum(
+                1
+                for f in os.listdir(os.path.join(lake_dir, rel))
+                if f.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            nfiles = 0
+        if nfiles > target_files_per_bucket:
+            degraded.append(int(b))
+    return sorted(degraded)
+
+
+def _compact_optimistic(
+    spark,
+    lake_dir: str,
+    target_files_per_bucket: int,
+    max_records_per_file: int | None,
+    retain_versions: int,
+    flip_wait_s: float = 30.0,
+    _race_hook: Callable[[], None] | None = None,
+) -> dict:
+    """Lock-free-staging OPTIMIZE (see ``compact_lake``): read and
+    rewrite the degraded buckets with NO lock held, then under the
+    flip lock apply only the buckets no concurrent commit
+    data-changed meanwhile (the ``data_versions`` stamps decide; a
+    concurrent COMPACTION's equal stamps are also a skip-free apply —
+    two racing optimizers both land, the second a harmless no-op
+    rewrite). Dropped buckets' staged files stay inside the commit
+    dir as dead weight until the dir leaves every retained manifest —
+    wasted space bounded by the lost buckets, never wrong data."""
+    import shutil
+    import uuid
+
+    base = _healed_manifest(lake_dir)
+    if base is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest to compact")
+    degraded = _degraded_buckets(
+        lake_dir, base, target_files_per_bucket, max_records_per_file
+    )
+    if not degraded:
+        return {"version": base["version"], "compacted_buckets": 0, "skipped_buckets": 0}
+    rows = _read_live(spark, lake_dir, base, set(degraded))
+    packed = rows.repartition(len(degraded), F.col("bucket"))
+    commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
+    _stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
+    if _race_hook is not None:
+        _race_hook()
+    lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+    try:
+        cur = _healed_manifest(lake_dir)
+        if cur["n_buckets"] != base["n_buckets"]:
+            # a rebucket rewrote the whole layout mid-flight: nothing
+            # to salvage (bucket ids changed meaning) — drop the work
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+            return {
+                "version": cur["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        keep = [
+            b for b in degraded if not _bucket_content_changed(base, cur, str(b))
+        ]
+        if not keep:
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+            return {
+                "version": cur["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        version = cur["version"] + 1
+        _flip_version(
+            lake_dir,
+            cur,
+            commit_rel,
+            keep,
+            cur["n_buckets"],
+            retain_versions,
+            extra={
+                "compaction": {
+                    "version": version,
+                    "valve": max_records_per_file,
+                    "rel": commit_rel,
+                }
+            },
+            data_change=False,
+        )
+        return {
+            "version": version,
+            "compacted_buckets": len(keep),
+            "skipped_buckets": len(degraded) - len(keep),
+        }
     finally:
         try:
             os.remove(lock)

@@ -311,3 +311,111 @@ def test_occ_two_process_race(spark, tmp_path):
     oracle_lake = str(tmp_path / "oracle")
     M.merge_batch_into_lake(env.filter(F.col("event_seq") % 7 < 6), oracle_lake)
     assert _rows(spark, lake) == _rows(spark, oracle_lake)
+
+
+def test_occ_compaction_uncontended_equals_locked(spark, tmp_path):
+    """With no concurrent writer, optimistic OPTIMIZE compacts the
+    same buckets as the locked path would, publishes the same
+    bit-identical snapshot, records the convergence marker (keyed on
+    the nonce-named commit rel), and an immediate re-run under the
+    same valve compacts nothing (no rewrite churn)."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    for i in range(3):
+        M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == i), lake)
+    before = _rows(spark, lake)
+    res = M.compact_lake(
+        spark, lake, target_files_per_bucket=0, concurrency="optimistic"
+    )
+    assert res["compacted_buckets"] > 0 and res["skipped_buckets"] == 0
+    assert _rows(spark, lake) == before  # pure physical rewrite
+    m = M._read_manifest(lake)
+    assert m["compaction"]["rel"].startswith("commits/") and "." in m["compaction"]["rel"]
+    again = M.compact_lake(
+        spark, lake, target_files_per_bucket=0, concurrency="optimistic"
+    )
+    assert again["compacted_buckets"] == 0  # convergence survives nonce names
+
+
+def test_occ_compaction_partial_apply_on_conflict(spark, tmp_path):
+    """A merge lands on SOME of the degraded buckets between staging
+    and flip: the compaction applies PARTIALLY — the merged buckets
+    keep the merge's pointers (its rows survive), the rest flip to
+    the compacted files — with no retry and no lost update. The
+    skipped buckets re-arm and the next OPTIMIZE finishes the job."""
+    import os
+
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    for i in range(3):
+        M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == i), lake)
+
+    interloper = (
+        env.orderBy("pk", "event_seq")
+        .limit(1)
+        .withColumn("event_seq", F.col("event_seq") + 5_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2000 DAYS"))
+        # an update, never a tombstone: the assertion below reads the
+        # consumer view, which filters deletes
+        .withColumn("type", F.lit("update"))
+        .withColumn("item", F.lit("occ-interloper"))
+    )
+
+    def race():
+        M.merge_batch_into_lake(interloper, lake)
+
+    res = M._compact_optimistic(
+        spark, lake, 0, None, retain_versions=1, _race_hook=race
+    )
+    assert res["skipped_buckets"] == 1  # exactly the merged bucket
+    assert res["compacted_buckets"] > 0
+    m = M._read_manifest(lake)
+    comp_rel = m["compaction"]["rel"]
+    merged_bucket = [
+        b for b, v in m["data_versions"].items() if v == res["version"] - 1
+    ]
+    assert len(merged_bucket) == 1
+    # the merged bucket kept the MERGE's pointer, not the compaction's
+    assert not m["buckets"][merged_bucket[0]].startswith(comp_rel)
+    # the interloper's row survived into the final snapshot
+    key = interloper.select("pk").first()[0]
+    snap = {r[0]: r[1] for r in _rows(spark, lake)}
+    assert snap[str(key)] >= 5_000_000
+    # full snapshot = serial oracle over history + interloper
+    one = str(tmp_path / "oneshot")
+    M.merge_batch_into_lake(env.unionByName(interloper), one)
+    assert _rows(spark, lake) == _rows(spark, one)
+    # the skipped bucket re-arms: next OPTIMIZE compacts it
+    res2 = M.compact_lake(
+        spark, lake, target_files_per_bucket=0, concurrency="optimistic"
+    )
+    assert res2["compacted_buckets"] == 1 and res2["skipped_buckets"] == 0
+    del os
+
+
+def test_occ_compaction_aborts_on_rebucket(spark, tmp_path):
+    """A rebucket mid-flight invalidates every staged bucket id: the
+    optimistic compaction drops its work wholesale (zero applied),
+    leaves the post-rebucket manifest untouched, and the lake reads
+    back correctly."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    for i in range(2):
+        M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == i), lake)
+
+    def race():
+        M.rebucket_lake(spark, lake, new_n_buckets=4)
+
+    res = M._compact_optimistic(
+        spark, lake, 0, None, retain_versions=1, _race_hook=race
+    )
+    assert res["compacted_buckets"] == 0 and res["skipped_buckets"] > 0
+    m = M._read_manifest(lake)
+    assert m["n_buckets"] == 4 and m["version"] == res["version"]
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
