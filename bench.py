@@ -50,6 +50,7 @@ def main() -> None:
         build_jsoncdc_replay,
     )
     from lapidus_spark.streaming.queries import (
+        build_clustered_lake,
         build_concurrent_lake,
         build_late_replay,
         build_maintenance_lake,
@@ -85,6 +86,7 @@ def main() -> None:
         build_versioned_lake,
         build_maintenance_lake,
         build_concurrent_lake,
+        build_clustered_lake,
     ):
         t0 = time.perf_counter()
         try:

@@ -105,6 +105,7 @@ COHORT = [
     "lake_cdf_preimages",
     "lake_gold_incremental",
     "stream_lake_gold",
+    "lake_zonemap_read",
 ]
 DERIVED_TABLES = ("documents", "events")
 

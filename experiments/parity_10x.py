@@ -86,6 +86,7 @@ COHORT = [
     "lake_gold_incremental",
     "stream_lake_gold",
     "ext_ann_incremental",
+    "lake_zonemap_read",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -505,6 +505,9 @@ EXPECTATIONS: dict[str, dict] = {
     # fixture scale) + the final shard agg's partials; never a
     # single-partition collapse and never a snapshot rescan
     "lake_gold_incremental": {"max_exchanges": 7, "no_single_partition": True},
+    # zone-map point read: manifest-stat file pruning below the
+    # bucket pruning, pushed isin/tombstone filters, zero exchanges
+    "lake_zonemap_read": {"pushed": True, "max_exchanges": 0},
 }
 
 

@@ -127,17 +127,17 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # Round-8 window accounting (after r7 the ages are 50 r7 + 49 r6
     # + 48 r5; VERDICT r7 #2 directs the window onto the 48 r5-stale
     # signals plus anything touched by the change-feed work). The
-    # surface grew by FIVE this round (ext_ann_incremental,
+    # surface grew by SIX this round (ext_ann_incremental,
     # lake_concurrent_merge, lake_cdf_preimages, lake_gold_incremental,
-    # stream_lake_gold — never driver-verified, age 0), so demand is
-    # 55 for 50 slots: the two touched queries below (rank (0,-1),
-    # strictly first), the five new, then 43 of the 48 r5-stale. The
-    # five r5-stale that carry one more round are, by the heaviness
-    # ordering, the most trivial stateless queries in the cohort —
-    # each stays under per-round pytest oracle parity and the
-    # committed full-surface sf0.1 sweep meanwhile (the same
-    # documented trade as round 4's format scans; feature growth is
-    # what the slots are for).
+    # stream_lake_gold, lake_zonemap_read — never driver-verified,
+    # age 0), so demand is 56 for 50 slots: the two touched queries
+    # below (rank (0,-1), strictly first), the six new, then 42 of
+    # the 48 r5-stale. The six r5-stale that carry one more round
+    # are, by the heaviness ordering, the most trivial stateless
+    # queries in the cohort — each stays under per-round pytest
+    # oracle parity and the committed full-surface sf0.1 sweep
+    # meanwhile (the same documented trade as round 4's format scans;
+    # feature growth is what the slots are for).
     #
     # The diff-CONSUMING queries changed behavior this round
     # (dataChange-aware bucket pruning + marked-rebucket skip,

@@ -859,6 +859,7 @@ def _publish_version(
     max_records_per_file: int | None = None,
     extra: dict | None = None,
     data_change: bool = True,
+    with_file_stats: bool = False,
 ) -> dict:
     """The shared publish step of every table-mutating op (merge,
     compact, rebucket): write ``rows`` (bucket column already set) for
@@ -876,10 +877,17 @@ def _publish_version(
     commit, Delta's ``dataChange`` bit at bucket granularity — carry
     through unchanged, so change-feed consumers (``lake_changes``,
     the ``lake_cdf`` streaming source) skip the rewritten buckets
-    entirely instead of re-reading them to emit zero rows."""
+    entirely instead of re-reading them to emit zero rows.
+
+    ``with_file_stats=True`` gathers per-file entity_id zone maps
+    from the staged footers (metadata-sized driver work) and records
+    them in the manifest — the clustered-compaction path."""
     version = (manifest["version"] if manifest else 0) + 1
     commit_rel = f"commits/{version:010d}"
     _stage_commit(lake_dir, rows, touched, commit_rel, max_records_per_file)
+    stats = (
+        _commit_file_stats(lake_dir, commit_rel, touched) if with_file_stats else None
+    )
     return _flip_version(
         lake_dir,
         manifest,
@@ -890,6 +898,7 @@ def _publish_version(
         replace_all=replace_all,
         extra=extra,
         data_change=data_change,
+        file_stats=stats,
     )
 
 
@@ -929,6 +938,7 @@ def _flip_version(
     replace_all: bool = False,
     extra: dict | None = None,
     data_change: bool = True,
+    file_stats: dict | None = None,
 ) -> dict:
     """The metadata half of a commit: build the next manifest on
     ``manifest`` with ``touched`` pointed at ``commit_rel``, flip
@@ -936,7 +946,13 @@ def _flip_version(
     ``manifest`` need not be the one the staged rows were computed
     against — an optimistic merge REBASES by flipping onto a newer
     manifest once it has proven (via the ``data_versions`` stamps)
-    that no intervening commit data-changed its buckets."""
+    that no intervening commit data-changed its buckets.
+
+    ``file_stats`` (bucket → file → [min, max] of entity_id) are the
+    zone maps a CLUSTERED compaction records for its sorted output;
+    carried stats for any ``touched`` bucket are dropped (its pointer
+    left the commit the stats describe) and the new entries applied —
+    so stats are always truthful for the files the manifest names."""
     version = (manifest["version"] if manifest else 0) + 1
     new_manifest = {
         "format": 1,
@@ -958,11 +974,17 @@ def _flip_version(
     data_versions = (
         {} if replace_all else dict((manifest or {}).get("data_versions", {}))
     )
+    zone_maps = {} if replace_all else dict((manifest or {}).get("file_stats", {}))
     for b in touched:
         new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
         if data_change:
             data_versions[str(b)] = version
+        zone_maps.pop(str(b), None)  # pointer moved: old stats are stale
+    if file_stats:
+        zone_maps.update(file_stats)
     new_manifest["data_versions"] = data_versions
+    if zone_maps:
+        new_manifest["file_stats"] = zone_maps
     _commit_manifest(lake_dir, new_manifest)
     _write_history(lake_dir, new_manifest)
     _gc_unreferenced(lake_dir, new_manifest, retain_versions)
@@ -1138,7 +1160,14 @@ def compact_lake(
         if not degraded:
             return {"version": manifest["version"], "compacted_buckets": 0}
         rows = _read_live(spark, lake_dir, manifest, set(degraded))
-        packed = rows.repartition(len(degraded), F.col("bucket"))
+        # CLUSTERED rewrite: one task per bucket, sorted by entity_id,
+        # so the valve's sequential file splits carry disjoint key
+        # ranges — the zone maps recorded from the staged footers make
+        # lake_point_read overlap <=1 file per key (OPTIMIZE ZORDER's
+        # payoff on the single bucket-key dimension).
+        packed = rows.repartition(len(degraded), F.col("bucket")).sortWithinPartitions(
+            "bucket", "entity_id"
+        )
         version = manifest["version"] + 1
         _publish_version(
             lake_dir,
@@ -1156,6 +1185,7 @@ def compact_lake(
                 }
             },
             data_change=False,
+            with_file_stats=True,
         )
         return {"version": version, "compacted_buckets": len(degraded)}
     finally:
@@ -1163,6 +1193,64 @@ def compact_lake(
             os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
+    """Per-file entity_id zone maps for a staged commit: bucket →
+    file → [min, max], read from the parquet FOOTERS only (driver-
+    side, metadata-sized — proportional to the file count, never the
+    data). Only worth recording for CLUSTERED output (compaction
+    sorts each bucket by entity_id, so the valve's sequential file
+    splits carry disjoint ranges and a point read overlaps ≤1 file
+    per key); on unsorted output the ranges would all span the whole
+    bucket and prune nothing. A file without usable min/max drops the
+    whole bucket's entry — readers fall back to the full dir,
+    conservative, never wrong."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for b in buckets:
+        d = os.path.join(lake_dir, commit_rel, f"{_PARTITION_COL}={b}")
+        stats: dict = {}
+        usable = True
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            mins: list = []
+            maxs: list = []
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                col = next(
+                    (
+                        grp.column(i)
+                        for i in range(grp.num_columns)
+                        if grp.column(i).path_in_schema == "entity_id"
+                    ),
+                    None,
+                )
+                st = col.statistics if col is not None else None
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                # parquet writers may TRUNCATE long binary min/max
+                # (a truncated max can undershoot the real one, which
+                # would make pruning drop a file that holds the key).
+                # Values short of the common 64-byte truncation floor
+                # cannot have been truncated; longer ones are rejected
+                # — conservative fallback to the full dir.
+                if len(str(st.min)) >= 64 or len(str(st.max)) >= 64:
+                    usable = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not usable or not mins:
+                usable = False
+                break
+            stats[f] = [min(mins), max(maxs)]
+        if usable and stats:
+            out[str(b)] = stats
+    return out
 
 
 def _degraded_buckets(
@@ -1232,9 +1320,12 @@ def _compact_optimistic(
     if not degraded:
         return {"version": base["version"], "compacted_buckets": 0, "skipped_buckets": 0}
     rows = _read_live(spark, lake_dir, base, set(degraded))
-    packed = rows.repartition(len(degraded), F.col("bucket"))
+    packed = rows.repartition(len(degraded), F.col("bucket")).sortWithinPartitions(
+        "bucket", "entity_id"
+    )  # clustered, like the locked path — zone maps from the footers
     commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
     _stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
+    staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
     if _race_hook is not None:
         _race_hook()
     lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
@@ -1275,6 +1366,7 @@ def _compact_optimistic(
                 }
             },
             data_change=False,
+            file_stats={b: s for b, s in staged_stats.items() if int(b) in set(keep)},
         )
         return {
             "version": version,
@@ -1425,7 +1517,15 @@ def lake_point_read(
     that same manifest (a rebucket committing between two separate
     resolutions could otherwise prune under the wrong layout). Keys
     hashing to never-written buckets simply contribute no rows —
-    the normal missing-key lookup outcome."""
+    the normal missing-key lookup outcome.
+
+    Below the bucket pruning sits FILE pruning: buckets last written
+    by a clustered compaction carry per-file entity_id zone maps in
+    the manifest (``file_stats``), so only the files whose [min, max]
+    range overlaps a requested key are opened — after an OPTIMIZE, a
+    key touches ≤1 file of its bucket no matter how many the valve
+    split it into. Buckets without stats (fresh merges) read whole,
+    conservative."""
     manifest = _manifest_at(lake_dir, version)
     if manifest is None:
         raise ValueError(f"lake at {lake_dir} has no manifest for point reads")
@@ -1442,9 +1542,31 @@ def lake_point_read(
         }
     else:
         buckets = set()
-    df = _read_live(spark, lake_dir, manifest, buckets)
-    if df is None:  # every requested bucket is unwritten: no rows
+    zone_maps = manifest.get("file_stats", {})
+    plain, pruned_files = set(), []
+    for b in buckets:
+        stats = zone_maps.get(str(b))
+        rel = manifest["buckets"].get(str(b))
+        if stats is None or rel is None or rel.startswith("bucket="):
+            plain.add(b)  # no stats (or legacy layout): whole bucket
+            continue
+        pruned_files.extend(
+            os.path.join(lake_dir, rel, f)
+            for f, (mn, mx) in sorted(stats.items())
+            if any(mn <= k <= mx for k in key_strs)
+        )
+    parts = []
+    base = _read_live(spark, lake_dir, manifest, plain) if plain else None
+    if base is not None:
+        parts.append(base.select(*_LAKE_COLS))
+    if pruned_files:
+        parts.append(spark.read.parquet(*pruned_files).select(*_LAKE_COLS))
+    if not parts:  # every requested bucket unwritten / fully pruned
         df = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+    else:
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b), parts)
     return df.filter(
         (F.col("last_type") != "delete") & F.col("entity_id").isin(key_strs)
     )

@@ -2015,3 +2015,78 @@ def stream_lake_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groups whose entities all net out drop at the edge, matching the
     # direct aggregate's group set (complete mode keeps them in state)
     return out.filter(F.col("n_entities") > 0)
+
+
+#: clustered lake per (process, sf_dir): three merges then a
+#: clustered OPTIMIZE (sorted within buckets, valve=64) so the
+#: manifest carries per-file entity_id zone maps for every bucket —
+#: at sf0.1 each bucket splits into ~15 range-disjoint files.
+_CLUSTERED_LAKES: dict[str, str] = {}
+
+
+def build_clustered_lake(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _CLUSTERED_LAKES:
+        return _CLUSTERED_LAKES[sf_dir]
+    from lapidus_spark.streaming.materialize import compact_lake, merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_clustered_lake_")
+    for i in (0, 1, 2):
+        merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == i), lake)
+    compact_lake(
+        spark,
+        lake,
+        target_files_per_bucket=0,
+        max_records_per_file=64,
+        concurrency="optimistic",
+    )
+    _CLUSTERED_LAKES[sf_dir] = lake
+    return lake
+
+
+@query(
+    "lake_zonemap_read",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error' AND user_id BETWEEN 1 AND 8
+    """,
+    operator="clustered OPTIMIZE + manifest zone maps — file-pruned point reads",
+    doc="OPTIMIZE ZORDER's payoff on the bucket-key dimension: the "
+    "clustered compaction sorts each bucket by entity_id (one task "
+    "per bucket, maxRecordsPerFile=64 as the valve), records every "
+    "staged file's [min, max] entity_id range in the manifest from "
+    "the parquet FOOTERS (driver-side, metadata-sized), and "
+    "lake_point_read then opens only the files whose range overlaps "
+    "a requested key — at sf0.1 each bucket holds ~15 range-disjoint "
+    "files and a key touches exactly one, so the 8-key read opens "
+    "<=8 files instead of 8 whole bucket dirs (pytest pins the "
+    "inputFiles count; at 100 TB this is the difference between a "
+    "key lookup reading table/B bytes and reading one file). Stats "
+    "are dropped for any bucket whose pointer later moves (merge, "
+    "rebucket) — conservative fallback to the full dir, so pruning "
+    "is never wrong. The result must equal the full-corpus LWW "
+    "snapshot restricted to the keys.",
+)
+def lake_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import lake_point_read
+
+    lake = build_clustered_lake(spark, sf_dir)
+    return lake_point_read(spark, lake, [str(u) for u in range(1, 9)]).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
