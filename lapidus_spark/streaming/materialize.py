@@ -435,6 +435,20 @@ def _commit_manifest(lake_dir: str, manifest: dict) -> None:
     )
 
 
+def _newest_mtime(root: str) -> float:
+    """Newest mtime anywhere under ``root`` (inclusive): the liveness
+    signal for an in-flight staging, since writes inside subdirs do
+    not touch the top-level directory's own mtime."""
+    newest = os.stat(root).st_mtime
+    for dirpath, dirnames, filenames in os.walk(root):
+        for name in dirnames + filenames:
+            try:
+                newest = max(newest, os.stat(os.path.join(dirpath, name)).st_mtime)
+            except OSError:
+                continue
+    return newest
+
+
 def _gc_unreferenced(
     lake_dir: str,
     manifest: dict,
@@ -509,15 +523,17 @@ def _gc_unreferenced(
                 # suffixed names): such a dir may be a concurrent
                 # writer's staged-not-yet-flipped commit — staging
                 # runs outside the lock — so only ones older than the
-                # grace are certainly crashed-writer orphans. Every
-                # file write updates the dir mtime, so a staging in
-                # progress always reads as fresh. Locked-path dirs
-                # (plain zero-padded names) are never in flight
-                # outside the lock and keep immediate collection.
+                # grace are certainly crashed-writer orphans. A live
+                # staging keeps SOME entry fresh (Spark writes land
+                # in pb=K/_temporary subtrees, which do NOT bump the
+                # top-level dir's mtime — so take the newest mtime in
+                # the whole tree, a walk bounded by the orphan's own
+                # file count). Locked-path dirs (plain zero-padded
+                # names) are never in flight outside the lock and
+                # keep immediate collection.
                 if "." in d:
                     try:
-                        st = os.stat(os.path.join(commits_root, d))
-                        if now - st.st_mtime < grace_seconds:
+                        if now - _newest_mtime(os.path.join(commits_root, d)) < grace_seconds:
                             continue
                     except OSError:
                         continue
@@ -618,16 +634,7 @@ def merge_batch_into_lake(
     committed versions' data GC keeps after this merge. 1 = live
     only; K > 1 enables ``read_lake_snapshot(version=...)`` time
     travel and ``lake_changes`` over the last K versions."""
-    if n_buckets is not None and (
-        isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1
-    ):
-        raise ValueError(f"n_buckets must be a positive int or None, got {n_buckets!r}")
-    if (
-        isinstance(retain_versions, bool)
-        or not isinstance(retain_versions, int)
-        or retain_versions < 1
-    ):
-        raise ValueError(f"retain_versions must be a positive int, got {retain_versions!r}")
+    _validate_merge_args(n_buckets, retain_versions)
     spark = batch_df.sparkSession
     lock = _acquire_lock(lake_dir)
     try:
@@ -651,9 +658,27 @@ def _healed_manifest(lake_dir: str) -> dict | None:
     return manifest
 
 
-def _merge_locked(
-    spark, batch_df: DataFrame, lake_dir: str, n_buckets: int | None, retain_versions: int
-) -> None:
+def _validate_merge_args(n_buckets, retain_versions) -> None:
+    if n_buckets is not None and (
+        isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1
+    ):
+        raise ValueError(f"n_buckets must be a positive int or None, got {n_buckets!r}")
+    if (
+        isinstance(retain_versions, bool)
+        or not isinstance(retain_versions, int)
+        or retain_versions < 1
+    ):
+        raise ValueError(f"retain_versions must be a positive int, got {retain_versions!r}")
+
+
+def _resolve_base(lake_dir: str, n_buckets: int | None, adopt_legacy: bool):
+    """Shared merge preamble: the healed base manifest plus the
+    resolved bucket count (pinned layout wins; a mismatch raises).
+    A pre-manifest legacy layout (root bucket=K dirs, no manifest) is
+    ADOPTED as version 0 on the locked path; the optimistic path
+    REFUSES it instead (``adopt_legacy=False``) — silently treating
+    the un-manifested table as empty would replace it with the batch
+    and GC the standing files."""
     manifest = _healed_manifest(lake_dir)
     if n_buckets is None:
         n_buckets = manifest["n_buckets"] if manifest else MERGE_LAKE_BUCKETS
@@ -672,28 +697,52 @@ def _merge_locked(
             d for d in os.listdir(lake_dir) if d.startswith("bucket=") and "=" in d
         )
         if legacy:
+            if not adopt_legacy:
+                raise ValueError(
+                    f"lake at {lake_dir} has a pre-manifest legacy layout "
+                    f"({len(legacy)} root bucket= dirs, no {MANIFEST_NAME}); "
+                    "the optimistic merge cannot adopt it safely — run one "
+                    "locked merge_batch_into_lake first to migrate it"
+                )
             manifest = {
                 "format": 1,
                 "version": 0,
                 "n_buckets": n_buckets,
                 "buckets": {d.split("=", 1)[1]: d for d in legacy},
             }
+    return manifest, n_buckets
 
+
+def _merged_for_batch(spark, lake_dir: str, manifest: dict | None, updates, n_buckets: int):
+    """Shared merge compute: the touched-bucket list (metadata-sized
+    collect) and the LWW combine of the affected buckets' current
+    rows with the batch — everything about a merge EXCEPT the commit
+    protocol, so the locked/optimistic twins differ only in locking.
+    ``updates`` must already be persisted by the caller."""
+    touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+    if not touched:
+        return [], None
+    current = _read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
+    if current is not None:
+        merged = _lww_combine(current.unionByName(updates.select(*_LAKE_COLS)))
+    else:
+        merged = _lww_combine(updates.select(*_LAKE_COLS))
+    return touched, merged
+
+
+def _merge_locked(
+    spark, batch_df: DataFrame, lake_dir: str, n_buckets: int | None, retain_versions: int
+) -> None:
+    manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
     updates = snapshot_stream(batch_df).withColumn(
         "bucket",
         F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
     )
     updates = updates.persist()
     try:
-        touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+        touched, merged = _merged_for_batch(spark, lake_dir, manifest, updates, n_buckets)
         if not touched:
             return
-        current = _read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
-        if current is not None:
-            merged = _lww_combine(current.unionByName(updates.select(*_LAKE_COLS)))
-        else:
-            merged = _lww_combine(updates.select(*_LAKE_COLS))
-
         _publish_version(
             lake_dir, manifest, merged, touched, n_buckets, retain_versions
         )
@@ -767,49 +816,29 @@ def merge_batch_optimistic(
     Requires a manifested lake (or an empty/new dir); pre-manifest
     legacy layouts migrate via one locked merge first.
 
-    Returns the committed manifest (None for an empty batch).
-    ``_race_hook(attempt)`` is a test seam invoked between staging
-    and flip — deterministic interleave injection."""
-    if n_buckets is not None and (
-        isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or n_buckets < 1
-    ):
-        raise ValueError(f"n_buckets must be a positive int or None, got {n_buckets!r}")
-    if (
-        isinstance(retain_versions, bool)
-        or not isinstance(retain_versions, int)
-        or retain_versions < 1
-    ):
-        raise ValueError(f"retain_versions must be a positive int, got {retain_versions!r}")
+    Returns the committed manifest — or, for an empty batch, the
+    base manifest unchanged (None only if the lake is empty too): an
+    empty batch commits nothing, and the return mirrors what a reader
+    would see. Refuses pre-manifest legacy layouts (run one locked
+    merge first — see ``_resolve_base``). ``_race_hook(attempt)`` is
+    a test seam invoked between staging and flip — deterministic
+    interleave injection."""
+    _validate_merge_args(n_buckets, retain_versions)
     import shutil
     import uuid
 
     spark = batch_df.sparkSession
     snap = snapshot_stream(batch_df)
     for attempt in range(max_attempts):
-        base = _healed_manifest(lake_dir)
-        if base is not None and n_buckets is not None and base["n_buckets"] != n_buckets:
-            raise ValueError(
-                f"lake at {lake_dir} has n_buckets={base['n_buckets']} "
-                f"(pinned in {MANIFEST_NAME}); merge called with {n_buckets} — "
-                "the bucket layout only changes through rebucket_lake "
-                "(pass n_buckets=None to adopt the pinned layout)"
-            )
-        nb = (base["n_buckets"] if base else None) or n_buckets or MERGE_LAKE_BUCKETS
+        base, nb = _resolve_base(lake_dir, n_buckets, adopt_legacy=False)
         updates = snap.withColumn(
             "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
         ).persist()
         commit_rel = None
         try:
-            touched = sorted(
-                r["bucket"] for r in updates.select("bucket").distinct().collect()
-            )
+            touched, merged = _merged_for_batch(spark, lake_dir, base, updates, nb)
             if not touched:
                 return base
-            current = _read_live(spark, lake_dir, base, set(touched)) if base else None
-            if current is not None:
-                merged = _lww_combine(current.unionByName(updates.select(*_LAKE_COLS)))
-            else:
-                merged = _lww_combine(updates.select(*_LAKE_COLS))
             commit_rel = (
                 f"commits/{(base['version'] if base else 0) + 1:010d}.{uuid.uuid4().hex[:8]}"
             )
@@ -827,7 +856,15 @@ def merge_batch_optimistic(
             updates.unpersist()
         if _race_hook is not None:
             _race_hook(attempt)
-        lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+        try:
+            lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+        except ConcurrentMergeError:
+            # flip lock held past flip_wait_s (e.g. a LOCKED writer
+            # holding across its whole Spark job): absorbed by the
+            # retry budget, as CommitConflictError's contract says —
+            # drop the staging and try again from a fresh manifest.
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+            continue
         try:
             cur = _healed_manifest(lake_dir)
             if not _occ_conflicts(base, cur, touched, nb):
@@ -844,7 +881,7 @@ def merge_batch_optimistic(
         shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
     raise CommitConflictError(
         f"optimistic merge into {lake_dir} lost {max_attempts} straight races "
-        "to concurrent data-changing commits on its buckets"
+        "to concurrent data-changing commits or held flip locks on its buckets"
     )
 
 
@@ -1328,7 +1365,19 @@ def _compact_optimistic(
     staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
     if _race_hook is not None:
         _race_hook()
-    lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+    try:
+        lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+    except ConcurrentMergeError:
+        # flip lock held past flip_wait_s: compaction is deferrable
+        # maintenance, so drop the work instead of raising — the
+        # degraded buckets stay armed for the next OPTIMIZE.
+        shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+        live_now = _read_manifest(lake_dir)
+        return {
+            "version": (live_now or base)["version"],
+            "compacted_buckets": 0,
+            "skipped_buckets": len(degraded),
+        }
     try:
         cur = _healed_manifest(lake_dir)
         if cur["n_buckets"] != base["n_buckets"]:
@@ -1530,30 +1579,33 @@ def lake_point_read(
     if manifest is None:
         raise ValueError(f"lake at {lake_dir} has no manifest for point reads")
     key_strs = [str(k) for k in keys]
+    bucket_keys: dict[int, list] = {}
     if key_strs:
         kdf = spark.createDataFrame([(k,) for k in key_strs], "entity_id string")
-        buckets = {
-            r["b"]
-            for r in kdf.select(
-                F.pmod(F.xxhash64("entity_id"), F.lit(manifest["n_buckets"]))
-                .cast("int")
-                .alias("b")
-            ).collect()
-        }
-    else:
-        buckets = set()
+        for r in kdf.select(
+            "entity_id",
+            F.pmod(F.xxhash64("entity_id"), F.lit(manifest["n_buckets"]))
+            .cast("int")
+            .alias("b"),
+        ).collect():
+            bucket_keys.setdefault(r["b"], []).append(r["entity_id"])
     zone_maps = manifest.get("file_stats", {})
     plain, pruned_files = set(), []
-    for b in buckets:
+    for b, b_keys in bucket_keys.items():
         stats = zone_maps.get(str(b))
         rel = manifest["buckets"].get(str(b))
         if stats is None or rel is None or rel.startswith("bucket="):
             plain.add(b)  # no stats (or legacy layout): whole bucket
             continue
+        # prune each bucket's files against ITS OWN resident keys
+        # only — a foreign key's range overlap in another bucket is
+        # meaningless (the key cannot live there) and testing it
+        # would open up to |keys| files per bucket instead of ≤1 per
+        # resident key.
         pruned_files.extend(
             os.path.join(lake_dir, rel, f)
             for f, (mn, mx) in sorted(stats.items())
-            if any(mn <= k <= mx for k in key_strs)
+            if any(mn <= k <= mx for k in b_keys)
         )
     parts = []
     base = _read_live(spark, lake_dir, manifest, plain) if plain else None

@@ -264,7 +264,10 @@ def test_gc_grace_spares_fresh_occ_staging_only(spark, tmp_path):
     M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake)  # v2 + GC
     assert os.path.isdir(staged)  # fresh staging spared
 
-    # age it past the grace → the next commit's GC collects it
+    # age it past the grace — EVERY entry in the tree, since the
+    # grace keys on the newest mtime anywhere under the dir — and
+    # the next commit's GC collects it
+    os.utime(os.path.join(staged, "part-00000.parquet"), (1, 1))
     os.utime(staged, (1, 1))
     M.merge_batch_into_lake(
         env.filter(F.col("event_seq") % 2 == 1).withColumn(
@@ -419,3 +422,102 @@ def test_occ_compaction_aborts_on_rebucket(spark, tmp_path):
     m = M._read_manifest(lake)
     assert m["n_buckets"] == 4 and m["version"] == res["version"]
     assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_refuses_legacy_layout(spark, tmp_path):
+    """A pre-manifest legacy lake (root bucket=K dirs, no manifest)
+    must NOT be treated as empty by the optimistic merge — that would
+    replace the standing table with the batch and GC its files. It
+    refuses with the migrate-via-locked-merge instruction; one locked
+    merge adopts the layout and unblocks optimistic writers."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    # a real r6-era legacy lake holds SNAPSHOT-shaped rows in root
+    # bucket=K dirs
+    (
+        M.snapshot_stream(env)
+        .withColumn("bucket", F.pmod(F.xxhash64("entity_id"), F.lit(8)).cast("int"))
+        .write.partitionBy("bucket")
+        .parquet(lake)
+    )
+    assert M._read_manifest(lake) is None
+    with pytest.raises(ValueError, match="locked merge_batch_into_lake first"):
+        M.merge_batch_optimistic(env.limit(5), lake)
+    # the standing files are untouched by the refusal
+    assert any(d.startswith("bucket=") for d in os.listdir(lake))
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)  # migrates
+    M.merge_batch_optimistic(env.filter(F.col("event_seq") % 2 == 1), lake)
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_held_flip_lock_consumes_attempts_not_crash(spark, tmp_path):
+    """A flip lock held past flip_wait_s is absorbed by the retry
+    budget (CommitConflictError's contract), never escapes as
+    ConcurrentMergeError, and every attempt's staging is cleaned up.
+    The deferrable optimistic COMPACTION instead drops its work and
+    returns zero-compacted."""
+    import json
+    import socket
+
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.streaming.materialize import LOCK_NAME, CommitConflictError
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)
+    # hold the lock as a LIVE writer (this pid, this host)
+    with open(os.path.join(lake, LOCK_NAME), "w") as fh:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname()}, fh)
+    try:
+        with pytest.raises(CommitConflictError, match="lost 2 straight races"):
+            M.merge_batch_optimistic(
+                env.filter(F.col("event_seq") % 2 == 1),
+                lake,
+                max_attempts=2,
+                flip_wait_s=0.2,
+            )
+        assert [d for d in os.listdir(os.path.join(lake, "commits")) if "." in d] == []
+        res = M._compact_optimistic(
+            spark, lake, 0, None, retain_versions=1, flip_wait_s=0.2
+        )
+        assert res["compacted_buckets"] == 0 and res["skipped_buckets"] > 0
+        assert [d for d in os.listdir(os.path.join(lake, "commits")) if "." in d] == []
+    finally:
+        os.remove(os.path.join(lake, LOCK_NAME))
+    # lock released: both paths work again
+    M.merge_batch_optimistic(env.filter(F.col("event_seq") % 2 == 1), lake)
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_gc_grace_sees_fresh_subdir_writes(spark, tmp_path):
+    """Spark stagings write into pb=K/_temporary subtrees that do NOT
+    bump the top-level commit dir's mtime: the grace check must key
+    on the newest mtime in the tree, so a long-running staging whose
+    top dir looks old but whose files are fresh survives GC."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)
+    staged = os.path.join(lake, "commits", "0000000002.cafef00d")
+    sub = os.path.join(staged, "pb=3", "_temporary")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0001.parquet"), "w") as fh:
+        fh.write("x")
+    # age every DIRECTORY (top + subdirs) but leave the FILE fresh —
+    # exactly the long-staging shape
+    for d in (staged, os.path.dirname(sub), sub):
+        os.utime(d, (1, 1))
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake)
+    assert os.path.isdir(staged)  # fresh file deep in the tree spared it
+    # now age the file too: certainly a crashed writer's orphan
+    os.utime(os.path.join(sub, "part-0001.parquet"), (1, 1))
+    M.merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 2 == 1).withColumn(
+            "event_seq", F.col("event_seq") + 2_000_000
+        ),
+        lake,
+    )
+    assert not os.path.isdir(staged)

@@ -87,10 +87,20 @@ def test_point_read_opens_one_file_per_key(spark, tmp_path):
     lake = str(tmp_path / "lake")
     m = _build(spark, lake)
     live = M._read_live(spark, lake, m)
-    keys = [r["entity_id"] for r in live.orderBy("entity_id").limit(3).collect()]
+    # MID-RANGE keys from DISTINCT buckets — the hard case: every
+    # bucket's sorted files tile its full key span, so a key tested
+    # against a foreign bucket's ranges would falsely overlap one
+    # file there; pruning must test each bucket's files against its
+    # OWN resident keys only for the ≤1-file-per-key bound to hold.
+    by_bucket: dict = {}
+    for r in live.select("bucket", "entity_id").collect():  # 600-row test lake
+        by_bucket.setdefault(r["bucket"], []).append(r["entity_id"])
+    per_bucket = {b: sorted(ks)[len(ks) // 2] for b, ks in by_bucket.items()}
+    keys = sorted(per_bucket.values())[:4]
+    assert len(keys) >= 3
     df = M.lake_point_read(spark, lake, keys)
     opened = df.inputFiles()
-    assert 0 < len(opened) <= len(keys)  # file-level pruning engaged
+    assert 0 < len(opened) <= len(keys)  # ≤1 file per resident key
     total_files = sum(len(fs) for fs in m["file_stats"].values())
     assert len(opened) < total_files  # strictly better than bucket pruning
     expected = sorted(
