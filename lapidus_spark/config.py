@@ -283,6 +283,12 @@ def _sink(s: dict) -> SinkConfig:
             raise ConfigError(
                 "sink: lake sink options.compactEvery must be a positive int"
             )
+        concurrency = opts.get("concurrency")
+        if concurrency is not None and concurrency not in ("locked", "optimistic"):
+            raise ConfigError(
+                "sink: lake sink options.concurrency must be 'locked' or "
+                f"'optimistic', got {concurrency!r}"
+            )
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

@@ -89,12 +89,16 @@ def start_sink(
         # buckets absent from config → None: adopt the layout pinned
         # in the lake's manifest (follows rebucket_lake changes across
         # daemon restarts; MERGE_LAKE_BUCKETS only for a brand-new lake)
+        # options.concurrency = "optimistic" lets several daemons
+        # share one lake table (stage unlocked, lock only the flip,
+        # rebase across disjoint/physical-only commits)
         writer = merge_lake_sink(
             sink_mod.gate_types(env, enabled),
             sink.options["path"],
             n_buckets=sink.options.get("buckets"),
             retain_versions=sink.options.get("retainVersions", 1),
             compact_every=sink.options.get("compactEvery"),
+            concurrency=sink.options.get("concurrency", "locked"),
         )
     elif sink.type == "kafka":
         # sink_nats on a real broker (src/plugins/nats.js) — plan

@@ -10,7 +10,11 @@ this consumer mid-commit of its N-th derived-lake merge — a genuine
 kill across BOTH exactly-once layers at once (streaming checkpoint
 offsets upstream, atomic manifest flip downstream).
 
-    python tests/medallion_crash_driver.py <src_lake> <derived_lake> <ckpt>
+    python tests/medallion_crash_driver.py <src_lake> <derived_lake> <ckpt> [concurrency]
+
+``concurrency`` defaults to "locked"; pass "optimistic" to run the
+derived-lake merges through the OCC commit protocol — the redundant-
+consumer HA test races two of these processes against one silver lake.
 
 Prints CHAIN_OK after a clean catch-up drain.
 """
@@ -22,6 +26,7 @@ import sys
 
 def main() -> None:
     src_lake, derived_lake, ckpt = sys.argv[1], sys.argv[2], sys.argv[3]
+    concurrency = sys.argv[4] if len(sys.argv) > 4 else "locked"
     from pyspark.sql import functions as F
 
     from lapidus_spark.session import get_spark
@@ -46,7 +51,11 @@ def main() -> None:
         F.col("last_type").alias("type"),
         "item",
     )
-    q = merge_lake_sink(env, derived_lake).option("checkpointLocation", ckpt).start()
+    q = (
+        merge_lake_sink(env, derived_lake, concurrency=concurrency)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:

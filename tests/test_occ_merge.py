@@ -521,3 +521,67 @@ def test_gc_grace_sees_fresh_subdir_writes(spark, tmp_path):
         lake,
     )
     assert not os.path.isdir(staged)
+
+
+@pytest.mark.slow
+def test_redundant_consumers_converge_without_coordination(spark, tmp_path):
+    """The HA payoff of OCC + semilattice merges: TWO independent
+    consumers of the same bronze change feed (separate checkpoints,
+    no coordination) both MERGE into the SAME silver lake with
+    optimistic concurrency, racing in separate processes. Double
+    application is harmless — the LWW combine is idempotent and the
+    flip lock serializes only the manifest rename — so the silver
+    lake equals the bronze snapshot exactly, and either consumer can
+    die at any point without data loss (failover = just keep the
+    other one running)."""
+    import subprocess
+    import sys
+
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.streaming.materialize import _read_live, _read_manifest
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    env = _env(spark)
+    for i in range(3):
+        M.merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i), bronze, retain_versions=6
+        )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ, SPARK_DRIVER_MEMORY="2g", PYTHONPATH=repo_root)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "tests/medallion_crash_driver.py",
+                bronze,
+                silver,
+                str(tmp_path / f"ck{i}"),
+                "optimistic",
+            ],
+            env=base_env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and "CHAIN_OK" in out, err[-2000:]
+
+    cols = ["entity_id", "last_seq", "last_type", "item"]
+
+    def rows(lake):
+        df = _read_live(spark, lake, _read_manifest(lake))
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    *cols, F.col("last_ts").cast("timestamp_ntz").alias("last_ts")
+                ).collect(),
+            )
+        )
+
+    assert rows(silver) == rows(bronze)  # tombstones included

@@ -2396,6 +2396,15 @@ def test_merge_lake_auto_compaction(spark, tmp_path):
         cfg["backends"][0]["sinks"][0]["options"]["compactEvery"] = bad
         with pytest.raises(ConfigError, match="compactEvery"):
             parse_config(json.dumps(cfg))
+    # the multi-writer knob: both modes accepted, anything else trapped
+    cfg["backends"][0]["sinks"][0]["options"]["compactEvery"] = 5
+    for mode in ("locked", "optimistic"):
+        cfg["backends"][0]["sinks"][0]["options"]["concurrency"] = mode
+        parse_config(json.dumps(cfg))
+    for bad in ("chaotic", True, 1):
+        cfg["backends"][0]["sinks"][0]["options"]["concurrency"] = bad
+        with pytest.raises(ConfigError, match="concurrency"):
+            parse_config(json.dumps(cfg))
 
 
 @pytest.mark.slow
