@@ -1,7 +1,7 @@
 """CLI daemon entry (ctl_cli, reference index.js:5-53).
 
     python -m lapidus_spark -c config.json [--validate-only]
-    python -m lapidus_spark --compact LAKE_DIR [--retain-versions K]
+    python -m lapidus_spark --compact LAKE_DIR [--retain-versions K] [--optimistic]
     python -m lapidus_spark --rebucket LAKE_DIR --buckets N
 
 ``--validate-only`` parses and validates the config then exits 0/1
@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         help="split valve for oversized buckets during --compact",
     )
     ap.add_argument(
+        "--optimistic",
+        action="store_true",
+        help="--compact with optimistic concurrency: stage the rewrite "
+        "without holding the writer lock (a running daemon keeps "
+        "committing) and apply only the buckets no concurrent merge "
+        "touched — losing a race defers maintenance, never blocks it",
+    )
+    ap.add_argument(
         "-t",
         "--validate-only",
         action="store_true",
@@ -76,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
         from lapidus_spark.streaming.materialize import compact_lake, rebucket_lake
 
         spark = get_spark("lapidus_spark_maintenance")
+        if args.rebucket and args.optimistic:
+            ap.error("--optimistic applies to --compact only (a rebucket is a global layout swap)")
         if args.compact:
             res = compact_lake(
                 spark,
@@ -83,8 +93,12 @@ def main(argv: list[str] | None = None) -> int:
                 target_files_per_bucket=args.target_files_per_bucket,
                 max_records_per_file=args.max_records_per_file,
                 retain_versions=args.retain_versions,
+                concurrency="optimistic" if args.optimistic else "locked",
             )
-            print(f"compacted {res['compacted_buckets']} bucket(s); version {res['version']}")
+            skipped = f" ({res['skipped_buckets']} lost to concurrent merges)" if args.optimistic else ""
+            print(
+                f"compacted {res['compacted_buckets']} bucket(s); version {res['version']}{skipped}"
+            )
         else:
             res = rebucket_lake(
                 spark, args.rebucket, args.buckets, retain_versions=args.retain_versions

@@ -2286,6 +2286,9 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     before = _snapshot_rows(spark, lake)
     assert main(["--compact", lake]) == 0
     assert "compacted" in capsys.readouterr().out
+    # the OCC variant: stages unlocked, reports buckets lost to races
+    assert main(["--compact", lake, "--optimistic", "--target-files-per-bucket", "0"]) == 0
+    assert "lost to concurrent merges" in capsys.readouterr().out
     assert main(["--rebucket", lake, "--buckets", "8"]) == 0
     assert _read_manifest(lake)["n_buckets"] == 8
     assert _snapshot_rows(spark, lake) == before
@@ -2294,6 +2297,7 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
         ["--rebucket", lake],  # missing --buckets
         ["--compact", lake, "--rebucket", lake, "--buckets", "8"],
         ["--compact", lake, "-c", "x.json"],
+        ["--rebucket", lake, "--buckets", "8", "--optimistic"],
     ):
         with pytest.raises(SystemExit) as e:
             main(bad)
