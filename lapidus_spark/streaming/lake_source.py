@@ -112,7 +112,19 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self.lake_dir = options.get("path")
         if not self.lake_dir:
             raise ValueError("lake_cdf source requires option 'path' (the lake dir)")
-        self.starting_version = int(options.get("startingversion", 0))
+        raw_start = options.get("startingversion", 0)
+        if str(raw_start).lower() == "latest":
+            # subscribe-from-now (Delta's startingVersion="latest"):
+            # resolve the live version ONCE at stream start — history
+            # before it never replays; a checkpointed restart ignores
+            # initialOffset anyway (the committed offset wins).
+            try:
+                with open(os.path.join(self.lake_dir, "_lapidus_manifest.json")) as fh:
+                    self.starting_version = int(json.load(fh)["version"])
+            except FileNotFoundError:
+                self.starting_version = 0
+        else:
+            self.starting_version = int(raw_start)
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         #: rowChanges=true switches the feed from entity-state rows
         #: (one post-image row per changed entity) to the row-level
@@ -350,7 +362,8 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 class LakeChangeFeedDataSource(DataSource):
     """``spark.readStream.format("lake_cdf").option("path", lake)`` —
     options: ``startingVersion`` (diff base, exclusive; default 0 =
-    from empty, i.e. the full first version arrives as inserts),
+    from empty, i.e. the full first version arrives as inserts;
+    ``"latest"`` = subscribe-from-now, resolved once at stream start),
     ``maxVersionsPerBatch`` (admission control; 0 = unbounded), and
     ``rowChanges`` (true = the row-level pre/post-image vocabulary of
     ``lake_changes_rows`` instead of entity-state rows; same schema,

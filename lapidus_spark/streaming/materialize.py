@@ -1624,6 +1624,51 @@ def lake_point_read(
     )
 
 
+def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
+    """DESCRIBE HISTORY for the lake (the Delta command's analog):
+    one row per RETAINED committed version, newest first — version,
+    operation kind (merge / compact / rebucket, inferred from the
+    commit markers), layout, how many buckets the commit
+    data-changed (0 for a compaction: physical-only), and whether it
+    is the live version. Driver-side JSON reads only — proportional
+    to the retention horizon, never the data. Versions GC'd past
+    ``retain_versions`` are absent by construction (their history
+    JSON is pruned with their data)."""
+    live = _read_manifest(lake_dir)
+    hist = os.path.join(lake_dir, HISTORY_DIR)
+    out: list[dict] = []
+    try:
+        names = sorted(os.listdir(hist), reverse=True)
+    except FileNotFoundError:
+        names = []
+    for fn in names:
+        if not fn.endswith(".json"):
+            continue
+        if limit is not None and len(out) >= limit:
+            break
+        with open(os.path.join(hist, fn)) as fh:
+            m = json.load(fh)
+        v = m["version"]
+        if int(m.get("rebucket", {}).get("version", -1)) == v:
+            op = "rebucket"
+        elif int(m.get("compaction", {}).get("version", -1)) == v:
+            op = "compact"
+        else:
+            op = "merge"
+        out.append(
+            {
+                "version": v,
+                "operation": op,
+                "n_buckets": m["n_buckets"],
+                "data_changed_buckets": sum(
+                    1 for b, dv in m.get("data_versions", {}).items() if dv == v
+                ),
+                "is_live": bool(live) and live["version"] == v,
+            }
+        )
+    return out
+
+
 def _bucket_content_changed(m_old: dict | None, m_new: dict, b_str: str) -> bool:
     """Can bucket ``b_str``'s CONTENT differ between two committed
     manifests of the same layout? Pointer equality proves identity

@@ -538,3 +538,69 @@ def test_row_changes_stream_matches_batch_per_step(spark, tmp_path):
     # the vocabulary really appeared (pre-images included)
     kinds = {r[0] for r in got.select("change_type").distinct().collect()}
     assert {"insert", "update_preimage", "update_postimage"} <= kinds
+
+
+def test_starting_version_latest_subscribes_from_now(spark, tmp_path):
+    """startingVersion='latest' (Delta parity): history before stream
+    start never replays; only commits made AFTER subscription arrive.
+    A checkpointed restart keeps the committed offset as usual."""
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake, n_batches=2)  # versions 1, 2 — pre-subscription
+    got0 = _drain(
+        spark, lake, "cdf_latest", str(tmp_path / "ck"), startingVersion="latest"
+    )
+    assert got0 == []  # nothing replayed from before the subscription
+
+    # offset semantics at the reader level (the memory sink cannot
+    # recover a checkpoint, so the live-subscription continuation is
+    # asserted on the reader API): a subscription opened at v2 has
+    # its floor pinned there; a commit landing afterwards produces
+    # exactly that version step, while a NEW latest subscription
+    # opened after the commit starts at v3 and sees nothing.
+    from lapidus_spark.streaming.lake_source import LakeCDFStreamReader
+
+    reader = LakeCDFStreamReader({"path": lake, "startingversion": "latest"})
+    assert reader.initialOffset() == {"version": 2}
+    env = normalize_events(load_table(spark, SF_DIR, "events"))
+    merge_batch_into_lake(  # version 3, after subscription
+        env.filter(F.col("event_seq") % 2 == 0).withColumn(
+            "event_seq", F.col("event_seq") + 4_000_000
+        ),
+        lake,
+        retain_versions=4,
+    )
+    assert reader.latestOffset() == {"version": 3}
+    parts = reader.partitions({"version": 2}, {"version": 3})
+    assert parts and all(p.ver == 3 for p in parts)
+    late = LakeCDFStreamReader({"path": lake, "startingversion": "latest"})
+    assert late.initialOffset() == {"version": 3}
+    # and an empty lake resolves "latest" to 0 (from-empty)
+    empty = LakeCDFStreamReader({"path": str(tmp_path / "nope"), "startingversion": "latest"})
+    assert empty.initialOffset() == {"version": 0}
+
+
+def test_describe_history_kinds_and_data_change(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per retained version, newest first,
+    with the operation inferred from the commit markers and the
+    dataChange accounting that the change feeds key on (a compaction
+    shows 0 data-changed buckets)."""
+    from lapidus_spark.streaming.materialize import (
+        compact_lake,
+        describe_history,
+        rebucket_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    _build_lake(spark, lake, n_batches=2)  # v1, v2: merges
+    compact_lake(spark, lake, target_files_per_bucket=0, retain_versions=6)  # v3
+    rebucket_lake(spark, lake, new_n_buckets=4, retain_versions=6)  # v4
+    hist = describe_history(lake)
+    assert [h["version"] for h in hist] == [4, 3, 2, 1]
+    assert [h["operation"] for h in hist] == ["rebucket", "compact", "merge", "merge"]
+    assert hist[1]["data_changed_buckets"] == 0  # compaction: physical-only
+    assert hist[2]["data_changed_buckets"] > 0
+    assert hist[0]["is_live"] and hist[0]["n_buckets"] == 4
+    assert not any(h["is_live"] for h in hist[1:])
+    assert describe_history(lake, limit=2) == hist[:2]
