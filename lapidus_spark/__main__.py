@@ -81,11 +81,11 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--compact and --rebucket are mutually exclusive")
         if args.rebucket and args.buckets is None:
             ap.error("--rebucket requires --buckets")
+        if args.rebucket and args.optimistic:
+            ap.error("--optimistic applies to --compact only (a rebucket is a global layout swap)")
         from lapidus_spark.streaming.materialize import compact_lake, rebucket_lake
 
         spark = get_spark("lapidus_spark_maintenance")
-        if args.rebucket and args.optimistic:
-            ap.error("--optimistic applies to --compact only (a rebucket is a global layout swap)")
         if args.compact:
             res = compact_lake(
                 spark,

@@ -70,6 +70,17 @@ _OLD_COLS = ["entity_id", "last_seq", "last_ts", "last_type"]
 _OLD_COLS_PRE = ["entity_id", "last_seq", "last_ts", "last_type", "item"]
 
 
+def _live_version(lake_dir: str, default: int = 0) -> int:
+    """Driver-side read of the live manifest version (one JSON open,
+    the whole latestOffset cost model); ``default`` for a lake with
+    no manifest yet."""
+    try:
+        with open(os.path.join(lake_dir, "_lapidus_manifest.json")) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        return default
+
+
 class LakeCDFPartition(InputPartition):
     """One (version step, changed bucket): absolute parquet paths for
     the bucket's state at ``ver`` (new) and ``ver - 1`` (old)."""
@@ -113,18 +124,15 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         if not self.lake_dir:
             raise ValueError("lake_cdf source requires option 'path' (the lake dir)")
         raw_start = options.get("startingversion", 0)
-        if str(raw_start).lower() == "latest":
-            # subscribe-from-now (Delta's startingVersion="latest"):
-            # resolve the live version ONCE at stream start — history
-            # before it never replays; a checkpointed restart ignores
-            # initialOffset anyway (the committed offset wins).
-            try:
-                with open(os.path.join(self.lake_dir, "_lapidus_manifest.json")) as fh:
-                    self.starting_version = int(json.load(fh)["version"])
-            except FileNotFoundError:
-                self.starting_version = 0
-        else:
-            self.starting_version = int(raw_start)
+        #: "latest" (Delta parity) is resolved INSIDE initialOffset —
+        #: Spark calls initialOffset only on a first start, so a
+        #: checkpointed restart never resolves it, the committed
+        #: offset wins, and the admission-control floor re-climbs
+        #: from 0 in maxVersionsPerBatch steps like a numeric start
+        #: (resolving at __init__ would jump the floor to NOW-latest
+        #: on restart and plan the whole backlog as one batch).
+        self._latest_start = str(raw_start).lower() == "latest"
+        self.starting_version = 0 if self._latest_start else int(raw_start)
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         #: rowChanges=true switches the feed from entity-state rows
         #: (one post-image row per changed entity) to the row-level
@@ -142,14 +150,14 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self._floor = self.starting_version
 
     def initialOffset(self) -> dict:
+        if self._latest_start:
+            v = _live_version(self.lake_dir)
+            self._floor = max(self._floor, v)
+            return {"version": v}
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        try:
-            with open(os.path.join(self.lake_dir, "_lapidus_manifest.json")) as fh:
-                cur = int(json.load(fh)["version"])
-        except FileNotFoundError:
-            cur = self.starting_version
+        cur = _live_version(self.lake_dir, default=self.starting_version)
         if self.max_versions > 0:
             cur = min(cur, self._floor + self.max_versions)
         self._floor = max(self._floor, cur)

@@ -829,56 +829,83 @@ def merge_batch_optimistic(
 
     spark = batch_df.sparkSession
     snap = snapshot_stream(batch_df)
-    for attempt in range(max_attempts):
-        base, nb = _resolve_base(lake_dir, n_buckets, adopt_legacy=False)
-        updates = snap.withColumn(
-            "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
-        ).persist()
-        commit_rel = None
-        try:
-            touched, merged = _merged_for_batch(spark, lake_dir, base, updates, nb)
-            if not touched:
-                return base
-            commit_rel = (
-                f"commits/{(base['version'] if base else 0) + 1:010d}.{uuid.uuid4().hex[:8]}"
-            )
-            _stage_commit(lake_dir, merged, touched, commit_rel)
-        except Exception:
-            if commit_rel is not None:
-                shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
-            live_now = _read_manifest(lake_dir)
-            if (live_now["version"] if live_now else 0) != (
-                base["version"] if base else 0
+    #: staging carried across attempts: (base, nb, touched, commit_rel)
+    #: — a lock timeout with an UNCHANGED manifest keeps the staged
+    #: result (re-running the identical Spark job buys nothing)
+    pending = None
+    try:
+        for attempt in range(max_attempts):
+            live = _read_manifest(lake_dir)
+            if pending is not None and (live["version"] if live else 0) == (
+                pending[0]["version"] if pending[0] else 0
             ):
-                continue  # GC-vs-read race under a concurrent commit: retry fresh
-            raise
-        finally:
-            updates.unpersist()
-        if _race_hook is not None:
-            _race_hook(attempt)
-        try:
-            lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
-        except ConcurrentMergeError:
-            # flip lock held past flip_wait_s (e.g. a LOCKED writer
-            # holding across its whole Spark job): absorbed by the
-            # retry budget, as CommitConflictError's contract says —
-            # drop the staging and try again from a fresh manifest.
-            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
-            continue
-        try:
-            cur = _healed_manifest(lake_dir)
-            if not _occ_conflicts(base, cur, touched, nb):
-                return _flip_version(
-                    lake_dir, cur, commit_rel, touched, nb, retain_versions
-                )
-        finally:
+                base, nb, touched, commit_rel = pending
+            else:
+                if pending is not None:
+                    shutil.rmtree(
+                        os.path.join(lake_dir, pending[3]), ignore_errors=True
+                    )
+                pending = None
+                base, nb = _resolve_base(lake_dir, n_buckets, adopt_legacy=False)
+                updates = snap.withColumn(
+                    "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
+                ).persist()
+                commit_rel = None
+                try:
+                    touched, merged = _merged_for_batch(
+                        spark, lake_dir, base, updates, nb
+                    )
+                    if not touched:
+                        return base
+                    commit_rel = (
+                        f"commits/{(base['version'] if base else 0) + 1:010d}"
+                        f".{uuid.uuid4().hex[:8]}"
+                    )
+                    _stage_commit(lake_dir, merged, touched, commit_rel)
+                except Exception:
+                    if commit_rel is not None:
+                        shutil.rmtree(
+                            os.path.join(lake_dir, commit_rel), ignore_errors=True
+                        )
+                    live_now = _read_manifest(lake_dir)
+                    if (live_now["version"] if live_now else 0) != (
+                        base["version"] if base else 0
+                    ):
+                        continue  # GC-vs-read race under a concurrent commit: retry fresh
+                    raise
+                finally:
+                    updates.unpersist()
+            if _race_hook is not None:
+                _race_hook(attempt)
             try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
-        # a conflicting commit landed between read and flip: drop the
-        # staging and recompute against the manifest it produced
-        shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+                lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+            except ConcurrentMergeError:
+                # flip lock held past flip_wait_s (e.g. a LOCKED writer
+                # holding across its whole Spark job): absorbed by the
+                # retry budget, as CommitConflictError's contract says.
+                # The staging is KEPT — if the holder commits nothing
+                # new on our buckets, the next attempt reuses it
+                # instead of re-running the identical merge job.
+                pending = (base, nb, touched, commit_rel)
+                continue
+            try:
+                cur = _healed_manifest(lake_dir)
+                if not _occ_conflicts(base, cur, touched, nb):
+                    pending = None
+                    return _flip_version(
+                        lake_dir, cur, commit_rel, touched, nb, retain_versions
+                    )
+            finally:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+            # a conflicting commit landed between read and flip: drop the
+            # staging and recompute against the manifest it produced
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+    finally:
+        if pending is not None:
+            shutil.rmtree(os.path.join(lake_dir, pending[3]), ignore_errors=True)
     raise CommitConflictError(
         f"optimistic merge into {lake_dir} lost {max_attempts} straight races "
         "to concurrent data-changing commits or held flip locks on its buckets"
@@ -1356,13 +1383,30 @@ def _compact_optimistic(
     )
     if not degraded:
         return {"version": base["version"], "compacted_buckets": 0, "skipped_buckets": 0}
-    rows = _read_live(spark, lake_dir, base, set(degraded))
-    packed = rows.repartition(len(degraded), F.col("bucket")).sortWithinPartitions(
-        "bucket", "entity_id"
-    )  # clustered, like the locked path — zone maps from the footers
     commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
-    _stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
-    staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
+    try:
+        rows = _read_live(spark, lake_dir, base, set(degraded))
+        packed = rows.repartition(len(degraded), F.col("bucket")).sortWithinPartitions(
+            "bucket", "entity_id"
+        )  # clustered, like the locked path — zone maps from the footers
+        _stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
+        staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
+    except Exception:
+        # a concurrent commit (retain_versions=1) can GC the base
+        # version's files out from under the unlocked rewrite.
+        # Compaction is deferrable maintenance: if the manifest moved,
+        # drop the half-staged work and report zero-compacted (the
+        # degraded buckets stay armed) instead of killing the caller
+        # — the same race the merge twin absorbs by retrying.
+        shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+        live_now = _read_manifest(lake_dir)
+        if (live_now["version"] if live_now else 0) != base["version"]:
+            return {
+                "version": live_now["version"] if live_now else base["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        raise
     if _race_hook is not None:
         _race_hook()
     try:
@@ -1636,18 +1680,12 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
     JSON is pruned with their data)."""
     live = _read_manifest(lake_dir)
     hist = os.path.join(lake_dir, HISTORY_DIR)
-    out: list[dict] = []
     try:
         names = sorted(os.listdir(hist), reverse=True)
     except FileNotFoundError:
         names = []
-    for fn in names:
-        if not fn.endswith(".json"):
-            continue
-        if limit is not None and len(out) >= limit:
-            break
-        with open(os.path.join(hist, fn)) as fh:
-            m = json.load(fh)
+
+    def row(m: dict) -> dict:
         v = m["version"]
         if int(m.get("rebucket", {}).get("version", -1)) == v:
             op = "rebucket"
@@ -1655,18 +1693,31 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
             op = "compact"
         else:
             op = "merge"
-        out.append(
-            {
-                "version": v,
-                "operation": op,
-                "n_buckets": m["n_buckets"],
-                "data_changed_buckets": sum(
-                    1 for b, dv in m.get("data_versions", {}).items() if dv == v
-                ),
-                "is_live": bool(live) and live["version"] == v,
-            }
-        )
-    return out
+        return {
+            "version": v,
+            "operation": op,
+            "n_buckets": m["n_buckets"],
+            "data_changed_buckets": sum(
+                1 for b, dv in m.get("data_versions", {}).items() if dv == v
+            ),
+            "is_live": bool(live) and live["version"] == v,
+        }
+
+    out: list[dict] = []
+    # a writer killed between the flip and the history write leaves
+    # the LIVE version absent from _history/ until the next op heals
+    # it — report it anyway (the manifest is authoritative)
+    if live is not None and f"{live['version']:010d}.json" not in names:
+        out.append(row(live))
+    for fn in names:
+        if not fn.endswith(".json"):
+            continue
+        if limit is not None and len(out) >= limit:
+            break
+        with open(os.path.join(hist, fn)) as fh:
+            m = json.load(fh)
+        out.append(row(m))
+    return out[:limit] if limit is not None else out
 
 
 def _bucket_content_changed(m_old: dict | None, m_new: dict, b_str: str) -> bool:

@@ -579,6 +579,15 @@ def test_starting_version_latest_subscribes_from_now(spark, tmp_path):
     # and an empty lake resolves "latest" to 0 (from-empty)
     empty = LakeCDFStreamReader({"path": str(tmp_path / "nope"), "startingversion": "latest"})
     assert empty.initialOffset() == {"version": 0}
+    # RESTART posture: Spark never calls initialOffset on a
+    # checkpointed restart, so "latest" must not have leaked into the
+    # admission-control floor — maxVersionsPerBatch still rations the
+    # backlog (a floor jumped to NOW-latest would plan it as one
+    # unbounded batch)
+    restarted = LakeCDFStreamReader(
+        {"path": lake, "startingversion": "latest", "maxversionsperbatch": "1"}
+    )
+    assert restarted.latestOffset() == {"version": 1}  # rationed, not 3
 
 
 def test_describe_history_kinds_and_data_change(spark, tmp_path):
