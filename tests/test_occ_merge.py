@@ -585,3 +585,63 @@ def test_redundant_consumers_converge_without_coordination(spark, tmp_path):
         )
 
     assert rows(silver) == rows(bronze)  # tombstones included
+
+
+def test_held_lock_reuses_staging_no_recompute(spark, tmp_path, monkeypatch):
+    """A flip-lock timeout with an UNCHANGED base manifest must not
+    re-run the merge's Spark work: the staged commit is kept and only
+    the lock is retried — one _stage_commit call across all attempts."""
+    import json
+    import socket
+
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.streaming.materialize import LOCK_NAME, CommitConflictError
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)
+
+    stages = []
+    real = M._stage_commit
+
+    def counting(*a, **k):
+        stages.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(M, "_stage_commit", counting)
+    with open(os.path.join(lake, LOCK_NAME), "w") as fh:
+        json.dump({"pid": os.getpid(), "host": socket.gethostname()}, fh)
+    try:
+        with pytest.raises(CommitConflictError):
+            M.merge_batch_optimistic(
+                env.filter(F.col("event_seq") % 2 == 1),
+                lake,
+                max_attempts=3,
+                flip_wait_s=0.2,
+            )
+    finally:
+        os.remove(os.path.join(lake, LOCK_NAME))
+    assert len(stages) == 1  # staged once, reused across the lock retries
+    # and nothing staged survives the exhausted merge
+    assert [d for d in os.listdir(os.path.join(lake, "commits")) if "." in d] == []
+
+
+def test_describe_history_reports_live_in_crash_window(spark, tmp_path):
+    """A writer killed between the manifest flip and the history write
+    leaves the live version absent from _history/ — DESCRIBE HISTORY
+    must still report it (the manifest is authoritative)."""
+    import os as _os
+
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake, retain_versions=4)
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake, retain_versions=4)
+    live_v = M._read_manifest(lake)["version"]
+    _os.remove(_os.path.join(lake, M.HISTORY_DIR, f"{live_v:010d}.json"))
+    hist = M.describe_history(lake)
+    assert hist[0]["version"] == live_v and hist[0]["is_live"]
+    assert hist[0]["operation"] == "merge"
+    assert [h["version"] for h in hist] == [2, 1]
+    assert M.describe_history(lake, limit=1) == hist[:1]
