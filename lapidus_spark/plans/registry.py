@@ -124,33 +124,42 @@ def _signal_ages(root=None) -> dict[str, int]:
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # Round-8 window accounting (after r7 the ages are 50 r7 + 49 r6
-    # + 48 r5; VERDICT r7 #2 directs the window onto the 48 r5-stale
-    # signals plus anything touched by the change-feed work). The
-    # surface grew by SIX this round (ext_ann_incremental,
-    # lake_concurrent_merge, lake_cdf_preimages, lake_gold_incremental,
-    # stream_lake_gold, lake_zonemap_read — never driver-verified,
-    # age 0), so demand is 56 for 50 slots: the two touched queries
-    # below (rank (0,-1), strictly first), the six new, then 42 of
-    # the 48 r5-stale. The six r5-stale that carry one more round
-    # are, by the heaviness ordering, the most trivial stateless
-    # queries in the cohort — each stays under per-round pytest
-    # oracle parity and the committed full-surface sf0.1 sweep
-    # meanwhile (the same documented trade as round 4's format scans;
-    # feature growth is what the slots are for).
+    # Round-9 window accounting. Ages after r8: 50 r8 + 48 r7 + 49 r6
+    # + 6 r5. STRUCTURAL CEILING (VERDICT r8 #2 asks this stated
+    # explicitly): the driver verifies 50 queries per round, so a
+    # 153-query surface is fully re-verified only every ⌈153/50⌉ = 4
+    # rounds — equivalently, at most 150 signals can be ≤3 rounds
+    # old; with a surface above 150, a handful of signals necessarily
+    # age to 4 rounds before their window comes back. The age-derived
+    # ordering below guarantees the WORST signal age is minimal and
+    # that the stalest cohort always verifies first; every query —
+    # in or out of the window — stays under per-round pytest oracle
+    # parity and the committed full-surface sf0.1 sweep meanwhile.
     #
-    # The diff-CONSUMING queries changed behavior this round
-    # (dataChange-aware bucket pruning + marked-rebucket skip,
-    # VERDICT r7 #1/#4), so their r7 greens predate the change:
+    # This round the whole lake family is TOUCHED: the manifest moved
+    # from one monolithic rewritten-per-commit JSON to an incremental
+    # commit log (_log/<v>.json deltas + periodic checkpoints, VERDICT
+    # r8 #1), which changes version resolution under every lake_* /
+    # stream_lake_* / stream_merge_lake query, so their r7/r8 greens
+    # predate the change:
+    "stream_merge_lake",
+    "lake_time_travel",
     "lake_changes_feed",
     "stream_lake_cdf",
-    # NOT listed despite sharing materialize.py: lake_time_travel /
-    # lake_compaction / lake_rebucket / stream_merge_lake only gained
-    # metadata WRITES (data_versions stamps, rebucket marker) — their
-    # result-computing plans are unchanged and their outputs stay
-    # pinned by per-round pytest oracle parity, the sf0.1 sweep, and
-    # the 10x/100x lake-lifecycle parity; listing them would evict
-    # four more r5-stale signals from the window for no evidence gain.
+    "lake_compaction",
+    "lake_rebucket",
+    "lake_concurrent_merge",
+    "lake_cdf_preimages",
+    "lake_gold_incremental",
+    "stream_lake_gold",
+    "lake_zonemap_read",
+    # Demand: 11 touched (rank (0,-1)) + the round-9 new queries
+    # (age 0) + the six r5-stale signals VERDICT r8 #2 names
+    # (prj_cache_action, prj_pk_coalesce, prj_routing_key,
+    # set_union_streams, src_jsonl_scan, src_orc_scan — age 5, next
+    # cohort after age 0) ≈ 20 of 50 slots; the remainder goes to the
+    # r6-stale cohort, heaviest first, so after r9 no signal is older
+    # than r6.
 )
 
 

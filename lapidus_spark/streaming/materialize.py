@@ -186,14 +186,33 @@ def materialize(
 #: ~6k-entity replay fixture; a 100 TB table wants 10^4-10^5.
 MERGE_LAKE_BUCKETS = 8
 
-#: the lake's commit pointer — a single JSON file naming the live
-#: directory per bucket plus the pinned layout (n_buckets). Flipped
-#: atomically (tmp + fsync + rename), it IS the commit: readers and
-#: the merge's own read-back resolve data through it, so files not
-#: yet named by a manifest do not exist as far as the table is
-#: concerned. This is the poor-man's Delta/Iceberg snapshot log,
-#: built from the one atomic primitive plain filesystems give us.
+#: the lake's commit POINTER — a tiny JSON file (format 2: just
+#: ``{"format": 2, "version": V, "floor": F}``) flipped atomically
+#: (tmp + fsync + rename). The rename IS the commit: readers and the
+#: merge's own read-back resolve data through it, so files not yet
+#: named by a committed version do not exist as far as the table is
+#: concerned. The resolved manifest CONTENT (bucket pointers, stamps,
+#: zone maps) lives in the incremental commit log under ``_log/`` —
+#: see ``LOG_DIR`` — so the per-commit metadata write is O(touched
+#: buckets), never O(all buckets + all files). Format-1 lakes (the
+#: pre-round-9 monolithic manifest, the full content in this file)
+#: remain readable and upgrade in place on their next commit.
 MANIFEST_NAME = "_lapidus_manifest.json"
+
+#: the incremental commit log (Delta's ``_delta_log`` analog): one
+#: ``<version>.json`` DELTA entry per commit — only the touched
+#: bucket pointers, their dataChange stamps, and any file stats for
+#: exactly those buckets — plus a periodic ``<version>.checkpoint
+#: .json`` holding the fully-resolved manifest (every
+#: ``CHECKPOINT_EVERY``-th version, and always at version 1 /
+#: at a format-1 migration base). A reader resolves version V from
+#: the newest checkpoint ≤ V plus ≤CHECKPOINT_EVERY small delta
+#: replays. This is what makes the metadata plane scale: at 10^5
+#: buckets / 10^6 files, a commit writes bytes proportional to the
+#: BATCH (touched buckets), the pointer flip stays one tiny rename,
+#: and only every K-th commit pays the amortized full checkpoint.
+LOG_DIR = "_log"
+CHECKPOINT_EVERY = 8
 
 #: write-side name of the bucket partition column. partitionBy drops
 #: its column from the data files, and readers resolve bucket dirs
@@ -240,6 +259,17 @@ class CommitConflictError(RuntimeError):
     """An optimistic merge lost every retry to concurrent commits
     that data-changed its buckets (or to a held flip lock)."""
 
+
+#: How long LOCKED writers (merge_batch_into_lake, compact_lake,
+#: rebucket_lake) re-contend for the writer lock before raising
+#: ConcurrentMergeError. Nonzero so a locked daemon's micro-batch
+#: rides out an optimistic sibling's flip-lock hold (a JSON rename
+#: plus GC, milliseconds) instead of dying on a transient — a LIVE
+#: long holder (another locked writer mid-merge) still raises, just
+#: after the wait. Streaming sinks rely on this: the CLI's
+#: ``--optimistic`` contract is that a running locked daemon keeps
+#: committing while an optimistic writer flips.
+LOCKED_WAIT_S = 5.0
 
 #: Unreferenced ``commits/`` dirs younger than this are NOT garbage:
 #: an optimistic writer stages its commit directory BEFORE taking the
@@ -433,6 +463,30 @@ def _commit_manifest(lake_dir: str, manifest: dict) -> None:
     _atomic_write_json(
         os.path.join(lake_dir, MANIFEST_NAME), manifest, sync_dir=True
     )
+
+
+#: substrings identifying a missing-input failure surfacing from the
+#: JVM (Spark wraps the executor's FileNotFoundException in analysis /
+#: Py4J error text) — the signature of the documented GC-vs-read race.
+_MISSING_FILE_MARKERS = (
+    "FileNotFoundException",
+    "FILE_NOT_FOUND",
+    "PATH_NOT_FOUND",
+    "No such file",
+    "does not exist",
+)
+
+
+def _is_missing_file_error(exc: BaseException) -> bool:
+    """Is this the GC-vs-read race (a concurrent committer collected
+    files the unlocked staging was reading)? Only such failures are
+    worth retrying against a fresh manifest — a deterministic staging
+    failure (schema bug, bad input) must surface immediately instead
+    of burning retries and masquerading as a commit conflict."""
+    if isinstance(exc, (FileNotFoundError, OSError)):
+        return True
+    msg = str(exc)
+    return any(m in msg for m in _MISSING_FILE_MARKERS)
 
 
 def _newest_mtime(root: str) -> float:
@@ -636,7 +690,7 @@ def merge_batch_into_lake(
     travel and ``lake_changes`` over the last K versions."""
     _validate_merge_args(n_buckets, retain_versions)
     spark = batch_df.sparkSession
-    lock = _acquire_lock(lake_dir)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
         _merge_locked(spark, batch_df, lake_dir, n_buckets, retain_versions)
     finally:
@@ -862,16 +916,22 @@ def merge_batch_optimistic(
                         f".{uuid.uuid4().hex[:8]}"
                     )
                     _stage_commit(lake_dir, merged, touched, commit_rel)
-                except Exception:
+                except Exception as exc:
                     if commit_rel is not None:
                         shutil.rmtree(
                             os.path.join(lake_dir, commit_rel), ignore_errors=True
                         )
+                    # retry ONLY the documented GC-vs-read race: the
+                    # manifest moved AND the failure is a missing-file
+                    # error. A deterministic staging failure (schema /
+                    # analysis bug, bad input) re-raises immediately —
+                    # retrying it max_attempts times would surface as
+                    # CommitConflictError and mask the root cause.
                     live_now = _read_manifest(lake_dir)
                     if (live_now["version"] if live_now else 0) != (
                         base["version"] if base else 0
-                    ):
-                        continue  # GC-vs-read race under a concurrent commit: retry fresh
+                    ) and _is_missing_file_error(exc):
+                        continue
                     raise
                 finally:
                     updates.unpersist()
@@ -890,7 +950,15 @@ def merge_batch_optimistic(
                 continue
             try:
                 cur = _healed_manifest(lake_dir)
-                if not _occ_conflicts(base, cur, touched, nb):
+                # the staging must still exist before its pointers are
+                # published: a stage-to-flip gap longer than the GC
+                # grace (suspended process, long lock waits) or skewed
+                # mtimes (NFS, cross-host clocks) can let a concurrent
+                # committer's GC collect it — flipping then would
+                # commit dangling bucket pointers. Treat a missing
+                # staging as a conflict and recompute.
+                staged_alive = os.path.isdir(os.path.join(lake_dir, commit_rel))
+                if staged_alive and not _occ_conflicts(base, cur, touched, nb):
                     pending = None
                     return _flip_version(
                         lake_dir, cur, commit_rel, touched, nb, retain_versions
@@ -900,8 +968,10 @@ def merge_batch_optimistic(
                     os.remove(lock)
                 except FileNotFoundError:
                     pass
-            # a conflicting commit landed between read and flip: drop the
-            # staging and recompute against the manifest it produced
+            # a conflicting commit landed between read and flip (or the
+            # staging was GC'd out from under us): drop the staging and
+            # recompute against the manifest it produced
+            pending = None
             shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
     finally:
         if pending is not None:
@@ -1213,7 +1283,7 @@ def compact_lake(
         return _compact_optimistic(
             spark, lake_dir, target_files_per_bucket, max_records_per_file, retain_versions
         )
-    lock = _acquire_lock(lake_dir)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
         manifest = _healed_manifest(lake_dir)
         if manifest is None:
@@ -1424,6 +1494,14 @@ def _compact_optimistic(
         }
     try:
         cur = _healed_manifest(lake_dir)
+        if not os.path.isdir(os.path.join(lake_dir, commit_rel)):
+            # staged rewrite GC'd mid-gap (grace expiry / mtime skew):
+            # flipping would publish dangling pointers — defer instead
+            return {
+                "version": cur["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
         if cur["n_buckets"] != base["n_buckets"]:
             # a rebucket rewrote the whole layout mid-flight: nothing
             # to salvage (bucket ids changed meaning) — drop the work
@@ -1495,7 +1573,7 @@ def rebucket_lake(
         or new_n_buckets < 1
     ):
         raise ValueError(f"new_n_buckets must be a positive int, got {new_n_buckets!r}")
-    lock = _acquire_lock(lake_dir)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
         manifest = _healed_manifest(lake_dir)
         if manifest is None:

@@ -645,3 +645,124 @@ def test_describe_history_reports_live_in_crash_window(spark, tmp_path):
     assert hist[0]["operation"] == "merge"
     assert [h["version"] for h in hist] == [2, 1]
     assert M.describe_history(lake, limit=1) == hist[:1]
+
+
+def test_locked_merge_rides_out_transient_flip_lock(spark, tmp_path):
+    """A locked writer arriving while another writer briefly holds the
+    flip lock must WAIT it out (LOCKED_WAIT_S), not die — the CLI's
+    --optimistic contract says a running locked daemon keeps
+    committing across an optimistic sibling's millisecond flip."""
+    import threading
+    import time
+
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)
+
+    lock_path = M._acquire_lock(lake)  # simulate a sibling's flip hold
+    released = []
+
+    def release_soon():
+        time.sleep(0.8)
+        os.remove(lock_path)
+        released.append(True)
+
+    t = threading.Thread(target=release_soon)
+    t.start()
+    try:
+        # pre-fix this raised ConcurrentMergeError immediately (wait_s=0)
+        M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake)
+    finally:
+        t.join()
+    assert released == [True]
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_flip_refuses_gc_collected_staging(spark, tmp_path):
+    """If the staged commit dir vanishes in the stage-to-flip gap
+    (grace expiry under a suspended process, mtime skew letting a
+    concurrent committer's GC collect it), the flip must NOT publish
+    dangling bucket pointers — it recomputes instead, and every
+    pointer in the committed manifest resolves to a real directory."""
+    import shutil
+
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    batches = [env.filter(F.col("event_seq") % 3 == i) for i in range(3)]
+    M.merge_batch_into_lake(batches[0], lake)  # v1
+
+    attempts = []
+
+    def gc_interloper(attempt):
+        attempts.append(attempt)
+        if attempt == 0:
+            # a sibling commits (so GC has a reason to run), then its
+            # "GC" collects our staged nonce dir as if the grace had
+            # expired — delete every unreferenced nonce-named commit
+            M.merge_batch_into_lake(batches[2], lake)
+            live = {
+                p.split("/", 2)[1]
+                for p in M._read_manifest(lake)["buckets"].values()
+                if p.startswith("commits/")
+            }
+            for d in os.listdir(os.path.join(lake, "commits")):
+                if "." in d and d not in live:
+                    shutil.rmtree(os.path.join(lake, "commits", d))
+
+    m = M.merge_batch_optimistic(batches[1], lake, _race_hook=gc_interloper)
+    assert attempts == [0, 1]  # missing staging treated as a conflict
+    for rel in m["buckets"].values():
+        assert os.path.isdir(os.path.join(lake, rel)), f"dangling pointer {rel}"
+    assert _rows(spark, lake) == _oneshot(spark, tmp_path)
+
+
+def test_occ_deterministic_staging_failure_surfaces(spark, tmp_path, monkeypatch):
+    """A deterministic staging failure (not the GC-vs-read race) must
+    re-raise on the FIRST attempt even when the manifest moved
+    mid-flight — pre-fix it was retried max_attempts times and
+    surfaced as CommitConflictError, masking the root cause."""
+    import lapidus_spark.streaming.materialize as M
+
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake)
+
+    real = M._stage_commit
+    calls = []
+    state = {"interloping": False}
+
+    def broken_stage(*a, **k):
+        if state["interloping"]:
+            return real(*a, **k)  # the interloper's own locked merge
+        if not calls:
+            # move the live version first, as a concurrent commit would
+            state["interloping"] = True
+            try:
+                M.merge_batch_into_lake(env.filter(F.col("event_seq") % 4 == 1), lake)
+            finally:
+                state["interloping"] = False
+        calls.append(1)
+        raise ValueError("deterministic staging bug")
+
+    monkeypatch.setattr(M, "_stage_commit", broken_stage)
+    with pytest.raises(ValueError, match="deterministic staging bug"):
+        M.merge_batch_optimistic(env.filter(F.col("event_seq") % 2 == 1), lake)
+    assert len(calls) == 1  # no blind retry loop
+
+
+def test_missing_file_error_classifier():
+    """The retry gate: filesystem/JVM missing-file signatures retry,
+    anything else re-raises."""
+    from lapidus_spark.streaming.materialize import _is_missing_file_error
+
+    assert _is_missing_file_error(FileNotFoundError("x"))
+    assert _is_missing_file_error(OSError("stale handle"))
+    assert _is_missing_file_error(RuntimeError("java.io.FileNotFoundException: f"))
+    assert _is_missing_file_error(Exception("[FILE_NOT_FOUND] path gone"))
+    assert _is_missing_file_error(Exception("Path does not exist: /x"))
+    assert not _is_missing_file_error(ValueError("schema mismatch"))
+    assert not _is_missing_file_error(ZeroDivisionError())
