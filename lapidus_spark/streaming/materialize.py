@@ -38,13 +38,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 
-def snapshot_stream(envelopes: DataFrame) -> DataFrame:
+def snapshot_stream(envelopes: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Incremental last-write-wins state per entity over the envelope
     stream (same semantics as the batch win_cdc_snapshot query,
-    including delete tombstones — kept so the sink can purge)."""
+    including delete tombstones — kept so the sink can purge).
+    ``extra_cols`` carries additional envelope attributes into the
+    snapshot row alongside the core five — the lake's schema-evolution
+    path (the winning event's values ride the same max_by)."""
     return envelopes.groupBy(F.col("pk").alias("entity_id")).agg(
         F.max_by(
-            F.struct("event_seq", "ts", "type", "item"),
+            F.struct("event_seq", "ts", "type", "item", *extra_cols),
             F.struct("ts", "event_seq"),
         ).alias("last")
     ).select(
@@ -53,6 +56,7 @@ def snapshot_stream(envelopes: DataFrame) -> DataFrame:
         F.col("last.ts").alias("last_ts"),
         F.col("last.type").alias("last_type"),
         F.col("last.item").alias("item"),
+        *[F.col(f"last.{c}").alias(c) for c in extra_cols],
     )
 
 
@@ -260,6 +264,16 @@ class CommitConflictError(RuntimeError):
     that data-changed its buckets (or to a held flip lock)."""
 
 
+#: process-level OCC outcome counters (observability for multi-writer
+#: deployments and the two-daemon E2E test): a CONFLICT is a staged
+#: merge dropped and recomputed because a concurrent commit
+#: data-changed its buckets (a real lost race); a REBASE is a flip
+#: applied onto a manifest that moved under the staging without
+#: touching this merge's buckets' content (the cheap win).
+OCC_CONFLICTS = 0
+OCC_REBASES = 0
+
+
 #: How long LOCKED writers (merge_batch_into_lake, compact_lake,
 #: rebucket_lake) re-contend for the writer lock before raising
 #: ConcurrentMergeError. Nonzero so a locked daemon's micro-batch
@@ -294,7 +308,10 @@ def _failpoint(name: str) -> None:
         os.kill(os.getpid(), signal.SIGKILL)
 
 
-def _read_manifest(lake_dir: str) -> dict | None:
+def _read_pointer(lake_dir: str) -> dict | None:
+    """Raw commit-pointer JSON: a format-2 pointer ``{format, version,
+    floor}``, a format-1 FULL manifest (``buckets`` present), or None
+    for a lake with no manifest yet."""
     try:
         with open(os.path.join(lake_dir, MANIFEST_NAME)) as f:
             return json.load(f)
@@ -302,11 +319,134 @@ def _read_manifest(lake_dir: str) -> dict | None:
         return None
 
 
+def _delta_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, LOG_DIR, f"{version:010d}.json")
+
+
+def _checkpoint_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, LOG_DIR, f"{version:010d}.checkpoint.json")
+
+
+def _checkpoint_versions(lake_dir: str) -> list[int]:
+    """Sorted versions with a checkpoint in ``_log/`` (driver-side
+    listing, proportional to retained log entries)."""
+    try:
+        names = os.listdir(os.path.join(lake_dir, LOG_DIR))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(n.split(".", 1)[0]) for n in names if n.endswith(".checkpoint.json")
+    )
+
+
+def _apply_delta(base: dict | None, delta: dict) -> dict:
+    """Fold one commit-log delta entry onto a resolved manifest — THE
+    definition of what a commit changes, shared by the writer (which
+    derives the next live manifest from it) and readers (which replay
+    deltas from a checkpoint). Only the delta's ``touched`` buckets'
+    pointers / stamps / stats move; a ``replace_all`` delta (rebucket)
+    starts the maps fresh because bucket ids change meaning."""
+    version = delta["version"]
+    replace_all = delta.get("replace_all", False)
+    new_manifest: dict = {
+        "format": 2,
+        "version": version,
+        "n_buckets": delta["n_buckets"],
+        "buckets": {} if replace_all or base is None else dict(base["buckets"]),
+    }
+    # the last-compaction record and the schema epoch carry through
+    # merges (a rebucket drops the compaction record: layout changed)
+    if base is not None:
+        if not replace_all and "compaction" in base:
+            new_manifest["compaction"] = base["compaction"]
+        if "columns" in base:
+            new_manifest["columns"] = base["columns"]
+    if delta.get("extra"):
+        new_manifest.update(delta["extra"])
+    data_versions = (
+        {} if replace_all or base is None else dict(base.get("data_versions", {}))
+    )
+    zone_maps = (
+        {} if replace_all or base is None else dict(base.get("file_stats", {}))
+    )
+    for b, rel in delta["touched"].items():
+        new_manifest["buckets"][b] = rel
+        if delta["data_change"]:
+            data_versions[b] = version
+        zone_maps.pop(b, None)  # pointer moved: old stats are stale
+    if delta.get("file_stats"):
+        zone_maps.update(delta["file_stats"])
+    new_manifest["data_versions"] = data_versions
+    if zone_maps:
+        new_manifest["file_stats"] = zone_maps
+    return new_manifest
+
+
+def _no_retained_version(lake_dir: str, version: int, live) -> ValueError:
+    return ValueError(
+        f"lake at {lake_dir} has no retained version {version} "
+        f"(live is {live if live is not None else 'absent'}; older versions "
+        "exist only inside the merge's retain_versions horizon)"
+    )
+
+
+def _resolve_version(lake_dir: str, pointer: dict, version: int) -> dict:
+    """Resolve a committed version of a format-2 lake: newest
+    checkpoint ≤ version, then replay the ≤CHECKPOINT_EVERY delta
+    entries up to it. Versions below the pointer's retention ``floor``
+    fail fast (their log entries and data are GC'd); versions from a
+    migrated lake's format-1 era (older than the migration checkpoint)
+    fall back to their retained ``_history/`` JSONs."""
+    live_v = int(pointer["version"])
+    if version > live_v or version < 1:
+        raise _no_retained_version(lake_dir, version, live_v)
+    if version < int(pointer.get("floor", 1)):
+        raise _no_retained_version(lake_dir, version, live_v)
+    cp = max((v for v in _checkpoint_versions(lake_dir) if v <= version), default=None)
+    if cp is None:
+        # format-1 era of a migrated lake: the full manifest was
+        # retained under _history/ by the pre-migration commits
+        try:
+            with open(os.path.join(lake_dir, HISTORY_DIR, f"{version:010d}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise _no_retained_version(lake_dir, version, live_v) from None
+    try:
+        with open(_checkpoint_path(lake_dir, cp)) as f:
+            manifest = json.load(f)
+        for v in range(cp + 1, version + 1):
+            with open(_delta_path(lake_dir, v)) as f:
+                manifest = _apply_delta(manifest, json.load(f))
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"lake at {lake_dir}: commit log is missing an entry needed to "
+            f"resolve version {version} ({e.filename}) — log corrupted "
+            "(partial restore, manual deletion?)"
+        ) from None
+    return manifest
+
+
+def _read_manifest(lake_dir: str) -> dict | None:
+    """The LIVE resolved manifest (None when the lake has none):
+    format-2 pointers resolve through the commit log (one checkpoint +
+    ≤CHECKPOINT_EVERY small deltas — the Delta log/checkpoint read
+    path); format-1 pointers ARE the manifest."""
+    pointer = _read_pointer(lake_dir)
+    if pointer is None or "buckets" in pointer:
+        return pointer
+    return _resolve_version(lake_dir, pointer, int(pointer["version"]))
+
+
 def _manifest_at(lake_dir: str, version: int | None) -> dict | None:
-    """Manifest for a specific committed version (None → live). The
-    live manifest is authoritative; superseded versions come from
-    ``_history/`` and exist only inside the retention horizon."""
-    live = _read_manifest(lake_dir)
+    """Manifest for a specific committed version (None → live),
+    resolved through the commit log (format 2) or ``_history/``
+    (format 1); unretained versions fail fast and explicitly."""
+    pointer = _read_pointer(lake_dir)
+    if pointer is not None and "buckets" not in pointer:
+        return _resolve_version(
+            lake_dir, pointer, int(pointer["version"]) if version is None else version
+        )
+    live = pointer
     if version is None or (live is not None and live["version"] == version):
         return live
     path = os.path.join(lake_dir, HISTORY_DIR, f"{version:010d}.json")
@@ -314,10 +454,8 @@ def _manifest_at(lake_dir: str, version: int | None) -> dict | None:
         with open(path) as f:
             return json.load(f)
     except FileNotFoundError:
-        raise ValueError(
-            f"lake at {lake_dir} has no retained version {version} "
-            f"(live is {live['version'] if live else 'absent'}; older versions "
-            "exist only inside the merge's retain_versions horizon)"
+        raise _no_retained_version(
+            lake_dir, version, live["version"] if live else None
         ) from None
 
 
@@ -448,20 +586,22 @@ def _acquire_lock_once(lake_dir: str) -> str:
             pass
 
 
-def _commit_manifest(lake_dir: str, manifest: dict) -> None:
-    """THE commit point: stage the new manifest next to the old one,
-    fsync, one atomic ``os.replace``, then fsync the lake directory
-    so the rename itself is journaled — without the directory fsync
-    a power loss (not a mere crash) after the flip could resurrect
-    the old manifest while the source has already acked the batch.
-    Every byte of merged data is written to its commit directory
-    before this runs (data-file sync rides on Spark's committer /
-    the filesystem); a crash anywhere before the replace leaves the
-    previous manifest — and therefore the previous table contents —
-    fully intact."""
+def _commit_manifest(lake_dir: str, pointer: dict) -> None:
+    """THE commit point: stage the new commit POINTER next to the old
+    one, fsync, one atomic ``os.replace``, then fsync the lake
+    directory so the rename itself is journaled — without the
+    directory fsync a power loss (not a mere crash) after the flip
+    could resurrect the old pointer while the source has already
+    acked the batch. Every byte of merged data AND every commit-log
+    entry is written before this runs (data-file sync rides on
+    Spark's committer / the filesystem; log entries are fsynced by
+    ``_atomic_write_json``); a crash anywhere before the replace
+    leaves the previous version — and therefore the previous table
+    contents — fully intact, with any orphan log entries above it
+    overwritten by the next committer."""
     _failpoint("lake_merge.before_manifest_flip")
     _atomic_write_json(
-        os.path.join(lake_dir, MANIFEST_NAME), manifest, sync_dir=True
+        os.path.join(lake_dir, MANIFEST_NAME), pointer, sync_dir=True
     )
 
 
@@ -510,15 +650,14 @@ def _gc_unreferenced(
     grace_seconds: float | None = None,
 ) -> None:
     """Best-effort removal of commit dirs / legacy bucket dirs that no
-    RETAINED manifest references (orphans from crashed merges,
-    versions beyond the retention horizon). Retained = the live
-    manifest plus the newest ``retain_versions - 1`` history
-    manifests below it; history JSON outside the horizon is pruned
-    with the data so an expired time-travel read fails fast instead
-    of hitting missing files. Safe because it runs only AFTER a
-    successful flip and only deletes paths no retained manifest
-    names; failures are swallowed — an orphan is wasted space, never
-    wrong data. Unreferenced commit dirs younger than
+    RETAINED version references (orphans from crashed merges, versions
+    beyond the retention horizon), plus pruning of commit-log entries
+    below the newest checkpoint ≤ the retention floor and of
+    format-1-era ``_history`` JSONs below the floor — so an expired
+    time-travel read fails fast instead of hitting missing files.
+    Runs only AFTER a successful flip; deletes only paths no retained
+    version names. Failures are swallowed — an orphan is wasted
+    space, never wrong data. Unreferenced commit dirs younger than
     ``grace_seconds`` (default ``GC_GRACE_SECONDS``) are spared: they
     may be an optimistic writer's staged-not-yet-flipped commit."""
     import shutil
@@ -527,34 +666,40 @@ def _gc_unreferenced(
         grace_seconds = GC_GRACE_SECONDS
 
     # Collect the retained manifests FAIL-CLOSED: if any retained
-    # history JSON cannot be read, skip GC entirely — deleting from
-    # an under-filled retained set would destroy data still inside
-    # the retention horizon (an orphan is wasted space; a deleted
+    # version cannot be resolved, skip GC entirely — deleting from an
+    # under-filled retained set would destroy data still inside the
+    # retention horizon (an orphan is wasted space; a deleted
     # retained version is wrong data). Only the deletions themselves
     # are best-effort.
-    retained = [manifest]
-    expired: list[str] = []
-    hist_root = os.path.join(lake_dir, HISTORY_DIR)
+    pointer = _read_pointer(lake_dir)
+    if pointer is None or "buckets" in pointer:
+        return  # only the log-format flip calls GC; a torn state fails closed
+    floor, live_v = int(pointer.get("floor", 1)), int(pointer["version"])
+    retained = []
     try:
-        names = sorted(os.listdir(hist_root), reverse=True) if os.path.isdir(hist_root) else []
-        for fn in names:
-            if not fn.endswith(".json"):
-                continue
-            v = int(fn.split(".")[0])
-            if v >= manifest["version"]:
-                continue  # live (or a healed duplicate) already counted
-            if len(retained) < retain_versions:
-                with open(os.path.join(hist_root, fn)) as f:
-                    retained.append(json.load(f))
-            else:
-                expired.append(fn)
+        for v in range(floor, live_v + 1):
+            retained.append(
+                manifest if v == manifest["version"] else _resolve_version(lake_dir, pointer, v)
+            )
     except (OSError, ValueError):
         return
-    for fn in expired:
-        try:
-            os.remove(os.path.join(hist_root, fn))
-        except OSError:
-            pass
+    # prune the log below the newest checkpoint ≤ floor (everything at
+    # or above it is needed to resolve the floor version), and the
+    # format-1-era history JSONs below the floor
+    cp_floor = max((v for v in _checkpoint_versions(lake_dir) if v <= floor), default=None)
+    log_root = os.path.join(lake_dir, LOG_DIR)
+    try:
+        if cp_floor is not None:
+            for fn in os.listdir(log_root):
+                if fn.endswith(".json") and int(fn.split(".", 1)[0]) < cp_floor:
+                    os.remove(os.path.join(log_root, fn))
+        hist_root = os.path.join(lake_dir, HISTORY_DIR)
+        if os.path.isdir(hist_root):
+            for fn in os.listdir(hist_root):
+                if fn.endswith(".json") and int(fn.split(".")[0]) < floor:
+                    os.remove(os.path.join(hist_root, fn))
+    except (OSError, ValueError):
+        pass
     live_commits = {
         p.split("/", 2)[1]
         for m in retained
@@ -618,11 +763,36 @@ def _live_paths(lake_dir: str, manifest: dict | None, buckets=None) -> tuple[lis
 _LAKE_COLS = ["entity_id", "last_seq", "last_ts", "last_type", "item", "bucket"]
 
 
+def _manifest_columns(manifest: dict | None) -> list[dict]:
+    """The lake's evolved-schema epoch: columns ACCRETED beyond the
+    core five-column envelope, as ``[{"name", "type"}]`` in accretion
+    order. Recorded in the manifest by the evolving commit and carried
+    forward by ``_apply_delta``, so every retained version reads under
+    its own schema (time travel to a pre-evolution version returns the
+    pre-evolution shape)."""
+    return list((manifest or {}).get("columns", []))
+
+
+def _align_extras(df: DataFrame, extras: list[dict]) -> DataFrame:
+    """Null-fill declared extra columns a frame predates (files
+    written before a schema evolution lack the accreted columns —
+    Delta/parquet schema-evolution read semantics), then project the
+    canonical column order."""
+    have = set(df.columns)
+    for c in extras:
+        if c["name"] not in have:
+            df = df.withColumn(c["name"], F.lit(None).cast(c["type"]))
+    return df.select(*_LAKE_COLS, *[c["name"] for c in extras])
+
+
 def _read_live(spark, lake_dir: str, manifest: dict, buckets=None) -> DataFrame | None:
     """Manifest-resolved read of the live table (optionally pruned to
     ``buckets`` — path-level pruning, stronger than a pushed filter:
-    unreferenced and orphaned files are never opened at all)."""
+    unreferenced and orphaned files are never opened at all). Columns
+    follow THIS manifest's schema epoch: accreted columns are
+    null-filled for files older than their evolution."""
     legacy, commits = _live_paths(lake_dir, manifest, buckets)
+    extras = _manifest_columns(manifest)
     parts = []
     if legacy:
         parts.append(
@@ -634,22 +804,24 @@ def _read_live(spark, lake_dir: str, manifest: dict, buckets=None) -> DataFrame 
         parts.append(spark.read.parquet(*commits))
     if not parts:
         return None
+    parts = [_align_extras(p, extras) for p in parts]
     df = parts[0]
     for p in parts[1:]:
-        df = df.select(*_LAKE_COLS).unionByName(p.select(*_LAKE_COLS))
-    return df.select(*_LAKE_COLS)
+        df = df.unionByName(p)
+    return df
 
 
-def _lww_combine(envelopes_or_rows: DataFrame) -> DataFrame:
+def _lww_combine(envelopes_or_rows: DataFrame, extra_names: tuple = ()) -> DataFrame:
     """Last-write-wins combine over snapshot-shaped rows: one row per
     entity_id, winner by (last_ts, last_seq). A semilattice join —
     commutative, associative, idempotent — which is what makes the
-    merge correct under ANY batch arrival order and under replays."""
+    merge correct under ANY batch arrival order and under replays.
+    Accreted extra columns ride the winner's struct."""
     return (
         envelopes_or_rows.groupBy("entity_id")
         .agg(
             F.max_by(
-                F.struct("last_seq", "last_ts", "last_type", "item", "bucket"),
+                F.struct("last_seq", "last_ts", "last_type", "item", "bucket", *extra_names),
                 F.struct("last_ts", "last_seq"),
             ).alias("last")
         )
@@ -660,6 +832,7 @@ def _lww_combine(envelopes_or_rows: DataFrame) -> DataFrame:
             F.col("last.last_type").alias("last_type"),
             F.col("last.item").alias("item"),
             F.col("last.bucket").alias("bucket"),
+            *[F.col(f"last.{c}").alias(c) for c in extra_names],
         )
     )
 
@@ -701,15 +874,20 @@ def merge_batch_into_lake(
 
 
 def _healed_manifest(lake_dir: str) -> dict | None:
-    """Live manifest with the flip→history crash window healed: the
-    live manifest must be recorded in ``_history/`` before any op
-    builds the next version on it."""
-    manifest = _read_manifest(lake_dir)
-    if manifest is not None:
-        hist = os.path.join(lake_dir, HISTORY_DIR, f"{manifest['version']:010d}.json")
-        if not os.path.exists(hist):
-            _write_history(lake_dir, manifest)
-    return manifest
+    """Live manifest, with the format-1 flip→history crash window
+    healed (the live manifest must be recorded in ``_history/`` before
+    any op builds the next version on it). Format-2 lakes have no such
+    window — the log entry is written BEFORE the pointer flip — so
+    healing is a plain resolve."""
+    pointer = _read_pointer(lake_dir)
+    if pointer is None:
+        return None
+    if "buckets" not in pointer:
+        return _resolve_version(lake_dir, pointer, int(pointer["version"]))
+    hist = os.path.join(lake_dir, HISTORY_DIR, f"{pointer['version']:010d}.json")
+    if not os.path.exists(hist):
+        _write_history(lake_dir, pointer)
+    return pointer
 
 
 def _validate_merge_args(n_buckets, retain_versions) -> None:
@@ -767,20 +945,29 @@ def _resolve_base(lake_dir: str, n_buckets: int | None, adopt_legacy: bool):
     return manifest, n_buckets
 
 
-def _merged_for_batch(spark, lake_dir: str, manifest: dict | None, updates, n_buckets: int):
+def _merged_for_batch(
+    spark, lake_dir: str, manifest: dict | None, updates, n_buckets: int, all_extras=()
+):
     """Shared merge compute: the touched-bucket list (metadata-sized
     collect) and the LWW combine of the affected buckets' current
     rows with the batch — everything about a merge EXCEPT the commit
     protocol, so the locked/optimistic twins differ only in locking.
-    ``updates`` must already be persisted by the caller."""
+    ``updates`` must already be persisted by the caller. ``all_extras``
+    is the POST-merge schema epoch (manifest columns + any accreted by
+    this batch); both sides null-fill to it before combining."""
+    all_extras = list(all_extras)
     touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
     if not touched:
         return [], None
     current = _read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
+    names = tuple(c["name"] for c in all_extras)
+    updates = _align_extras(updates, all_extras)
     if current is not None:
-        merged = _lww_combine(current.unionByName(updates.select(*_LAKE_COLS)))
+        merged = _lww_combine(
+            _align_extras(current, all_extras).unionByName(updates), names
+        )
     else:
-        merged = _lww_combine(updates.select(*_LAKE_COLS))
+        merged = _lww_combine(updates, names)
     return touched, merged
 
 
@@ -960,6 +1147,11 @@ def merge_batch_optimistic(
                 staged_alive = os.path.isdir(os.path.join(lake_dir, commit_rel))
                 if staged_alive and not _occ_conflicts(base, cur, touched, nb):
                     pending = None
+                    if (cur["version"] if cur else 0) != (
+                        base["version"] if base else 0
+                    ):
+                        global OCC_REBASES
+                        OCC_REBASES += 1
                     return _flip_version(
                         lake_dir, cur, commit_rel, touched, nb, retain_versions
                     )
@@ -971,6 +1163,8 @@ def merge_batch_optimistic(
             # a conflicting commit landed between read and flip (or the
             # staging was GC'd out from under us): drop the staging and
             # recompute against the manifest it produced
+            global OCC_CONFLICTS
+            OCC_CONFLICTS += 1
             pending = None
             shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
     finally:
@@ -1082,45 +1276,73 @@ def _flip_version(
     manifest once it has proven (via the ``data_versions`` stamps)
     that no intervening commit data-changed its buckets.
 
-    ``file_stats`` (bucket → file → [min, max] of entity_id) are the
-    zone maps a CLUSTERED compaction records for its sorted output;
-    carried stats for any ``touched`` bucket are dropped (its pointer
-    left the commit the stats describe) and the new entries applied —
-    so stats are always truthful for the files the manifest names."""
+    ``file_stats`` (bucket → file → column ranges) are the zone maps
+    a CLUSTERED compaction records for its sorted output; carried
+    stats for any ``touched`` bucket are dropped (its pointer left
+    the commit the stats describe) and the new entries applied — so
+    stats are always truthful for the files the manifest names.
+
+    Commit-log protocol (format 2, all under the writer lock):
+
+    1. build the DELTA entry — touched pointers, stamps, stats; bytes
+       proportional to the BATCH, never to the table's bucket or file
+       count — and derive the next full manifest from it via
+       ``_apply_delta`` (writer and readers share the fold);
+    2. if the base is a format-1 monolith (or a legacy adoption),
+       checkpoint it into ``_log/`` first so replay has a base —
+       the in-place migration;
+    3. write the periodic checkpoint when due (version 1 and every
+       ``CHECKPOINT_EVERY``-th commit — a deterministic rule, so a
+       crashed writer's orphan checkpoint above the live pointer is
+       always overwritten by whoever actually commits that version);
+    4. write the delta entry, then atomically flip the pointer (the
+       ONE commit point — a crash before it leaves the old version
+       fully live, the orphan log entries are overwritten by the
+       next committer);
+    5. GC data and log beyond the retention floor."""
     version = (manifest["version"] if manifest else 0) + 1
-    new_manifest = {
-        "format": 1,
+    delta: dict = {
+        "format": 2,
         "version": version,
         "n_buckets": n_buckets,
-        "buckets": {} if replace_all else {**(manifest["buckets"] if manifest else {})},
+        "replace_all": replace_all,
+        "touched": {str(b): f"{commit_rel}/{_PARTITION_COL}={b}" for b in touched},
+        "data_change": data_change,
     }
-    # carry the last compaction record through merges (a rebucket —
-    # replace_all — drops it: the layout changed); a merged bucket's
-    # pointer leaves that commit, so the record stays truthful
-    if not replace_all and manifest and "compaction" in manifest:
-        new_manifest["compaction"] = manifest["compaction"]
     if extra:
-        new_manifest.update(extra)
-    # per-bucket last data-changing commit: carried forward, stamped
-    # only when this commit actually changes content (a bucket with a
-    # missing stamp — pre-data_versions manifests — degrades the diff
-    # paths to the conservative pointer comparison)
-    data_versions = (
-        {} if replace_all else dict((manifest or {}).get("data_versions", {}))
-    )
-    zone_maps = {} if replace_all else dict((manifest or {}).get("file_stats", {}))
-    for b in touched:
-        new_manifest["buckets"][str(b)] = f"{commit_rel}/{_PARTITION_COL}={b}"
-        if data_change:
-            data_versions[str(b)] = version
-        zone_maps.pop(str(b), None)  # pointer moved: old stats are stale
+        delta["extra"] = extra
     if file_stats:
-        zone_maps.update(file_stats)
-    new_manifest["data_versions"] = data_versions
-    if zone_maps:
-        new_manifest["file_stats"] = zone_maps
-    _commit_manifest(lake_dir, new_manifest)
-    _write_history(lake_dir, new_manifest)
+        delta["file_stats"] = file_stats
+    new_manifest = _apply_delta(manifest, delta)
+    log_dir = os.path.join(lake_dir, LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    pointer = _read_pointer(lake_dir)
+    prev_floor = 1
+    if manifest is not None and (pointer is None or "buckets" in pointer):
+        # migrating a format-1 manifest (or an adopted legacy layout,
+        # synthesized version 0): checkpoint the base so replay has a
+        # floor; its older retained versions stay readable via their
+        # _history JSONs until they age past retention.
+        _atomic_write_json(
+            _checkpoint_path(lake_dir, manifest["version"]), manifest
+        )
+        if pointer is not None:
+            hist = os.path.join(lake_dir, HISTORY_DIR)
+            retained_v1 = [
+                int(fn.split(".")[0])
+                for fn in (os.listdir(hist) if os.path.isdir(hist) else [])
+                if fn.endswith(".json")
+            ]
+            prev_floor = min(retained_v1, default=manifest["version"])
+    elif pointer is not None:
+        prev_floor = int(pointer.get("floor", 1))
+    floor = max(prev_floor, version - retain_versions + 1)
+    if version == 1 or version % CHECKPOINT_EVERY == 0:
+        _atomic_write_json(_checkpoint_path(lake_dir, version), new_manifest)
+    _atomic_write_json(_delta_path(lake_dir, version), delta)
+    _commit_manifest(
+        lake_dir, {"format": 2, "version": version, "floor": floor}
+    )
     _gc_unreferenced(lake_dir, new_manifest, retain_versions)
     return new_manifest
 
@@ -1329,17 +1551,33 @@ def compact_lake(
             pass
 
 
+def _ts_iso(v) -> str:
+    """Normalize a parquet-footer timestamp stat to a naive-UTC ISO
+    string with fixed microsecond precision — lexicographic order ==
+    instant order, so zone-map JSON stays engine-portable."""
+    from datetime import timezone
+
+    if v.tzinfo is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v.isoformat(timespec="microseconds")
+
+
 def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
-    """Per-file entity_id zone maps for a staged commit: bucket →
-    file → [min, max], read from the parquet FOOTERS only (driver-
-    side, metadata-sized — proportional to the file count, never the
-    data). Only worth recording for CLUSTERED output (compaction
-    sorts each bucket by entity_id, so the valve's sequential file
-    splits carry disjoint ranges and a point read overlaps ≤1 file
-    per key); on unsorted output the ranges would all span the whole
-    bucket and prune nothing. A file without usable min/max drops the
-    whole bucket's entry — readers fall back to the full dir,
-    conservative, never wrong."""
+    """Per-file zone maps for a staged commit: bucket → file →
+    ``{"entity_id": [min, max], "last_ts": [min, max]}``, read from
+    the parquet FOOTERS only (driver-side, metadata-sized —
+    proportional to the file count, never the data). entity_id ranges
+    are only worth recording for CLUSTERED output (compaction sorts
+    each bucket by entity_id, so the valve's sequential file splits
+    carry disjoint ranges and a point read overlaps ≤1 file per key);
+    last_ts ranges prune time-bounded reads (``lake_time_read``) and
+    pay off whenever keys correlate with time — unsorted on that
+    axis, they are still CORRECT, just possibly wide. A file without
+    usable entity_id min/max drops the whole bucket's entry; a file
+    without usable last_ts stats just omits that column's range —
+    readers fall back to reading it, conservative, never wrong.
+    Timestamps are stored as naive-UTC ISO strings (fixed precision,
+    lexicographically ordered)."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -1353,17 +1591,16 @@ def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
             md = pq.read_metadata(os.path.join(d, f))
             mins: list = []
             maxs: list = []
+            ts_mins: list = []
+            ts_maxs: list = []
+            ts_usable = True
             for rg in range(md.num_row_groups):
                 grp = md.row_group(rg)
-                col = next(
-                    (
-                        grp.column(i)
-                        for i in range(grp.num_columns)
-                        if grp.column(i).path_in_schema == "entity_id"
-                    ),
-                    None,
-                )
-                st = col.statistics if col is not None else None
+                cols = {
+                    grp.column(i).path_in_schema: grp.column(i)
+                    for i in range(grp.num_columns)
+                }
+                st = cols["entity_id"].statistics if "entity_id" in cols else None
                 if st is None or not st.has_min_max:
                     usable = False
                     break
@@ -1378,13 +1615,29 @@ def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
                     break
                 mins.append(st.min)
                 maxs.append(st.max)
+                ts_st = cols["last_ts"].statistics if "last_ts" in cols else None
+                if ts_st is None or not ts_st.has_min_max:
+                    ts_usable = False  # fixed-width: no truncation risk
+                else:
+                    ts_mins.append(ts_st.min)
+                    ts_maxs.append(ts_st.max)
             if not usable or not mins:
                 usable = False
                 break
-            stats[f] = [min(mins), max(maxs)]
+            entry = {"entity_id": [min(mins), max(maxs)]}
+            if ts_usable and ts_mins:
+                entry["last_ts"] = [_ts_iso(min(ts_mins)), _ts_iso(max(ts_maxs))]
+            stats[f] = entry
         if usable and stats:
             out[str(b)] = stats
     return out
+
+
+def _file_key_range(entry) -> tuple:
+    """A zone-map entry's entity_id [min, max] — handles both the
+    current dict form and the pre-round-9 bare-list form carried by
+    migrated format-1 manifests."""
+    return tuple(entry["entity_id"] if isinstance(entry, dict) else entry)
 
 
 def _degraded_buckets(
@@ -1582,23 +1835,24 @@ def rebucket_lake(
             return {"version": manifest["version"], "n_buckets": new_n_buckets}
         rows = _read_live(spark, lake_dir, manifest)
         if rows is None:  # empty table: the layout change is pure metadata
-            _commit_manifest(
+            version = manifest["version"] + 1
+            _flip_version(
                 lake_dir,
-                {
-                    "format": 1,
-                    "version": manifest["version"] + 1,
-                    "n_buckets": new_n_buckets,
-                    "buckets": {},
-                    "data_versions": {},
+                manifest,
+                f"commits/{version:010d}",  # unused: nothing touched
+                [],
+                new_n_buckets,
+                retain_versions,
+                replace_all=True,
+                extra={
                     "rebucket": {
-                        "version": manifest["version"] + 1,
+                        "version": version,
                         "from": manifest["n_buckets"],
                         "to": new_n_buckets,
-                    },
+                    }
                 },
             )
-            _write_history(lake_dir, _read_manifest(lake_dir))
-            return {"version": manifest["version"] + 1, "n_buckets": new_n_buckets}
+            return {"version": version, "n_buckets": new_n_buckets}
         rehashed = rows.withColumn(
             "bucket",
             F.pmod(F.xxhash64("entity_id"), F.lit(new_n_buckets)).cast("int"),
@@ -1724,11 +1978,10 @@ def lake_point_read(
         # meaningless (the key cannot live there) and testing it
         # would open up to |keys| files per bucket instead of ≤1 per
         # resident key.
-        pruned_files.extend(
-            os.path.join(lake_dir, rel, f)
-            for f, (mn, mx) in sorted(stats.items())
-            if any(mn <= k <= mx for k in b_keys)
-        )
+        for f, entry in sorted(stats.items()):
+            mn, mx = _file_key_range(entry)
+            if any(mn <= k <= mx for k in b_keys):
+                pruned_files.append(os.path.join(lake_dir, rel, f))
     parts = []
     base = _read_live(spark, lake_dir, manifest, plain) if plain else None
     if base is not None:
@@ -1746,6 +1999,76 @@ def lake_point_read(
     )
 
 
+def lake_time_read(
+    spark, lake_dir: str, ts_from, ts_to, version: int | None = None
+) -> DataFrame:
+    """Time-bounded lake read: consumer-view rows whose ``last_ts``
+    falls in ``[ts_from, ts_to)``. Below the manifest resolution sits
+    FILE pruning on the time axis: buckets whose zone maps carry
+    per-file ``last_ts`` [min, max] ranges (recorded from the parquet
+    footers by a clustered OPTIMIZE) open only the files overlapping
+    the requested window — when keys correlate with time (the common
+    case for id-assigned-over-time entities), a narrow window opens a
+    small fraction of each bucket instead of the whole dir. Buckets
+    without stats read whole and filter — conservative, never wrong
+    (the predicate is re-applied to every row either way, so pruning
+    is purely an I/O optimization). Bounds accept datetimes (naive =
+    UTC) or ISO strings; this is the read path a CDF backfill or a
+    time-sliced export uses at 100 TB."""
+    from datetime import datetime, timezone
+
+    def norm(v) -> datetime:
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+
+    lo, hi = norm(ts_from), norm(ts_to)
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest for time reads")
+    zone_maps = manifest.get("file_stats", {})
+    plain, pruned_files = set(), []
+    for b_str, rel in manifest["buckets"].items():
+        stats = zone_maps.get(b_str)
+        if (
+            stats is None
+            or rel.startswith("bucket=")
+            or not all(isinstance(e, dict) and "last_ts" in e for e in stats.values())
+        ):
+            plain.add(int(b_str))  # no time stats: whole bucket
+            continue
+        from datetime import datetime as _dt
+
+        for f, entry in sorted(stats.items()):
+            mn, mx = (_dt.fromisoformat(x) for x in entry["last_ts"])
+            if mx >= lo and mn < hi:
+                pruned_files.append(os.path.join(lake_dir, rel, f))
+    parts = []
+    base = _read_live(spark, lake_dir, manifest, plain) if plain else None
+    if base is not None:
+        parts.append(base.select(*_LAKE_COLS))
+    if pruned_files:
+        parts.append(spark.read.parquet(*pruned_files).select(*_LAKE_COLS))
+    if not parts:
+        df = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+    else:
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+    # compare in NTZ: the lake's last_ts may be LTZ or NTZ depending
+    # on the producing envelope; the session TZ is pinned UTC so the
+    # cast is value-preserving either way, and mixed NTZ/LTZ
+    # comparisons are a type error in Spark 4
+    ts = F.col("last_ts").cast("timestamp_ntz")
+    return df.filter(
+        (F.col("last_type") != "delete")
+        & (ts >= F.lit(lo).cast("timestamp_ntz"))
+        & (ts < F.lit(hi).cast("timestamp_ntz"))
+    )
+
+
 def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
     """DESCRIBE HISTORY for the lake (the Delta command's analog):
     one row per RETAINED committed version, newest first — version,
@@ -1756,7 +2079,66 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
     to the retention horizon, never the data. Versions GC'd past
     ``retain_versions`` are absent by construction (their history
     JSON is pruned with their data)."""
-    live = _read_manifest(lake_dir)
+    pointer = _read_pointer(lake_dir)
+    if pointer is not None and "buckets" not in pointer:
+        # format 2: one row per retained commit-LOG entry — the delta
+        # already carries the op markers and the touched-bucket count,
+        # so no full manifest is resolved (O(retained) tiny JSON reads)
+        floor, live_v = int(pointer.get("floor", 1)), int(pointer["version"])
+        out = []
+        for v in range(live_v, floor - 1, -1):
+            if limit is not None and len(out) >= limit:
+                break
+            try:
+                with open(_delta_path(lake_dir, v)) as fh:
+                    delta = json.load(fh)
+            except FileNotFoundError:
+                # format-1 era of a migrated lake: its retained
+                # _history manifest still describes it
+                try:
+                    with open(
+                        os.path.join(lake_dir, HISTORY_DIR, f"{v:010d}.json")
+                    ) as fh:
+                        m = json.load(fh)
+                except FileNotFoundError:
+                    continue
+                dv = m.get("data_versions", {})
+                out.append(
+                    {
+                        "version": v,
+                        "operation": (
+                            "rebucket"
+                            if int(m.get("rebucket", {}).get("version", -1)) == v
+                            else "compact"
+                            if int(m.get("compaction", {}).get("version", -1)) == v
+                            else "merge"
+                        ),
+                        "n_buckets": m["n_buckets"],
+                        "data_changed_buckets": sum(1 for x in dv.values() if x == v),
+                        "is_live": False,
+                    }
+                )
+                continue
+            extra = delta.get("extra", {})
+            if int(extra.get("rebucket", {}).get("version", -1)) == v:
+                op = "rebucket"
+            elif int(extra.get("compaction", {}).get("version", -1)) == v:
+                op = "compact"
+            else:
+                op = "merge"
+            out.append(
+                {
+                    "version": v,
+                    "operation": op,
+                    "n_buckets": delta["n_buckets"],
+                    "data_changed_buckets": (
+                        len(delta["touched"]) if delta["data_change"] else 0
+                    ),
+                    "is_live": v == live_v,
+                }
+            )
+        return out
+    live = pointer
     hist = os.path.join(lake_dir, HISTORY_DIR)
     try:
         names = sorted(os.listdir(hist), reverse=True)

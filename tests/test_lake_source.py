@@ -271,10 +271,14 @@ def test_rebucket_step_streams_through(spark, tmp_path):
     assert got == _batch_feed(spark, lake, [1, 2, 3, 4])
     assert not any(r[-1] == 3 for r in got)  # rebucket step: zero rows
     assert any(r[-1] == 4 for r in got)  # post-rebucket delta arrives
-    # the manifest carries the marker the skip keys on
-    with open(os.path.join(lake, "_history", f"{3:010d}.json")) as fh:
-        m3 = json.load(fh)
-    assert m3["rebucket"] == {"version": 3, "from": 8, "to": 4}
+    # the rebucket commit's log entry carries the marker the skip
+    # keys on, and the resolved v3 manifest surfaces it
+    import lapidus_spark.streaming.materialize as M
+
+    with open(M._delta_path(lake, 3)) as fh:
+        d3 = json.load(fh)
+    assert d3["extra"]["rebucket"] == {"version": 3, "from": 8, "to": 4}
+    assert M._manifest_at(lake, 3)["rebucket"] == {"version": 3, "from": 8, "to": 4}
 
 
 def test_unmarked_layout_change_raises(spark, tmp_path):
@@ -289,16 +293,19 @@ def test_unmarked_layout_change_raises(spark, tmp_path):
 
     from lapidus_spark.streaming.materialize import rebucket_lake
 
+    import lapidus_spark.streaming.materialize as M
+
     lake = str(tmp_path / "lake")
     _build_lake(spark, lake, n_batches=2)
     rebucket_lake(spark, lake, new_n_buckets=4, retain_versions=4)
-    for rel in ("_lapidus_manifest.json", os.path.join("_history", f"{3:010d}.json")):
-        p = os.path.join(lake, rel)
-        with open(p) as fh:
-            m = json.load(fh)
-        m.pop("rebucket")
-        with open(p, "w") as fh:
-            json.dump(m, fh)
+    # strip the marker from the rebucket commit's log entry (the one
+    # place it lives — resolution derives every manifest from it)
+    p = M._delta_path(lake, 3)
+    with open(p) as fh:
+        d = json.load(fh)
+    d["extra"].pop("rebucket")
+    with open(p, "w") as fh:
+        json.dump(d, fh)
     with pytest.raises(StreamingQueryException, match="without a rebucket marker"):
         _drain(spark, lake, "cdf_unmarked", str(tmp_path / "ck"))
 

@@ -626,11 +626,15 @@ def test_held_lock_reuses_staging_no_recompute(spark, tmp_path, monkeypatch):
     assert [d for d in os.listdir(os.path.join(lake, "commits")) if "." in d] == []
 
 
-def test_describe_history_reports_live_in_crash_window(spark, tmp_path):
-    """A writer killed between the manifest flip and the history write
-    leaves the live version absent from _history/ — DESCRIBE HISTORY
-    must still report it (the manifest is authoritative)."""
-    import os as _os
+def test_describe_history_ignores_orphan_log_entries(spark, tmp_path):
+    """The format-1 flip→history crash window is gone by construction
+    (the log entry is written BEFORE the pointer flip, under the
+    lock), so the live version's entry always exists; the remaining
+    hazard is the inverse — a writer killed AFTER its log-entry write
+    but before its pointer flip leaves an orphan entry ABOVE the live
+    version, which DESCRIBE HISTORY (and version resolution) must
+    never report as committed."""
+    import json as _json
 
     import lapidus_spark.streaming.materialize as M
 
@@ -638,13 +642,20 @@ def test_describe_history_reports_live_in_crash_window(spark, tmp_path):
     lake = str(tmp_path / "lake")
     M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake, retain_versions=4)
     M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 1), lake, retain_versions=4)
-    live_v = M._read_manifest(lake)["version"]
-    _os.remove(_os.path.join(lake, M.HISTORY_DIR, f"{live_v:010d}.json"))
+    live_v = M._read_pointer(lake)["version"]
+    # plant a dead writer's orphan delta above the live version
+    with open(M._delta_path(lake, live_v)) as fh:
+        orphan = _json.load(fh)
+    orphan["version"] = live_v + 1
+    M._atomic_write_json(M._delta_path(lake, live_v + 1), orphan)
+
     hist = M.describe_history(lake)
     assert hist[0]["version"] == live_v and hist[0]["is_live"]
     assert hist[0]["operation"] == "merge"
     assert [h["version"] for h in hist] == [2, 1]
     assert M.describe_history(lake, limit=1) == hist[:1]
+    with pytest.raises(ValueError, match="no retained version"):
+        M._manifest_at(lake, live_v + 1)
 
 
 def test_locked_merge_rides_out_transient_flip_lock(spark, tmp_path):
@@ -766,3 +777,149 @@ def test_missing_file_error_classifier():
     assert _is_missing_file_error(Exception("Path does not exist: /x"))
     assert not _is_missing_file_error(ValueError("schema mismatch"))
     assert not _is_missing_file_error(ZeroDivisionError())
+
+
+@pytest.mark.slow
+def test_two_daemons_share_lake_cdf_subscriber_converges(spark, tmp_path):
+    """Directive-grade end-to-end composition: TWO full daemon
+    processes — the complete config stack (parse_config →
+    pipeline.run → file-backend replay → envelope → lake sink with
+    concurrency: "optimistic") — merge interleaved event slices into
+    ONE shared lake, with a rendezvous barrier so their micro-batches
+    genuinely overlap. Afterwards a CDF subscriber streams the
+    converged history version by version. Must hold:
+
+    - both daemons drain cleanly (retries absorb every race);
+    - at least one REAL lost-and-recomputed race was observed
+      (the daemons report their OCC conflict counters);
+    - the shared snapshot equals the serial LWW oracle over the
+      union of both slices;
+    - the subscriber's folded feed reproduces that same snapshot
+      (the streamed history converges to the table)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.sources.tables import load_table
+    from lapidus_spark.streaming.lake_source import register_lake_cdf
+
+    lake = str(tmp_path / "lake")
+    rendezvous = str(tmp_path / "rendezvous")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # replay dirs: slice w = event_seq % 2 == w, sub-split into three
+    # single-file micro-batches (mtime-pinned arrival order); both
+    # slices span the same entities, so concurrent commits contend on
+    # the same buckets — the conflict path, not just rebases.
+    ev = load_table(spark, SF_DIR, "events")
+    for w in (0, 1):
+        replay = str(tmp_path / f"replay{w}")
+        os.makedirs(replay)
+        for i in range(3):
+            part = ev.filter(
+                (F.col("event_id") % 2 == w) & ((F.col("event_id") % 6) / 2 == i)
+            )
+            stage = os.path.join(replay, f"_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            dst = os.path.join(replay, f"events{i if i else ''}.parquet")
+            os.replace(os.path.join(stage, src), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        cfg = {
+            "backends": [
+                {
+                    "name": f"daemon{w}",
+                    "type": "file",
+                    "path": replay,
+                    "maxFilesPerTrigger": 1,
+                    "sinks": [
+                        {
+                            "type": "lake",
+                            "options": {
+                                "path": lake,
+                                "concurrency": "optimistic",
+                                "retainVersions": 12,
+                            },
+                        }
+                    ],
+                }
+            ],
+            "checkpointRoot": str(tmp_path / f"ckpt{w}"),
+        }
+        with open(str(tmp_path / f"cfg{w}.json"), "w") as fh:
+            json.dump(cfg, fh)
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "tests/occ_daemon_driver.py",
+                str(tmp_path / f"cfg{w}.json"),
+                rendezvous,
+                "2",
+            ],
+            env=dict(os.environ, SPARK_DRIVER_MEMORY="2g", PYTHONPATH=repo_root),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0 and "DAEMON_OK" in out, err[-2000:]
+        outs.append(out)
+    conflicts = sum(
+        int(line.split("conflicts=")[1].split()[0])
+        for o in outs
+        for line in o.splitlines()
+        if "DAEMON_OK" in line
+    )
+    assert conflicts >= 1, f"no real race observed: {outs}"
+
+    # every commit serialized into its own version; snapshot == oracle
+    n_versions = M._read_pointer(lake)["version"]
+    assert n_versions == 6
+    env = _env(spark)
+    oracle = str(tmp_path / "oracle")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 6 < 6), oracle)
+    expected = _rows(spark, oracle)
+    assert _rows(spark, lake) == expected
+
+    # CDF subscriber: stream the whole converged history one version
+    # per trigger and fold to the final state per entity
+    register_lake_cdf(spark)
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("occ_daemon_cdf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.table("occ_daemon_cdf")
+    final = (
+        feed.groupBy("entity_id")
+        .agg(
+            F.max_by(
+                F.struct("last_seq", "last_ts", "last_type", "item"), F.col("ver")
+            ).alias("s")
+        )
+        .select("entity_id", "s.last_seq", "s.last_ts", "s.last_type", "s.item")
+        .filter(F.col("last_type") != "delete")
+    )
+    got = sorted(
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in final.withColumn(
+            "last_ts", F.col("last_ts").cast("timestamp_ntz")
+        ).collect()
+    )
+    assert got == expected

@@ -1907,10 +1907,8 @@ def test_lake_time_travel_matches_per_version_oracles(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from lapidus_spark.streaming.materialize import (
-        HISTORY_DIR,
-        merge_batch_into_lake,
-    )
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
 
     env = normalize_events(load_table(spark, SF_DIR, "events"))
     batches = [env.filter(F.col("event_seq") % 3 == i) for i in range(3)]
@@ -1926,12 +1924,18 @@ def test_lake_time_travel_matches_per_version_oracles(spark, tmp_path):
         assert _snapshot_rows(spark, lake, version=k) == _snapshot_rows(spark, want), k
     # live read == newest version read
     assert _snapshot_rows(spark, lake) == _snapshot_rows(spark, lake, version=3)
-    assert len(os.listdir(os.path.join(lake, HISTORY_DIR))) == 3
+    # one commit-log delta entry per committed version
+    deltas = sorted(
+        int(f.split(".", 1)[0])
+        for f in os.listdir(os.path.join(lake, M.LOG_DIR))
+        if not f.endswith(".checkpoint.json")
+    )
+    assert deltas == [1, 2, 3]
 
     # tighten retention: next merge keeps only the last 2 versions
     merge_batch_into_lake(batches[0], lake, retain_versions=2)  # replay → v4
-    hist = sorted(os.listdir(os.path.join(lake, HISTORY_DIR)))
-    assert [int(h.split(".")[0]) for h in hist] == [3, 4]
+    assert M._read_pointer(lake)["floor"] == 3
+    assert [h["version"] for h in M.describe_history(lake)] == [4, 3]
     with pytest.raises(ValueError, match="no retained version 1"):
         _snapshot_rows(spark, lake, version=1)
     # v3/v4 still readable, and v4 (an idempotent replay) == v3

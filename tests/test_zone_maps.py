@@ -66,15 +66,20 @@ def test_clustered_compaction_records_disjoint_zone_maps(spark, tmp_path):
     assert set(stats) == set(m["buckets"])  # every bucket got stats
     multi = 0
     for b, files in stats.items():
-        ranges = sorted(files.values())
+        ranges = sorted(tuple(e["entity_id"]) for e in files.values())
         multi += len(ranges) > 1
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert lo1 <= hi1 < lo2 <= hi2  # disjoint, ordered
+        # the time dimension rides along: every file carries a
+        # last_ts [min, max] (ISO, naive-UTC, fixed precision)
+        for e in files.values():
+            lo_ts, hi_ts = e["last_ts"]
+            assert lo_ts <= hi_ts and "T" in lo_ts
     assert multi > 0  # the valve really split buckets into files
     # coverage: every live entity of a bucket falls inside some range
     rows = M._read_live(spark, lake, m).select("entity_id", "bucket").collect()
     for r in rows:
-        rs = stats[str(r["bucket"])].values()
+        rs = [e["entity_id"] for e in stats[str(r["bucket"])].values()]
         assert any(lo <= r["entity_id"] <= hi for lo, hi in rs)
 
 
@@ -192,3 +197,91 @@ def test_rebucket_resets_zone_maps(spark, tmp_path):
     # reads still exact through the new layout
     key = M._read_live(spark, lake, m).select("entity_id").first()[0]
     assert M.lake_point_read(spark, lake, [key]).count() in (0, 1)
+
+
+def test_time_read_prunes_files_after_clustered_optimize(spark, tmp_path):
+    """Time-dimension zone maps (the r8 'what's missing' #5): after a
+    clustered OPTIMIZE, a ts-range read opens only the files whose
+    footer-recorded last_ts range overlaps the window — in this
+    fixture keys correlate with time (ids assigned over time), so a
+    narrow window opens a small fraction of the files — and returns
+    exactly the rows a full-scan-and-filter would."""
+    from datetime import datetime, timedelta
+
+    import lapidus_spark.streaming.materialize as M
+
+    lake = str(tmp_path / "lake")
+    m = _build(spark, lake)
+    total_files = sum(len(fs) for fs in m["file_stats"].values())
+    assert total_files > len(m["buckets"])  # valve really split files
+
+    epoch = datetime(1970, 1, 1)
+    lo = epoch + timedelta(seconds=1_700_000_000 + 50)
+    hi = epoch + timedelta(seconds=1_700_000_000 + 150)
+    df = M.lake_time_read(spark, lake, lo, hi)
+    opened = df.inputFiles()
+    assert 0 < len(opened) < total_files  # real file-level pruning
+    expected = sorted(
+        map(
+            tuple,
+            M._read_live(spark, lake, m)
+            .filter(
+                (F.col("last_type") != "delete")
+                & (F.col("last_ts") >= F.lit(lo))
+                & (F.col("last_ts") < F.lit(hi))
+            )
+            .select(*COLS)
+            .collect(),
+        )
+    )
+    assert len(expected) == 100  # ids 50..149: one row per second
+    assert sorted(map(tuple, df.select(*COLS).collect())) == expected
+    # ISO-string bounds are accepted too
+    df2 = M.lake_time_read(spark, lake, lo.isoformat(), hi.isoformat())
+    assert sorted(map(tuple, df2.select(*COLS).collect())) == expected
+
+
+def test_time_read_falls_back_without_stats_and_stays_exact(spark, tmp_path):
+    """A merge drops its bucket's stats → the time read falls back to
+    the whole bucket dir for that bucket (conservative) and the
+    result is still exact, including the freshly merged row."""
+    from datetime import datetime, timedelta
+
+    import lapidus_spark.streaming.materialize as M
+
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    bump = (
+        _env(spark)
+        .orderBy("pk", "event_seq")
+        .limit(1)
+        .withColumn("event_seq", F.col("event_seq") + 9_000_000)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1_700_000_000 + 70)).cast("timestamp_ntz"),
+        )
+        .withColumn("type", F.lit("update"))
+        .withColumn("item", F.lit("in-window"))
+    )
+    M.merge_batch_into_lake(bump, lake, retain_versions=6)
+    epoch = datetime(1970, 1, 1)
+    lo = epoch + timedelta(seconds=1_700_000_000 + 50)
+    hi = epoch + timedelta(seconds=1_700_000_000 + 150)
+    df = M.lake_time_read(spark, lake, lo, hi)
+    got = {(r["entity_id"], r["item"]) for r in df.collect()}
+    assert ("k0000", "in-window") in got
+    m = M._read_manifest(lake)
+    expected = sorted(
+        map(
+            tuple,
+            M._read_live(spark, lake, m)
+            .filter(
+                (F.col("last_type") != "delete")
+                & (F.col("last_ts") >= F.lit(lo))
+                & (F.col("last_ts") < F.lit(hi))
+            )
+            .select(*COLS)
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, df.select(*COLS).collect())) == expected
