@@ -87,6 +87,13 @@ COHORT = [
     "stream_lake_gold",
     "ext_ann_incremental",
     "lake_zonemap_read",
+    # round-9 surface: the incremental manifest commit log under 10x
+    # multi-split envelopes (every lake query above now resolves
+    # versions through checkpoint+delta replay), plus the new column-
+    # accretion, time-zone-map, and update-mode-gold paths
+    "lake_schema_evolution",
+    "lake_time_read",
+    "stream_lake_gold_update",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

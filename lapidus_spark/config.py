@@ -289,6 +289,15 @@ def _sink(s: dict) -> SinkConfig:
                 "sink: lake sink options.concurrency must be 'locked' or "
                 f"'optimistic', got {concurrency!r}"
             )
+        extra_columns = opts.get("extraColumns")
+        if extra_columns is not None and (
+            not isinstance(extra_columns, list)
+            or not all(isinstance(c, str) and c for c in extra_columns)
+        ):
+            raise ConfigError(
+                "sink: lake sink options.extraColumns must be a list of "
+                "envelope column names (schema evolution on MERGE)"
+            )
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

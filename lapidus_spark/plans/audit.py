@@ -508,6 +508,15 @@ EXPECTATIONS: dict[str, dict] = {
     # zone-map point read: manifest-stat file pruning below the
     # bucket pruning, pushed isin/tombstone filters, zero exchanges
     "lake_zonemap_read": {"pushed": True, "max_exchanges": 0},
+    # schema evolution: a manifest-resolved scan whose parts null-fill
+    # accreted columns — still a pushed-tombstone-filter read with
+    # zero exchanges (the epoch machinery is all commit-time metadata)
+    "lake_schema_evolution": {"pushed": True, "max_exchanges": 0},
+    # time-bounded read: per-file last_ts zone-map pruning below the
+    # manifest resolution; the window bound is computed in a separate
+    # metadata-sized aggregation, so the read plan itself is a pushed
+    # scan + filter with zero exchanges
+    "lake_time_read": {"pushed": True, "max_exchanges": 0},
 }
 
 
@@ -540,6 +549,14 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # entity — the pre-images carry the retractions), one exchange
     # for the group key; 3 batches = one per committed lake version
     "stream_lake_gold": {
+        "plan_ops": ["StateStoreSave"],
+        "max_exchanges": 1,
+        "min_batches": 3,
+    },
+    # update-mode twin: same one-row-per-gold-group state and one
+    # group-key exchange, but each trigger EMITS only the changed
+    # groups, upserted into a second lake via the MERGE protocol
+    "stream_lake_gold_update": {
         "plan_ops": ["StateStoreSave"],
         "max_exchanges": 1,
         "min_batches": 3,

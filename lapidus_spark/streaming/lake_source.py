@@ -375,7 +375,14 @@ class LakeChangeFeedDataSource(DataSource):
     ``maxVersionsPerBatch`` (admission control; 0 = unbounded), and
     ``rowChanges`` (true = the row-level pre/post-image vocabulary of
     ``lake_changes_rows`` instead of entity-state rows; same schema,
-    pre-image rows carry the old values)."""
+    pre-image rows carry the old values).
+
+    Trigger caveat: python streaming sources have no
+    ``Trigger.AvailableNow`` support — Spark falls back to a SINGLE
+    batch, which a nonzero ``maxVersionsPerBatch`` then clips to the
+    first N versions (silent truncation). Catch-up consumers should
+    drain via ``query.processAllAvailable()`` (or run untriggered);
+    only an uncapped stream may use availableNow."""
 
     @classmethod
     def name(cls) -> str:

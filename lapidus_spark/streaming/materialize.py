@@ -842,6 +842,7 @@ def merge_batch_into_lake(
     lake_dir: str,
     n_buckets: int | None = MERGE_LAKE_BUCKETS,
     retain_versions: int = 1,
+    extra_cols: tuple = (),
 ) -> None:
     """One MERGE step (steps 1-4 of merge_lake_sink's contract),
     callable directly on a batch DataFrame — the unit the idempotency,
@@ -860,12 +861,22 @@ def merge_batch_into_lake(
     ``retain_versions`` is an operational knob (not pinned): how many
     committed versions' data GC keeps after this merge. 1 = live
     only; K > 1 enables ``read_lake_snapshot(version=...)`` time
-    travel and ``lake_changes`` over the last K versions."""
+    travel and ``lake_changes`` over the last K versions.
+
+    ``extra_cols`` names envelope attributes to carry into the lake
+    row beyond the core five — SCHEMA EVOLUTION ON MERGE: a column
+    the lake has not seen accretes a new schema epoch (recorded in
+    the manifest, so time travel reads each version under its own
+    schema); files older than the evolution null-fill on read; a
+    known column missing from this batch null-fills on write. Types
+    never mutate — a redeclared column with a different type
+    raises."""
     _validate_merge_args(n_buckets, retain_versions)
+    _validate_extra_cols(extra_cols)
     spark = batch_df.sparkSession
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
-        _merge_locked(spark, batch_df, lake_dir, n_buckets, retain_versions)
+        _merge_locked(spark, batch_df, lake_dir, n_buckets, retain_versions, extra_cols)
     finally:
         try:
             os.remove(lock)
@@ -971,24 +982,119 @@ def _merged_for_batch(
     return touched, merged
 
 
+def _validate_extra_cols(extra_cols: tuple) -> None:
+    """Reject declarations that can never be valid BEFORE any plan is
+    built (a colliding name would otherwise surface as an ambiguous-
+    field AnalysisException deep inside the snapshot struct)."""
+    seen = set()
+    for name in extra_cols:
+        if name in _LAKE_COLS or name in ("pk", "event_seq", "ts", "type"):
+            raise ValueError(f"extra column {name!r} collides with a core lake column")
+        if name in seen:
+            raise ValueError(f"extra column {name!r} declared twice")
+        seen.add(name)
+
+
+def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple):
+    """The post-merge schema epoch: the manifest's accreted columns
+    plus any NEW ones this batch declares (``(all_extras, evolved)``;
+    ``evolved`` is truthy only when the epoch actually changes —
+    commits that don't evolve must not rewrite the columns record).
+    Redeclaring a known column under a different type raises."""
+    base_extras = _manifest_columns(manifest)
+    known = {c["name"]: c["type"] for c in base_extras}
+    new_cols = []
+    for name in extra_cols:
+        dtype = updates.schema[name].dataType.simpleString()
+        if name in known:
+            if known[name] != dtype:
+                raise ValueError(
+                    f"extra column {name!r} is pinned as {known[name]} in the "
+                    f"lake schema; this batch declares {dtype} — column types "
+                    "never mutate (add a new column instead)"
+                )
+        else:
+            new_cols.append({"name": name, "type": dtype})
+    return base_extras + new_cols, bool(new_cols)
+
+
 def _merge_locked(
-    spark, batch_df: DataFrame, lake_dir: str, n_buckets: int | None, retain_versions: int
+    spark,
+    batch_df: DataFrame,
+    lake_dir: str,
+    n_buckets: int | None,
+    retain_versions: int,
+    extra_cols: tuple = (),
 ) -> None:
     manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
-    updates = snapshot_stream(batch_df).withColumn(
+    updates = snapshot_stream(batch_df, extra_cols).withColumn(
         "bucket",
         F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
     )
+    all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
     updates = updates.persist()
     try:
-        touched, merged = _merged_for_batch(spark, lake_dir, manifest, updates, n_buckets)
+        touched, merged = _merged_for_batch(
+            spark, lake_dir, manifest, updates, n_buckets, all_extras
+        )
         if not touched:
             return
         _publish_version(
-            lake_dir, manifest, merged, touched, n_buckets, retain_versions
+            lake_dir,
+            manifest,
+            merged,
+            touched,
+            n_buckets,
+            retain_versions,
+            extra={"columns": all_extras} if evolved else None,
         )
     finally:
         updates.unpersist()
+
+
+#: one-shot guard for the cross-process race barrier below
+_ENV_BARRIER_DONE = False
+
+
+def _env_race_barrier(attempt: int) -> None:
+    """Cross-PROCESS twin of the in-session ``_race_hook`` seam: when
+    ``LAPIDUS_OCC_BARRIER=<dir>:<n>`` is set, the FIRST merge of this
+    process pauses once between staging and flip until ``n`` processes
+    have staged — so a multi-daemon test provably overlaps the
+    stage-to-flip windows instead of hoping JVM startup skew lines up.
+    Inert without the env var; proceeds after a bounded wait if a
+    sibling never arrives (a hung sibling must not deadlock a
+    commit)."""
+    global _ENV_BARRIER_DONE
+    spec = os.environ.get("LAPIDUS_OCC_BARRIER", "")
+    if not spec:
+        return
+    import sys
+    import time
+
+    if _ENV_BARRIER_DONE or attempt > 0:
+        print(
+            f"[occ_barrier {os.getpid()}] skip (done={_ENV_BARRIER_DONE}, "
+            f"attempt={attempt})",
+            file=sys.stderr,
+            flush=True,
+        )
+        return
+    _ENV_BARRIER_DONE = True
+    parts = spec.split(":")
+    d, n = ":".join(parts[:-2]) if len(parts) > 2 else parts[0], int(parts[-2] if len(parts) > 2 else parts[-1])
+    timeout_s = float(parts[-1]) if len(parts) > 2 else 120.0
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"staged.{os.getpid()}"), "w") as fh:
+        fh.write("staged")
+    print(f"[occ_barrier {os.getpid()}] staged, waiting for {n}", file=sys.stderr, flush=True)
+    deadline = time.time() + timeout_s
+    while len([f for f in os.listdir(d) if f.startswith("staged.")]) < n:
+        if time.time() > deadline:
+            print(f"[occ_barrier {os.getpid()}] timeout", file=sys.stderr, flush=True)
+            return
+        time.sleep(0.05)
+    print(f"[occ_barrier {os.getpid()}] released", file=sys.stderr, flush=True)
 
 
 def _occ_conflicts(base: dict | None, cur: dict | None, touched: list, n_buckets: int) -> bool:
@@ -1006,6 +1112,11 @@ def _occ_conflicts(base: dict | None, cur: dict | None, touched: list, n_buckets
         return False
     if cur is None or cur["n_buckets"] != n_buckets:
         return True
+    if (cur or {}).get("columns") != (base or {}).get("columns"):
+        # an intervening commit EVOLVED the schema: this merge's
+        # staged files predate the epoch and its delta would clobber
+        # the columns record — recompute under the fresh manifest
+        return True
     if base is None:
         # merged against an empty table: any intervening write to a
         # touched bucket would be lost by our snapshot — conflict.
@@ -1020,6 +1131,7 @@ def merge_batch_optimistic(
     retain_versions: int = 1,
     max_attempts: int = 5,
     flip_wait_s: float = 30.0,
+    extra_cols: tuple = (),
     _race_hook: Callable[[int], None] | None = None,
 ) -> dict | None:
     """MERGE with OPTIMISTIC concurrency control — multiple writers
@@ -1065,14 +1177,16 @@ def merge_batch_optimistic(
     a test seam invoked between staging and flip — deterministic
     interleave injection."""
     _validate_merge_args(n_buckets, retain_versions)
+    _validate_extra_cols(extra_cols)
     import shutil
     import uuid
 
     spark = batch_df.sparkSession
-    snap = snapshot_stream(batch_df)
-    #: staging carried across attempts: (base, nb, touched, commit_rel)
-    #: — a lock timeout with an UNCHANGED manifest keeps the staged
-    #: result (re-running the identical Spark job buys nothing)
+    snap = snapshot_stream(batch_df, extra_cols)
+    #: staging carried across attempts: (base, nb, touched, commit_rel,
+    #: all_extras, evolved) — a lock timeout with an UNCHANGED manifest
+    #: keeps the staged result (re-running the identical Spark job buys
+    #: nothing)
     pending = None
     try:
         for attempt in range(max_attempts):
@@ -1080,7 +1194,7 @@ def merge_batch_optimistic(
             if pending is not None and (live["version"] if live else 0) == (
                 pending[0]["version"] if pending[0] else 0
             ):
-                base, nb, touched, commit_rel = pending
+                base, nb, touched, commit_rel, all_extras, evolved = pending
             else:
                 if pending is not None:
                     shutil.rmtree(
@@ -1091,10 +1205,11 @@ def merge_batch_optimistic(
                 updates = snap.withColumn(
                     "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
                 ).persist()
+                all_extras, evolved = _evolved_schema(base, updates, extra_cols)
                 commit_rel = None
                 try:
                     touched, merged = _merged_for_batch(
-                        spark, lake_dir, base, updates, nb
+                        spark, lake_dir, base, updates, nb, all_extras
                     )
                     if not touched:
                         return base
@@ -1124,6 +1239,7 @@ def merge_batch_optimistic(
                     updates.unpersist()
             if _race_hook is not None:
                 _race_hook(attempt)
+            _env_race_barrier(attempt)
             try:
                 lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
             except ConcurrentMergeError:
@@ -1133,7 +1249,7 @@ def merge_batch_optimistic(
                 # The staging is KEPT — if the holder commits nothing
                 # new on our buckets, the next attempt reuses it
                 # instead of re-running the identical merge job.
-                pending = (base, nb, touched, commit_rel)
+                pending = (base, nb, touched, commit_rel, all_extras, evolved)
                 continue
             try:
                 cur = _healed_manifest(lake_dir)
@@ -1153,7 +1269,13 @@ def merge_batch_optimistic(
                         global OCC_REBASES
                         OCC_REBASES += 1
                     return _flip_version(
-                        lake_dir, cur, commit_rel, touched, nb, retain_versions
+                        lake_dir,
+                        cur,
+                        commit_rel,
+                        touched,
+                        nb,
+                        retain_versions,
+                        extra={"columns": all_extras} if evolved else None,
                     )
             finally:
                 try:
@@ -1354,6 +1476,7 @@ def merge_lake_sink(
     retain_versions: int = 1,
     compact_every: int | None = None,
     concurrency: str = "locked",
+    extra_cols: tuple = (),
 ) -> DataStreamWriter:
     """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
     a bucketed parquet lake table via ``foreachBatch`` + a manifest
@@ -1418,11 +1541,19 @@ def merge_lake_sink(
             # its own offsets; the semilattice combine makes any
             # commit interleaving converge.
             merge_batch_optimistic(
-                batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
+                batch_df,
+                lake_dir,
+                n_buckets=n_buckets,
+                retain_versions=retain_versions,
+                extra_cols=extra_cols,
             )
         else:
             merge_batch_into_lake(
-                batch_df, lake_dir, n_buckets=n_buckets, retain_versions=retain_versions
+                batch_df,
+                lake_dir,
+                n_buckets=n_buckets,
+                retain_versions=retain_versions,
+                extra_cols=extra_cols,
             )
         # opportunistic maintenance: every compact_every-th micro-batch
         # heals the sink's own small-file accretion in-line (a no-op —
@@ -1927,6 +2058,12 @@ _SNAPSHOT_SCHEMA = (
 )
 
 
+def _snapshot_schema(extras: list[dict]) -> str:
+    """The core snapshot schema extended with a manifest's accreted
+    columns — for building empty frames under the right epoch."""
+    return _SNAPSHOT_SCHEMA + "".join(f", {c['name']} {c['type']}" for c in extras)
+
+
 def lake_point_read(
     spark, lake_dir: str, keys: list, version: int | None = None
 ) -> DataFrame:
@@ -1982,14 +2119,15 @@ def lake_point_read(
             mn, mx = _file_key_range(entry)
             if any(mn <= k <= mx for k in b_keys):
                 pruned_files.append(os.path.join(lake_dir, rel, f))
+    extras = _manifest_columns(manifest)
     parts = []
     base = _read_live(spark, lake_dir, manifest, plain) if plain else None
     if base is not None:
-        parts.append(base.select(*_LAKE_COLS))
+        parts.append(base)  # already schema-epoch aligned
     if pruned_files:
-        parts.append(spark.read.parquet(*pruned_files).select(*_LAKE_COLS))
+        parts.append(_align_extras(spark.read.parquet(*pruned_files), extras))
     if not parts:  # every requested bucket unwritten / fully pruned
-        df = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+        df = spark.createDataFrame([], _snapshot_schema(extras))
     else:
         from functools import reduce
 
@@ -2045,14 +2183,15 @@ def lake_time_read(
             mn, mx = (_dt.fromisoformat(x) for x in entry["last_ts"])
             if mx >= lo and mn < hi:
                 pruned_files.append(os.path.join(lake_dir, rel, f))
+    extras = _manifest_columns(manifest)
     parts = []
     base = _read_live(spark, lake_dir, manifest, plain) if plain else None
     if base is not None:
-        parts.append(base.select(*_LAKE_COLS))
+        parts.append(base)  # already schema-epoch aligned
     if pruned_files:
-        parts.append(spark.read.parquet(*pruned_files).select(*_LAKE_COLS))
+        parts.append(_align_extras(spark.read.parquet(*pruned_files), extras))
     if not parts:
-        df = spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+        df = spark.createDataFrame([], _snapshot_schema(extras))
     else:
         from functools import reduce
 

@@ -99,6 +99,10 @@ def start_sink(
             retain_versions=sink.options.get("retainVersions", 1),
             compact_every=sink.options.get("compactEvery"),
             concurrency=sink.options.get("concurrency", "locked"),
+            # options.extraColumns: envelope attributes accreted into
+            # the lake row — schema evolution on MERGE (see
+            # merge_batch_into_lake)
+            extra_cols=tuple(sink.options.get("extraColumns", [])),
         )
     elif sink.type == "kafka":
         # sink_nats on a real broker (src/plugins/nats.js) — plan

@@ -2090,3 +2090,257 @@ def lake_zonemap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
     )
+
+
+#: two-epoch lake per (process, sf_dir): batch 1 merged under the core
+#: five-column schema, batch 2 merged with an accreted ``shard``
+#: column (schema evolution on MERGE) — old files null-fill on read.
+_EVOLVED_LAKES: dict[str, str] = {}
+
+
+def build_evolved_lake(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _EVOLVED_LAKES:
+        return _EVOLVED_LAKES[sf_dir]
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_evolved_lake_")
+    merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 2 == 0), lake, retain_versions=4
+    )
+    merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 2 == 1).withColumn(
+            "shard", (F.col("pk").cast("long") % 10).cast("bigint")
+        ),
+        lake,
+        retain_versions=4,
+        extra_cols=("shard",),
+    )
+    _EVOLVED_LAKES[sf_dir] = lake
+    return lake
+
+
+@query(
+    "lake_schema_evolution",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item,
+           CASE WHEN event_id % 2 = 1 THEN user_id % 10 ELSE NULL END AS shard
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="lake MERGE — schema evolution (column accretion with per-version epochs)",
+    doc="Schema evolution on MERGE: the second batch accretes a "
+    "``shard`` column beyond the core five-column envelope; the "
+    "evolving commit records the new schema epoch in the manifest "
+    "(one commit-log delta entry — carried forward by replay, so "
+    "time travel to version 1 still reads the PRE-evolution shape), "
+    "files older than the evolution null-fill on read, and the LWW "
+    "combine carries the winner's attribute values — so the live "
+    "snapshot has shard populated exactly where the winning event "
+    "came from the evolved batch and NULL where a pre-evolution file "
+    "won, which is what the two-epoch oracle computes from raw "
+    "history. Types are pinned: redeclaring a known column under a "
+    "different type raises instead of silently corrupting readers. "
+    "This is Delta's mergeSchema/column-mapping accretion contract "
+    "on the manifest lake.",
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    lake = build_evolved_lake(spark, sf_dir)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+        "shard",
+    )
+
+
+@query(
+    "lake_time_read",
+    oracle="""
+    WITH b AS (SELECT MAX(ts) AS hi FROM events),
+    ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked, b
+    WHERE rn = 1 AND event_type <> 'error'
+      AND ts >= b.hi - INTERVAL 48 HOUR AND ts < b.hi - INTERVAL 12 HOUR
+    """,
+    operator="time-bounded lake read — per-file last_ts zone maps",
+    doc="Time-dimension zone maps: the clustered OPTIMIZE records "
+    "per-file last_ts [min, max] (naive-UTC ISO, from the parquet "
+    "footers) alongside the entity_id ranges, and lake_time_read "
+    "opens only the files whose recorded range overlaps the "
+    "requested window — the CDF-backfill / time-sliced-export read "
+    "path. Buckets without time stats read whole and filter "
+    "(conservative; the predicate re-applies to every row, so "
+    "pruning is purely I/O). The window is [max_ts - 48h, "
+    "max_ts - 12h) over the snapshot's last_ts (winners cluster near "
+    "the end of the fixture's span, so a min-anchored window would "
+    "be empty) — integer-hour offsets "
+    "so Spark and DuckDB compute bit-identical bounds — and the "
+    "oracle is the LWW snapshot restricted to winners inside the "
+    "window. File-level pruning effectiveness is pinned separately "
+    "by tests/test_zone_maps.py on a time-correlated corpus.",
+)
+def lake_time_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from lapidus_spark.streaming.materialize import lake_time_read
+
+    lake = build_clustered_lake(spark, sf_dir)
+    hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.col("ts").cast("timestamp_ntz")).alias("hi"))
+        .first()["hi"]
+    )
+    return lake_time_read(
+        spark, lake, hi - timedelta(hours=48), hi - timedelta(hours=12)
+    ).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "stream_lake_gold_update",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id % 10 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(event_id) AS BIGINT) AS sum_seq
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY 1
+    """,
+    operator="streaming gold layer in UPDATE mode — changed groups upserted into a second lake",
+    doc="The medallion loop closed entirely in update mode: the gold "
+    "aggregate over the silver lake's rowChanges feed emits ONLY the "
+    "gold groups each micro-batch changed (update output mode — at "
+    "100 TB the complete-mode twin stream_lake_gold would re-emit "
+    "every group every trigger), and the sink upserts those rows "
+    "into a SECOND lake through the same crash-atomic MERGE commit "
+    "protocol, composed with schema evolution (the gold measures "
+    "ride as accreted columns, no JSON envelope abuse). LWW ordering "
+    "inside the gold lake comes from the fold's own progress: each "
+    "re-emitted group carries max(ver) of the source versions folded "
+    "so far, strictly increasing per re-emit, so replayed batches "
+    "(foreachBatch runs before the state commit) overwrite with "
+    "identical content — exactly-once effect end to end. The final "
+    "gold-lake snapshot must equal the direct aggregate over the "
+    "silver snapshot, which the oracle computes from raw history; "
+    "groups whose entities net out drop at the read edge.",
+)
+def stream_lake_gold_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.plans.audit import clear_stream_run, record_stream_run
+    from lapidus_spark.streaming.lake_source import register_lake_cdf
+    from lapidus_spark.streaming.materialize import (
+        merge_batch_into_lake,
+        read_lake_snapshot,
+    )
+
+    register_lake_cdf(spark)
+    clear_stream_run("stream_lake_gold_update")
+    lake = build_versioned_lake(spark, sf_dir)
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake)
+        .option("maxVersionsPerBatch", "1")
+        .option("rowChanges", "true")
+        .load()
+    )
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    gold = (
+        feed.select(
+            (F.col("entity_id").cast("long") % 10).alias("shard"),
+            sign.alias("sign"),
+            "last_seq",
+            "ver",
+        )
+        .groupBy("shard")
+        .agg(
+            F.sum("sign").alias("n_entities"),
+            F.sum(F.col("sign") * F.col("last_seq")).alias("sum_seq"),
+            F.max("ver").alias("gold_ver"),
+        )
+    )
+    gold_lake = tempfile.mkdtemp(prefix="lapidus_gold_lake_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_gold_ckpt_")
+
+    def upsert_gold(batch_df: DataFrame, epoch_id: int) -> None:
+        env_rows = batch_df.select(
+            F.col("shard").cast("string").alias("pk"),
+            F.col("gold_ver").cast("long").alias("event_seq"),
+            F.to_timestamp(F.lit("2020-01-01 00:00:00")).alias("ts"),
+            F.lit("update").alias("type"),
+            F.lit(None).cast("string").alias("item"),
+            "n_entities",
+            "sum_seq",
+        )
+        merge_batch_into_lake(
+            env_rows, gold_lake, extra_cols=("n_entities", "sum_seq")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        # the python streaming source has no availableNow support —
+        # drain via processAllAvailable (same as _run_to_memory's
+        # process_all), which honors maxVersionsPerBatch: one
+        # micro-batch per committed silver version
+        q = (
+            gold.writeStream.outputMode("update")
+            .foreachBatch(upsert_gold)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        record_stream_run("stream_lake_gold_update", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        read_lake_snapshot(spark, gold_lake)
+        .select(
+            F.col("entity_id").cast("long").alias("shard"),
+            "n_entities",
+            "sum_seq",
+        )
+        .filter(F.col("n_entities") > 0)
+    )

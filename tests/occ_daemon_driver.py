@@ -32,9 +32,16 @@ def main() -> None:
     from lapidus_spark.streaming import pipeline
     import lapidus_spark.streaming.materialize as M
 
+    t0 = time.time()
+
+    def mark(what: str) -> None:
+        print(f"[occ_daemon {os.getpid()}] +{time.time() - t0:6.1f}s {what}",
+              file=sys.stderr, flush=True)
+
     with open(cfg_path) as fh:
         cfg = parse_config(fh.read())
     spark = get_spark(f"occ_daemon_{os.getpid()}", cpus=4)
+    mark("session up")
 
     # barrier: sessions are up in every daemon before any batch runs
     os.makedirs(rendezvous, exist_ok=True)
@@ -45,8 +52,10 @@ def main() -> None:
         if time.time() > deadline:
             raise TimeoutError("rendezvous: sibling daemon never came up")
         time.sleep(0.1)
+    mark("rendezvous passed")
 
     pipeline.run(spark, cfg)  # availableNow triggers: drain and stop
+    mark("drained")
     spark.stop()
     print(f"DAEMON_OK conflicts={M.OCC_CONFLICTS} rebases={M.OCC_REBASES}")
 

@@ -620,3 +620,81 @@ def test_describe_history_kinds_and_data_change(spark, tmp_path):
     assert hist[0]["is_live"] and hist[0]["n_buckets"] == 4
     assert not any(h["is_live"] for h in hist[1:])
     assert describe_history(lake, limit=2) == hist[:2]
+
+
+def test_gold_chain_update_mode_exactly_once_across_sigkill(spark, tmp_path):
+    """The update-mode gold layer's crash contract (VERDICT r8 #7):
+    silver lake → rowChanges feed → update-mode signed fold →
+    merge-upsert into a GOLD lake (measures as accreted columns),
+    with the consumer SIGKILLed mid-commit of its second gold merge.
+    The restart must resume from the checkpointed offsets with the
+    recovered aggregation state, replay the un-acked batch
+    idempotently (the re-emitted gold rows carry the same gold_ver,
+    so the LWW upsert overwrites with identical content), break the
+    dead writer's stale lock, and finish — leaving the gold snapshot
+    EQUAL to the direct aggregate over the silver snapshot."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from lapidus_spark.streaming.materialize import (
+        LOCK_NAME,
+        _read_pointer,
+        read_lake_snapshot,
+    )
+
+    src = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ck")
+    _build_lake(spark, src)  # versions 1..3, inserts/updates/deletes
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_env = dict(os.environ, SPARK_DRIVER_MEMORY="2g", PYTHONPATH=repo_root)
+    args = [sys.executable, "tests/gold_crash_driver.py", src, gold, ckpt]
+
+    # first run: killed mid-flip of the SECOND gold-lake merge
+    p = subprocess.run(
+        args,
+        env=dict(base_env, LAPIDUS_FAILPOINT="lake_merge.before_manifest_flip:2"),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert p.returncode == -signal.SIGKILL, (p.returncode, p.stderr[-2000:])
+    ptr = _read_pointer(gold)
+    assert ptr is not None and ptr["version"] == 1  # batch 1 landed, batch 2 torn
+    assert os.path.exists(os.path.join(gold, LOCK_NAME))  # dead writer's lock
+
+    # restart: recovers agg state + offsets, replays batch 2, drains
+    p = subprocess.run(args, env=base_env, capture_output=True, text=True, timeout=300)
+    assert p.returncode == 0 and "GOLD_OK" in p.stdout, p.stderr[-2000:]
+
+    silver_snap = read_lake_snapshot(spark, src)
+    expected = sorted(
+        map(
+            tuple,
+            silver_snap.groupBy(
+                (F.col("entity_id").cast("long") % 10).alias("shard")
+            )
+            .agg(
+                F.count("*").alias("n_entities"),
+                F.sum("last_seq").alias("sum_seq"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_lake_snapshot(spark, gold)
+            .select(
+                F.col("entity_id").cast("long").alias("shard"),
+                "n_entities",
+                "sum_seq",
+            )
+            .filter(F.col("n_entities") > 0)
+            .collect(),
+        )
+    )
+    assert got == expected and len(got) > 0

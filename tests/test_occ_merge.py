@@ -819,7 +819,8 @@ def test_two_daemons_share_lake_cdf_subscriber_converges(spark, tmp_path):
         os.makedirs(replay)
         for i in range(3):
             part = ev.filter(
-                (F.col("event_id") % 2 == w) & ((F.col("event_id") % 6) / 2 == i)
+                (F.col("event_id") % 2 == w)
+                & (F.floor((F.col("event_id") % 6) / 2) == i)
             )
             stage = os.path.join(replay, f"_stage{i}")
             part.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -861,25 +862,36 @@ def test_two_daemons_share_lake_cdf_subscriber_converges(spark, tmp_path):
                 rendezvous,
                 "2",
             ],
-            env=dict(os.environ, SPARK_DRIVER_MEMORY="2g", PYTHONPATH=repo_root),
+            env=dict(
+                os.environ,
+                SPARK_DRIVER_MEMORY="2g",
+                PYTHONPATH=repo_root,
+                # cross-process race barrier: both daemons stage their
+                # FIRST merge against the same base version and only
+                # then race the flip — one commits, the other must
+                # observe a real conflict and recompute (deterministic,
+                # instead of hoping JVM startup skew overlaps)
+                LAPIDUS_OCC_BARRIER=f"{tmp_path / 'occ_barrier'}:2",
+            ),
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
         for w in (0, 1)
     ]
-    outs = []
+    outs, timings = [], []
     for p in procs:
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0 and "DAEMON_OK" in out, err[-2000:]
         outs.append(out)
+        timings.append([l for l in err.splitlines() if "[occ_daemon" in l])
     conflicts = sum(
         int(line.split("conflicts=")[1].split()[0])
         for o in outs
         for line in o.splitlines()
         if "DAEMON_OK" in line
     )
-    assert conflicts >= 1, f"no real race observed: {outs}"
+    assert conflicts >= 1, f"no real race observed: {outs} {timings}"
 
     # every commit serialized into its own version; snapshot == oracle
     n_versions = M._read_pointer(lake)["version"]
@@ -893,6 +905,9 @@ def test_two_daemons_share_lake_cdf_subscriber_converges(spark, tmp_path):
     # CDF subscriber: stream the whole converged history one version
     # per trigger and fold to the final state per entity
     register_lake_cdf(spark)
+    # drain via processAllAvailable: the python source has no
+    # availableNow support (the fallback runs ONE batch, which the
+    # maxVersionsPerBatch admission cap would clip to version 1)
     q = (
         spark.readStream.format("lake_cdf")
         .option("path", lake)
@@ -901,10 +916,13 @@ def test_two_daemons_share_lake_cdf_subscriber_converges(spark, tmp_path):
         .writeStream.format("memory")
         .queryName("occ_daemon_cdf")
         .outputMode("append")
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
     feed = spark.table("occ_daemon_cdf")
     final = (
         feed.groupBy("entity_id")

@@ -1,0 +1,176 @@
+"""Schema evolution on MERGE (VERDICT r8 directive 4): the lake row
+accretes columns beyond the core five-column envelope. The evolving
+commit records the new schema epoch in the manifest (carried forward
+by the commit-log replay), files older than the evolution null-fill
+on read, batches missing a known column null-fill on write, and time
+travel reads each version under its own schema. Types never mutate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import lapidus_spark.streaming.materialize as M
+from lapidus_spark.sources.cdc import normalize_events
+from lapidus_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+CORE = ["entity_id", "last_seq", "last_ts", "last_type", "item"]
+
+
+def _env(spark):
+    return normalize_events(load_table(spark, SF_DIR, "events"))
+
+
+def _with_shard(env):
+    return env.withColumn("shard", (F.col("pk").cast("long") % 10).cast("bigint"))
+
+
+def _snap(spark, lake, cols, version=None):
+    return sorted(
+        map(
+            tuple,
+            M.read_lake_snapshot(spark, lake, version=version).select(*cols).collect(),
+        )
+    )
+
+
+def test_merge_accretes_column_and_time_travel_keeps_epochs(spark, tmp_path):
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake, retain_versions=4)
+    M.merge_batch_into_lake(
+        _with_shard(env.filter(F.col("event_seq") % 2 == 1)),
+        lake,
+        retain_versions=4,
+        extra_cols=("shard",),
+    )
+    m = M._read_manifest(lake)
+    assert m["columns"] == [{"name": "shard", "type": "bigint"}]
+    # pre-evolution version reads under ITS schema: no shard column
+    v1 = M.read_lake_snapshot(spark, lake, version=1)
+    assert "shard" not in v1.columns
+    # live: shard populated exactly where the LWW winner came from the
+    # evolved batch, null where the pre-evolution file won
+    live = M.read_lake_snapshot(spark, lake)
+    assert live.columns[-1] == "shard"
+    rows = live.select("entity_id", "last_seq", "shard").collect()
+    assert rows
+    for r in rows:
+        if r["last_seq"] % 2 == 1:
+            assert r["shard"] == int(r["entity_id"]) % 10
+        else:
+            assert r["shard"] is None
+    assert any(r["shard"] is not None for r in rows)
+    assert any(r["shard"] is None for r in rows)
+    # core columns unchanged vs the no-evolution oracle
+    oracle = str(tmp_path / "oracle")
+    M.merge_batch_into_lake(env, oracle)
+    assert _snap(spark, lake, CORE) == _snap(spark, oracle, CORE)
+
+
+def test_known_column_missing_from_batch_null_fills_on_write(spark, tmp_path):
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _with_shard(env.filter(F.col("event_seq") % 3 == 0)),
+        lake,
+        extra_cols=("shard",),
+        retain_versions=4,
+    )
+    # a later batch WITHOUT the column: known column null-fills, the
+    # schema epoch is unchanged (no new columns record in the delta)
+    M.merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 3 == 1), lake, retain_versions=4
+    )
+    m = M._read_manifest(lake)
+    assert m["columns"] == [{"name": "shard", "type": "bigint"}]
+    import json
+
+    with open(M._delta_path(lake, 2)) as fh:
+        assert "columns" not in json.load(fh).get("extra", {})
+    rows = M.read_lake_snapshot(spark, lake).select("last_seq", "shard").collect()
+    assert all(
+        (r["shard"] is None) == (r["last_seq"] % 3 == 1) for r in rows
+    )
+
+
+def test_type_conflict_and_core_collision_raise(spark, tmp_path):
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _with_shard(env.filter(F.col("event_seq") % 2 == 0)),
+        lake,
+        extra_cols=("shard",),
+    )
+    with pytest.raises(ValueError, match="types never mutate"):
+        M.merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 2 == 1).withColumn(
+                "shard", F.lit("not-a-number")
+            ),
+            lake,
+            extra_cols=("shard",),
+        )
+    with pytest.raises(ValueError, match="collides with a core lake column"):
+        M.merge_batch_into_lake(
+            env.withColumn("item", F.lit("x")), lake, extra_cols=("item",)
+        )
+
+
+def test_optimistic_evolution_conflicts_with_concurrent_epoch(spark, tmp_path):
+    """Two writers evolving the schema concurrently must not clobber
+    each other's columns record: the second flip sees the epoch moved
+    and recomputes, so the final schema carries BOTH columns and the
+    snapshot converges."""
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 0), lake)
+
+    attempts = []
+
+    def interloper(attempt):
+        attempts.append(attempt)
+        if attempt == 0:
+            M.merge_batch_into_lake(
+                env.filter(F.col("event_seq") % 3 == 2).withColumn(
+                    "origin", F.lit("replica-b")
+                ),
+                lake,
+                extra_cols=("origin",),
+            )
+
+    M.merge_batch_optimistic(
+        _with_shard(env.filter(F.col("event_seq") % 3 == 1)),
+        lake,
+        extra_cols=("shard",),
+        _race_hook=interloper,
+    )
+    assert attempts == [0, 1]  # epoch change forced a recompute
+    m = M._read_manifest(lake)
+    assert [c["name"] for c in m["columns"]] == ["origin", "shard"]
+    live = M.read_lake_snapshot(spark, lake)
+    assert {"origin", "shard"} <= set(live.columns)
+    # every row carries exactly its winning batch's attribution
+    for r in live.select("last_seq", "origin", "shard").collect():
+        assert (r["origin"] == "replica-b") == (r["last_seq"] % 3 == 2)
+        assert (r["shard"] is not None) == (r["last_seq"] % 3 == 1)
+
+
+def test_compaction_and_point_read_preserve_evolved_schema(spark, tmp_path):
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake, retain_versions=4)
+    M.merge_batch_into_lake(
+        _with_shard(env.filter(F.col("event_seq") % 2 == 1)),
+        lake,
+        retain_versions=4,
+        extra_cols=("shard",),
+    )
+    before = _snap(spark, lake, CORE + ["shard"])
+    res = M.compact_lake(spark, lake, target_files_per_bucket=0, retain_versions=4)
+    assert res["compacted_buckets"] > 0
+    assert _snap(spark, lake, CORE + ["shard"]) == before  # physical-only
+    key = M.read_lake_snapshot(spark, lake).select("entity_id").first()[0]
+    pr = M.lake_point_read(spark, lake, [key])
+    assert "shard" in pr.columns and pr.count() == 1
