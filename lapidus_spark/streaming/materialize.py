@@ -390,34 +390,48 @@ def _no_retained_version(lake_dir: str, version: int, live) -> ValueError:
     )
 
 
-def _resolve_version(lake_dir: str, pointer: dict, version: int) -> dict:
+def _resolve_version(
+    lake_dir: str, pointer: dict, version: int, _retry: bool = True
+) -> dict:
     """Resolve a committed version of a format-2 lake: newest
     checkpoint ≤ version, then replay the ≤CHECKPOINT_EVERY delta
     entries up to it. Versions below the pointer's retention ``floor``
     fail fast (their log entries and data are GC'd); versions from a
     migrated lake's format-1 era (older than the migration checkpoint)
-    fall back to their retained ``_history/`` JSONs."""
+    fall back to their retained ``_history/`` JSONs.
+
+    Reader-vs-GC contract: the log is listed and read with no lock, so
+    a concurrent committer's GC can prune entries a slightly-stale
+    pointer still references. A missing entry therefore re-reads the
+    pointer ONCE and re-resolves — if retention moved past the target,
+    that surfaces as the honest retention error; only a miss that
+    persists under the fresh pointer is reported as corruption."""
     live_v = int(pointer["version"])
     if version > live_v or version < 1:
         raise _no_retained_version(lake_dir, version, live_v)
     if version < int(pointer.get("floor", 1)):
         raise _no_retained_version(lake_dir, version, live_v)
-    cp = max((v for v in _checkpoint_versions(lake_dir) if v <= version), default=None)
-    if cp is None:
-        # format-1 era of a migrated lake: the full manifest was
-        # retained under _history/ by the pre-migration commits
-        try:
-            with open(os.path.join(lake_dir, HISTORY_DIR, f"{version:010d}.json")) as f:
-                return json.load(f)
-        except FileNotFoundError:
-            raise _no_retained_version(lake_dir, version, live_v) from None
     try:
+        cp = max(
+            (v for v in _checkpoint_versions(lake_dir) if v <= version), default=None
+        )
+        if cp is None:
+            # format-1 era of a migrated lake: the full manifest was
+            # retained under _history/ by the pre-migration commits
+            with open(
+                os.path.join(lake_dir, HISTORY_DIR, f"{version:010d}.json")
+            ) as f:
+                return json.load(f)
         with open(_checkpoint_path(lake_dir, cp)) as f:
             manifest = json.load(f)
         for v in range(cp + 1, version + 1):
             with open(_delta_path(lake_dir, v)) as f:
                 manifest = _apply_delta(manifest, json.load(f))
     except FileNotFoundError as e:
+        if _retry:
+            fresh = _read_pointer(lake_dir)
+            if fresh is not None and "buckets" not in fresh:
+                return _resolve_version(lake_dir, fresh, version, _retry=False)
         raise ValueError(
             f"lake at {lake_dir}: commit log is missing an entry needed to "
             f"resolve version {version} ({e.filename}) — log corrupted "
@@ -623,7 +637,7 @@ def _is_missing_file_error(exc: BaseException) -> bool:
     worth retrying against a fresh manifest — a deterministic staging
     failure (schema bug, bad input) must surface immediately instead
     of burning retries and masquerading as a commit conflict."""
-    if isinstance(exc, (FileNotFoundError, OSError)):
+    if isinstance(exc, FileNotFoundError):
         return True
     msg = str(exc)
     return any(m in msg for m in _MISSING_FILE_MARKERS)
@@ -677,10 +691,24 @@ def _gc_unreferenced(
     floor, live_v = int(pointer.get("floor", 1)), int(pointer["version"])
     retained = []
     try:
+        # forward fold: resolve the floor once (one checkpoint read),
+        # then apply each retained delta exactly once — O(retained)
+        # small reads, not O(retained × checkpoint) re-resolutions.
+        # A version without a delta entry (a migrated lake's format-1
+        # era) resolves individually through its history fallback.
+        m = None
         for v in range(floor, live_v + 1):
-            retained.append(
-                manifest if v == manifest["version"] else _resolve_version(lake_dir, pointer, v)
-            )
+            if v == manifest["version"]:
+                m = manifest
+            elif m is not None:
+                try:
+                    with open(_delta_path(lake_dir, v)) as f:
+                        m = _apply_delta(m, json.load(f))
+                except FileNotFoundError:
+                    m = _resolve_version(lake_dir, pointer, v)
+            else:
+                m = _resolve_version(lake_dir, pointer, v)
+            retained.append(m)
     except (OSError, ValueError):
         return
     # prune the log below the newest checkpoint ≤ floor (everything at
@@ -985,9 +1013,20 @@ def _merged_for_batch(
 def _validate_extra_cols(extra_cols: tuple) -> None:
     """Reject declarations that can never be valid BEFORE any plan is
     built (a colliding name would otherwise surface as an ambiguous-
-    field AnalysisException deep inside the snapshot struct)."""
+    field AnalysisException deep inside the snapshot struct; a
+    non-identifier name would break the dotted struct-field access in
+    ``snapshot_stream`` or the DDL string ``_snapshot_schema``
+    interpolates)."""
+    import re
+
     seen = set()
     for name in extra_cols:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name or ""):
+            raise ValueError(
+                f"extra column {name!r} is not a plain identifier "
+                "([A-Za-z_][A-Za-z0-9_]*) — dotted/quoted/spaced names would "
+                "break struct-field access and schema DDL downstream"
+            )
         if name in _LAKE_COLS or name in ("pk", "event_seq", "ts", "type"):
             raise ValueError(f"extra column {name!r} collides with a core lake column")
         if name in seen:
@@ -1446,7 +1485,7 @@ def _flip_version(
         # floor; its older retained versions stay readable via their
         # _history JSONs until they age past retention.
         _atomic_write_json(
-            _checkpoint_path(lake_dir, manifest["version"]), manifest
+            _checkpoint_path(lake_dir, manifest["version"]), manifest, sync_dir=True
         )
         if pointer is not None:
             hist = os.path.join(lake_dir, HISTORY_DIR)
@@ -1459,9 +1498,16 @@ def _flip_version(
     elif pointer is not None:
         prev_floor = int(pointer.get("floor", 1))
     floor = max(prev_floor, version - retain_versions + 1)
+    # sync_dir on the log writes: the pointer flip below is dirent-
+    # journaled, so the entries it makes reachable must be too — a
+    # power loss that kept the flipped pointer but dropped the
+    # un-journaled _log/<v>.json rename would leave an unresolvable
+    # live version (every read raising "log corrupted")
     if version == 1 or version % CHECKPOINT_EVERY == 0:
-        _atomic_write_json(_checkpoint_path(lake_dir, version), new_manifest)
-    _atomic_write_json(_delta_path(lake_dir, version), delta)
+        _atomic_write_json(
+            _checkpoint_path(lake_dir, version), new_manifest, sync_dir=True
+        )
+    _atomic_write_json(_delta_path(lake_dir, version), delta, sync_dir=True)
     _commit_manifest(
         lake_dir, {"format": 2, "version": version, "floor": floor}
     )
@@ -2177,10 +2223,8 @@ def lake_time_read(
         ):
             plain.add(int(b_str))  # no time stats: whole bucket
             continue
-        from datetime import datetime as _dt
-
         for f, entry in sorted(stats.items()):
-            mn, mx = (_dt.fromisoformat(x) for x in entry["last_ts"])
+            mn, mx = (datetime.fromisoformat(x) for x in entry["last_ts"])
             if mx >= lo and mn < hi:
                 pruned_files.append(os.path.join(lake_dir, rel, f))
     extras = _manifest_columns(manifest)
@@ -2218,6 +2262,22 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
     to the retention horizon, never the data. Versions GC'd past
     ``retain_versions`` are absent by construction (their history
     JSON is pruned with their data)."""
+
+    def hist_row(v: int, markers: dict, n_buckets: int, data_changed: int, is_live: bool) -> dict:
+        if int(markers.get("rebucket", {}).get("version", -1)) == v:
+            op = "rebucket"
+        elif int(markers.get("compaction", {}).get("version", -1)) == v:
+            op = "compact"
+        else:
+            op = "merge"
+        return {
+            "version": v,
+            "operation": op,
+            "n_buckets": n_buckets,
+            "data_changed_buckets": data_changed,
+            "is_live": is_live,
+        }
+
     pointer = _read_pointer(lake_dir)
     if pointer is not None and "buckets" not in pointer:
         # format 2: one row per retained commit-LOG entry — the delta
@@ -2243,38 +2303,20 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
                     continue
                 dv = m.get("data_versions", {})
                 out.append(
-                    {
-                        "version": v,
-                        "operation": (
-                            "rebucket"
-                            if int(m.get("rebucket", {}).get("version", -1)) == v
-                            else "compact"
-                            if int(m.get("compaction", {}).get("version", -1)) == v
-                            else "merge"
-                        ),
-                        "n_buckets": m["n_buckets"],
-                        "data_changed_buckets": sum(1 for x in dv.values() if x == v),
-                        "is_live": False,
-                    }
+                    hist_row(
+                        v, m, m["n_buckets"],
+                        sum(1 for x in dv.values() if x == v), False,
+                    )
                 )
                 continue
-            extra = delta.get("extra", {})
-            if int(extra.get("rebucket", {}).get("version", -1)) == v:
-                op = "rebucket"
-            elif int(extra.get("compaction", {}).get("version", -1)) == v:
-                op = "compact"
-            else:
-                op = "merge"
             out.append(
-                {
-                    "version": v,
-                    "operation": op,
-                    "n_buckets": delta["n_buckets"],
-                    "data_changed_buckets": (
-                        len(delta["touched"]) if delta["data_change"] else 0
-                    ),
-                    "is_live": v == live_v,
-                }
+                hist_row(
+                    v,
+                    delta.get("extra", {}),
+                    delta["n_buckets"],
+                    len(delta["touched"]) if delta["data_change"] else 0,
+                    v == live_v,
+                )
             )
         return out
     live = pointer
@@ -2286,21 +2328,13 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
 
     def row(m: dict) -> dict:
         v = m["version"]
-        if int(m.get("rebucket", {}).get("version", -1)) == v:
-            op = "rebucket"
-        elif int(m.get("compaction", {}).get("version", -1)) == v:
-            op = "compact"
-        else:
-            op = "merge"
-        return {
-            "version": v,
-            "operation": op,
-            "n_buckets": m["n_buckets"],
-            "data_changed_buckets": sum(
-                1 for b, dv in m.get("data_versions", {}).items() if dv == v
-            ),
-            "is_live": bool(live) and live["version"] == v,
-        }
+        return hist_row(
+            v,
+            m,
+            m["n_buckets"],
+            sum(1 for dv in m.get("data_versions", {}).values() if dv == v),
+            bool(live) and live["version"] == v,
+        )
 
     out: list[dict] = []
     # a writer killed between the flip and the history write leaves

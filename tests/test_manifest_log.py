@@ -259,3 +259,35 @@ def test_describe_history_from_log_entries(spark, tmp_path):
     assert hist[1]["data_changed_buckets"] == 0  # compaction is physical-only
     assert hist[2]["data_changed_buckets"] > 0
     assert M.describe_history(lake, limit=2) == hist[:2]
+
+
+def test_stale_pointer_resolution_retries_against_fresh_pointer(spark, tmp_path):
+    """Reader-vs-GC on the LOG: a reader holding a slightly-stale
+    pointer whose entries a concurrent committer's GC just pruned must
+    NOT report corruption — resolution re-reads the pointer once, and
+    a target now below the fresh retention floor surfaces as the
+    honest retention error."""
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    n = M.CHECKPOINT_EVERY + 3
+    for i in range(n):
+        M.merge_batch_into_lake(
+            env.filter(F.col("event_seq") % n == i), lake, retain_versions=2
+        )
+    # a pointer snapshot from before the GC advanced the floor
+    stale = {"format": 2, "version": 5, "floor": 1}
+    with pytest.raises(ValueError, match="no retained version 5"):
+        M._resolve_version(lake, stale, 5)
+
+
+def test_extra_cols_must_be_plain_identifiers(spark, tmp_path):
+    """Dotted / spaced / empty extra-column names are rejected up
+    front — downstream they would break the struct-field access in
+    snapshot_stream or the DDL string _snapshot_schema builds."""
+    env = _env(spark)
+    lake = str(tmp_path / "lake")
+    for bad in ("shard.id", "a b", "", "x`y"):
+        with pytest.raises(ValueError, match="not a plain identifier"):
+            M.merge_batch_into_lake(env, lake, extra_cols=(bad,))
+    with pytest.raises(ValueError, match="declared twice"):
+        M.merge_batch_into_lake(env, lake, extra_cols=("s", "s"))

@@ -771,12 +771,15 @@ def test_missing_file_error_classifier():
     from lapidus_spark.streaming.materialize import _is_missing_file_error
 
     assert _is_missing_file_error(FileNotFoundError("x"))
-    assert _is_missing_file_error(OSError("stale handle"))
     assert _is_missing_file_error(RuntimeError("java.io.FileNotFoundException: f"))
     assert _is_missing_file_error(Exception("[FILE_NOT_FOUND] path gone"))
     assert _is_missing_file_error(Exception("Path does not exist: /x"))
     assert not _is_missing_file_error(ValueError("schema mismatch"))
     assert not _is_missing_file_error(ZeroDivisionError())
+    # deterministic LOCAL IO failures are NOT the GC race: a disk-full
+    # or permission error must surface, not burn the retry budget
+    assert not _is_missing_file_error(OSError(28, "No space left on device"))
+    assert not _is_missing_file_error(PermissionError("denied"))
 
 
 @pytest.mark.slow
