@@ -106,6 +106,14 @@ COHORT = [
     "lake_gold_incremental",
     "stream_lake_gold",
     "lake_zonemap_read",
+    # round-9 surface (all-digestable schemas): the commit-log
+    # manifest under 10M envelopes / 32 splits (every resolution is
+    # checkpoint + delta replay), column accretion across epochs
+    # (nullable bigint digests), time-zone-map pruned reads, and the
+    # update-mode gold chain upserting into a second lake
+    "lake_schema_evolution",
+    "lake_time_read",
+    "stream_lake_gold_update",
 ]
 DERIVED_TABLES = ("documents", "events")
 

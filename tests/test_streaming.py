@@ -2609,3 +2609,73 @@ def test_compact_lake_valve_convergence(spark, tmp_path):
     assert r3["version"] == r1["version"] + 1 and r3["compacted_buckets"] > 0
     assert compact_lake(spark, lake)["compacted_buckets"] == 0
     assert _snapshot_rows(spark, lake) == before
+
+
+def test_cli_daemon_lake_sink_with_extra_columns(spark, tmp_path):
+    """ctl_config → pipeline → lake sink with options.extraColumns:
+    the daemon's own config plumbs schema evolution end to end — the
+    lake row accretes the declared envelope attribute, the manifest
+    records the epoch, and the snapshot carries the winner's value.
+    Also pins the validation error for a malformed declaration."""
+    import json as _json
+
+    import lapidus_spark.streaming.materialize as M
+    from lapidus_spark.config import ConfigError, parse_config
+    from lapidus_spark.__main__ import main
+
+    lake = tmp_path / "lake"
+    cfg_file = tmp_path / "cli.json"
+    cfg_file.write_text(
+        _json.dumps(
+            {
+                "backends": [
+                    {
+                        "name": "evolving",
+                        "type": "file",
+                        "path": SF_DIR,
+                        "sinks": [
+                            {
+                                "type": "lake",
+                                "options": {
+                                    "path": str(lake),
+                                    # source (backend name) is an
+                                    # envelope column the core lake
+                                    # row does not store
+                                    "extraColumns": ["source"],
+                                },
+                            }
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    assert main(["-c", str(cfg_file), "--validate-only"]) == 0
+    assert main(["-c", str(cfg_file)]) == 0
+    m = M._read_manifest(str(lake))
+    assert m["columns"] == [{"name": "source", "type": "string"}]
+    snap = M.read_lake_snapshot(spark, str(lake))
+    assert snap.columns[-1] == "source"
+    vals = {r["source"] for r in snap.select("source").distinct().collect()}
+    assert vals == {"evolving"}
+
+    with pytest.raises(ConfigError, match="extraColumns"):
+        parse_config(
+            _json.dumps(
+                {
+                    "backends": [
+                        {
+                            "name": "x",
+                            "type": "file",
+                            "path": SF_DIR,
+                            "sinks": [
+                                {
+                                    "type": "lake",
+                                    "options": {"path": str(lake), "extraColumns": [1]},
+                                }
+                            ],
+                        }
+                    ]
+                }
+            )
+        )
