@@ -114,6 +114,17 @@ COHORT = [
     "lake_schema_evolution",
     "lake_time_read",
     "stream_lake_gold_update",
+    # round-9 table administration at 100x: RESTORE's stamp-proven
+    # metadata-only repoint (and the full-outer CDF), VACUUM's floor
+    # raise over a 10M-envelope history, predicate DELETE's pruned
+    # tombstone rewrite, the Z-ordered OPTIMIZE's per-bucket rank
+    # windows at real bucket sizes, and the shallow clone's
+    # absolute-pointer reads + COW merge
+    "lake_restore",
+    "lake_vacuum_read",
+    "lake_delete_where",
+    "lake_zorder_read",
+    "lake_clone",
 ]
 DERIVED_TABLES = ("documents", "events")
 

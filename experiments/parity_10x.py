@@ -94,6 +94,16 @@ COHORT = [
     "lake_schema_evolution",
     "lake_time_read",
     "stream_lake_gold_update",
+    # round-9 table administration: RESTORE's metadata-only undo (and
+    # the full-outer CDF it forces), explicit VACUUM's floor raise,
+    # predicate DELETE's tombstone rewrite, the Z-ordered OPTIMIZE
+    # (per-bucket rank windows + Morton sort under real parallelism),
+    # and the shallow clone's absolute-pointer reads + COW merge
+    "lake_restore",
+    "lake_vacuum_read",
+    "lake_delete_where",
+    "lake_zorder_read",
+    "lake_clone",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

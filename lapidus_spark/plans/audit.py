@@ -517,6 +517,17 @@ EXPECTATIONS: dict[str, dict] = {
     # metadata-sized aggregation, so the read plan itself is a pushed
     # scan + filter with zero exchanges
     "lake_time_read": {"pushed": True, "max_exchanges": 0},
+    # ---- round-9 additions: the table-administration surface ----
+    # all five commands do their work at COMMIT time (metadata flips,
+    # bucket rewrites); the audited read plan is always the ordinary
+    # manifest-resolved pruned scan + pushed tombstone filter, zero
+    # exchanges — the invariant worth asserting is precisely that the
+    # admin machinery leaves the read path untouched
+    "lake_restore": {"pushed": True, "max_exchanges": 0},
+    "lake_vacuum_read": {"pushed": True, "max_exchanges": 0},
+    "lake_delete_where": {"pushed": True, "max_exchanges": 0},
+    "lake_zorder_read": {"pushed": True, "max_exchanges": 0},
+    "lake_clone": {"pushed": True, "max_exchanges": 0},
 }
 
 

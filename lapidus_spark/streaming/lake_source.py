@@ -207,7 +207,13 @@ class LakeCDFStreamReader(DataSourceStreamReader):
                     "comparable across layouts; restart the consumer from a "
                     "full snapshot at or after the layout change"
                 )
-            for b_str, rel in m_new["buckets"].items():
+            # union of both bucket sets: a RESTORE can revert to a
+            # version predating a bucket's first write — its keys
+            # VANISHED and the old-only bucket must still be diffed
+            # (new side empty → delete rows), or subscribers would
+            # silently keep the retracted keys.
+            all_b = set(m_new["buckets"]) | set(m_old["buckets"] if m_old else ())
+            for b_str in sorted(all_b, key=int):
                 b = int(b_str)
                 if not _bucket_content_changed(m_old, m_new, b_str):
                     # pointer unchanged, or moved only by physical-only
@@ -228,8 +234,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         """Executor-side per-bucket diff: read the bucket's old and
         new state (column-pruned), keep entities whose (last_seq,
         last_ts) changed, type the change, emit one Arrow batch.
-        Keys are never physically dropped (tombstones persist), so
-        new ⊇ old and the left merge is complete."""
+        Ordinary commits never physically drop keys (tombstones
+        persist, new ⊇ old) — but a RESTORE reverts to a version
+        predating some keys' first appearance, so the merge is FULL
+        OUTER and a vanished visible key emits ``delete`` (NULL
+        post-image columns here; the row-level path carries the old
+        values as the pre-image, matching the batch twins)."""
         import numpy as np
         import pandas as pd
         import pyarrow as pa
@@ -245,30 +255,37 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             return tbl.to_pandas()
 
         new = read_side(partition.new_files, _NEW_COLS)
-        if new.empty:
-            return
         old = read_side(
             partition.old_files, _OLD_COLS_PRE if self.row_changes else _OLD_COLS
         )
-        # nullable Int64 BEFORE the merge: a plain left merge upcasts
+        if new.empty and old.empty:
+            return
+        # nullable Int64 BEFORE the merge: a plain outer merge upcasts
         # the missing side to float64, which loses seq exactness above
         # 2^53 and could silently drop a change the batch-side
         # lake_changes (exact bigint <>) would emit.
+        new["last_seq"] = new["last_seq"].astype("Int64")
         old["last_seq"] = old["last_seq"].astype("Int64")
-        m = new.merge(old, on="entity_id", how="left", suffixes=("", "_o"))
+        m = new.merge(old, on="entity_id", how="outer", suffixes=("", "_o"))
         if self.row_changes:
             yield from self._row_change_batches(m, partition.ver)
             return
-        missing = m["last_seq_o"].isna().to_numpy(dtype=bool)
+        missing_old = m["last_seq_o"].isna().to_numpy(dtype=bool)
+        missing_new = m["last_seq"].isna().to_numpy(dtype=bool)
         changed = (
-            missing
+            missing_old
+            | missing_new
             | m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
             | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
         )
-        m = m[changed]
+        # a vanished TOMBSTONE is absent→absent: emit nothing (the
+        # visible-vanished keys keep their delete row below)
+        old_invisible = missing_old | m["last_type_o"].eq("delete").to_numpy(dtype=bool)
+        m = m[changed & ~(missing_new & old_invisible)]
         if m.empty:
             return
-        is_tomb = m["last_type"].eq("delete")
+        vanished = m["last_seq"].isna().to_numpy(dtype=bool)
+        is_tomb = m["last_type"].eq("delete").to_numpy(dtype=bool) | vanished
         was_absent = m["last_seq_o"].isna() | m["last_type_o"].eq("delete")
         change_type = np.where(
             is_tomb, "delete", np.where(was_absent, "insert", "update")
@@ -308,7 +325,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
         present = ~m["last_seq_o"].isna()
         old_vis = (present & m["last_type_o"].ne("delete")).to_numpy(dtype=bool)
-        new_vis = m["last_type"].ne("delete").to_numpy(dtype=bool)
+        # null-guarded: a RESTORE can leave the new side ABSENT
+        # (key vanished) — visible→absent is a delete with the old
+        # values as the pre-image, like the batch lake_changes_rows
+        new_vis = (
+            ~m["last_seq"].isna() & m["last_type"].ne("delete")
+        ).to_numpy(dtype=bool)
         changed = (
             old_vis
             & new_vis

@@ -1428,9 +1428,13 @@ def _flip_version(
     extra: dict | None = None,
     data_change: bool = True,
     file_stats: dict | None = None,
+    touched_rels: dict | None = None,
 ) -> dict:
     """The metadata half of a commit: build the next manifest on
-    ``manifest`` with ``touched`` pointed at ``commit_rel``, flip
+    ``manifest`` with ``touched`` pointed at ``commit_rel`` (or at the
+    explicit bucket→rel map ``touched_rels`` for METADATA-ONLY commits
+    — ``restore_lake``/``clone_lake`` repoint buckets at dirs staged
+    by EARLIER commits, so there is no single fresh commit_rel), flip
     atomically, record history, GC. Must run under the writer lock.
     ``manifest`` need not be the one the staged rows were computed
     against — an optimistic merge REBASES by flipping onto a newer
@@ -1467,7 +1471,11 @@ def _flip_version(
         "version": version,
         "n_buckets": n_buckets,
         "replace_all": replace_all,
-        "touched": {str(b): f"{commit_rel}/{_PARTITION_COL}={b}" for b in touched},
+        "touched": (
+            touched_rels
+            if touched_rels is not None
+            else {str(b): f"{commit_rel}/{_PARTITION_COL}={b}" for b in touched}
+        ),
         "data_change": data_change,
     }
     if extra:
@@ -1629,6 +1637,63 @@ def merge_lake_sink(
     return envelopes.writeStream.foreachBatch(merge).outputMode("append")
 
 
+#: dimensions an OPTIMIZE may cluster on — exactly the columns
+#: ``_commit_file_stats`` records zone maps for (clustering on a
+#: column the manifest carries no ranges for would sort bytes
+#: nobody can prune on)
+_CLUSTERABLE = ("entity_id", "last_ts")
+
+
+def _cluster_sorted(rows: DataFrame, n_partitions: int, cluster_by: tuple) -> DataFrame:
+    """Bucket-partitioned, cluster-sorted rewrite rows for an
+    OPTIMIZE. ONE dimension sorts lexically — a total order, so the
+    valve's sequential file splits carry DISJOINT ranges and a point
+    read overlaps ≤1 file per key. TWO dimensions sort by a 32-bit
+    Morton (Z-order) interleave of per-bucket rank-scaled positions —
+    OPTIMIZE ZORDER BY: no file split is disjoint in either single
+    dimension, but every file's [min, max] stays NARROW on BOTH axes
+    at once, so the same footer zone maps prune point reads AND time
+    windows from one layout. Ranks come from ``percent_rank`` over
+    the bucket (a window on the key the rewrite shuffles on anyway),
+    which makes the interleave robust to skewed value distributions —
+    the reason Delta z-orders range-ids rather than raw bytes."""
+    if tuple(cluster_by) == ("entity_id",):
+        return rows.repartition(n_partitions, F.col("bucket")).sortWithinPartitions(
+            "bucket", "entity_id"
+        )
+    from pyspark.sql import Window
+
+    def spread(x):  # 16-bit value → even bit positions (Morton spread)
+        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+        return x
+
+    z = None
+    for i, c in enumerate(cluster_by):
+        w = Window.partitionBy("bucket").orderBy(F.col(c))
+        r16 = F.floor(F.percent_rank().over(w) * F.lit(65535)).cast("long")
+        lane = F.shiftleft(spread(r16), i)
+        z = lane if z is None else z.bitwiseOR(lane)
+    return (
+        rows.withColumn("__z", z)
+        .repartition(n_partitions, F.col("bucket"))
+        .sortWithinPartitions("bucket", "__z")
+        .drop("__z")
+    )
+
+
+def _validate_cluster_by(cluster_by) -> tuple:
+    cols = tuple(cluster_by)
+    if not 1 <= len(cols) <= 2 or any(c not in _CLUSTERABLE for c in cols) or len(
+        set(cols)
+    ) != len(cols):
+        raise ValueError(
+            f"cluster_by must be 1-2 distinct columns from {_CLUSTERABLE}, "
+            f"got {cluster_by!r}"
+        )
+    return cols
+
+
 def compact_lake(
     spark,
     lake_dir: str,
@@ -1636,6 +1701,7 @@ def compact_lake(
     max_records_per_file: int | None = None,
     retain_versions: int = 1,
     concurrency: str = "locked",
+    cluster_by: tuple = ("entity_id",),
 ) -> dict:
     """OPTIMIZE for the lake: rewrite the buckets whose physical
     layout has degraded — more than ``target_files_per_bucket``
@@ -1673,14 +1739,28 @@ def compact_lake(
     OPTIMIZE). No retry loop is ever needed because partial
     application is CORRECT for a pure physical rewrite — unlike a
     merge, losing a race loses no data, only deferred maintenance.
-    Adds ``skipped_buckets`` to the result."""
+    Adds ``skipped_buckets`` to the result.
+
+    ``cluster_by`` picks the sort: the default single dimension
+    (``entity_id``) gives range-DISJOINT file splits (point reads
+    open ≤1 file per key); two dimensions (``("entity_id",
+    "last_ts")``) Z-order the bucket so both axes' zone maps stay
+    narrow at once — OPTIMIZE ZORDER BY, trading the single-axis
+    disjointness guarantee for multi-axis prunability. Changing
+    ``cluster_by`` re-arms convergence (a requested re-layout)."""
     if concurrency not in ("locked", "optimistic"):
         raise ValueError(
             f"concurrency must be 'locked' or 'optimistic', got {concurrency!r}"
         )
+    cluster_by = _validate_cluster_by(cluster_by)
     if concurrency == "optimistic":
         return _compact_optimistic(
-            spark, lake_dir, target_files_per_bucket, max_records_per_file, retain_versions
+            spark,
+            lake_dir,
+            target_files_per_bucket,
+            max_records_per_file,
+            retain_versions,
+            cluster_by=cluster_by,
         )
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
@@ -1688,19 +1768,17 @@ def compact_lake(
         if manifest is None:
             raise ValueError(f"lake at {lake_dir} has no manifest to compact")
         degraded = _degraded_buckets(
-            lake_dir, manifest, target_files_per_bucket, max_records_per_file
+            lake_dir, manifest, target_files_per_bucket, max_records_per_file, cluster_by
         )
         if not degraded:
             return {"version": manifest["version"], "compacted_buckets": 0}
         rows = _read_live(spark, lake_dir, manifest, set(degraded))
-        # CLUSTERED rewrite: one task per bucket, sorted by entity_id,
-        # so the valve's sequential file splits carry disjoint key
-        # ranges — the zone maps recorded from the staged footers make
-        # lake_point_read overlap <=1 file per key (OPTIMIZE ZORDER's
-        # payoff on the single bucket-key dimension).
-        packed = rows.repartition(len(degraded), F.col("bucket")).sortWithinPartitions(
-            "bucket", "entity_id"
-        )
+        # CLUSTERED rewrite: one task per bucket, sorted on the
+        # cluster dimensions (lexical for one, Z-order for two), so
+        # the valve's file splits carry prunable ranges — the zone
+        # maps recorded from the staged footers make lake_point_read
+        # / lake_time_read open a file subset instead of bucket dirs.
+        packed = _cluster_sorted(rows, len(degraded), cluster_by)
         version = manifest["version"] + 1
         _publish_version(
             lake_dir,
@@ -1715,6 +1793,7 @@ def compact_lake(
                     "version": version,
                     "valve": max_records_per_file,
                     "rel": f"commits/{version:010d}",
+                    "cluster_by": list(cluster_by),
                 }
             },
             data_change=False,
@@ -1822,17 +1901,24 @@ def _degraded_buckets(
     manifest: dict,
     target_files_per_bucket: int,
     max_records_per_file: int | None,
+    cluster_by: tuple = ("entity_id",),
 ) -> list:
     """Buckets whose physical layout needs an OPTIMIZE under this
     valve: legacy root dirs (always migrate), else more parquet files
     than the target — excluding buckets still pointing into the last
-    compaction commit under the SAME valve (the convergence check;
-    keyed on the recorded commit ``rel`` so it survives nonce-named
-    optimistic compaction dirs, with the version-derived name as the
-    pre-``rel`` manifest fallback)."""
+    compaction commit under the SAME valve AND cluster dimensions
+    (the convergence check; keyed on the recorded commit ``rel`` so
+    it survives nonce-named optimistic compaction dirs, with the
+    version-derived name as the pre-``rel`` manifest fallback —
+    switching ``cluster_by`` re-arms every bucket: a re-cluster is a
+    requested layout change, not churn)."""
     comp = manifest.get("compaction")
     comp_prefix = None
-    if comp is not None and comp.get("valve") == max_records_per_file:
+    if (
+        comp is not None
+        and comp.get("valve") == max_records_per_file
+        and comp.get("cluster_by", ["entity_id"]) == list(cluster_by)
+    ):
         comp_prefix = (comp.get("rel") or f"commits/{comp['version']:010d}") + "/"
     degraded = []
     for b, rel in manifest["buckets"].items():
@@ -1862,6 +1948,7 @@ def _compact_optimistic(
     retain_versions: int,
     flip_wait_s: float = 30.0,
     _race_hook: Callable[[], None] | None = None,
+    cluster_by: tuple = ("entity_id",),
 ) -> dict:
     """Lock-free-staging OPTIMIZE (see ``compact_lake``): read and
     rewrite the degraded buckets with NO lock held, then under the
@@ -1879,16 +1966,15 @@ def _compact_optimistic(
     if base is None:
         raise ValueError(f"lake at {lake_dir} has no manifest to compact")
     degraded = _degraded_buckets(
-        lake_dir, base, target_files_per_bucket, max_records_per_file
+        lake_dir, base, target_files_per_bucket, max_records_per_file, cluster_by
     )
     if not degraded:
         return {"version": base["version"], "compacted_buckets": 0, "skipped_buckets": 0}
     commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
     try:
         rows = _read_live(spark, lake_dir, base, set(degraded))
-        packed = rows.repartition(len(degraded), F.col("bucket")).sortWithinPartitions(
-            "bucket", "entity_id"
-        )  # clustered, like the locked path — zone maps from the footers
+        # clustered, like the locked path — zone maps from the footers
+        packed = _cluster_sorted(rows, len(degraded), cluster_by)
         _stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
         staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
     except Exception:
@@ -1964,6 +2050,7 @@ def _compact_optimistic(
                     "version": version,
                     "valve": max_records_per_file,
                     "rel": commit_rel,
+                    "cluster_by": list(cluster_by),
                 }
             },
             data_change=False,
@@ -2069,6 +2156,356 @@ def rebucket_lake(
             os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+def restore_lake(lake_dir: str, version: int, retain_versions: int = 2) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — Delta RESTORE's analog as
+    a METADATA-ONLY commit (no Spark session, no data bytes written):
+    a new version whose bucket pointers are the target version's, so
+    the live snapshot reverts while history stays append-only (the
+    undone versions remain time-travelable inside retention, and the
+    restore itself is one more commit a CDF subscriber consumes as an
+    ordinary diff — the inverse of the undone batches' effect).
+
+    Scale contract: cost is O(buckets whose CONTENT differs between
+    live and target), proven by the ``data_versions`` stamps — a
+    bucket that diverged only through compactions (physical-only
+    rewrites) KEEPS its live pointer (the better-packed files; the
+    rows are identical by the stamp proof), so a restore never undoes
+    maintenance work and never touches a data file at all. Zone maps
+    for repointed buckets are taken from the target manifest (they
+    describe exactly the files being repointed); the schema epoch
+    reverts with the data (a restore across a schema evolution reads
+    under the target's columns again, while the evolved versions keep
+    their own epoch for time travel). A rebucket (or any bucket-set
+    change) between target and live swaps the ENTIRE map back
+    (``replace_all`` — bucket ids are not comparable across layouts).
+
+    Runs under the writer lock; an optimistic merge staged against
+    the pre-restore manifest sees the moved stamps (or the reverted
+    columns epoch) and recomputes — a restore is a data change like
+    any other. The target must still be retained; size the merges'
+    ``retain_versions`` to cover your undo horizon. Returns
+    ``{"version", "restored_from", "restored_buckets",
+    "replace_all"}`` — version unchanged when live content already
+    equals the target (no empty commits)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        live = _healed_manifest(lake_dir)
+        if live is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to restore")
+        target = _manifest_at(lake_dir, version)  # unretained → fails fast
+        live_v = int(live["version"])
+        if version == live_v:
+            return {
+                "version": live_v,
+                "restored_from": version,
+                "restored_buckets": 0,
+                "replace_all": False,
+            }
+        replace_all = target["n_buckets"] != live["n_buckets"] or set(
+            target["buckets"]
+        ) != set(live["buckets"])
+        if replace_all:
+            touched_rels = dict(target["buckets"])
+        else:
+            touched_rels = {
+                b: rel
+                for b, rel in target["buckets"].items()
+                if _bucket_content_changed(live, target, b)
+            }
+        if not touched_rels:
+            # only physical-only commits landed since the target:
+            # live content is already the target snapshot
+            return {
+                "version": live_v,
+                "restored_from": version,
+                "restored_buckets": 0,
+                "replace_all": False,
+            }
+        stats = {
+            b: target["file_stats"][b]
+            for b in touched_rels
+            if b in target.get("file_stats", {})
+        }
+        extra = None
+        if target.get("columns", []) != live.get("columns", []):
+            extra = {"columns": list(target.get("columns", []))}
+        new_manifest = _flip_version(
+            lake_dir,
+            live,
+            commit_rel="",
+            touched=[],
+            n_buckets=target["n_buckets"],
+            retain_versions=retain_versions,
+            replace_all=replace_all,
+            extra=extra,
+            data_change=True,
+            file_stats=stats or None,
+            touched_rels=touched_rels,
+        )
+        return {
+            "version": int(new_manifest["version"]),
+            "restored_from": version,
+            "restored_buckets": len(touched_rels),
+            "replace_all": replace_all,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def vacuum_lake(
+    lake_dir: str,
+    retain_versions: int = 1,
+    dry_run: bool = False,
+    grace_seconds: float | None = None,
+) -> dict:
+    """Delta VACUUM's analog as an EXPLICIT command: raise the
+    retention floor to ``live - retain_versions + 1`` and reclaim
+    everything no remaining retained version references — commit
+    dirs, commit-log entries below the floor's checkpoint, format-1
+    ``_history`` JSONs. Per-commit GC already enforces each merge's
+    own ``retain_versions`` as it goes; this is the administrative
+    override for shrinking a horizon after the fact (a table merged
+    with ``retain_versions=24`` for a backfill audit, vacuumed back
+    to 1 when the audit closes) and for reclaiming crashed writers'
+    aged-out staging orphans without waiting for the next commit.
+
+    METADATA-ONLY and version-preserving: the pointer's ``floor``
+    moves, the version does not (an expired time-travel read fails
+    fast with the retention error, exactly as if per-commit GC had
+    pruned it). ``dry_run=True`` measures without mutating. Orphan
+    commit dirs younger than ``grace_seconds`` (default
+    ``GC_GRACE_SECONDS``) are spared — they may be a live optimistic
+    writer's staged-not-yet-flipped commit. Reader contract is
+    Delta's: a concurrent reader still scanning a version this
+    vacuum expires can lose files mid-scan — size the horizon to
+    cover the longest reader.
+
+    Returns ``{"version", "floor", "reclaimable_dirs",
+    "reclaimable_files", "reclaimable_bytes", "dry_run"}`` (counts
+    are commit-dir scoped — what THIS call can free)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        pointer = _read_pointer(lake_dir)
+        if pointer is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to vacuum")
+        if "buckets" in pointer:
+            raise ValueError(
+                f"lake at {lake_dir} still carries a format-1 monolithic "
+                "manifest; commit once (merge/compact) to migrate it to the "
+                "commit-log format before vacuuming"
+            )
+        live_v = int(pointer["version"])
+        old_floor = int(pointer.get("floor", 1))
+        new_floor = max(old_floor, live_v - retain_versions + 1)
+        # fail-closed like GC: if any version that must REMAIN
+        # retained cannot be resolved, vacuum nothing
+        retained = [
+            _resolve_version(lake_dir, pointer, v)
+            for v in range(new_floor, live_v + 1)
+        ]
+        live_commits = {
+            p.split("/", 2)[1]
+            for m in retained
+            for p in m["buckets"].values()
+            if p.startswith("commits/")
+        }
+        if grace_seconds is None:
+            grace_seconds = GC_GRACE_SECONDS
+        import time
+
+        now = time.time()
+        candidates = []
+        commits_root = os.path.join(lake_dir, "commits")
+        for d in sorted(os.listdir(commits_root)) if os.path.isdir(commits_root) else []:
+            if d in live_commits:
+                continue
+            if "." in d:  # optimistic staging: maybe in flight
+                try:
+                    if now - _newest_mtime(os.path.join(commits_root, d)) < grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            candidates.append(d)
+        nbytes = nfiles = 0
+        for d in candidates:
+            for root, _dirs, files in os.walk(os.path.join(commits_root, d)):
+                for f in files:
+                    try:
+                        nbytes += os.path.getsize(os.path.join(root, f))
+                        nfiles += 1
+                    except OSError:
+                        pass
+        report = {
+            "version": live_v,
+            "floor": new_floor,
+            "reclaimable_dirs": len(candidates),
+            "reclaimable_files": nfiles,
+            "reclaimable_bytes": nbytes,
+            "dry_run": dry_run,
+        }
+        if dry_run:
+            return report
+        if new_floor != old_floor:
+            _commit_manifest(
+                lake_dir, {"format": 2, "version": live_v, "floor": new_floor}
+            )
+        _gc_unreferenced(lake_dir, retained[-1], grace_seconds=grace_seconds)
+        return report
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def delete_from_lake(
+    spark,
+    lake_dir: str,
+    predicate: str,
+    retain_versions: int = 2,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """DELETE FROM ... WHERE — row-level deletes by SQL predicate
+    over the snapshot columns (``entity_id, last_seq, last_ts,
+    last_type, item`` + the epoch's accreted columns). Matching
+    VISIBLE rows flip to tombstones (``last_type='delete'``, payload
+    columns nulled) keeping their LWW position (seq/ts unchanged — a
+    retroactive redaction, the GDPR-purge shape): the key stays
+    physically present so change feeds keep their new ⊇ old
+    completeness invariant, and ``lake_changes_rows`` emits the
+    redaction as ``delete`` rows carrying the removed content as the
+    pre-image (visible→invisible is a delete regardless of seq/ts).
+
+    Scale contract: one full-table locate pass (predicate pushed into
+    the parquet scan where pushable — same as Delta DELETE's find-
+    matching-files scan) whose only driver-side result is the
+    METADATA-SIZED set of matching buckets + a count, then a rewrite
+    of ONLY those buckets (k·(table/B) bytes) published through the
+    same atomic flip as a merge. Buckets with no matches keep their
+    pointers, stamps and zone maps untouched — a CDF consumer reads
+    only the redacted buckets. Returns ``{"version",
+    "deleted_buckets", "deleted_rows"}`` (version unchanged when
+    nothing matched)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to delete from")
+        rows = _read_live(spark, lake_dir, manifest)
+        if rows is None:
+            return {"version": manifest["version"], "deleted_buckets": 0, "deleted_rows": 0}
+        hit = F.expr(predicate) & (F.col("last_type") != F.lit("delete"))
+        located = rows.filter(hit).agg(
+            F.count(F.lit(1)).alias("n"), F.collect_set("bucket").alias("bs")
+        ).first()
+        touched = sorted(located["bs"] or [])
+        if not touched:
+            return {"version": manifest["version"], "deleted_buckets": 0, "deleted_rows": 0}
+        extras = _manifest_columns(manifest)
+        bucket_rows = _read_live(spark, lake_dir, manifest, set(touched))
+        rewritten = bucket_rows.select(
+            "entity_id",
+            "last_seq",
+            "last_ts",
+            F.when(hit, F.lit("delete")).otherwise(F.col("last_type")).alias("last_type"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(F.col("item")).alias("item"),
+            "bucket",
+            *[
+                F.when(hit, F.lit(None).cast(c["type"]))
+                .otherwise(F.col(c["name"]))
+                .alias(c["name"])
+                for c in extras
+            ],
+        ).repartition(len(touched), F.col("bucket"))
+        new_manifest = _publish_version(
+            lake_dir,
+            manifest,
+            rewritten,
+            touched,
+            manifest["n_buckets"],
+            retain_versions,
+            max_records_per_file=max_records_per_file,
+            data_change=True,
+        )
+        return {
+            "version": int(new_manifest["version"]),
+            "deleted_buckets": len(touched),
+            "deleted_rows": int(located["n"]),
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
+    """SHALLOW CLONE — a zero-copy fork of the table at a version:
+    the clone is a fresh lake whose version-1 commit repoints every
+    bucket at the SOURCE's data directories by absolute path; no data
+    bytes move. Writes to the clone are copy-on-write at bucket
+    granularity — a merge/compact/delete repoints only its touched
+    buckets at clone-local commit dirs, untouched buckets keep
+    reading the source's files — and never touch the source (the
+    clone's GC collects only clone-local dirs: absolute references
+    are structurally outside its ``commits/`` namespace). The clone
+    starts its own history at version 1 (expressed as an ordinary
+    ``replace_all`` commit-log delta, so readers, CDF, OCC and GC
+    need no special casing), carrying the source's schema epoch and
+    zone maps (they describe exactly the referenced files).
+
+    The Delta shallow-clone hazard carries over verbatim: the clone
+    does NOT pin the source's files. A source VACUUM (or merge-GC)
+    that expires the cloned version breaks the clone's unrewritten
+    buckets — size the source's retention to cover the clone's
+    lifetime, or compact the clone (a full physical rewrite
+    localizes every bucket and severs the dependency). Returns
+    ``{"version": 1, "n_buckets", "cloned_from"}``."""
+    src_abs = os.path.abspath(src_dir)
+    m = _manifest_at(src_abs, version)
+    if m is None:
+        raise ValueError(f"lake at {src_dir} has no manifest to clone")
+    os.makedirs(dst_dir, exist_ok=True)
+    if _read_pointer(dst_dir) is not None:
+        raise ValueError(f"clone destination {dst_dir} is already a lake")
+    touched = {
+        b: rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+        for b, rel in m["buckets"].items()
+    }
+    extra: dict = {"cloned_from": {"source": src_abs, "version": int(m["version"])}}
+    if m.get("columns"):
+        extra["columns"] = list(m["columns"])
+    delta = {
+        "format": 2,
+        "version": 1,
+        "n_buckets": m["n_buckets"],
+        "replace_all": True,
+        "touched": touched,
+        "data_change": True,
+        "extra": extra,
+    }
+    if m.get("file_stats"):
+        delta["file_stats"] = {
+            b: st for b, st in m["file_stats"].items() if b in touched
+        }
+    manifest = _apply_delta(None, delta)
+    os.makedirs(os.path.join(dst_dir, LOG_DIR), exist_ok=True)
+    _atomic_write_json(_checkpoint_path(dst_dir, 1), manifest, sync_dir=True)
+    _atomic_write_json(_delta_path(dst_dir, 1), delta, sync_dir=True)
+    _commit_manifest(dst_dir, {"format": 2, "version": 1, "floor": 1})
+    return {
+        "version": 1,
+        "n_buckets": int(m["n_buckets"]),
+        "cloned_from": extra["cloned_from"],
+    }
 
 
 def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None = None) -> DataFrame:
@@ -2385,9 +2822,12 @@ def _cdf_frames(
     moves are skipped; a rebucket degrades to a layout-independent
     full diff, each side through its OWN manifest), and return
     ``(new_df, old_df)`` pruned to those buckets — ``(None, None)``
-    when nothing data-changed. Rows are never physically dropped
-    (tombstones persist), so new ⊇ old keys and a left join from the
-    new side is complete."""
+    when nothing data-changed. Ordinary commits never physically drop
+    rows (tombstones persist), so new ⊇ old keys — but a RESTORE
+    reverts the table to a version predating some keys' first
+    appearance, so the bucket walk takes the UNION of both manifests'
+    bucket sets and the feeds join FULL OUTER: vanished keys surface
+    as deletes instead of silently disappearing."""
     m_new = _manifest_at(lake_dir, to_version)
     if m_new is None:
         raise ValueError(f"lake at {lake_dir} has no manifest")
@@ -2414,17 +2854,23 @@ def _cdf_frames(
         # pointer diff refined by the per-bucket dataChange stamps:
         # a bucket whose pointer moved only through physical-only
         # commits (compaction) in (from, to] is provably identical
-        # and is neither read nor joined.
+        # and is neither read nor joined. The union of both bucket
+        # sets matters only across a restore (a bucket first written
+        # after the restored-to version exists in old but not new —
+        # its keys vanished and must emit deletes).
+        all_b = set(m_new["buckets"]) | set(m_old["buckets"] if m_old else ())
         changed_new = {
-            int(b)
-            for b in m_new["buckets"]
-            if _bucket_content_changed(m_old, m_new, b)
+            int(b) for b in all_b if _bucket_content_changed(m_old, m_new, b)
         }
         changed_old = changed_new
     if not changed_new:
         return None, None
     new_df = _read_live(spark, lake_dir, m_new, changed_new)
     old_df = _read_live(spark, lake_dir, m_old, changed_old) if m_old else None
+    if new_df is None and old_df is None:
+        return None, None
+    if new_df is None:
+        new_df = spark.createDataFrame([], old_df.schema)
     if old_df is None:
         old_df = spark.createDataFrame([], new_df.schema)
     return new_df, old_df
@@ -2443,9 +2889,14 @@ def lake_changes(
     differ between the two versions (path-level pruning — a merge
     that touched k of B buckets makes this a k·(table/B) read, never
     a table scan), then an entity-level anti-equality join of old vs
-    new within those buckets. Rows are never physically dropped
-    (tombstones persist), so new ⊇ old keys and a left join from the
-    new side is complete."""
+    new within those buckets. Ordinary commits never physically drop
+    rows (tombstones persist), so new ⊇ old keys — except across a
+    RESTORE, which reverts the table to a version predating some
+    keys' first appearance: the join is FULL OUTER, and a VANISHED
+    key (present and visible in old, physically absent in new) emits
+    ``change_type='delete'`` with NULL post-image columns (there is
+    no post-image — consumers keyed on entity_id drop the key; a
+    restore is the only producer of such rows)."""
     new_df, old_df = _cdf_frames(spark, lake_dir, from_version, to_version, "lake_changes")
     schema = (
         "entity_id string, change_type string, last_seq bigint, "
@@ -2454,18 +2905,21 @@ def lake_changes(
     if new_df is None:
         return spark.createDataFrame([], schema)
     n, o = new_df.alias("n"), old_df.select("entity_id", "last_seq", "last_ts", "last_type").alias("o")
+    new_exists = F.col("n.last_seq").isNotNull()
+    old_exists = F.col("o.last_seq").isNotNull()
     return (
-        n.join(o, "entity_id", "left")
+        n.join(o, "entity_id", "full_outer")
         .filter(
-            F.col("o.last_seq").isNull()
+            ~old_exists
+            | (~new_exists & (F.col("o.last_type") != "delete"))
             | (F.col("o.last_seq") != F.col("n.last_seq"))
             | (F.col("o.last_ts") != F.col("n.last_ts"))
         )
         .select(
             "entity_id",
-            F.when(F.col("n.last_type") == "delete", F.lit("delete"))
+            F.when(~new_exists | (F.col("n.last_type") == "delete"), F.lit("delete"))
             .when(
-                F.col("o.last_seq").isNull() | (F.col("o.last_type") == "delete"),
+                ~old_exists | (F.col("o.last_type") == "delete"),
                 F.lit("insert"),
             )
             .otherwise(F.lit("update"))
@@ -2521,7 +2975,11 @@ def lake_changes_rows(
     # join coalesces entity_id itself, so the o-side key is not
     # addressable after the join
     old_vis = F.col("o.last_seq").isNotNull() & (F.col("o.last_type") != "delete")
-    new_vis = F.col("n.last_type") != "delete"
+    # null-guarded: across a RESTORE a key can be physically ABSENT
+    # on the new side (the table reverted to before its first
+    # appearance) — visible→absent is a delete like any other, and
+    # the old values are already in hand for the pre-image
+    new_vis = F.col("n.last_seq").isNotNull() & (F.col("n.last_type") != "delete")
     updated = (
         old_vis
         & new_vis
@@ -2551,7 +3009,7 @@ def lake_changes_rows(
         F.when(old_vis & ~new_vis, change("delete", "o")).otherwise(null_change),
     )
     return (
-        n.join(o, "entity_id", "left")
+        n.join(o, "entity_id", "full_outer")
         .select(
             "entity_id",
             F.explode(F.filter(changes, lambda c: c.isNotNull())).alias("c"),

@@ -2344,3 +2344,307 @@ def stream_lake_gold_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_entities") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Table administration — the Delta-parity command surface (RESTORE /
+# VACUUM / DELETE WHERE / OPTIMIZE ZORDER / SHALLOW CLONE). Each
+# mutating query builds its OWN throwaway lake (never the shared
+# process-cached fixtures: queries must stay order-independent), runs
+# the command, and returns a snapshot the DuckDB oracle reproduces
+# from the raw events — so the gate value-checks the COMMAND's effect,
+# not just the read path.
+# ---------------------------------------------------------------------------
+
+
+def _build_events_lake(
+    spark: SparkSession, sf_dir: str, batches=(0, 1, 2), retain_versions: int = 4
+) -> str:
+    """A fresh (uncached) manifest-versioned lake: one merge per
+    ``event_seq % len(batches)`` slice, versions 1..n."""
+    from lapidus_spark.streaming.materialize import merge_batch_into_lake
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_admin_lake_")
+    for i in batches:
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % len(batches) == i),
+            lake,
+            retain_versions=retain_versions,
+        )
+    return lake
+
+
+@query(
+    "lake_restore",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 IN (0, 1)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="RESTORE TABLE ... TO VERSION AS OF — metadata-only undo commit",
+    doc="Delta RESTORE's analog: three merges commit versions 1..3, "
+    "then restore_lake(2) publishes version 4 whose bucket pointers "
+    "are version 2's — a METADATA-ONLY commit (no Spark session, no "
+    "data bytes written; cost O(content-changed buckets), proven by "
+    "the data_versions stamps, so buckets that diverged only through "
+    "compactions keep their better-packed live files). The LIVE "
+    "snapshot reverts to the first-two-batches LWW state while "
+    "history stays append-only: version 3 remains time-travelable "
+    "and a CDF subscriber consumes the restore as an ordinary diff "
+    "(the inverse of batch 3's effect — pinned in "
+    "tests/test_lake_admin.py). The oracle is the LWW snapshot over "
+    "batches 0 and 1 only — the query must equal it even though all "
+    "three batches were merged.",
+)
+def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import read_lake_snapshot, restore_lake
+
+    lake = _build_events_lake(spark, sf_dir)
+    restore_lake(lake, 2, retain_versions=4)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_vacuum_read",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="VACUUM — explicit retention-floor raise + unreferenced-file reclaim",
+    doc="Delta VACUUM's analog as an explicit command: three merges "
+    "with retain_versions=4 keep every version's data, then "
+    "vacuum_lake(retain_versions=1) raises the retention floor to "
+    "the live version and reclaims everything only the expired "
+    "versions referenced — commit dirs, commit-log entries below the "
+    "floor's checkpoint (the pointer flip is metadata-only and "
+    "version-preserving). The live snapshot must be BIT-IDENTICAL "
+    "to the pre-vacuum one (the oracle is the full-corpus LWW "
+    "state): vacuum frees history, never data a retained version "
+    "names. Expired time travel now fails fast with the retention "
+    "error, and the reclaimed-bytes report plus the spared-staging "
+    "grace window are pinned in tests/test_lake_admin.py.",
+)
+def lake_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import read_lake_snapshot, vacuum_lake
+
+    lake = _build_events_lake(spark, sf_dir)
+    vacuum_lake(lake, retain_versions=1)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_delete_where",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    snap AS (
+      SELECT CAST(user_id AS VARCHAR) AS entity_id,
+             event_id AS last_seq,
+             ts AS last_ts,
+             CASE event_type WHEN 'signup' THEN 'insert'
+                  WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+             props AS item
+      FROM ranked
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT * FROM snap
+    WHERE NOT (last_type = 'update' AND entity_id LIKE '%7')
+    """,
+    operator="DELETE FROM ... WHERE — row-level predicate delete (tombstone flip)",
+    doc="Row-level deletes by SQL predicate over the snapshot "
+    "columns: matching visible rows flip to tombstones keeping their "
+    "LWW position (a retroactive redaction — the GDPR-purge shape; "
+    "keys stay physically present so change feeds keep their "
+    "new ⊇ old completeness invariant, and lake_changes_rows emits "
+    "the redaction as delete rows carrying the removed content as "
+    "the pre-image). Scale contract: one locate pass whose only "
+    "driver-side result is the metadata-sized matching-bucket set + "
+    "count, then a rewrite of ONLY those buckets (k·(table/B) "
+    "bytes) through the same atomic manifest flip as a merge — "
+    "buckets with no matches keep pointers, stamps and zone maps "
+    "untouched (pinned in tests/test_lake_admin.py). The oracle is "
+    "the full LWW snapshot minus the predicate's rows.",
+)
+def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import delete_from_lake, read_lake_snapshot
+
+    lake = _build_events_lake(spark, sf_dir, batches=(0,), retain_versions=2)
+    delete_from_lake(
+        spark, lake, "last_type = 'update' AND entity_id LIKE '%7'", retain_versions=2
+    )
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_zorder_read",
+    oracle="""
+    WITH b AS (SELECT MAX(ts) AS hi FROM events),
+    ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked, b
+    WHERE rn = 1 AND event_type <> 'error'
+      AND ts >= b.hi - INTERVAL 72 HOUR AND ts < b.hi - INTERVAL 24 HOUR
+      AND CAST(user_id AS VARCHAR) >= '2' AND CAST(user_id AS VARCHAR) < '6'
+    """,
+    operator="OPTIMIZE ZORDER BY (entity_id, last_ts) — multi-axis zone-map pruning",
+    doc="Z-ordered compaction: each bucket sorts by a 32-bit Morton "
+    "interleave of per-bucket rank-scaled (entity_id, last_ts) "
+    "positions instead of lexically by entity_id, so the valve's "
+    "file splits carry NARROW [min, max] ranges on BOTH axes at "
+    "once and the SAME footer zone maps prune point reads AND time "
+    "windows from one layout (Delta's OPTIMIZE ZORDER BY; the rank "
+    "scaling — percent_rank over the bucket, a window on the key "
+    "the rewrite shuffles on anyway — is why skewed distributions "
+    "don't collapse the interleave). The query runs a time-bounded "
+    "read (file pruning via the last_ts ranges) composed with an "
+    "entity range filter; multi-axis file-count pruning is pinned "
+    "separately in tests/test_lake_admin.py on a time-correlated "
+    "corpus. The window anchors at max(ts) with integer-hour "
+    "offsets so Spark and DuckDB compute bit-identical bounds; the "
+    "oracle is the LWW snapshot restricted to both predicates. "
+    "Convergence: re-running the same OPTIMIZE is a no-op; changing "
+    "cluster_by re-arms every bucket (a requested re-layout).",
+)
+def lake_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from lapidus_spark.streaming.materialize import compact_lake, lake_time_read
+
+    lake = _build_events_lake(spark, sf_dir, batches=(0,), retain_versions=2)
+    compact_lake(
+        spark,
+        lake,
+        target_files_per_bucket=0,
+        max_records_per_file=64,
+        cluster_by=("entity_id", "last_ts"),
+    )
+    hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.col("ts").cast("timestamp_ntz")).alias("hi"))
+        .first()["hi"]
+    )
+    return (
+        lake_time_read(spark, lake, hi - timedelta(hours=72), hi - timedelta(hours=24))
+        .filter((F.col("entity_id") >= "2") & (F.col("entity_id") < "6"))
+        .select(
+            "entity_id",
+            "last_seq",
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            "last_type",
+            "item",
+        )
+    )
+
+
+@query(
+    "lake_clone",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="SHALLOW CLONE — zero-copy table fork, copy-on-write buckets",
+    doc="Shallow clone: the clone's version-1 commit repoints every "
+    "bucket at the SOURCE's data dirs by absolute path (no data "
+    "bytes move — expressed as an ordinary replace_all commit-log "
+    "delta, so readers/CDF/OCC/GC need no special casing). Writes "
+    "are copy-on-write at bucket granularity: merging the third "
+    "event batch into the clone repoints only its touched buckets "
+    "at clone-local commit dirs, untouched buckets keep reading the "
+    "source's files, and the source is never written (pinned by "
+    "pointer+mtime in tests/test_lake_admin.py). The query clones "
+    "the shared versioned lake AT VERSION 2 (batches 0,1), merges "
+    "batch 2 into the clone, and must equal the full-corpus LWW "
+    "snapshot — while the source still answers version 2 unchanged. "
+    "The Delta shallow-clone hazard carries over: the clone does "
+    "not pin the source's files (source VACUUM breaks unrewritten "
+    "buckets; compacting the clone localizes and severs).",
+)
+def lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import (
+        clone_lake,
+        merge_batch_into_lake,
+        read_lake_snapshot,
+    )
+
+    src = build_versioned_lake(spark, sf_dir)
+    dst = os.path.join(tempfile.mkdtemp(prefix="lapidus_clone_"), "clone")
+    clone_lake(src, dst, version=2)
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 3 == 2), dst, n_buckets=None, retain_versions=2
+    )
+    return read_lake_snapshot(spark, dst).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
