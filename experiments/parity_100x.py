@@ -125,6 +125,7 @@ COHORT = [
     "lake_delete_where",
     "lake_zorder_read",
     "lake_clone",
+    "lake_timestamp_travel",
 ]
 DERIVED_TABLES = ("documents", "events")
 

@@ -1,15 +1,22 @@
 """CLI daemon entry (ctl_cli, reference index.js:5-53).
 
     python -m lapidus_spark -c config.json [--validate-only]
-    python -m lapidus_spark --compact LAKE_DIR [--retain-versions K] [--optimistic]
+    python -m lapidus_spark --compact LAKE_DIR [--retain-versions K] [--optimistic] [--cluster-by entity_id,last_ts]
     python -m lapidus_spark --rebucket LAKE_DIR --buckets N
+    python -m lapidus_spark --restore LAKE_DIR --version N
+    python -m lapidus_spark --vacuum LAKE_DIR [--retain-versions K] [--dry-run]
+    python -m lapidus_spark --delete LAKE_DIR --where SQL_PREDICATE
+    python -m lapidus_spark --clone SRC_LAKE --into DST_DIR [--version N]
+    python -m lapidus_spark --history LAKE_DIR / --detail LAKE_DIR
 
 ``--validate-only`` parses and validates the config then exits 0/1
-(the reference's ``-t`` flag, index.js:46-49). The maintenance
-commands run a lake table operation and exit; they take the lake's
-single-writer lock, so run them while the daemon's lake sink is
-paused (a colliding writer raises instead of corrupting).
-"""
+(the reference's ``-t`` flag, index.js:46-49). The maintenance and
+administration commands run one lake table operation and exit; the
+mutating ones take the lake's single-writer lock, so run them while
+the daemon's lake sink is paused (a colliding writer raises — or
+waits out a transient flip-lock hold — instead of corrupting).
+``--restore``, ``--vacuum``, ``--clone``, ``--history`` and
+``--detail`` are metadata-only and need no Spark session at all."""
 
 from __future__ import annotations
 
@@ -61,6 +68,60 @@ def main(argv: list[str] | None = None) -> int:
         "touched — losing a race defers maintenance, never blocks it",
     )
     ap.add_argument(
+        "--cluster-by",
+        default="entity_id",
+        help="--compact sort dims, comma-separated (entity_id | "
+        "entity_id,last_ts — two dims = OPTIMIZE ZORDER BY)",
+    )
+    ap.add_argument(
+        "--restore",
+        metavar="LAKE_DIR",
+        help="RESTORE the lake to --version (metadata-only commit) and exit",
+    )
+    ap.add_argument(
+        "--version",
+        type=int,
+        default=None,
+        help="target version for --restore / source version for --clone",
+    )
+    ap.add_argument(
+        "--vacuum",
+        metavar="LAKE_DIR",
+        help="raise the retention floor to live - --retain-versions + 1, "
+        "reclaim unreferenced files, and exit",
+    )
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="--vacuum: report what would be reclaimed without mutating",
+    )
+    ap.add_argument(
+        "--delete",
+        metavar="LAKE_DIR",
+        help="DELETE FROM the lake WHERE --where (tombstone flip) and exit",
+    )
+    ap.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate over the snapshot columns for --delete",
+    )
+    ap.add_argument(
+        "--clone",
+        metavar="SRC_LAKE",
+        help="shallow-clone SRC_LAKE into --into (zero-copy) and exit",
+    )
+    ap.add_argument("--into", default=None, help="destination dir for --clone")
+    ap.add_argument(
+        "--history",
+        metavar="LAKE_DIR",
+        help="print DESCRIBE HISTORY (one JSON line per retained version) and exit",
+    )
+    ap.add_argument(
+        "--detail",
+        metavar="LAKE_DIR",
+        help="print DESCRIBE DETAIL (one JSON line) and exit",
+    )
+    ap.add_argument(
         "-t",
         "--validate-only",
         action="store_true",
@@ -74,16 +135,93 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    if args.compact or args.rebucket:
+    admin = [
+        a
+        for a in (
+            args.compact,
+            args.rebucket,
+            args.restore,
+            args.vacuum,
+            args.delete,
+            args.clone,
+            args.history,
+            args.detail,
+        )
+        if a
+    ]
+    if admin:
         if args.config:
-            ap.error("maintenance commands do not take -c")
-        if args.compact and args.rebucket:
-            ap.error("--compact and --rebucket are mutually exclusive")
+            ap.error("maintenance/administration commands do not take -c")
+        if len(admin) > 1:
+            ap.error("pass exactly one maintenance/administration command")
         if args.rebucket and args.buckets is None:
             ap.error("--rebucket requires --buckets")
-        if args.rebucket and args.optimistic:
+        if args.optimistic and not args.compact:
             ap.error("--optimistic applies to --compact only (a rebucket is a global layout swap)")
-        from lapidus_spark.streaming.materialize import compact_lake, rebucket_lake
+        if args.restore and args.version is None:
+            ap.error("--restore requires --version")
+        if args.delete and not args.where:
+            ap.error("--delete requires --where")
+        if args.clone and not args.into:
+            ap.error("--clone requires --into")
+
+        import json as _json
+
+        # metadata-only commands: no Spark session needed
+        if args.restore:
+            from lapidus_spark.streaming.materialize import restore_lake
+
+            res = restore_lake(
+                args.restore, args.version, retain_versions=args.retain_versions
+            )
+            print(
+                f"restored to version {res['restored_from']} as version "
+                f"{res['version']} ({res['restored_buckets']} bucket(s) repointed"
+                f"{', full layout swap' if res['replace_all'] else ''})"
+            )
+            return 0
+        if args.vacuum:
+            from lapidus_spark.streaming.materialize import vacuum_lake
+
+            res = vacuum_lake(
+                args.vacuum,
+                retain_versions=args.retain_versions,
+                dry_run=args.dry_run,
+            )
+            verb = "would reclaim" if args.dry_run else "reclaimed"
+            print(
+                f"{verb} {res['reclaimable_dirs']} commit dir(s), "
+                f"{res['reclaimable_files']} file(s), "
+                f"{res['reclaimable_bytes']} byte(s); floor now {res['floor']} "
+                f"of live {res['version']}"
+            )
+            return 0
+        if args.clone:
+            from lapidus_spark.streaming.materialize import clone_lake
+
+            res = clone_lake(args.clone, args.into, version=args.version)
+            print(
+                f"cloned {res['cloned_from']['source']} @ version "
+                f"{res['cloned_from']['version']} into {args.into} (zero-copy)"
+            )
+            return 0
+        if args.history:
+            from lapidus_spark.streaming.materialize import describe_history
+
+            for row in describe_history(args.history):
+                print(_json.dumps(row, sort_keys=True))
+            return 0
+        if args.detail:
+            from lapidus_spark.streaming.materialize import describe_detail
+
+            print(_json.dumps(describe_detail(args.detail), sort_keys=True))
+            return 0
+
+        from lapidus_spark.streaming.materialize import (
+            compact_lake,
+            delete_from_lake,
+            rebucket_lake,
+        )
 
         spark = get_spark("lapidus_spark_maintenance")
         if args.compact:
@@ -94,10 +232,19 @@ def main(argv: list[str] | None = None) -> int:
                 max_records_per_file=args.max_records_per_file,
                 retain_versions=args.retain_versions,
                 concurrency="optimistic" if args.optimistic else "locked",
+                cluster_by=tuple(args.cluster_by.split(",")),
             )
             skipped = f" ({res['skipped_buckets']} lost to concurrent merges)" if args.optimistic else ""
             print(
                 f"compacted {res['compacted_buckets']} bucket(s); version {res['version']}{skipped}"
+            )
+        elif args.delete:
+            res = delete_from_lake(
+                spark, args.delete, args.where, retain_versions=args.retain_versions
+            )
+            print(
+                f"deleted {res['deleted_rows']} row(s) across "
+                f"{res['deleted_buckets']} bucket(s); version {res['version']}"
             )
         else:
             res = rebucket_lake(

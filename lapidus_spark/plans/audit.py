@@ -524,6 +524,7 @@ EXPECTATIONS: dict[str, dict] = {
     # exchanges — the invariant worth asserting is precisely that the
     # admin machinery leaves the read path untouched
     "lake_restore": {"pushed": True, "max_exchanges": 0},
+    "lake_timestamp_travel": {"pushed": True, "max_exchanges": 0},
     "lake_vacuum_read": {"pushed": True, "max_exchanges": 0},
     "lake_delete_where": {"pushed": True, "max_exchanges": 0},
     "lake_zorder_read": {"pushed": True, "max_exchanges": 0},

@@ -354,6 +354,8 @@ def _apply_delta(base: dict | None, delta: dict) -> dict:
         "n_buckets": delta["n_buckets"],
         "buckets": {} if replace_all or base is None else dict(base["buckets"]),
     }
+    if "committed_at" in delta:  # the version's own commit instant
+        new_manifest["committed_at"] = delta["committed_at"]
     # the last-compaction record and the schema epoch carry through
     # merges (a rebucket drops the compaction record: layout changed)
     if base is not None:
@@ -1477,6 +1479,18 @@ def _flip_version(
             else {str(b): f"{commit_rel}/{_PARTITION_COL}={b}" for b in touched}
         ),
         "data_change": data_change,
+        # wall-clock commit instant — TIMESTAMP AS OF's resolution
+        # key. Rounded to microseconds so the float survives the
+        # ISO-string round trip (DESCRIBE HISTORY prints µs; a stamp
+        # with sub-µs residue would parse back strictly smaller and
+        # miss its own version). Monotonic vs the base version
+        # (coarse clocks and NTP steps must not make "latest version
+        # committed ≤ ts" ambiguous; Delta resolves same-instant
+        # commits by version order, which the strict increase
+        # preserves).
+        "committed_at": _next_commit_stamp(
+            (manifest or {}).get("committed_at")
+        ),
     }
     if extra:
         delta["extra"] = extra
@@ -2491,6 +2505,7 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
         "touched": touched,
         "data_change": True,
         "extra": extra,
+        "committed_at": _next_commit_stamp(None),
     }
     if m.get("file_stats"):
         delta["file_stats"] = {
@@ -2508,20 +2523,144 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
     }
 
 
-def read_lake_snapshot(spark, lake_dir: str, buckets=None, version: int | None = None) -> DataFrame:
+def lake_version_at(lake_dir: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the NEWEST retained version whose
+    commit instant is ≤ ``ts`` (Delta's rule; same-instant ties are
+    impossible — commit stamps are strictly increasing by
+    construction). ``ts`` is a unix-epoch float, a datetime (naive =
+    UTC), or an ISO string. Driver-side commit-log reads only,
+    O(retained). Fails fast when ``ts`` predates the oldest retained
+    commit (its stamp is the earliest instant still resolvable) or
+    when the retained range predates commit stamps entirely (a lake
+    last written before stamps existed — commit once to stamp it)."""
+    from datetime import datetime, timezone
+
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        ts = ts.timestamp()
+    pointer = _read_pointer(lake_dir)
+    if pointer is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest")
+    if "buckets" in pointer:
+        raise ValueError(
+            f"lake at {lake_dir} still carries a format-1 monolithic manifest "
+            "(no commit stamps); commit once (merge/compact) to migrate"
+        )
+    floor, live_v = int(pointer.get("floor", 1)), int(pointer["version"])
+    best, earliest = None, None
+    for v in range(floor, live_v + 1):
+        try:
+            with open(_delta_path(lake_dir, v)) as fh:
+                at = json.load(fh).get("committed_at")
+        except FileNotFoundError:
+            continue  # format-1 era of a migrated lake: unstamped
+        if at is None:
+            continue
+        earliest = at if earliest is None else min(earliest, at)
+        if at <= ts:
+            best = v
+    if best is None:
+        if earliest is None:
+            raise ValueError(
+                f"lake at {lake_dir} has no commit stamps in its retained "
+                "range (written before TIMESTAMP AS OF existed); commit once "
+                "to stamp it"
+            )
+        raise ValueError(
+            f"lake at {lake_dir}: no retained version committed at or before "
+            f"{ts} (oldest retained commit is {earliest}; older versions are "
+            "GC'd past the retention horizon)"
+        )
+    return best
+
+
+def describe_detail(lake_dir: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL for the lake (the Delta command's analog):
+    layout, physical footprint and schema epoch of one committed
+    version (live by default) — version, commit instant, bucket
+    count, file/byte/row totals, accreted columns, retention floor,
+    and clone provenance when present. Bytes come from the
+    filesystem, row counts from the parquet FOOTERS — driver-side
+    metadata reads proportional to the version's file count, never
+    the data (the explicit-command analog of the zone-map
+    collection)."""
+    import pyarrow.parquet as pq
+
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest to describe")
+    pointer = _read_pointer(lake_dir) or {}
+    legacy, commits = _live_paths(lake_dir, manifest)
+    nfiles = nbytes = nrows = 0
+    for d in legacy + commits:
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(d, f)
+            nfiles += 1
+            nbytes += os.path.getsize(p)
+            nrows += pq.read_metadata(p).num_rows
+    out = {
+        "version": int(manifest["version"]),
+        "n_buckets": int(manifest["n_buckets"]),
+        "num_files": nfiles,
+        "size_bytes": nbytes,
+        "num_rows": nrows,  # physical rows incl. tombstones
+        "columns": [c["name"] for c in _manifest_columns(manifest)],
+        "floor": int(pointer.get("floor", 1)) if "buckets" not in pointer else 1,
+    }
+    if manifest.get("committed_at") is not None:
+        out["committed_at"] = _epoch_iso(manifest["committed_at"])
+    if manifest.get("cloned_from"):
+        out["cloned_from"] = dict(manifest["cloned_from"])
+    return out
+
+
+def _epoch_iso(at: float) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(float(at), tz=timezone.utc).isoformat(
+        timespec="microseconds"
+    )
+
+
+def _next_commit_stamp(base_at) -> float:
+    """µs-rounded wall clock, strictly greater than the base
+    version's stamp (see the ``committed_at`` comment in
+    ``_flip_version``)."""
+    import time
+
+    at = round(time.time(), 6)
+    if base_at is not None and at <= float(base_at):
+        at = round(float(base_at) + 1e-6, 6)
+    return at
+
+
+def read_lake_snapshot(
+    spark, lake_dir: str, buckets=None, version: int | None = None, timestamp=None
+) -> DataFrame:
     """Consumer view of the merged lake table, resolved through the
     manifest (orphaned / half-committed files are invisible by
     construction): tombstones filtered (purge semantics). Pass
     ``buckets`` to prune a point read to the key's bucket — path
     pruning, no file outside those buckets is even opened. Pass
     ``version`` to time-travel to an earlier committed snapshot (the
-    version must be inside the merge's ``retain_versions`` horizon);
+    version must be inside the merge's ``retain_versions`` horizon),
+    or ``timestamp`` (TIMESTAMP AS OF — resolved to the newest
+    retained version committed at or before it, ``lake_version_at``);
     a version is just a different manifest, so the read plan is
     identical to a live read. Reader-vs-GC contract (same as Delta
     VACUUM): the manifest is resolved at open, so a writer GC'ing
     that version can invalidate an in-flight scan — size
     ``retain_versions`` to cover the longest concurrent reader.
     Falls back to a direct read for pre-manifest lakes."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp, not both")
+        version = lake_version_at(lake_dir, timestamp)
     manifest = _manifest_at(lake_dir, version)
     if manifest is None:
         if version is not None:
@@ -2700,20 +2839,30 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
     ``retain_versions`` are absent by construction (their history
     JSON is pruned with their data)."""
 
-    def hist_row(v: int, markers: dict, n_buckets: int, data_changed: int, is_live: bool) -> dict:
+    def hist_row(
+        v: int,
+        markers: dict,
+        n_buckets: int,
+        data_changed: int,
+        is_live: bool,
+        committed_at=None,
+    ) -> dict:
         if int(markers.get("rebucket", {}).get("version", -1)) == v:
             op = "rebucket"
         elif int(markers.get("compaction", {}).get("version", -1)) == v:
             op = "compact"
         else:
             op = "merge"
-        return {
+        row = {
             "version": v,
             "operation": op,
             "n_buckets": n_buckets,
             "data_changed_buckets": data_changed,
             "is_live": is_live,
         }
+        if committed_at is not None:
+            row["committed_at"] = _epoch_iso(committed_at)
+        return row
 
     pointer = _read_pointer(lake_dir)
     if pointer is not None and "buckets" not in pointer:
@@ -2753,6 +2902,7 @@ def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
                     delta["n_buckets"],
                     len(delta["touched"]) if delta["data_change"] else 0,
                     v == live_v,
+                    committed_at=delta.get("committed_at"),
                 )
             )
         return out

@@ -2648,3 +2648,56 @@ def lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
     )
+
+
+@query(
+    "lake_timestamp_travel",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 IN (0, 1)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="TIMESTAMP AS OF — commit-instant time travel",
+    doc="Delta's TIMESTAMP AS OF: every commit-log delta records a "
+    "strictly-increasing wall-clock commit instant, and "
+    "lake_version_at(ts) resolves the newest retained version "
+    "committed at or before ts (driver-side log reads, O(retained); "
+    "strict monotonicity makes the resolution unambiguous even under "
+    "coarse clocks or NTP steps — Delta's version-order tiebreak, "
+    "enforced at write time). The query builds three versions, takes "
+    "version 2's recorded instant from DESCRIBE HISTORY, and reads "
+    "the snapshot AS OF that timestamp — which must equal the "
+    "first-two-batches LWW state exactly, even though a third batch "
+    "committed later. A ts before the oldest retained commit fails "
+    "fast with the retention error (stamps are GC'd with their "
+    "versions), pinned in tests/test_lake_admin.py.",
+)
+def lake_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import (
+        describe_history,
+        read_lake_snapshot,
+    )
+
+    # non-mutating: shares the process-cached versioned lake
+    lake = build_versioned_lake(spark, sf_dir)
+    ts2 = next(
+        r["committed_at"] for r in describe_history(lake) if r["version"] == 2
+    )
+    return read_lake_snapshot(spark, lake, timestamp=ts2).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )

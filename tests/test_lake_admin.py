@@ -484,3 +484,173 @@ def test_clone_validates(spark, tmp_path):
     M.clone_lake(src, dst)
     with pytest.raises(ValueError, match="already a lake"):
         M.clone_lake(src, dst)
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP AS OF + DESCRIBE DETAIL
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_travel_resolves_commit_instants(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build3(spark, lake)
+    hist = {r["version"]: r["committed_at"] for r in M.describe_history(lake)}
+    assert set(hist) == {1, 2, 3}
+    assert hist[1] < hist[2] < hist[3]  # strictly increasing stamps
+    # exactly at v2's instant → v2; between v2 and v3 → still v2
+    assert M.lake_version_at(lake, hist[2]) == 2
+    from datetime import datetime, timezone
+
+    t2 = datetime.fromisoformat(hist[2])
+    t3 = datetime.fromisoformat(hist[3])
+    mid = t2 + (t3 - t2) / 2
+    assert M.lake_version_at(lake, mid) == 2
+    assert M.lake_version_at(lake, datetime.now(timezone.utc)) == 3
+    want = _snap(spark, lake, version=2)
+    assert (
+        sorted(
+            tuple(r)
+            for r in M.read_lake_snapshot(spark, lake, timestamp=hist[2])
+            .select(*COLS)
+            .collect()
+        )
+        == want
+    )
+    # before the oldest retained commit: the honest retention error
+    with pytest.raises(ValueError, match="no retained version committed"):
+        M.lake_version_at(lake, t2 - (t3 - t2) * 1000)
+    with pytest.raises(ValueError, match="not both"):
+        M.read_lake_snapshot(spark, lake, version=2, timestamp=hist[2])
+
+
+def test_timestamp_travel_expires_with_vacuum(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build3(spark, lake)
+    hist = {r["version"]: r["committed_at"] for r in M.describe_history(lake)}
+    M.vacuum_lake(lake, retain_versions=1)
+    with pytest.raises(ValueError, match="no retained version committed"):
+        M.lake_version_at(lake, hist[1])
+    assert M.lake_version_at(lake, hist[3]) == 3
+
+
+def test_describe_detail(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    env = _env(spark, 60).withColumn("shard", F.col("event_seq") % 5)
+    M.merge_batch_into_lake(
+        env, lake, n_buckets=4, retain_versions=6, extra_cols=("shard",)
+    )
+    M.delete_from_lake(spark, lake, "entity_id = 'k0007'", retain_versions=6)
+    d = M.describe_detail(lake)
+    assert d["version"] == 2 and d["n_buckets"] == 4
+    assert d["num_rows"] == 60  # physical rows incl. the tombstone
+    assert d["columns"] == ["shard"]
+    assert d["num_files"] >= 4 and d["size_bytes"] > 0
+    assert "committed_at" in d and "cloned_from" not in d
+    d1 = M.describe_detail(lake, version=1)
+    assert d1["version"] == 1 and d1["num_rows"] == 60
+    clone = str(tmp_path / "clone")
+    M.clone_lake(lake, clone)
+    dc = M.describe_detail(clone)
+    assert dc["cloned_from"]["version"] == 2 and dc["num_rows"] == 60
+
+
+# ---------------------------------------------------------------------------
+# OCC × RESTORE interplay
+# ---------------------------------------------------------------------------
+
+
+def test_restore_conflicts_optimistic_merge(spark, tmp_path):
+    """A restore committed between an optimistic merge's staging and
+    flip moves the data_versions stamps — the merge must detect the
+    conflict and recompute against the RESTORED manifest, never flip
+    stale rows over it. Final state == serial (restore, then merge)."""
+    lake = str(tmp_path / "lake")
+    env = _env(spark, 120)
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), lake,
+                            n_buckets=4, retain_versions=6)
+    M.merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 2 == 1), lake, n_buckets=None,
+        retain_versions=6,
+    )
+
+    def restorer(attempt: int):
+        if attempt == 0:  # fire once, between staging and flip
+            M.restore_lake(lake, 1, retain_versions=6)
+
+    before = M.OCC_CONFLICTS
+    batch = env.filter(F.col("event_seq") % 3 == 0).withColumn(
+        "event_seq", F.col("event_seq") + 5000
+    )
+    M.merge_batch_optimistic(batch, lake, n_buckets=None, retain_versions=6, _race_hook=restorer)
+    assert M.OCC_CONFLICTS > before  # a real detected conflict
+    got = _snap(spark, lake)
+    # serial oracle on a twin lake: restore-to-batch-0 then merge
+    twin = str(tmp_path / "twin")
+    M.merge_batch_into_lake(env.filter(F.col("event_seq") % 2 == 0), twin,
+                            n_buckets=4, retain_versions=6)
+    M.merge_batch_into_lake(batch, twin, n_buckets=None, retain_versions=6)
+    assert got == _snap(spark, twin)
+
+
+# ---------------------------------------------------------------------------
+# CLI administration surface
+# ---------------------------------------------------------------------------
+
+
+def test_cli_admin_commands(spark, tmp_path, capsys):
+    from lapidus_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    _build3(spark, lake)
+    want_v2 = _snap(spark, lake, version=2)
+
+    assert main(["--history", lake]) == 0
+    hist_lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [h["version"] for h in hist_lines] == [3, 2, 1]
+    assert all("committed_at" in h for h in hist_lines)
+
+    assert main(["--detail", lake]) == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["version"] == 3 and d["num_files"] > 0
+
+    assert main(["--restore", lake, "--version", "2", "--retain-versions", "6"]) == 0
+    assert "restored to version 2 as version 4" in capsys.readouterr().out
+    assert _snap(spark, lake) == want_v2
+
+    assert main(["--vacuum", lake, "--retain-versions", "2", "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("would reclaim")
+    assert main(["--vacuum", lake, "--retain-versions", "2"]) == 0
+    assert "reclaimed" in capsys.readouterr().out
+    with pytest.raises(ValueError, match="no retained version"):
+        M.read_lake_snapshot(spark, lake, version=1).count()
+
+    clone = str(tmp_path / "clone")
+    assert main(["--clone", lake, "--into", clone]) == 0
+    assert "zero-copy" in capsys.readouterr().out
+    assert _snap(spark, clone) == want_v2
+
+    assert main(["--delete", clone, "--where", "entity_id = 'k0001'"]) == 0
+    assert "deleted 1 row(s)" in capsys.readouterr().out
+    assert main(
+        ["--compact", clone, "--target-files-per-bucket", "0",
+         "--max-records-per-file", "64", "--cluster-by", "entity_id,last_ts"]
+    ) == 0
+    assert "compacted" in capsys.readouterr().out
+    m = M._read_manifest(clone)
+    assert m["compaction"]["cluster_by"] == ["entity_id", "last_ts"]
+
+
+def test_cli_admin_validation(tmp_path):
+    from lapidus_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["--restore", str(tmp_path)])  # missing --version
+    with pytest.raises(SystemExit):
+        main(["--delete", str(tmp_path)])  # missing --where
+    with pytest.raises(SystemExit):
+        main(["--clone", str(tmp_path)])  # missing --into
+    with pytest.raises(SystemExit):
+        main(["--vacuum", str(tmp_path), "--restore", str(tmp_path), "--version", "1"])
+    with pytest.raises(SystemExit):
+        main(["--vacuum", str(tmp_path), "-c", "cfg.json"])
