@@ -126,6 +126,8 @@ COHORT = [
     "lake_zorder_read",
     "lake_clone",
     "lake_timestamp_travel",
+    "lake_txn_idempotent",
+    "lake_constraint_merge",
 ]
 DERIVED_TABLES = ("documents", "events")
 

@@ -105,6 +105,10 @@ COHORT = [
     "lake_zorder_read",
     "lake_clone",
     "lake_timestamp_travel",
+    # write-side governance at 10x: replayed-epoch skips under real
+    # bucket counts; constraint validation riding every merge
+    "lake_txn_idempotent",
+    "lake_constraint_merge",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -298,6 +298,14 @@ def _sink(s: dict) -> SinkConfig:
                 "sink: lake sink options.extraColumns must be a list of "
                 "envelope column names (schema evolution on MERGE)"
             )
+        txn_app_id = opts.get("txnAppId")
+        if txn_app_id is not None and (
+            not isinstance(txn_app_id, str) or not txn_app_id
+        ):
+            raise ConfigError(
+                "sink: lake sink options.txnAppId must be a non-empty string "
+                "(idempotence marker — unique per sink/lake pair)"
+            )
     return SinkConfig(
         type=stype,
         options=dict(s.get("options", {})),

@@ -525,6 +525,8 @@ EXPECTATIONS: dict[str, dict] = {
     # admin machinery leaves the read path untouched
     "lake_restore": {"pushed": True, "max_exchanges": 0},
     "lake_timestamp_travel": {"pushed": True, "max_exchanges": 0},
+    "lake_txn_idempotent": {"pushed": True, "max_exchanges": 0},
+    "lake_constraint_merge": {"pushed": True, "max_exchanges": 0},
     "lake_vacuum_read": {"pushed": True, "max_exchanges": 0},
     "lake_delete_where": {"pushed": True, "max_exchanges": 0},
     "lake_zorder_read": {"pushed": True, "max_exchanges": 0},

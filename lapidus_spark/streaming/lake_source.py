@@ -133,6 +133,23 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         #: on restart and plan the whole backlog as one batch).
         self._latest_start = str(raw_start).lower() == "latest"
         self.starting_version = 0 if self._latest_start else int(raw_start)
+        start_ts = options.get("startingtimestamp")
+        if start_ts is not None:
+            if raw_start != 0 or self._latest_start:
+                raise ValueError(
+                    "lake_cdf: pass startingVersion or startingTimestamp, not both"
+                )
+            # TIMESTAMP AS OF the diff base: the snapshot state AT the
+            # instant is the exclusive starting point, so the feed is
+            # "everything that changed after ts". Resolved here (not
+            # initialOffset) intentionally: unlike 'latest', the
+            # instant is a FIXED point — same resolution on every
+            # start — and a checkpointed restart's committed offset
+            # still wins because initialOffset is only consulted on a
+            # first start.
+            from lapidus_spark.streaming.materialize import lake_version_at
+
+            self.starting_version = lake_version_at(self.lake_dir, start_ts)
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         #: rowChanges=true switches the feed from entity-state rows
         #: (one post-image row per changed entity) to the row-level
@@ -393,7 +410,10 @@ class LakeChangeFeedDataSource(DataSource):
     """``spark.readStream.format("lake_cdf").option("path", lake)`` —
     options: ``startingVersion`` (diff base, exclusive; default 0 =
     from empty, i.e. the full first version arrives as inserts;
-    ``"latest"`` = subscribe-from-now, resolved once at stream start),
+    ``"latest"`` = subscribe-from-now, resolved once at stream start)
+    or ``startingTimestamp`` (TIMESTAMP AS OF the diff base — the
+    feed emits everything that changed after the instant; mutually
+    exclusive with startingVersion),
     ``maxVersionsPerBatch`` (admission control; 0 = unbounded), and
     ``rowChanges`` (true = the row-level pre/post-image vocabulary of
     ``lake_changes_rows`` instead of entity-state rows; same schema,

@@ -356,15 +356,26 @@ def _apply_delta(base: dict | None, delta: dict) -> dict:
     }
     if "committed_at" in delta:  # the version's own commit instant
         new_manifest["committed_at"] = delta["committed_at"]
-    # the last-compaction record and the schema epoch carry through
-    # merges (a rebucket drops the compaction record: layout changed)
+    # the last-compaction record, the schema epoch, the constraint
+    # set and the writer-txn watermarks carry through merges (a
+    # rebucket drops the compaction record: layout changed)
     if base is not None:
         if not replace_all and "compaction" in base:
             new_manifest["compaction"] = base["compaction"]
-        if "columns" in base:
-            new_manifest["columns"] = base["columns"]
+        for carried in ("columns", "constraints", "txns"):
+            if carried in base:
+                new_manifest[carried] = base[carried]
     if delta.get("extra"):
         new_manifest.update(delta["extra"])
+    if delta.get("txn"):
+        # first-class MERGE into the map (never a wholesale replace
+        # via extra): an optimistic REBASE applies this delta onto a
+        # manifest that moved under the staging, and a sibling app's
+        # watermark recorded in between must survive the flip
+        app, txv = delta["txn"]
+        txns = dict(new_manifest.get("txns", {}))
+        txns[app] = txv
+        new_manifest["txns"] = txns
     data_versions = (
         {} if replace_all or base is None else dict(base.get("data_versions", {}))
     )
@@ -873,6 +884,7 @@ def merge_batch_into_lake(
     n_buckets: int | None = MERGE_LAKE_BUCKETS,
     retain_versions: int = 1,
     extra_cols: tuple = (),
+    txn: tuple | None = None,
 ) -> None:
     """One MERGE step (steps 1-4 of merge_lake_sink's contract),
     callable directly on a batch DataFrame — the unit the idempotency,
@@ -900,13 +912,27 @@ def merge_batch_into_lake(
     schema); files older than the evolution null-fill on read; a
     known column missing from this batch null-fills on write. Types
     never mutate — a redeclared column with a different type
-    raises."""
+    raises.
+
+    ``txn=(app_id, version)`` makes the merge IDEMPOTENT BY MARKER
+    (Delta's txnAppId/txnVersion): the manifest records each app's
+    high-water version, and a merge whose version is ≤ the recorded
+    one is SKIPPED outright — no Spark job, no bucket rewrite, no new
+    version. The LWW combine already makes replays CORRECT; the
+    marker makes them FREE, which is what a restarted foreachBatch
+    sink redelivering its last epoch wants at 100 TB (re-merging a
+    replayed batch would otherwise rewrite its touched buckets to
+    produce identical bytes). Versions must be monotonically
+    increasing per app."""
     _validate_merge_args(n_buckets, retain_versions)
     _validate_extra_cols(extra_cols)
+    _validate_txn(txn)
     spark = batch_df.sparkSession
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
-        _merge_locked(spark, batch_df, lake_dir, n_buckets, retain_versions, extra_cols)
+        _merge_locked(
+            spark, batch_df, lake_dir, n_buckets, retain_versions, extra_cols, txn
+        )
     finally:
         try:
             os.remove(lock)
@@ -1066,8 +1092,11 @@ def _merge_locked(
     n_buckets: int | None,
     retain_versions: int,
     extra_cols: tuple = (),
+    txn: tuple | None = None,
 ) -> None:
     manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
+    if _txn_already_applied(manifest, txn):
+        return  # replayed batch: the marker makes the no-op FREE
     updates = snapshot_stream(batch_df, extra_cols).withColumn(
         "bucket",
         F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
@@ -1075,6 +1104,7 @@ def _merge_locked(
     all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
     updates = updates.persist()
     try:
+        _enforce_constraints(manifest, updates, all_extras)
         touched, merged = _merged_for_batch(
             spark, lake_dir, manifest, updates, n_buckets, all_extras
         )
@@ -1088,9 +1118,64 @@ def _merge_locked(
             n_buckets,
             retain_versions,
             extra={"columns": all_extras} if evolved else None,
+            txn=txn,
         )
     finally:
         updates.unpersist()
+
+
+def _validate_txn(txn) -> None:
+    if txn is None:
+        return
+    if (
+        not isinstance(txn, (tuple, list))
+        or len(txn) != 2
+        or not isinstance(txn[0], str)
+        or not txn[0]
+        or isinstance(txn[1], bool)
+        or not isinstance(txn[1], int)
+    ):
+        raise ValueError(
+            f"txn must be (app_id: non-empty str, version: int), got {txn!r}"
+        )
+
+
+def _txn_already_applied(manifest: dict | None, txn: tuple | None) -> bool:
+    if txn is None or manifest is None:
+        return False
+    recorded = manifest.get("txns", {}).get(str(txn[0]))
+    return recorded is not None and int(recorded) >= int(txn[1])
+
+
+class ConstraintViolationError(RuntimeError):
+    """A merge batch carries visible rows that fail a table CHECK
+    constraint — the commit is refused, the table unchanged."""
+
+
+def _enforce_constraints(manifest: dict | None, updates: DataFrame, all_extras) -> None:
+    """CHECK constraints at write time (Delta's enforcement point):
+    every VISIBLE row of the batch must satisfy every recorded
+    constraint — one aggregate job over the batch (never the table),
+    zero cost when the table has no constraints. SQL-standard CHECK
+    semantics: NULL (unknown) passes, only FALSE violates. Tombstones
+    are exempt (their payload is nulled by design)."""
+    cons = (manifest or {}).get("constraints", {})
+    if not cons:
+        return
+    vis = _align_extras(updates, all_extras).filter(F.col("last_type") != "delete")
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).alias(n)
+        for n, e in sorted(cons.items())
+    ]
+    row = vis.agg(*aggs).first()
+    bad = {n: int(row[n]) for n in sorted(cons) if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"merge batch violates CHECK constraint(s) {bad} "
+            f"({ {n: cons[n] for n in bad} }); commit refused, table unchanged"
+        )
 
 
 #: one-shot guard for the cross-process race barrier below
@@ -1158,6 +1243,11 @@ def _occ_conflicts(base: dict | None, cur: dict | None, touched: list, n_buckets
         # staged files predate the epoch and its delta would clobber
         # the columns record — recompute under the fresh manifest
         return True
+    if (cur or {}).get("constraints") != (base or {}).get("constraints"):
+        # the constraint set changed under the staging: the staged
+        # rows were validated against the OLD set — recompute (and
+        # re-validate) under the fresh manifest
+        return True
     if base is None:
         # merged against an empty table: any intervening write to a
         # touched bucket would be lost by our snapshot — conflict.
@@ -1173,6 +1263,7 @@ def merge_batch_optimistic(
     max_attempts: int = 5,
     flip_wait_s: float = 30.0,
     extra_cols: tuple = (),
+    txn: tuple | None = None,
     _race_hook: Callable[[int], None] | None = None,
 ) -> dict | None:
     """MERGE with OPTIMISTIC concurrency control — multiple writers
@@ -1216,9 +1307,18 @@ def merge_batch_optimistic(
     would see. Refuses pre-manifest legacy layouts (run one locked
     merge first — see ``_resolve_base``). ``_race_hook(attempt)`` is
     a test seam invoked between staging and flip — deterministic
-    interleave injection."""
+    interleave injection.
+
+    ``txn=(app_id, version)`` is the idempotence marker (see
+    ``merge_batch_into_lake``): already-applied versions skip at
+    stage time (free) AND at flip time (a same-app sibling that
+    committed the marker mid-race turns this writer's flip into a
+    skip instead of a double apply); the marker merges into the
+    manifest's per-app watermark map first-class, so a REBASE onto a
+    moved manifest never clobbers a sibling app's watermark."""
     _validate_merge_args(n_buckets, retain_versions)
     _validate_extra_cols(extra_cols)
+    _validate_txn(txn)
     import shutil
     import uuid
 
@@ -1243,12 +1343,15 @@ def merge_batch_optimistic(
                     )
                 pending = None
                 base, nb = _resolve_base(lake_dir, n_buckets, adopt_legacy=False)
+                if _txn_already_applied(base, txn):
+                    return base  # replayed batch: skip, zero Spark work
                 updates = snap.withColumn(
                     "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
                 ).persist()
                 all_extras, evolved = _evolved_schema(base, updates, extra_cols)
                 commit_rel = None
                 try:
+                    _enforce_constraints(base, updates, all_extras)
                     touched, merged = _merged_for_batch(
                         spark, lake_dir, base, updates, nb, all_extras
                     )
@@ -1294,6 +1397,15 @@ def merge_batch_optimistic(
                 continue
             try:
                 cur = _healed_manifest(lake_dir)
+                if _txn_already_applied(cur, txn):
+                    # a same-app sibling committed this (or a later)
+                    # version mid-race: applying ours on top would be
+                    # the exact double apply the marker exists to stop
+                    shutil.rmtree(
+                        os.path.join(lake_dir, commit_rel), ignore_errors=True
+                    )
+                    pending = None
+                    return cur
                 # the staging must still exist before its pointers are
                 # published: a stage-to-flip gap longer than the GC
                 # grace (suspended process, long lock waits) or skewed
@@ -1317,6 +1429,7 @@ def merge_batch_optimistic(
                         nb,
                         retain_versions,
                         extra={"columns": all_extras} if evolved else None,
+                        txn=txn,
                     )
             finally:
                 try:
@@ -1351,6 +1464,7 @@ def _publish_version(
     extra: dict | None = None,
     data_change: bool = True,
     with_file_stats: bool = False,
+    txn: tuple | None = None,
 ) -> dict:
     """The shared publish step of every table-mutating op (merge,
     compact, rebucket): write ``rows`` (bucket column already set) for
@@ -1390,6 +1504,7 @@ def _publish_version(
         extra=extra,
         data_change=data_change,
         file_stats=stats,
+        txn=txn,
     )
 
 
@@ -1431,6 +1546,7 @@ def _flip_version(
     data_change: bool = True,
     file_stats: dict | None = None,
     touched_rels: dict | None = None,
+    txn: tuple | None = None,
 ) -> dict:
     """The metadata half of a commit: build the next manifest on
     ``manifest`` with ``touched`` pointed at ``commit_rel`` (or at the
@@ -1496,6 +1612,8 @@ def _flip_version(
         delta["extra"] = extra
     if file_stats:
         delta["file_stats"] = file_stats
+    if txn:
+        delta["txn"] = [str(txn[0]), int(txn[1])]
     new_manifest = _apply_delta(manifest, delta)
     log_dir = os.path.join(lake_dir, LOG_DIR)
     os.makedirs(log_dir, exist_ok=True)
@@ -1545,6 +1663,7 @@ def merge_lake_sink(
     compact_every: int | None = None,
     concurrency: str = "locked",
     extra_cols: tuple = (),
+    txn_app_id: str | None = None,
 ) -> DataStreamWriter:
     """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
     a bucketed parquet lake table via ``foreachBatch`` + a manifest
@@ -1594,13 +1713,25 @@ def merge_lake_sink(
     K-th micro-batch, so a long-running sink heals its own
     small-file accretion without operator cron. On a real table
     format, steps 2-4 collapse into one ``MERGE INTO`` with the
-    same combine."""
+    same combine.
+
+    ``txn_app_id`` turns the exactly-once story from idempotent-by-
+    recompute into idempotent-by-marker (Delta's txnAppId/
+    txnVersion): every micro-batch merge carries ``(txn_app_id,
+    epoch_id)``, the manifest records the app's high-water epoch, and
+    a redelivered epoch (restart inside the commit-then-checkpoint
+    window, checkpoint rollback) is SKIPPED outright instead of
+    re-merged to identical bytes — at 100 TB that is k rewritten
+    buckets saved per restart. Must be unique per (sink, lake)
+    pair; two sinks sharing an app id would drop each other's
+    batches."""
     if concurrency not in ("locked", "optimistic"):
         raise ValueError(
             f"concurrency must be 'locked' or 'optimistic', got {concurrency!r}"
         )
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        txn = (txn_app_id, int(epoch_id)) if txn_app_id else None
         if concurrency == "optimistic":
             # multiple sinks (daemons) sharing one lake: stage
             # unlocked, lock only the manifest flip, rebase across
@@ -1614,6 +1745,7 @@ def merge_lake_sink(
                 n_buckets=n_buckets,
                 retain_versions=retain_versions,
                 extra_cols=extra_cols,
+                txn=txn,
             )
         else:
             merge_batch_into_lake(
@@ -1622,6 +1754,7 @@ def merge_lake_sink(
                 n_buckets=n_buckets,
                 retain_versions=retain_versions,
                 extra_cols=extra_cols,
+                txn=txn,
             )
         # opportunistic maintenance: every compact_every-th micro-batch
         # heals the sink's own small-file accretion in-line (a no-op —
@@ -2461,6 +2594,103 @@ def delete_from_lake(
             pass
 
 
+def add_constraint(
+    spark, lake_dir: str, name: str, expr: str, retain_versions: int = 2
+) -> dict:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK — record a SQL
+    predicate every future merge batch's visible rows must satisfy
+    (enforced at write time by ``_enforce_constraints``; SQL-standard
+    semantics — NULL passes, only FALSE violates). Like Delta, the
+    EXISTING table is validated first (one scan of the visible rows —
+    the honest cost of promising the invariant holds), then the
+    constraint set is published as a METADATA-ONLY commit. A
+    concurrent optimistic merge staged against the pre-constraint
+    manifest detects the changed set at flip time and recomputes —
+    re-validating under the new constraints — so no unvalidated batch
+    can slip past the add."""
+    if not name or not isinstance(name, str):
+        raise ValueError(f"constraint name must be a non-empty string, got {name!r}")
+    if not expr or not isinstance(expr, str):
+        raise ValueError(f"constraint expr must be a non-empty SQL string, got {expr!r}")
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to constrain")
+        cons = dict(manifest.get("constraints", {}))
+        if cons.get(name) == expr:
+            return {"version": int(manifest["version"]), "constraints": cons}
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists as {cons[name]!r}; "
+                "drop it first (constraints never mutate in place)"
+            )
+        live = _read_live(spark, lake_dir, manifest)
+        if live is not None:
+            n_bad = (
+                live.filter(F.col("last_type") != "delete")
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r} ({expr!r}): {n_bad} existing "
+                    "visible row(s) violate it"
+                )
+        cons[name] = expr
+        new_manifest = _flip_version(
+            lake_dir,
+            manifest,
+            commit_rel="",
+            touched=[],
+            n_buckets=manifest["n_buckets"],
+            retain_versions=retain_versions,
+            extra={"constraints": cons},
+            data_change=False,  # pure metadata: CDF consumers skip it
+            touched_rels={},
+        )
+        return {"version": int(new_manifest["version"]), "constraints": cons}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def drop_constraint(lake_dir: str, name: str, retain_versions: int = 2) -> dict:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only commit
+    removing one CHECK predicate; unknown names are a no-op returning
+    the live version (Delta's IF EXISTS posture)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest")
+        cons = dict(manifest.get("constraints", {}))
+        if name not in cons:
+            return {"version": int(manifest["version"]), "constraints": cons}
+        del cons[name]
+        new_manifest = _flip_version(
+            lake_dir,
+            manifest,
+            commit_rel="",
+            touched=[],
+            n_buckets=manifest["n_buckets"],
+            retain_versions=retain_versions,
+            extra={"constraints": cons},
+            data_change=False,
+            touched_rels={},
+        )
+        return {"version": int(new_manifest["version"]), "constraints": cons}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
     """SHALLOW CLONE — a zero-copy fork of the table at a version:
     the clone is a fresh lake whose version-1 commit repoints every
@@ -3026,8 +3256,38 @@ def _cdf_frames(
     return new_df, old_df
 
 
+def _resolve_change_bounds(
+    lake_dir: str,
+    from_version,
+    to_version,
+    from_timestamp,
+    to_timestamp,
+    caller: str,
+) -> tuple:
+    """Version bounds for a change feed, from versions or commit
+    instants (TIMESTAMP AS OF each end: the snapshot state AT the
+    instant is the diff endpoint — 'what changed between instant A
+    and instant B')."""
+    if from_version is not None and from_timestamp is not None:
+        raise ValueError(f"{caller}: pass from_version or from_timestamp, not both")
+    if from_version is None and from_timestamp is None:
+        raise ValueError(f"{caller}: pass from_version or from_timestamp")
+    if to_version is not None and to_timestamp is not None:
+        raise ValueError(f"{caller}: pass to_version or to_timestamp, not both")
+    if from_timestamp is not None:
+        from_version = lake_version_at(lake_dir, from_timestamp)
+    if to_timestamp is not None:
+        to_version = lake_version_at(lake_dir, to_timestamp)
+    return from_version, to_version
+
+
 def lake_changes(
-    spark, lake_dir: str, from_version: int, to_version: int | None = None
+    spark,
+    lake_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Change-data-feed between two committed versions: one row per
     entity whose snapshot state differs, with the POST-image and a
@@ -3046,7 +3306,12 @@ def lake_changes(
     key (present and visible in old, physically absent in new) emits
     ``change_type='delete'`` with NULL post-image columns (there is
     no post-image — consumers keyed on entity_id drop the key; a
-    restore is the only producer of such rows)."""
+    restore is the only producer of such rows). Bounds are versions
+    or commit instants (``from_timestamp``/``to_timestamp`` —
+    TIMESTAMP AS OF each end)."""
+    from_version, to_version = _resolve_change_bounds(
+        lake_dir, from_version, to_version, from_timestamp, to_timestamp, "lake_changes"
+    )
     new_df, old_df = _cdf_frames(spark, lake_dir, from_version, to_version, "lake_changes")
     schema = (
         "entity_id string, change_type string, last_seq bigint, "
@@ -3083,7 +3348,12 @@ def lake_changes(
 
 
 def lake_changes_rows(
-    spark, lake_dir: str, from_version: int, to_version: int | None = None
+    spark,
+    lake_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Row-level change feed WITH PRE-IMAGES — Delta CDF's full
     ``_change_type`` vocabulary over the consumer view (tombstones
@@ -3110,6 +3380,14 @@ def lake_changes_rows(
     view). Emission is one pass: the joined row builds an array of
     candidate change structs, filters nulls, explodes — no
     re-reading the join output per change type."""
+    from_version, to_version = _resolve_change_bounds(
+        lake_dir,
+        from_version,
+        to_version,
+        from_timestamp,
+        to_timestamp,
+        "lake_changes_rows",
+    )
     new_df, old_df = _cdf_frames(
         spark, lake_dir, from_version, to_version, "lake_changes_rows"
     )

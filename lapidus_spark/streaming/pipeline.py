@@ -103,6 +103,10 @@ def start_sink(
             # the lake row — schema evolution on MERGE (see
             # merge_batch_into_lake)
             extra_cols=tuple(sink.options.get("extraColumns", [])),
+            # options.txnAppId: idempotence-by-marker (Delta txnAppId/
+            # txnVersion) — a restarted daemon's redelivered epoch is
+            # skipped outright instead of re-merged to identical bytes
+            txn_app_id=sink.options.get("txnAppId"),
         )
     elif sink.type == "kafka":
         # sink_nats on a real broker (src/plugins/nats.js) — plan

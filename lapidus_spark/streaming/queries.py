@@ -2701,3 +2701,134 @@ def lake_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
     )
+
+
+@query(
+    "lake_txn_idempotent",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="idempotent writer commits — txnAppId/txnVersion markers",
+    doc="Delta's txnAppId/txnVersion: every merge carries "
+    "(app_id, epoch), the manifest records each app's high-water "
+    "epoch, and a REPLAYED epoch is skipped outright — no Spark job, "
+    "no bucket rewrite, no new version. The LWW combine already made "
+    "replays CORRECT; the marker makes them FREE, which is what a "
+    "restarted foreachBatch sink redelivering its last epoch wants "
+    "at 100 TB (re-merging would rewrite k buckets to produce "
+    "identical bytes). The query merges three epochs under markers, "
+    "REPLAYS every epoch (each skipped — version pinned unchanged in "
+    "tests/test_lake_governance.py, along with the flip-time skip "
+    "under a racing same-app sibling and the rebase-preserves-"
+    "sibling-watermark invariant), and must still equal the "
+    "replay-free LWW oracle. Exposed to the daemon as the lake "
+    "sink's options.txnAppId.",
+)
+def lake_txn_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import (
+        merge_batch_into_lake,
+        read_lake_snapshot,
+    )
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_txn_lake_")
+    for i in (0, 1, 2):
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i),
+            lake,
+            retain_versions=4,
+            txn=("driver", i),
+        )
+    for i in (0, 1, 2):  # full redelivery: every epoch skips
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i),
+            lake,
+            n_buckets=None,
+            retain_versions=4,
+            txn=("driver", i),
+        )
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+@query(
+    "lake_constraint_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="ALTER TABLE ADD CONSTRAINT CHECK — write-time enforcement",
+    doc="CHECK constraints, Delta-style: add_constraint validates the "
+    "EXISTING visible rows first (one scan — the honest cost of "
+    "promising the invariant), publishes the predicate as a "
+    "metadata-only commit (dataChange=false: CDF consumers skip it), "
+    "and every later merge validates its batch's visible rows in ONE "
+    "aggregate job over the batch — never the table, zero cost on "
+    "unconstrained tables. SQL-standard semantics (NULL passes, only "
+    "FALSE violates), tombstones exempt (nulled payload by design). "
+    "A violating batch is refused with the per-constraint counts and "
+    "the table unchanged; a constraint added mid-race is an OCC "
+    "conflict, so an optimistic merge staged before the add "
+    "re-validates (both pinned in tests/test_lake_governance.py). "
+    "The query merges batch 1, adds entity_id/last_seq constraints, "
+    "merges batches 2-3 under enforcement, and must equal the plain "
+    "LWW oracle — governance that never changes the data.",
+)
+def lake_constraint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import (
+        add_constraint,
+        merge_batch_into_lake,
+        read_lake_snapshot,
+    )
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_constraint_lake_")
+    merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 3 == 0), lake, retain_versions=6
+    )
+    add_constraint(spark, lake, "pk_present", "entity_id IS NOT NULL", retain_versions=6)
+    add_constraint(spark, lake, "seq_nonneg", "last_seq >= 0", retain_versions=6)
+    for i in (1, 2):
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i),
+            lake,
+            n_buckets=None,
+            retain_versions=6,
+        )
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
