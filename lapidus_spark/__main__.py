@@ -44,8 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--retain-versions",
         type=int,
-        default=1,
-        help="committed versions whose data GC keeps (time-travel horizon)",
+        default=None,
+        help="committed versions whose data GC keeps (time-travel "
+        "horizon). Defaults per command: 1 for --compact/--rebucket/"
+        "--vacuum, 2 for --restore/--delete (keeping the undone/"
+        "pre-delete version time-travelable, the library default)",
     )
     ap.add_argument(
         "--target-files-per-bucket",
@@ -167,13 +170,18 @@ def main(argv: list[str] | None = None) -> int:
 
         import json as _json
 
+        retain = args.retain_versions
+        if retain is None:
+            # restore/delete keep the undone / pre-delete version
+            # time-travelable by default (the library defaults);
+            # maintenance commands default to live-only
+            retain = 2 if (args.restore or args.delete) else 1
+
         # metadata-only commands: no Spark session needed
         if args.restore:
             from lapidus_spark.streaming.materialize import restore_lake
 
-            res = restore_lake(
-                args.restore, args.version, retain_versions=args.retain_versions
-            )
+            res = restore_lake(args.restore, args.version, retain_versions=retain)
             print(
                 f"restored to version {res['restored_from']} as version "
                 f"{res['version']} ({res['restored_buckets']} bucket(s) repointed"
@@ -183,11 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.vacuum:
             from lapidus_spark.streaming.materialize import vacuum_lake
 
-            res = vacuum_lake(
-                args.vacuum,
-                retain_versions=args.retain_versions,
-                dry_run=args.dry_run,
-            )
+            res = vacuum_lake(args.vacuum, retain_versions=retain, dry_run=args.dry_run)
             verb = "would reclaim" if args.dry_run else "reclaimed"
             print(
                 f"{verb} {res['reclaimable_dirs']} commit dir(s), "
@@ -230,7 +234,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.compact,
                 target_files_per_bucket=args.target_files_per_bucket,
                 max_records_per_file=args.max_records_per_file,
-                retain_versions=args.retain_versions,
+                retain_versions=retain,
                 concurrency="optimistic" if args.optimistic else "locked",
                 cluster_by=tuple(args.cluster_by.split(",")),
             )
@@ -239,17 +243,13 @@ def main(argv: list[str] | None = None) -> int:
                 f"compacted {res['compacted_buckets']} bucket(s); version {res['version']}{skipped}"
             )
         elif args.delete:
-            res = delete_from_lake(
-                spark, args.delete, args.where, retain_versions=args.retain_versions
-            )
+            res = delete_from_lake(spark, args.delete, args.where, retain_versions=retain)
             print(
                 f"deleted {res['deleted_rows']} row(s) across "
                 f"{res['deleted_buckets']} bucket(s); version {res['version']}"
             )
         else:
-            res = rebucket_lake(
-                spark, args.rebucket, args.buckets, retain_versions=args.retain_versions
-            )
+            res = rebucket_lake(spark, args.rebucket, args.buckets, retain_versions=retain)
             print(f"rebucketed to {res['n_buckets']}; version {res['version']}")
         return 0
     if not args.config:

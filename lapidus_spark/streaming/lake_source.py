@@ -133,23 +133,20 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         #: on restart and plan the whole backlog as one batch).
         self._latest_start = str(raw_start).lower() == "latest"
         self.starting_version = 0 if self._latest_start else int(raw_start)
-        start_ts = options.get("startingtimestamp")
-        if start_ts is not None:
-            if raw_start != 0 or self._latest_start:
-                raise ValueError(
-                    "lake_cdf: pass startingVersion or startingTimestamp, not both"
-                )
-            # TIMESTAMP AS OF the diff base: the snapshot state AT the
-            # instant is the exclusive starting point, so the feed is
-            # "everything that changed after ts". Resolved here (not
-            # initialOffset) intentionally: unlike 'latest', the
-            # instant is a FIXED point — same resolution on every
-            # start — and a checkpointed restart's committed offset
-            # still wins because initialOffset is only consulted on a
-            # first start.
-            from lapidus_spark.streaming.materialize import lake_version_at
-
-            self.starting_version = lake_version_at(self.lake_dir, start_ts)
+        #: TIMESTAMP AS OF the diff base: the snapshot state AT the
+        #: instant is the exclusive starting point, so the feed is
+        #: "everything that changed after ts". Resolved LAZILY in
+        #: initialOffset (like 'latest'): Spark only calls
+        #: initialOffset on a first start, so a checkpointed restart
+        #: never re-resolves — which matters once retention GC's the
+        #: commits at/before the instant (resolution would raise the
+        #: retention error and kill a restart whose committed offset
+        #: is already far past it).
+        self._start_ts = options.get("startingtimestamp")
+        if self._start_ts is not None and (raw_start != 0 or self._latest_start):
+            raise ValueError(
+                "lake_cdf: pass startingVersion or startingTimestamp, not both"
+            )
         self.max_versions = int(options.get("maxversionsperbatch", 0))
         #: rowChanges=true switches the feed from entity-state rows
         #: (one post-image row per changed entity) to the row-level
@@ -169,6 +166,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self._latest_start:
             v = _live_version(self.lake_dir)
+            self._floor = max(self._floor, v)
+            return {"version": v}
+        if self._start_ts is not None:
+            from lapidus_spark.streaming.materialize import lake_version_at
+
+            v = lake_version_at(self.lake_dir, self._start_ts)
             self._floor = max(self._floor, v)
             return {"version": v}
         return {"version": self.starting_version}

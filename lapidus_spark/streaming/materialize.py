@@ -357,12 +357,14 @@ def _apply_delta(base: dict | None, delta: dict) -> dict:
     if "committed_at" in delta:  # the version's own commit instant
         new_manifest["committed_at"] = delta["committed_at"]
     # the last-compaction record, the schema epoch, the constraint
-    # set and the writer-txn watermarks carry through merges (a
-    # rebucket drops the compaction record: layout changed)
+    # set, the writer-txn watermarks and the clone provenance carry
+    # through merges (a rebucket drops the compaction record: layout
+    # changed; provenance stays — buckets may still reference the
+    # source by absolute path, the dependency operators must track)
     if base is not None:
         if not replace_all and "compaction" in base:
             new_manifest["compaction"] = base["compaction"]
-        for carried in ("columns", "constraints", "txns"):
+        for carried in ("columns", "constraints", "txns", "cloned_from"):
             if carried in base:
                 new_manifest[carried] = base[carried]
     if delta.get("extra"):
@@ -751,38 +753,52 @@ def _gc_unreferenced(
         p for m in retained for p in m["buckets"].values() if p.startswith("bucket=")
     }
     try:
-        import time
-
-        commits_root = os.path.join(lake_dir, "commits")
-        if os.path.isdir(commits_root):
-            now = time.time()
-            for d in os.listdir(commits_root):
-                if d in live_commits:
-                    continue
-                # grace window, OPTIMISTIC commit dirs only (nonce-
-                # suffixed names): such a dir may be a concurrent
-                # writer's staged-not-yet-flipped commit — staging
-                # runs outside the lock — so only ones older than the
-                # grace are certainly crashed-writer orphans. A live
-                # staging keeps SOME entry fresh (Spark writes land
-                # in pb=K/_temporary subtrees, which do NOT bump the
-                # top-level dir's mtime — so take the newest mtime in
-                # the whole tree, a walk bounded by the orphan's own
-                # file count). Locked-path dirs (plain zero-padded
-                # names) are never in flight outside the lock and
-                # keep immediate collection.
-                if "." in d:
-                    try:
-                        if now - _newest_mtime(os.path.join(commits_root, d)) < grace_seconds:
-                            continue
-                    except OSError:
-                        continue
-                shutil.rmtree(os.path.join(commits_root, d), ignore_errors=True)
+        for d in _reclaimable_commit_dirs(lake_dir, live_commits, grace_seconds):
+            shutil.rmtree(os.path.join(lake_dir, "commits", d), ignore_errors=True)
         for d in os.listdir(lake_dir):
             if d.startswith("bucket=") and d not in live_legacy:
                 shutil.rmtree(os.path.join(lake_dir, d), ignore_errors=True)
     except OSError:
         pass
+
+
+def _reclaimable_commit_dirs(
+    lake_dir: str, live_commits: set, grace_seconds: float
+) -> list[str]:
+    """Commit dirs under ``commits/`` that no retained manifest
+    references and the staging grace does not spare — the ONE
+    enumeration shared by the post-flip GC and the explicit VACUUM
+    (including its dry run), so the report and the deletions can
+    never drift. Grace applies to OPTIMISTIC commit dirs only
+    (nonce-suffixed names): such a dir may be a concurrent writer's
+    staged-not-yet-flipped commit — staging runs outside the lock —
+    so only ones older than the grace are certainly crashed-writer
+    orphans. A live staging keeps SOME entry fresh (Spark writes
+    land in pb=K/_temporary subtrees, which do NOT bump the
+    top-level dir's mtime — so take the newest mtime in the whole
+    tree, a walk bounded by the orphan's own file count).
+    Locked-path dirs (plain zero-padded names) are never in flight
+    outside the lock and reclaim immediately."""
+    import time
+
+    commits_root = os.path.join(lake_dir, "commits")
+    try:
+        names = sorted(os.listdir(commits_root))
+    except FileNotFoundError:
+        return []
+    now = time.time()
+    out = []
+    for d in names:
+        if d in live_commits:
+            continue
+        if "." in d:
+            try:
+                if now - _newest_mtime(os.path.join(commits_root, d)) < grace_seconds:
+                    continue
+            except OSError:
+                continue
+        out.append(d)
+    return out
 
 
 def _live_paths(lake_dir: str, manifest: dict | None, buckets=None) -> tuple[list[str], list[str]]:
@@ -831,7 +847,17 @@ def _read_live(spark, lake_dir: str, manifest: dict, buckets=None) -> DataFrame 
     ``buckets`` — path-level pruning, stronger than a pushed filter:
     unreferenced and orphaned files are never opened at all). Columns
     follow THIS manifest's schema epoch: accreted columns are
-    null-filled for files older than their evolution."""
+    null-filled for files older than their evolution.
+
+    Evolved epochs read with ``mergeSchema=true``: a partial-bucket
+    evolution leaves the manifest pointing at a MIX of pre- and
+    post-evolution commit dirs, and default schema inference samples
+    ONE data file — sampling an old file would drop the accreted
+    column from the relation schema entirely, so ``_align_extras``
+    would null-fill real values (and the next merge would PERSIST
+    the loss through its read-modify-write). The footer merge costs
+    metadata reads proportional to the file count, paid only when
+    the epoch actually has accreted columns."""
     legacy, commits = _live_paths(lake_dir, manifest, buckets)
     extras = _manifest_columns(manifest)
     parts = []
@@ -842,7 +868,10 @@ def _read_live(spark, lake_dir: str, manifest: dict, buckets=None) -> DataFrame 
             .withColumn("bucket", F.col("bucket").cast("int"))
         )
     if commits:
-        parts.append(spark.read.parquet(*commits))
+        reader = spark.read
+        if extras:
+            reader = reader.option("mergeSchema", "true")
+        parts.append(reader.parquet(*commits))
     if not parts:
         return None
     parts = [_align_extras(p, extras) for p in parts]
@@ -1057,6 +1086,14 @@ def _validate_extra_cols(extra_cols: tuple) -> None:
             )
         if name in _LAKE_COLS or name in ("pk", "event_seq", "ts", "type"):
             raise ValueError(f"extra column {name!r} collides with a core lake column")
+        if name in (_PARTITION_COL, "__z"):
+            # writer internals: _stage_commit overwrites pb with the
+            # bucket id and partitionBy drops it from the data files;
+            # a Z-order compact overwrites and drops __z — either way
+            # the user's values would be silently destroyed
+            raise ValueError(
+                f"extra column {name!r} collides with a writer-internal column"
+            )
         if name in seen:
             raise ValueError(f"extra column {name!r} declared twice")
         seen.add(name)
@@ -2465,21 +2502,10 @@ def vacuum_lake(
         }
         if grace_seconds is None:
             grace_seconds = GC_GRACE_SECONDS
-        import time
-
-        now = time.time()
-        candidates = []
+        # the same enumeration the GC below will delete from — shared
+        # so the (dry-run) report and the deletions can never drift
+        candidates = _reclaimable_commit_dirs(lake_dir, live_commits, grace_seconds)
         commits_root = os.path.join(lake_dir, "commits")
-        for d in sorted(os.listdir(commits_root)) if os.path.isdir(commits_root) else []:
-            if d in live_commits:
-                continue
-            if "." in d:  # optimistic staging: maybe in flight
-                try:
-                    if now - _newest_mtime(os.path.join(commits_root, d)) < grace_seconds:
-                        continue
-                except OSError:
-                    continue
-            candidates.append(d)
         nbytes = nfiles = 0
         for d in candidates:
             for root, _dirs, files in os.walk(os.path.join(commits_root, d)):
@@ -2717,6 +2743,19 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
     m = _manifest_at(src_abs, version)
     if m is None:
         raise ValueError(f"lake at {src_dir} has no manifest to clone")
+    legacy = sorted(
+        b for b, rel in m["buckets"].items() if rel.startswith("bucket=")
+    )
+    if legacy:
+        # legacy root dirs partition-encode the bucket value (read
+        # with basePath inference); an absolute clone reference would
+        # read them as commit paths and lose the bucket column —
+        # fail fast instead of committing unreadable pointers
+        raise ValueError(
+            f"lake at {src_dir} still carries pre-manifest legacy bucket "
+            f"dirs ({len(legacy)}); run one merge/compact to migrate them "
+            "into commit dirs before cloning"
+        )
     os.makedirs(dst_dir, exist_ok=True)
     if _read_pointer(dst_dir) is not None:
         raise ValueError(f"clone destination {dst_dir} is already a lake")
@@ -2977,7 +3016,10 @@ def lake_point_read(
     if base is not None:
         parts.append(base)  # already schema-epoch aligned
     if pruned_files:
-        parts.append(_align_extras(spark.read.parquet(*pruned_files), extras))
+        reader = spark.read
+        if extras:  # mixed-epoch files: see _read_live's mergeSchema note
+            reader = reader.option("mergeSchema", "true")
+        parts.append(_align_extras(reader.parquet(*pruned_files), extras))
     if not parts:  # every requested bucket unwritten / fully pruned
         df = spark.createDataFrame([], _snapshot_schema(extras))
     else:
@@ -3039,7 +3081,10 @@ def lake_time_read(
     if base is not None:
         parts.append(base)  # already schema-epoch aligned
     if pruned_files:
-        parts.append(_align_extras(spark.read.parquet(*pruned_files), extras))
+        reader = spark.read
+        if extras:  # mixed-epoch files: see _read_live's mergeSchema note
+            reader = reader.option("mergeSchema", "true")
+        parts.append(_align_extras(reader.parquet(*pruned_files), extras))
     if not parts:
         df = spark.createDataFrame([], _snapshot_schema(extras))
     else:

@@ -654,3 +654,17 @@ def test_cli_admin_validation(tmp_path):
         main(["--vacuum", str(tmp_path), "--restore", str(tmp_path), "--version", "1"])
     with pytest.raises(SystemExit):
         main(["--vacuum", str(tmp_path), "-c", "cfg.json"])
+
+
+def test_cli_restore_default_keeps_undone_version(spark, tmp_path, capsys):
+    """Regression (round-9 review): bare --restore must use the
+    library's retain_versions=2 default (undone version stays
+    time-travelable), not a blanket CLI default of 1."""
+    from lapidus_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    _build3(spark, lake)
+    assert main(["--restore", lake, "--version", "2"]) == 0
+    capsys.readouterr()
+    # v3 (the undone live) remains readable under the default horizon
+    assert len(_snap(spark, lake, version=3)) > 0

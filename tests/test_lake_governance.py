@@ -378,3 +378,48 @@ def test_stream_starting_timestamp(spark, tmp_path):
             .start()
             .awaitTermination()
         )
+
+
+def test_starting_timestamp_resolves_lazily(spark, tmp_path):
+    """Regression (round-9 review): startingTimestamp must resolve in
+    initialOffset (first start only), NOT the reader constructor — a
+    checkpointed restart reconstructs the reader after retention has
+    GC'd the commits at/before the instant, and an eager resolve
+    would kill the restart even though the committed offset wins."""
+    from lapidus_spark.streaming.lake_source import LakeCDFStreamReader
+
+    lake = str(tmp_path / "lake")
+    env = _env(spark, 60)
+    for i in range(3):
+        M.merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i),
+            lake,
+            n_buckets=4,
+            retain_versions=4,
+        )
+    hist = {r["version"]: r["committed_at"] for r in M.describe_history(lake)}
+    opts = {"path": lake, "startingtimestamp": hist[1]}
+    r = LakeCDFStreamReader(opts)
+    assert r.initialOffset() == {"version": 1}
+    # expire the instant, as a long-running lake would
+    M.vacuum_lake(lake, retain_versions=1)
+    # the restart path: constructing the reader must NOT resolve
+    r2 = LakeCDFStreamReader(opts)
+    # only a FIRST start (initialOffset) pays the retention error
+    with pytest.raises(ValueError, match="no retained version committed"):
+        r2.initialOffset()
+
+
+def test_cloned_from_survives_later_commits(spark, tmp_path):
+    src = str(tmp_path / "src")
+    M.merge_batch_into_lake(_env(spark, 40), src, n_buckets=4, retain_versions=4)
+    dst = str(tmp_path / "dst")
+    M.clone_lake(src, dst)
+    M.merge_batch_into_lake(
+        _env(spark, 40).withColumn("event_seq", F.col("event_seq") + 100),
+        dst,
+        n_buckets=None,
+        retain_versions=4,
+    )
+    d = M.describe_detail(dst)
+    assert d["version"] == 2 and d["cloned_from"]["version"] == 1

@@ -174,3 +174,65 @@ def test_compaction_and_point_read_preserve_evolved_schema(spark, tmp_path):
     key = M.read_lake_snapshot(spark, lake).select("entity_id").first()[0]
     pr = M.lake_point_read(spark, lake, [key])
     assert "shard" in pr.columns and pr.count() == 1
+
+
+def test_partial_bucket_evolution_preserves_values(spark, tmp_path):
+    """Regression (round-9 review): a partial-bucket evolution leaves
+    the manifest pointing at a MIX of pre- and post-evolution commit
+    dirs. Default parquet schema inference samples ONE file — if it
+    sampled an old file the accreted column vanished from the
+    relation schema and _align_extras null-filled REAL values (and
+    the next merge's read-modify-write persisted the loss). The
+    evolved read path must use mergeSchema so every epoch's columns
+    survive, in reads, point reads and across later merges."""
+
+    def wide(spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.format_string("k%04d", F.col("id")).alias("pk"),
+            F.col("id").alias("event_seq"),
+            F.timestamp_seconds(F.col("id") * 3600 + 1_700_000_000)
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            F.lit("insert").alias("type"),
+            F.format_string("p-%04d", F.col("id")).alias("item"),
+        )
+
+    lake = str(tmp_path / "lake")
+    # v1: 64 entities across all 8 buckets, pre-evolution
+    M.merge_batch_into_lake(wide(spark, 0, 64), lake, n_buckets=8, retain_versions=4)
+    # v2: ONE entity (one bucket) declares the accreted column
+    M.merge_batch_into_lake(
+        wide(spark, 64, 65).withColumn("shard", F.lit(7).cast("bigint")),
+        lake,
+        n_buckets=None,
+        retain_versions=4,
+        extra_cols=("shard",),
+    )
+    m = M._read_manifest(lake)
+    evolved_buckets = sum(1 for v in m["data_versions"].values() if v == 2)
+    assert 0 < evolved_buckets < m["n_buckets"]  # genuinely partial
+    snap = M.read_lake_snapshot(spark, lake)
+    assert [r["shard"] for r in snap.filter("entity_id = 'k0064'").collect()] == [7]
+    assert snap.filter(F.col("shard").isNotNull()).count() == 1
+    # the value survives a later merge's read-modify-write
+    M.merge_batch_into_lake(wide(spark, 100, 101), lake, n_buckets=None, retain_versions=4)
+    assert [
+        r["shard"]
+        for r in M.read_lake_snapshot(spark, lake)
+        .filter("entity_id = 'k0064'")
+        .collect()
+    ] == [7]
+    # ... and through the pruned point-read path
+    assert [
+        r["shard"] for r in M.lake_point_read(spark, lake, ["k0064"]).collect()
+    ] == [7]
+
+
+def test_extra_cols_reject_writer_internal_names(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    env = _with_shard(_env(spark))
+    for bad in ("pb", "__z"):
+        with pytest.raises(ValueError, match="writer-internal"):
+            M.merge_batch_into_lake(
+                env.withColumn(bad, F.lit(1)), lake, extra_cols=(bad,)
+            )
