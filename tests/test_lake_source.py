@@ -698,3 +698,90 @@ def test_gold_chain_update_mode_exactly_once_across_sigkill(spark, tmp_path):
         )
     )
     assert got == expected and len(got) > 0
+
+
+def test_stream_feed_through_a_restore(spark, tmp_path):
+    """A subscriber streaming THROUGH a restore commit: the restore
+    reverts the table to a version predating some keys' first
+    appearance, so the stream's per-bucket executor diff must go
+    FULL OUTER and emit the vanished visible keys as deletes (NULL
+    post-image in the entity feed; old values as the pre-image in the
+    rowChanges feed) — exactly the batch twins' semantics, version
+    step by version step."""
+    from lapidus_spark.streaming.materialize import (
+        lake_changes_rows,
+        merge_batch_into_lake,
+        restore_lake,
+    )
+
+    # synthetic corpus: every entity appears in exactly ONE batch
+    # (inserts only, split by seq%3), so the restore makes batch-3's
+    # whole key set VANISH — the regime the fixture events can't
+    # produce (their users all exist by batch 2)
+    env = spark.range(90).select(
+        F.format_string("k%04d", F.col("id")).alias("pk"),
+        F.col("id").alias("event_seq"),
+        F.timestamp_seconds(F.col("id") * 3600 + 1_700_000_000)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.lit("insert").alias("type"),
+        F.format_string("p-%04d", F.col("id")).alias("item"),
+    )
+    lake = str(tmp_path / "lake")
+    for i in range(3):
+        merge_batch_into_lake(
+            env.filter(F.col("event_seq") % 3 == i),
+            lake,
+            n_buckets=4,
+            retain_versions=5,
+        )
+    restore_lake(lake, 2, retain_versions=5)  # version 4: batch-3 keys vanish
+
+    # entity-state feed vs the batch twin, all four steps
+    got = _drain(spark, lake, "cdf_restore_entity", str(tmp_path / "c1"))
+    want = _batch_feed(spark, lake, versions=(1, 2, 3, 4))
+    assert got == want
+    # the restore step genuinely emits deletes for the vanished keys
+    v4 = [r for r in got if r[-1] == 4]
+    assert v4 and all(r[1] == "delete" for r in v4)
+
+    # rowChanges feed vs its batch twin
+    register_lake_cdf(spark)
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake)
+        .option("rowChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_restore_rows")
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got_rows = sorted(
+        map(
+            tuple,
+            spark.table("cdf_restore_rows")
+            .filter("ver = 4")
+            .select("entity_id", "change_type", "last_seq", "item")
+            .collect(),
+        )
+    )
+    want_rows = sorted(
+        map(
+            tuple,
+            lake_changes_rows(spark, lake, from_version=3, to_version=4)
+            .select("entity_id", "change_type", "last_seq", "item")
+            .collect(),
+        )
+    )
+    assert got_rows == want_rows and len(got_rows) > 0
+    # vanished keys carry the REMOVED content as the pre-image
+    assert all(
+        item is not None for (_e, c, _s, item) in got_rows if c == "delete"
+    )
