@@ -123,7 +123,7 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY c.c_mktsegment
     """,
     operator="fact-fact shuffle join (gap §2.5)",
@@ -131,12 +131,16 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a fact-fact join (sort-merge at scale — neither side broadcasts "
     "at 100 TB), the date filter pushes into the orders scan ahead of "
     "the shuffle, and customer joins after the heavy join to keep the "
-    "exchange thin.",
+    "exchange thin. Cutoff 1998-01-01 sits inside the fixture's "
+    "orderdate range [1995-01-01, 2001-08-01] and selects ~10% of "
+    "orders (679/6800/68522 at sf0.001/0.01/0.1) — the original "
+    "1995-01-01 cutoff selected ZERO rows at every sf, making the "
+    "query vacuously green for eight rounds (VERDICT r9 #1).",
 )
 def agg_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1995-01-01 00:00:00"
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
     )
     c = load_table(spark, sf_dir, "customer")
     one = F.lit(1).cast("decimal(12,2)")
@@ -229,11 +233,18 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id FROM events WHERE event_type = 'purchase'
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'error'
+    GROUP BY user_id HAVING count(*) > 13
     """,
     operator="set operations (gap §2.5)",
-    doc="INTERSECT/EXCEPT surface: clicking purchasers minus errored "
-    "entities — the audience-segmentation set algebra the reference "
-    "has no analog for.",
+    doc="INTERSECT/EXCEPT surface: clicking purchasers minus HEAVILY "
+    "errored entities (>13 error events) — the audience-segmentation "
+    "set algebra the reference has no analog for. The EXCEPT leg is "
+    "selective by design: in the fixture EVERY clicking purchaser has "
+    "≥4 error events (min 6 at sf0.001, median ~13-14 at all sfs), so "
+    "the original unconditional leg emptied the result at every sf and "
+    "the query was vacuously green for eight rounds (VERDICT r9 #2). "
+    "With the >13 threshold all three legs contribute: 15→7 rows kept "
+    "at sf0.001, 150→82 at sf0.01, 1500→819 at sf0.1.",
 )
 def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -243,7 +254,14 @@ def set_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("entity_id")
         )
 
-    return users("click").intersect(users("purchase")).exceptAll(users("error")).distinct()
+    heavy_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("entity_id"))
+        .agg(F.count("*").alias("n_err"))
+        .filter(F.col("n_err") > 13)
+        .select("entity_id")
+    )
+    return users("click").intersect(users("purchase")).exceptAll(heavy_err).distinct()
 
 
 @query(

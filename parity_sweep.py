@@ -30,26 +30,36 @@ def main() -> int:
         .getOrCreate()
     )
     import __spark_entry__ as entry
+    from lapidus_spark.plans.registry import load_all
     from tests.oracle_utils import compare, duck_connection
 
     con = duck_connection(sf_dir)
     queries, oracles = entry.queries(), entry.oracle_sql()
+    expected_empty = {n for n, s in load_all().items() if s.expected_empty}
     results: dict[str, dict] = {}
     for name in queries:
         t0 = time.time()
         try:
             if name in oracles:
                 r = compare(queries[name](spark, sf_dir), con, oracles[name])
+                rows = r["rows"][0]
+                # Vacuity guard (VERDICT r9 #1): empty≡empty proves nothing.
+                vacuous = bool(r["ok"]) and rows == 0 and name not in expected_empty
                 results[name] = {
-                    "ok": bool(r["ok"]),
-                    "detail": r.get("detail") or None,
+                    "ok": bool(r["ok"]) and not vacuous,
+                    "detail": "vacuous: 0 rows at tested sf"
+                    if vacuous
+                    else (r.get("detail") or None),
+                    "rows": rows,
                     "sec": round(time.time() - t0, 2),
                 }
             else:
-                queries[name](spark, sf_dir).count()
+                rows = queries[name](spark, sf_dir).count()
+                ok = rows >= 1 or name in expected_empty
                 results[name] = {
-                    "ok": True,
-                    "detail": "rows-only",
+                    "ok": ok,
+                    "detail": "rows-only" if ok else "vacuous: 0 rows at tested sf",
+                    "rows": rows,
                     "sec": round(time.time() - t0, 2),
                 }
         except Exception as e:  # noqa: BLE001 — isolate per query

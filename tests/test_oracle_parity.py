@@ -27,13 +27,25 @@ def test_oracle_parity(spark, duck, name):
     spec = REG[name]
     report = compare(spec.fn(spark, SF_DIR), duck, spec.oracle)
     assert report["ok"], f"{name}: {report['detail']} rows={report['rows']} cols={report['cols']}"
+    # Vacuity guard (VERDICT r9 #1): a green that compares empty to
+    # empty verifies nothing. Every query must return rows at the test
+    # sf unless it declares expected_empty=True at registration.
+    if not spec.expected_empty:
+        assert report["rows"][0] >= 1, (
+            f"{name}: 0 rows at {SF_DIR} — vacuously verified. Fix the "
+            "predicate to intersect the fixture, or annotate the "
+            "registration with expected_empty=True."
+        )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only(spark, name):
-    df = REG[name].fn(spark, SF_DIR)
-    assert df.count() >= 0
+    spec = REG[name]
+    df = spec.fn(spark, SF_DIR)
+    n = df.count()
     assert len(df.schema.fields) > 0
+    if not spec.expected_empty:
+        assert n >= 1, f"{name}: 0 rows at {SF_DIR} — vacuous rows-only check."
 
 
 @pytest.fixture(scope="module")
