@@ -1,0 +1,1041 @@
+"""Lake admin plane: OPTIMIZE (compact/Z-order), REBUCKET, RESTORE,
+VACUUM, DELETE WHERE, CHECK-constraint DDL, SHALLOW CLONE. Imports
+only the commit-log plane (``log``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame  # noqa: F401 — signature annotations
+from pyspark.sql import functions as F
+
+from . import log
+from .stats import _commit_file_stats
+from .log import (
+    GC_GRACE_SECONDS,
+    LOCKED_WAIT_S,
+    LOG_DIR,
+    ConcurrentMergeError,
+    ConstraintViolationError,
+    _acquire_lock,
+    _apply_delta,
+    _atomic_write_json,
+    _bucket_content_changed,
+    _checkpoint_path,
+    _delta_path,
+    _flip_version,
+    _gc_unreferenced,
+    _healed_manifest,
+    _manifest_at,
+    _manifest_columns,
+    _next_commit_stamp,
+    _publish_version,
+    _read_manifest,
+    _read_pointer,
+    _reclaimable_commit_dirs,
+    _resolve_version,
+    _validate_merge_args,
+)
+
+#: dimensions an OPTIMIZE may cluster on — exactly the columns
+#: ``_commit_file_stats`` records zone maps for (clustering on a
+#: column the manifest carries no ranges for would sort bytes
+#: nobody can prune on)
+_CLUSTERABLE = ("entity_id", "last_ts")
+
+
+def _cluster_sorted(rows: DataFrame, n_partitions: int, cluster_by: tuple) -> DataFrame:
+    """Bucket-partitioned, cluster-sorted rewrite rows for an
+    OPTIMIZE. ONE dimension sorts lexically — a total order, so the
+    valve's sequential file splits carry DISJOINT ranges and a point
+    read overlaps ≤1 file per key. TWO dimensions sort by a 32-bit
+    Morton (Z-order) interleave of per-bucket rank-scaled positions —
+    OPTIMIZE ZORDER BY: no file split is disjoint in either single
+    dimension, but every file's [min, max] stays NARROW on BOTH axes
+    at once, so the same footer zone maps prune point reads AND time
+    windows from one layout. Ranks come from ``percent_rank`` over
+    the bucket (a window on the key the rewrite shuffles on anyway),
+    which makes the interleave robust to skewed value distributions —
+    the reason Delta z-orders range-ids rather than raw bytes."""
+    if tuple(cluster_by) == ("entity_id",):
+        return rows.repartition(n_partitions, F.col("bucket")).sortWithinPartitions(
+            "bucket", "entity_id"
+        )
+    from pyspark.sql import Window
+
+    def spread(x):  # 16-bit value → even bit positions (Morton spread)
+        for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+            x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+        return x
+
+    z = None
+    for i, c in enumerate(cluster_by):
+        w = Window.partitionBy("bucket").orderBy(F.col(c))
+        r16 = F.floor(F.percent_rank().over(w) * F.lit(65535)).cast("long")
+        lane = F.shiftleft(spread(r16), i)
+        z = lane if z is None else z.bitwiseOR(lane)
+    return (
+        rows.withColumn("__z", z)
+        .repartition(n_partitions, F.col("bucket"))
+        .sortWithinPartitions("bucket", "__z")
+        .drop("__z")
+    )
+
+
+def _validate_cluster_by(cluster_by) -> tuple:
+    cols = tuple(cluster_by)
+    if not 1 <= len(cols) <= 2 or any(c not in _CLUSTERABLE for c in cols) or len(
+        set(cols)
+    ) != len(cols):
+        raise ValueError(
+            f"cluster_by must be 1-2 distinct columns from {_CLUSTERABLE}, "
+            f"got {cluster_by!r}"
+        )
+    return cols
+
+
+def compact_lake(
+    spark,
+    lake_dir: str,
+    target_files_per_bucket: int = 1,
+    max_records_per_file: int | None = None,
+    retain_versions: int = 1,
+    concurrency: str = "locked",
+    cluster_by: tuple = ("entity_id",),
+) -> dict:
+    """OPTIMIZE for the lake: rewrite the buckets whose physical
+    layout has degraded — more than ``target_files_per_bucket``
+    parquet files (each micro-batch overwrite leaves one file per
+    writing task, so a long-running merge sink accretes small files),
+    or a pre-manifest legacy ``bucket=K`` dir — into one fresh commit
+    directory, published through the SAME atomic manifest flip as a
+    merge. Logical content is untouched (a pure physical rewrite):
+    the new version's snapshot is bit-identical to the old one.
+
+    Scale contract: only degraded buckets are read and rewritten
+    (k·(table/B) bytes, never a full-table pass unless every bucket
+    is degraded); the rewrite repartitions on the bucket column so
+    each bucket lands in exactly one task → one output file, with
+    ``max_records_per_file`` as the splitting valve for buckets too
+    large for a single file. Crash-safe like the merge: all new
+    bytes go to ``commits/<version>`` and the flip publishes them
+    atomically; a crash leaves the old layout fully live. Takes the
+    single-writer lock (compaction and merges never interleave).
+
+    Returns ``{"version", "compacted_buckets"}`` — version unchanged
+    when nothing needed work (no empty commits). Convergent under a
+    valve: the committed manifest records which commit was a
+    compaction and with what valve, so a bucket the valve split into
+    several files is NOT re-counted as degraded by the next
+    compaction (same valve) — no endless rewrite/version churn; a
+    merge that rewrites the bucket moves its pointer off the
+    compaction commit and re-arms the check.
+
+    ``concurrency="optimistic"`` removes the LONGEST lock-hold in the
+    system: the rewrite stages unlocked (writers keep committing) and
+    the flip applies PARTIALLY — any bucket a concurrent commit
+    data-changed mid-flight is simply dropped from the compaction
+    (the merge's pointer wins; the bucket re-arms for the next
+    OPTIMIZE). No retry loop is ever needed because partial
+    application is CORRECT for a pure physical rewrite — unlike a
+    merge, losing a race loses no data, only deferred maintenance.
+    Adds ``skipped_buckets`` to the result.
+
+    ``cluster_by`` picks the sort: the default single dimension
+    (``entity_id``) gives range-DISJOINT file splits (point reads
+    open ≤1 file per key); two dimensions (``("entity_id",
+    "last_ts")``) Z-order the bucket so both axes' zone maps stay
+    narrow at once — OPTIMIZE ZORDER BY, trading the single-axis
+    disjointness guarantee for multi-axis prunability. Changing
+    ``cluster_by`` re-arms convergence (a requested re-layout)."""
+    if concurrency not in ("locked", "optimistic"):
+        raise ValueError(
+            f"concurrency must be 'locked' or 'optimistic', got {concurrency!r}"
+        )
+    cluster_by = _validate_cluster_by(cluster_by)
+    if concurrency == "optimistic":
+        return _compact_optimistic(
+            spark,
+            lake_dir,
+            target_files_per_bucket,
+            max_records_per_file,
+            retain_versions,
+            cluster_by=cluster_by,
+        )
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to compact")
+        degraded = _degraded_buckets(
+            lake_dir, manifest, target_files_per_bucket, max_records_per_file, cluster_by
+        )
+        if not degraded:
+            return {"version": manifest["version"], "compacted_buckets": 0}
+        rows = log._read_live(spark, lake_dir, manifest, set(degraded))
+        # CLUSTERED rewrite: one task per bucket, sorted on the
+        # cluster dimensions (lexical for one, Z-order for two), so
+        # the valve's file splits carry prunable ranges — the zone
+        # maps recorded from the staged footers make lake_point_read
+        # / lake_time_read open a file subset instead of bucket dirs.
+        packed = _cluster_sorted(rows, len(degraded), cluster_by)
+        version = manifest["version"] + 1
+        _publish_version(
+            lake_dir,
+            manifest,
+            packed,
+            degraded,
+            manifest["n_buckets"],
+            retain_versions,
+            max_records_per_file=max_records_per_file,
+            extra={
+                "compaction": {
+                    "version": version,
+                    "valve": max_records_per_file,
+                    "rel": f"commits/{version:010d}",
+                    "cluster_by": list(cluster_by),
+                }
+            },
+            data_change=False,
+            with_file_stats=True,
+        )
+        return {"version": version, "compacted_buckets": len(degraded)}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _degraded_buckets(
+    lake_dir: str,
+    manifest: dict,
+    target_files_per_bucket: int,
+    max_records_per_file: int | None,
+    cluster_by: tuple = ("entity_id",),
+) -> list:
+    """Buckets whose physical layout needs an OPTIMIZE under this
+    valve: legacy root dirs (always migrate), else more parquet files
+    than the target — excluding buckets still pointing into the last
+    compaction commit under the SAME valve AND cluster dimensions
+    (the convergence check; keyed on the recorded commit ``rel`` so
+    it survives nonce-named optimistic compaction dirs, with the
+    version-derived name as the pre-``rel`` manifest fallback —
+    switching ``cluster_by`` re-arms every bucket: a re-cluster is a
+    requested layout change, not churn)."""
+    comp = manifest.get("compaction")
+    comp_prefix = None
+    if (
+        comp is not None
+        and comp.get("valve") == max_records_per_file
+        and comp.get("cluster_by", ["entity_id"]) == list(cluster_by)
+    ):
+        comp_prefix = (comp.get("rel") or f"commits/{comp['version']:010d}") + "/"
+    dvs = manifest.get("deletion_vectors", {})
+    degraded = []
+    for b, rel in manifest["buckets"].items():
+        if rel.startswith("bucket="):
+            degraded.append(int(b))  # legacy layout: always migrate
+            continue
+        if b in dvs:
+            # a standing deletion vector is deferred maintenance by
+            # definition: the rewrite reads through the mask, so the
+            # redactions materialize as physical tombstones and the
+            # new pointer sheds the vector (the OPTIMIZE purge step
+            # of the merge-on-read DELETE)
+            degraded.append(int(b))
+            continue
+        if comp_prefix is not None and rel.startswith(comp_prefix):
+            continue  # already compacted under this exact valve
+        try:
+            nfiles = sum(
+                1
+                for f in os.listdir(os.path.join(lake_dir, rel))
+                if f.endswith(".parquet")
+            )
+        except FileNotFoundError:
+            nfiles = 0
+        if nfiles > target_files_per_bucket:
+            degraded.append(int(b))
+    return sorted(degraded)
+
+
+def _compact_optimistic(
+    spark,
+    lake_dir: str,
+    target_files_per_bucket: int,
+    max_records_per_file: int | None,
+    retain_versions: int,
+    flip_wait_s: float = 30.0,
+    _race_hook: Callable[[], None] | None = None,
+    cluster_by: tuple = ("entity_id",),
+) -> dict:
+    """Lock-free-staging OPTIMIZE (see ``compact_lake``): read and
+    rewrite the degraded buckets with NO lock held, then under the
+    flip lock apply only the buckets no concurrent commit
+    data-changed meanwhile (the ``data_versions`` stamps decide; a
+    concurrent COMPACTION's equal stamps are also a skip-free apply —
+    two racing optimizers both land, the second a harmless no-op
+    rewrite). Dropped buckets' staged files stay inside the commit
+    dir as dead weight until the dir leaves every retained manifest —
+    wasted space bounded by the lost buckets, never wrong data."""
+    import shutil
+    import uuid
+
+    base = _healed_manifest(lake_dir)
+    if base is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest to compact")
+    degraded = _degraded_buckets(
+        lake_dir, base, target_files_per_bucket, max_records_per_file, cluster_by
+    )
+    if not degraded:
+        return {"version": base["version"], "compacted_buckets": 0, "skipped_buckets": 0}
+    commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
+    try:
+        rows = log._read_live(spark, lake_dir, base, set(degraded))
+        # clustered, like the locked path — zone maps from the footers
+        packed = _cluster_sorted(rows, len(degraded), cluster_by)
+        log._stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
+        staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
+    except Exception:
+        # a concurrent commit (retain_versions=1) can GC the base
+        # version's files out from under the unlocked rewrite.
+        # Compaction is deferrable maintenance: if the manifest moved,
+        # drop the half-staged work and report zero-compacted (the
+        # degraded buckets stay armed) instead of killing the caller
+        # — the same race the merge twin absorbs by retrying.
+        shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+        live_now = _read_manifest(lake_dir)
+        if (live_now["version"] if live_now else 0) != base["version"]:
+            return {
+                "version": live_now["version"] if live_now else base["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        raise
+    if _race_hook is not None:
+        _race_hook()
+    try:
+        lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+    except ConcurrentMergeError:
+        # flip lock held past flip_wait_s: compaction is deferrable
+        # maintenance, so drop the work instead of raising — the
+        # degraded buckets stay armed for the next OPTIMIZE.
+        shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+        live_now = _read_manifest(lake_dir)
+        return {
+            "version": (live_now or base)["version"],
+            "compacted_buckets": 0,
+            "skipped_buckets": len(degraded),
+        }
+    try:
+        cur = _healed_manifest(lake_dir)
+        if not os.path.isdir(os.path.join(lake_dir, commit_rel)):
+            # staged rewrite GC'd mid-gap (grace expiry / mtime skew):
+            # flipping would publish dangling pointers — defer instead
+            return {
+                "version": cur["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        if cur["n_buckets"] != base["n_buckets"]:
+            # a rebucket rewrote the whole layout mid-flight: nothing
+            # to salvage (bucket ids changed meaning) — drop the work
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+            return {
+                "version": cur["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        keep = [
+            b for b in degraded if not _bucket_content_changed(base, cur, str(b))
+        ]
+        if not keep:
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+            return {
+                "version": cur["version"],
+                "compacted_buckets": 0,
+                "skipped_buckets": len(degraded),
+            }
+        version = cur["version"] + 1
+        _flip_version(
+            lake_dir,
+            cur,
+            commit_rel,
+            keep,
+            cur["n_buckets"],
+            retain_versions,
+            extra={
+                "compaction": {
+                    "version": version,
+                    "valve": max_records_per_file,
+                    "rel": commit_rel,
+                    "cluster_by": list(cluster_by),
+                }
+            },
+            data_change=False,
+            file_stats={b: s for b, s in staged_stats.items() if int(b) in set(keep)},
+        )
+        return {
+            "version": version,
+            "compacted_buckets": len(keep),
+            "skipped_buckets": len(degraded) - len(keep),
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def rebucket_lake(
+    spark, lake_dir: str, new_n_buckets: int, retain_versions: int = 1
+) -> dict:
+    """Change the lake's pinned bucket layout — the scale-out path
+    when a table outgrows the ``n_buckets`` chosen at creation (each
+    merge rewrites whole touched buckets, so oversized buckets make
+    every merge's write amplification worse; more buckets restore
+    the k·(table/B) contract). A rebucket is necessarily a one-time
+    full-table rewrite (every row re-hashes), published as ONE
+    atomic manifest flip that swaps the entire bucket map and the
+    pinned ``n_buckets`` together: readers and crash-replays see
+    either the old layout or the new, never a mix, and retained
+    older versions still time-travel through their own manifests
+    (a version's manifest carries its own layout). Subsequent
+    merges must pass the new ``n_buckets`` — or ``None`` to adopt
+    whatever layout is pinned. Takes the single-writer lock."""
+    if (
+        isinstance(new_n_buckets, bool)
+        or not isinstance(new_n_buckets, int)
+        or new_n_buckets < 1
+    ):
+        raise ValueError(f"new_n_buckets must be a positive int, got {new_n_buckets!r}")
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to rebucket")
+        if manifest["n_buckets"] == new_n_buckets:
+            return {"version": manifest["version"], "n_buckets": new_n_buckets}
+        rows = log._read_live(spark, lake_dir, manifest)
+        if rows is None:  # empty table: the layout change is pure metadata
+            version = manifest["version"] + 1
+            _flip_version(
+                lake_dir,
+                manifest,
+                f"commits/{version:010d}",  # unused: nothing touched
+                [],
+                new_n_buckets,
+                retain_versions,
+                replace_all=True,
+                extra={
+                    "rebucket": {
+                        "version": version,
+                        "from": manifest["n_buckets"],
+                        "to": new_n_buckets,
+                    }
+                },
+            )
+            return {"version": version, "n_buckets": new_n_buckets}
+        rehashed = rows.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("entity_id"), F.lit(new_n_buckets)).cast("int"),
+        ).repartition(new_n_buckets, F.col("bucket"))
+        rehashed = rehashed.persist()
+        try:
+            touched = sorted(
+                r["bucket"] for r in rehashed.select("bucket").distinct().collect()
+            )
+            _publish_version(
+                lake_dir,
+                manifest,
+                rehashed,
+                touched,
+                new_n_buckets,
+                retain_versions,
+                replace_all=True,
+                # the rebucket marker lets the streaming CDF source
+                # recognize this exact version step as a snapshot-
+                # identical layout swap (zero change rows) instead of
+                # demanding a full-snapshot restart; data stamps still
+                # reset (data_change=True) because bucket ids change
+                # meaning across the swap.
+                extra={
+                    "rebucket": {
+                        "version": manifest["version"] + 1,
+                        "from": manifest["n_buckets"],
+                        "to": new_n_buckets,
+                    }
+                },
+            )
+        finally:
+            rehashed.unpersist()
+        return {"version": manifest["version"] + 1, "n_buckets": new_n_buckets}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def restore_lake(lake_dir: str, version: int, retain_versions: int = 2) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — Delta RESTORE's analog as
+    a METADATA-ONLY commit (no Spark session, no data bytes written):
+    a new version whose bucket pointers are the target version's, so
+    the live snapshot reverts while history stays append-only (the
+    undone versions remain time-travelable inside retention, and the
+    restore itself is one more commit a CDF subscriber consumes as an
+    ordinary diff — the inverse of the undone batches' effect).
+
+    Scale contract: cost is O(buckets whose CONTENT differs between
+    live and target), proven by the ``data_versions`` stamps — a
+    bucket that diverged only through compactions (physical-only
+    rewrites) KEEPS its live pointer (the better-packed files; the
+    rows are identical by the stamp proof), so a restore never undoes
+    maintenance work and never touches a data file at all. Zone maps
+    for repointed buckets are taken from the target manifest (they
+    describe exactly the files being repointed); the schema epoch
+    reverts with the data (a restore across a schema evolution reads
+    under the target's columns again, while the evolved versions keep
+    their own epoch for time travel). A rebucket (or any bucket-set
+    change) between target and live swaps the ENTIRE map back
+    (``replace_all`` — bucket ids are not comparable across layouts).
+
+    Runs under the writer lock; an optimistic merge staged against
+    the pre-restore manifest sees the moved stamps (or the reverted
+    columns epoch) and recomputes — a restore is a data change like
+    any other. The target must still be retained; size the merges'
+    ``retain_versions`` to cover your undo horizon. Returns
+    ``{"version", "restored_from", "restored_buckets",
+    "replace_all"}`` — version unchanged when live content already
+    equals the target (no empty commits)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        live = _healed_manifest(lake_dir)
+        if live is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to restore")
+        target = _manifest_at(lake_dir, version)  # unretained → fails fast
+        live_v = int(live["version"])
+        if version == live_v:
+            return {
+                "version": live_v,
+                "restored_from": version,
+                "restored_buckets": 0,
+                "replace_all": False,
+            }
+        replace_all = target["n_buckets"] != live["n_buckets"] or set(
+            target["buckets"]
+        ) != set(live["buckets"])
+        if replace_all:
+            touched_rels = dict(target["buckets"])
+        else:
+            touched_rels = {
+                b: rel
+                for b, rel in target["buckets"].items()
+                if _bucket_content_changed(live, target, b)
+            }
+        if not touched_rels:
+            # only physical-only commits landed since the target:
+            # live content is already the target snapshot
+            return {
+                "version": live_v,
+                "restored_from": version,
+                "restored_buckets": 0,
+                "replace_all": False,
+            }
+        stats = {
+            b: target["file_stats"][b]
+            for b in touched_rels
+            if b in target.get("file_stats", {})
+        }
+        # restore the TARGET's deletion vectors for every repointed
+        # bucket (an empty list CLEARS the live vector — a restore
+        # across a DV delete must undo the read-time redaction, and
+        # a DV-only diff keeps the pointer so _apply_delta would
+        # otherwise carry the live vector forward)
+        target_dvs = target.get("deletion_vectors", {})
+        dvs = {b: target_dvs.get(b, []) for b in touched_rels}
+        extra = None
+        if target.get("columns", []) != live.get("columns", []):
+            extra = {"columns": list(target.get("columns", []))}
+        new_manifest = _flip_version(
+            lake_dir,
+            live,
+            commit_rel="",
+            touched=[],
+            n_buckets=target["n_buckets"],
+            retain_versions=retain_versions,
+            replace_all=replace_all,
+            extra=extra,
+            data_change=True,
+            file_stats=stats or None,
+            touched_rels=touched_rels,
+            deletion_vectors=dvs,
+        )
+        return {
+            "version": int(new_manifest["version"]),
+            "restored_from": version,
+            "restored_buckets": len(touched_rels),
+            "replace_all": replace_all,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def vacuum_lake(
+    lake_dir: str,
+    retain_versions: int = 1,
+    dry_run: bool = False,
+    grace_seconds: float | None = None,
+) -> dict:
+    """Delta VACUUM's analog as an EXPLICIT command: raise the
+    retention floor to ``live - retain_versions + 1`` and reclaim
+    everything no remaining retained version references — commit
+    dirs, commit-log entries below the floor's checkpoint, format-1
+    ``_history`` JSONs. Per-commit GC already enforces each merge's
+    own ``retain_versions`` as it goes; this is the administrative
+    override for shrinking a horizon after the fact (a table merged
+    with ``retain_versions=24`` for a backfill audit, vacuumed back
+    to 1 when the audit closes) and for reclaiming crashed writers'
+    aged-out staging orphans without waiting for the next commit.
+
+    METADATA-ONLY and version-preserving: the pointer's ``floor``
+    moves, the version does not (an expired time-travel read fails
+    fast with the retention error, exactly as if per-commit GC had
+    pruned it). ``dry_run=True`` measures without mutating. Orphan
+    commit dirs younger than ``grace_seconds`` (default
+    ``GC_GRACE_SECONDS``) are spared — they may be a live optimistic
+    writer's staged-not-yet-flipped commit. Reader contract is
+    Delta's: a concurrent reader still scanning a version this
+    vacuum expires can lose files mid-scan — size the horizon to
+    cover the longest reader.
+
+    Returns ``{"version", "floor", "reclaimable_dirs",
+    "reclaimable_files", "reclaimable_bytes", "dry_run"}`` (counts
+    are commit-dir scoped — what THIS call can free)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        pointer = _read_pointer(lake_dir)
+        if pointer is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to vacuum")
+        if "buckets" in pointer:
+            raise ValueError(
+                f"lake at {lake_dir} still carries a format-1 monolithic "
+                "manifest; commit once (merge/compact) to migrate it to the "
+                "commit-log format before vacuuming"
+            )
+        live_v = int(pointer["version"])
+        old_floor = int(pointer.get("floor", 1))
+        new_floor = max(old_floor, live_v - retain_versions + 1)
+        # fail-closed like GC: if any version that must REMAIN
+        # retained cannot be resolved, vacuum nothing
+        retained = [
+            _resolve_version(lake_dir, pointer, v)
+            for v in range(new_floor, live_v + 1)
+        ]
+        live_commits = {
+            p.split("/", 2)[1]
+            for m in retained
+            for p in m["buckets"].values()
+            if p.startswith("commits/")
+        }
+        if grace_seconds is None:
+            grace_seconds = GC_GRACE_SECONDS
+        # the same enumeration the GC below will delete from — shared
+        # so the (dry-run) report and the deletions can never drift
+        candidates = _reclaimable_commit_dirs(lake_dir, live_commits, grace_seconds)
+        commits_root = os.path.join(lake_dir, "commits")
+        nbytes = nfiles = 0
+        for d in candidates:
+            for root, _dirs, files in os.walk(os.path.join(commits_root, d)):
+                for f in files:
+                    try:
+                        nbytes += os.path.getsize(os.path.join(root, f))
+                        nfiles += 1
+                    except OSError:
+                        pass
+        report = {
+            "version": live_v,
+            "floor": new_floor,
+            "reclaimable_dirs": len(candidates),
+            "reclaimable_files": nfiles,
+            "reclaimable_bytes": nbytes,
+            "dry_run": dry_run,
+        }
+        if dry_run:
+            return report
+        if new_floor != old_floor:
+            log._commit_manifest(
+                lake_dir, {"format": 2, "version": live_v, "floor": new_floor}
+            )
+        _gc_unreferenced(lake_dir, retained[-1], grace_seconds=grace_seconds)
+        return report
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def delete_from_lake(
+    spark,
+    lake_dir: str,
+    predicate: str,
+    retain_versions: int = 2,
+    max_records_per_file: int | None = None,
+    mode: str = "rewrite",
+    max_dv_entries: int = 100_000,
+) -> dict:
+    """DELETE FROM ... WHERE — row-level deletes by SQL predicate
+    over the snapshot columns (``entity_id, last_seq, last_ts,
+    last_type, item`` + the epoch's accreted columns). Matching
+    VISIBLE rows flip to tombstones (``last_type='delete'``, payload
+    columns nulled) keeping their LWW position (seq/ts unchanged — a
+    retroactive redaction, the GDPR-purge shape): the key stays
+    physically present so change feeds keep their new ⊇ old
+    completeness invariant, and ``lake_changes_rows`` emits the
+    redaction as ``delete`` rows carrying the removed content as the
+    pre-image (visible→invisible is a delete regardless of seq/ts).
+
+    Two physical strategies (same logical result, same CDF output):
+
+    - ``mode="rewrite"`` — rewrite the matched buckets with the
+      tombstones materialized (Delta DELETE's copy-on-write). One
+      locate pass, then k·(table/B) bytes rewritten.
+    - ``mode="dv"`` — DELETION VECTORS (Delta's merge-on-read): the
+      commit records the matched rows' ``(entity_id, last_seq,
+      last_ts)`` triples per bucket in the commit LOG and writes
+      ZERO data bytes — the touched buckets keep their pointers
+      (and zone maps), and every read path applies the vector as a
+      broadcast mask (``log._apply_dv_mask``). The physical purge is
+      deferred to OPTIMIZE: ``compact_lake`` treats DV'd buckets as
+      degraded, materializes the tombstones through its masked read,
+      and the new pointer sheds the vector; VACUUM then reclaims the
+      pre-purge files. At 100 TB GDPR cadence this turns per-request
+      write amplification from k·(table/B) bytes into one metadata
+      commit (VERDICT r9 #2). ``max_dv_entries`` caps the vector a
+      single delete may record (the triples ride the commit log and
+      broadcast to scans — metadata-sized by contract); a bulk
+      delete past the cap raises and should use ``mode="rewrite"``.
+
+    Scale contract (both modes): one full-table locate pass
+    (predicate pushed into the parquet scan where pushable — same as
+    Delta DELETE's find-matching-files scan) whose only driver-side
+    result is metadata-sized (bucket set + count; in dv mode the
+    matched triples, capped). Buckets with no matches keep their
+    pointers, stamps and zone maps untouched — a CDF consumer reads
+    only the redacted buckets. Returns ``{"version",
+    "deleted_buckets", "deleted_rows"}`` (version unchanged when
+    nothing matched; dv mode adds ``"dv_entries"``)."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to delete from")
+        rows = log._read_live(spark, lake_dir, manifest)
+        if rows is None:
+            return {"version": manifest["version"], "deleted_buckets": 0, "deleted_rows": 0}
+        hit = F.expr(predicate) & (F.col("last_type") != F.lit("delete"))
+        if mode == "dv":
+            return _delete_dv(
+                spark, lake_dir, manifest, rows, hit, retain_versions, max_dv_entries
+            )
+        located = rows.filter(hit).agg(
+            F.count(F.lit(1)).alias("n"), F.collect_set("bucket").alias("bs")
+        ).first()
+        touched = sorted(located["bs"] or [])
+        if not touched:
+            return {"version": manifest["version"], "deleted_buckets": 0, "deleted_rows": 0}
+        extras = _manifest_columns(manifest)
+        bucket_rows = log._read_live(spark, lake_dir, manifest, set(touched))
+        rewritten = bucket_rows.select(
+            "entity_id",
+            "last_seq",
+            "last_ts",
+            F.when(hit, F.lit("delete")).otherwise(F.col("last_type")).alias("last_type"),
+            F.when(hit, F.lit(None).cast("string")).otherwise(F.col("item")).alias("item"),
+            "bucket",
+            *[
+                F.when(hit, F.lit(None).cast(c["type"]))
+                .otherwise(F.col(c["name"]))
+                .alias(c["name"])
+                for c in extras
+            ],
+        ).repartition(len(touched), F.col("bucket"))
+        new_manifest = _publish_version(
+            lake_dir,
+            manifest,
+            rewritten,
+            touched,
+            manifest["n_buckets"],
+            retain_versions,
+            max_records_per_file=max_records_per_file,
+            data_change=True,
+        )
+        return {
+            "version": int(new_manifest["version"]),
+            "deleted_buckets": len(touched),
+            "deleted_rows": int(located["n"]),
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _delete_dv(
+    spark, lake_dir: str, manifest: dict, rows, hit, retain_versions: int,
+    max_dv_entries: int,
+) -> dict:
+    """The deletion-vector commit (see ``delete_from_lake``): collect
+    the matched rows' identifying triples (driver-side, capped —
+    vectors are commit-log metadata by contract), union them into the
+    touched buckets' existing vectors, and flip a pointer-preserving
+    data-change commit that writes no data files. Runs under the
+    caller's writer lock."""
+    matched = rows.filter(hit).select(
+        "bucket", "entity_id", "last_seq",
+        F.date_format(
+            F.col("last_ts").cast("timestamp_ntz"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        ).alias("ts_iso"),
+    ).limit(max_dv_entries + 1).collect()
+    if not matched:
+        return {
+            "version": manifest["version"], "deleted_buckets": 0,
+            "deleted_rows": 0, "dv_entries": 0,
+        }
+    if len(matched) > max_dv_entries:
+        raise ValueError(
+            f"DELETE mode='dv' matched more than max_dv_entries="
+            f"{max_dv_entries} rows — deletion vectors are commit-log "
+            "metadata and must stay metadata-sized; use mode='rewrite' "
+            "for bulk deletes (or raise the cap deliberately)"
+        )
+    base_dvs = manifest.get("deletion_vectors", {})
+    new_by_bucket: dict = {}
+    for r in matched:
+        new_by_bucket.setdefault(str(r["bucket"]), []).append(
+            [r["entity_id"], int(r["last_seq"]), r["ts_iso"]]
+        )
+    dvs = {}
+    for b, entries in new_by_bucket.items():
+        merged = {tuple(e) for e in base_dvs.get(b, [])}
+        merged.update(tuple(e) for e in entries)
+        dvs[b] = sorted([list(e) for e in merged])
+    touched = sorted(int(b) for b in dvs)
+    # pointer-preserving touch: same rels, data_change stamps move
+    # (readers and OCC must see the content change), zero data bytes
+    touched_rels = {str(b): manifest["buckets"][str(b)] for b in touched}
+    new_manifest = _flip_version(
+        lake_dir,
+        manifest,
+        commit_rel="",
+        touched=[],
+        n_buckets=manifest["n_buckets"],
+        retain_versions=retain_versions,
+        extra={
+            "delete_dv": {
+                "version": manifest["version"] + 1,
+                "entities": len(matched),
+            }
+        },
+        data_change=True,
+        touched_rels=touched_rels,
+        deletion_vectors=dvs,
+    )
+    return {
+        "version": int(new_manifest["version"]),
+        "deleted_buckets": len(touched),
+        "deleted_rows": len(matched),
+        "dv_entries": sum(len(v) for v in dvs.values()),
+    }
+
+
+def add_constraint(
+    spark, lake_dir: str, name: str, expr: str, retain_versions: int = 2
+) -> dict:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK — record a SQL
+    predicate every future merge batch's visible rows must satisfy
+    (enforced at write time by ``_enforce_constraints``; SQL-standard
+    semantics — NULL passes, only FALSE violates). Like Delta, the
+    EXISTING table is validated first (one scan of the visible rows —
+    the honest cost of promising the invariant holds), then the
+    constraint set is published as a METADATA-ONLY commit. A
+    concurrent optimistic merge staged against the pre-constraint
+    manifest detects the changed set at flip time and recomputes —
+    re-validating under the new constraints — so no unvalidated batch
+    can slip past the add."""
+    if not name or not isinstance(name, str):
+        raise ValueError(f"constraint name must be a non-empty string, got {name!r}")
+    if not expr or not isinstance(expr, str):
+        raise ValueError(f"constraint expr must be a non-empty SQL string, got {expr!r}")
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to constrain")
+        cons = dict(manifest.get("constraints", {}))
+        if cons.get(name) == expr:
+            return {"version": int(manifest["version"]), "constraints": cons}
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists as {cons[name]!r}; "
+                "drop it first (constraints never mutate in place)"
+            )
+        live = log._read_live(spark, lake_dir, manifest)
+        if live is not None:
+            n_bad = (
+                live.filter(F.col("last_type") != "delete")
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r} ({expr!r}): {n_bad} existing "
+                    "visible row(s) violate it"
+                )
+        cons[name] = expr
+        new_manifest = _flip_version(
+            lake_dir,
+            manifest,
+            commit_rel="",
+            touched=[],
+            n_buckets=manifest["n_buckets"],
+            retain_versions=retain_versions,
+            extra={"constraints": cons},
+            data_change=False,  # pure metadata: CDF consumers skip it
+            touched_rels={},
+        )
+        return {"version": int(new_manifest["version"]), "constraints": cons}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def drop_constraint(lake_dir: str, name: str, retain_versions: int = 2) -> dict:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only commit
+    removing one CHECK predicate; unknown names are a no-op returning
+    the live version (Delta's IF EXISTS posture)."""
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest")
+        cons = dict(manifest.get("constraints", {}))
+        if name not in cons:
+            return {"version": int(manifest["version"]), "constraints": cons}
+        del cons[name]
+        new_manifest = _flip_version(
+            lake_dir,
+            manifest,
+            commit_rel="",
+            touched=[],
+            n_buckets=manifest["n_buckets"],
+            retain_versions=retain_versions,
+            extra={"constraints": cons},
+            data_change=False,
+            touched_rels={},
+        )
+        return {"version": int(new_manifest["version"]), "constraints": cons}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
+    """SHALLOW CLONE — a zero-copy fork of the table at a version:
+    the clone is a fresh lake whose version-1 commit repoints every
+    bucket at the SOURCE's data directories by absolute path; no data
+    bytes move. Writes to the clone are copy-on-write at bucket
+    granularity — a merge/compact/delete repoints only its touched
+    buckets at clone-local commit dirs, untouched buckets keep
+    reading the source's files — and never touch the source (the
+    clone's GC collects only clone-local dirs: absolute references
+    are structurally outside its ``commits/`` namespace). The clone
+    starts its own history at version 1 (expressed as an ordinary
+    ``replace_all`` commit-log delta, so readers, CDF, OCC and GC
+    need no special casing), carrying the source's schema epoch and
+    zone maps (they describe exactly the referenced files).
+
+    The Delta shallow-clone hazard carries over verbatim: the clone
+    does NOT pin the source's files. A source VACUUM (or merge-GC)
+    that expires the cloned version breaks the clone's unrewritten
+    buckets — size the source's retention to cover the clone's
+    lifetime, or compact the clone (a full physical rewrite
+    localizes every bucket and severs the dependency). Returns
+    ``{"version": 1, "n_buckets", "cloned_from"}``."""
+    src_abs = os.path.abspath(src_dir)
+    m = _manifest_at(src_abs, version)
+    if m is None:
+        raise ValueError(f"lake at {src_dir} has no manifest to clone")
+    legacy = sorted(
+        b for b, rel in m["buckets"].items() if rel.startswith("bucket=")
+    )
+    if legacy:
+        # legacy root dirs partition-encode the bucket value (read
+        # with basePath inference); an absolute clone reference would
+        # read them as commit paths and lose the bucket column —
+        # fail fast instead of committing unreadable pointers
+        raise ValueError(
+            f"lake at {src_dir} still carries pre-manifest legacy bucket "
+            f"dirs ({len(legacy)}); run one merge/compact to migrate them "
+            "into commit dirs before cloning"
+        )
+    os.makedirs(dst_dir, exist_ok=True)
+    if _read_pointer(dst_dir) is not None:
+        raise ValueError(f"clone destination {dst_dir} is already a lake")
+    touched = {
+        b: rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+        for b, rel in m["buckets"].items()
+    }
+    extra: dict = {"cloned_from": {"source": src_abs, "version": int(m["version"])}}
+    if m.get("columns"):
+        extra["columns"] = list(m["columns"])
+    delta = {
+        "format": 2,
+        "version": 1,
+        "n_buckets": m["n_buckets"],
+        "replace_all": True,
+        "touched": touched,
+        "data_change": True,
+        "extra": extra,
+        "committed_at": _next_commit_stamp(None),
+    }
+    if m.get("file_stats"):
+        delta["file_stats"] = {
+            b: st for b, st in m["file_stats"].items() if b in touched
+        }
+    if m.get("deletion_vectors"):
+        # the clone reads the SOURCE's files, so the source's read-
+        # time redactions must ride along (dropping them would
+        # resurrect redacted content in the fork)
+        delta["deletion_vectors"] = {
+            b: v for b, v in m["deletion_vectors"].items() if b in touched
+        }
+    manifest = _apply_delta(None, delta)
+    os.makedirs(os.path.join(dst_dir, LOG_DIR), exist_ok=True)
+    _atomic_write_json(_checkpoint_path(dst_dir, 1), manifest, sync_dir=True)
+    _atomic_write_json(_delta_path(dst_dir, 1), delta, sync_dir=True)
+    log._commit_manifest(dst_dir, {"format": 2, "version": 1, "floor": 1})
+    return {
+        "version": 1,
+        "n_buckets": int(m["n_buckets"]),
+        "cloned_from": extra["cloned_from"],
+    }

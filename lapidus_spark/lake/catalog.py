@@ -1,0 +1,201 @@
+"""Multi-table transactional commits — the CATALOG plane.
+
+The reference assembles per-TRANSACTION batches spanning tables and
+emits them atomically (``DatabaseTransaction``, src/postgresql.js:
+487-501: items in statement order, one ``transaction`` event at
+commit). The per-table lake gives atomicity per TABLE only; this
+module carries the reference's per-tx atomicity to the lake
+(VERDICT r9 #6): one catalog commit references N table versions, and
+a reader resolving THROUGH the catalog gets a tx-consistent snapshot
+across tables — it can never see table A's half of a transaction
+without table B's.
+
+Layout — a catalog directory containing one ordinary lake per table
+plus its own tiny metadata plane::
+
+    catalog_dir/
+      <table>/...                 ordinary lakes (own commit logs)
+      _catalog_log/<v>.json       {"version", "txid", "tables": {t: v}}
+      _lapidus_catalog.json       pointer {"version", "txid"}
+
+Commit protocol (single ordered writer, like the reference's one
+replication stream; the catalog lock enforces it):
+
+1. merge each table's batch into ITS lake with the idempotence
+   marker ``txn=("catalog", txid)`` — a replayed tx skips the Spark
+   work outright (the lake's txn watermark), so crash replays are
+   FREE, not merely correct;
+2. write the catalog log entry — the FULL table→version map
+   (metadata-sized: O(tables), like the reference's per-tx item
+   list), fsynced;
+3. atomically flip the catalog pointer. The rename IS the tx commit:
+   a crash anywhere before it leaves the previous catalog version —
+   and therefore the previous tx-consistent view of EVERY table —
+   fully intact, even though some tables' own pointers already
+   advanced (their new versions are simply not catalog-visible, the
+   same not-yet-referenced posture as staged commit dirs).
+
+Ordering contract: txids are committed strictly increasing by ONE
+writer — the reference's stream order (``currentTxId ===
+line.commit`` assertion, postgresql.js:463). A crashed tx must be
+replayed (same txid) before the next txid commits; the source's
+checkpointed offsets give exactly that order for free.
+
+Retention contract: a catalog version references table versions, so
+each table's ``retain_versions`` must cover the catalog horizon a
+reader may resolve (the same reader-vs-GC rule as everywhere else).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from . import log, merge, stats
+
+CATALOG_POINTER = "_lapidus_catalog.json"
+CATALOG_LOG = "_catalog_log"
+
+#: the per-table txn-marker app id all catalog commits share — one
+#: watermark per lake, monotone in txid
+CATALOG_APP = "catalog"
+
+
+def _pointer_path(catalog_dir: str) -> str:
+    return os.path.join(catalog_dir, CATALOG_POINTER)
+
+
+def _entry_path(catalog_dir: str, version: int) -> str:
+    return os.path.join(catalog_dir, CATALOG_LOG, f"{version:010d}.json")
+
+
+def read_catalog_pointer(catalog_dir: str) -> dict | None:
+    try:
+        with open(_pointer_path(catalog_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def catalog_entry(catalog_dir: str, version: int | None = None) -> dict:
+    """The catalog's committed table→version map at ``version`` (live
+    by default). Each entry is self-contained (full map), so
+    resolution is ONE tiny JSON read — no delta replay."""
+    pointer = read_catalog_pointer(catalog_dir)
+    if pointer is None:
+        raise ValueError(f"{catalog_dir} has no catalog pointer")
+    v = int(pointer["version"]) if version is None else int(version)
+    if v < 1 or v > int(pointer["version"]):
+        raise ValueError(
+            f"catalog at {catalog_dir} has no version {v} (live is "
+            f"{pointer['version']})"
+        )
+    with open(_entry_path(catalog_dir, v)) as f:
+        return json.load(f)
+
+
+def commit_multi_table_tx(
+    catalog_dir: str,
+    batches: dict[str, DataFrame],
+    txid: int,
+    retain_versions: int = 2,
+    n_buckets: int | None = None,
+) -> dict:
+    """Commit one transaction's per-table batches atomically (see the
+    module docstring for the protocol). Returns the committed catalog
+    entry; a replayed txid (≤ the committed watermark) returns the
+    LIVE entry without touching anything — the whole tx is idempotent
+    end to end, markers included."""
+    if isinstance(txid, bool) or not isinstance(txid, int) or txid < 1:
+        raise ValueError(f"txid must be a positive int, got {txid!r}")
+    if not batches:
+        raise ValueError("commit_multi_table_tx needs at least one table batch")
+    for t in batches:
+        if not t or "/" in t or t.startswith("_"):
+            raise ValueError(f"invalid table name {t!r}")
+    os.makedirs(catalog_dir, exist_ok=True)
+    lock = log._acquire_lock(catalog_dir, wait_s=log.LOCKED_WAIT_S)
+    try:
+        pointer = read_catalog_pointer(catalog_dir)
+        last_txid = int(pointer["txid"]) if pointer else 0
+        if txid <= last_txid:
+            # replayed tx: already atomically visible — a re-commit
+            # would double-apply nothing (markers) but would burn a
+            # catalog version; skip outright
+            return catalog_entry(catalog_dir)
+        # 1. per-table merges, marker-idempotent. A crash mid-loop
+        # leaves some tables advanced but NOT catalog-visible; the
+        # replay's merges skip the done ones (free) and finish the
+        # rest before the flip.
+        for table in sorted(batches):
+            merge.merge_batch_into_lake(
+                batches[table],
+                os.path.join(catalog_dir, table),
+                n_buckets=n_buckets,
+                retain_versions=retain_versions,
+                txn=(CATALOG_APP, txid),
+            )
+        # 2. the tx-consistent map: every table this catalog has ever
+        # committed, at its current version (tables untouched by this
+        # tx carry forward — their versions did not move: the catalog
+        # lock is the single writer for every table under it)
+        prev_tables = catalog_entry(catalog_dir)["tables"] if pointer else {}
+        tables = dict(prev_tables)
+        for table in batches:
+            m = log._read_manifest(os.path.join(catalog_dir, table))
+            tables[table] = int(m["version"])
+        version = (int(pointer["version"]) if pointer else 0) + 1
+        entry = {"version": version, "txid": int(txid), "tables": tables}
+        os.makedirs(os.path.join(catalog_dir, CATALOG_LOG), exist_ok=True)
+        log._atomic_write_json(_entry_path(catalog_dir, version), entry, sync_dir=True)
+        # 3. THE tx commit point (crash tests SIGKILL here: the tx
+        # must be all-or-nothing across tables at this exact rename)
+        log._failpoint("catalog.before_flip")
+        log._atomic_write_json(
+            _pointer_path(catalog_dir),
+            {"version": version, "txid": int(txid)},
+            sync_dir=True,
+        )
+        return entry
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def read_catalog_table(
+    spark, catalog_dir: str, table: str, catalog_version: int | None = None
+) -> DataFrame:
+    """Tx-consistent read: resolve ``table`` through the catalog's
+    committed map (live or a retained earlier catalog version) and
+    time-travel the table's own lake to exactly that version. Two
+    tables read under the SAME catalog version always observe the
+    same transactions — the reader-side half of the atomicity
+    contract."""
+    entry = catalog_entry(catalog_dir, catalog_version)
+    if table not in entry["tables"]:
+        raise ValueError(
+            f"catalog at {catalog_dir} (version {entry['version']}) has no "
+            f"table {table!r}; tables: {sorted(entry['tables'])}"
+        )
+    return stats.read_lake_snapshot(
+        spark, os.path.join(catalog_dir, table), version=entry["tables"][table]
+    )
+
+
+def describe_catalog_history(catalog_dir: str) -> list[dict]:
+    """One row per committed catalog version, newest first — the
+    tx-level DESCRIBE HISTORY."""
+    pointer = read_catalog_pointer(catalog_dir)
+    if pointer is None:
+        return []
+    out = []
+    for v in range(int(pointer["version"]), 0, -1):
+        try:
+            out.append(catalog_entry(catalog_dir, v))
+        except FileNotFoundError:
+            break
+    return out

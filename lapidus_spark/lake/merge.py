@@ -1,0 +1,821 @@
+"""Lake MERGE plane: the last-write-wins combine, the locked and
+optimistic (OCC) merge writers, schema evolution on merge, CHECK
+constraint enforcement, txn idempotency markers, and the streaming
+``merge_lake_sink``. Imports the commit-log plane (``log``) and the
+admin plane (``admin``, for in-line compaction only).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from . import log
+from .admin import compact_lake
+from .log import (
+    MERGE_LAKE_BUCKETS,
+    MANIFEST_NAME,
+    LOCKED_WAIT_S,
+    ConcurrentMergeError,
+    CommitConflictError,
+    ConstraintViolationError,
+    _LAKE_COLS,
+    _PARTITION_COL,
+    _acquire_lock,
+    _align_extras,
+    _bucket_content_changed,
+    _flip_version,
+    _healed_manifest,
+    _is_missing_file_error,
+    _manifest_columns,
+    _publish_version,
+    _read_manifest,
+    _validate_merge_args,
+)
+
+def snapshot_stream(envelopes: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Incremental last-write-wins state per entity over the envelope
+    stream (same semantics as the batch win_cdc_snapshot query,
+    including delete tombstones — kept so the sink can purge).
+    ``extra_cols`` carries additional envelope attributes into the
+    snapshot row alongside the core five — the lake's schema-evolution
+    path (the winning event's values ride the same max_by)."""
+    return envelopes.groupBy(F.col("pk").alias("entity_id")).agg(
+        F.max_by(
+            F.struct("event_seq", "ts", "type", "item", *extra_cols),
+            F.struct("ts", "event_seq"),
+        ).alias("last")
+    ).select(
+        "entity_id",
+        F.col("last.event_seq").alias("last_seq"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.type").alias("last_type"),
+        F.col("last.item").alias("item"),
+        *[F.col(f"last.{c}").alias(c) for c in extra_cols],
+    )
+
+
+def _lww_combine(envelopes_or_rows: DataFrame, extra_names: tuple = ()) -> DataFrame:
+    """Last-write-wins combine over snapshot-shaped rows: one row per
+    entity_id, winner by (last_ts, last_seq). A semilattice join —
+    commutative, associative, idempotent — which is what makes the
+    merge correct under ANY batch arrival order and under replays.
+    Accreted extra columns ride the winner's struct."""
+    return (
+        envelopes_or_rows.groupBy("entity_id")
+        .agg(
+            F.max_by(
+                F.struct("last_seq", "last_ts", "last_type", "item", "bucket", *extra_names),
+                F.struct("last_ts", "last_seq"),
+            ).alias("last")
+        )
+        .select(
+            "entity_id",
+            F.col("last.last_seq").alias("last_seq"),
+            F.col("last.last_ts").alias("last_ts"),
+            F.col("last.last_type").alias("last_type"),
+            F.col("last.item").alias("item"),
+            F.col("last.bucket").alias("bucket"),
+            *[F.col(f"last.{c}").alias(c) for c in extra_names],
+        )
+    )
+
+
+#: process-level OCC outcome counters (observability for multi-writer
+#: deployments and the two-daemon E2E test): a CONFLICT is a staged
+#: merge dropped and recomputed because a concurrent commit
+#: data-changed its buckets (a real lost race); a REBASE is a flip
+#: applied onto a manifest that moved under the staging without
+#: touching this merge's buckets' content (the cheap win).
+OCC_CONFLICTS = 0
+OCC_REBASES = 0
+
+
+def merge_batch_into_lake(
+    batch_df: DataFrame,
+    lake_dir: str,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
+    extra_cols: tuple = (),
+    txn: tuple | None = None,
+) -> None:
+    """One MERGE step (steps 1-4 of merge_lake_sink's contract),
+    callable directly on a batch DataFrame — the unit the idempotency,
+    order-independence, and crash tests drive without a streaming
+    harness.
+
+    ``n_buckets`` defines the table's physical layout, so it is
+    pinned in the manifest on first write; a later merge with a
+    different value raises instead of silently corrupting the table
+    (updates would hash to new buckets while stored rows keep their
+    old ones, so the affected-bucket read-back would miss them).
+    Pass ``n_buckets=None`` to ADOPT the pinned layout — the right
+    call for writers that should follow ``rebucket_lake`` layout
+    changes instead of asserting a fixed one.
+
+    ``retain_versions`` is an operational knob (not pinned): how many
+    committed versions' data GC keeps after this merge. 1 = live
+    only; K > 1 enables ``read_lake_snapshot(version=...)`` time
+    travel and ``lake_changes`` over the last K versions.
+
+    ``extra_cols`` names envelope attributes to carry into the lake
+    row beyond the core five — SCHEMA EVOLUTION ON MERGE: a column
+    the lake has not seen accretes a new schema epoch (recorded in
+    the manifest, so time travel reads each version under its own
+    schema); files older than the evolution null-fill on read; a
+    known column missing from this batch null-fills on write. Types
+    never mutate — a redeclared column with a different type
+    raises.
+
+    ``txn=(app_id, version)`` makes the merge IDEMPOTENT BY MARKER
+    (Delta's txnAppId/txnVersion): the manifest records each app's
+    high-water version, and a merge whose version is ≤ the recorded
+    one is SKIPPED outright — no Spark job, no bucket rewrite, no new
+    version. The LWW combine already makes replays CORRECT; the
+    marker makes them FREE, which is what a restarted foreachBatch
+    sink redelivering its last epoch wants at 100 TB (re-merging a
+    replayed batch would otherwise rewrite its touched buckets to
+    produce identical bytes). Versions must be monotonically
+    increasing per app."""
+    _validate_merge_args(n_buckets, retain_versions)
+    _validate_extra_cols(extra_cols)
+    _validate_txn(txn)
+    spark = batch_df.sparkSession
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        _merge_locked(
+            spark, batch_df, lake_dir, n_buckets, retain_versions, extra_cols, txn
+        )
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _resolve_base(lake_dir: str, n_buckets: int | None, adopt_legacy: bool):
+    """Shared merge preamble: the healed base manifest plus the
+    resolved bucket count (pinned layout wins; a mismatch raises).
+    A pre-manifest legacy layout (root bucket=K dirs, no manifest) is
+    ADOPTED as version 0 on the locked path; the optimistic path
+    REFUSES it instead (``adopt_legacy=False``) — silently treating
+    the un-manifested table as empty would replace it with the batch
+    and GC the standing files."""
+    manifest = _healed_manifest(lake_dir)
+    if n_buckets is None:
+        n_buckets = manifest["n_buckets"] if manifest else MERGE_LAKE_BUCKETS
+    if manifest is not None and manifest["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"lake at {lake_dir} has n_buckets={manifest['n_buckets']} "
+            f"(pinned in {MANIFEST_NAME}); merge called with {n_buckets} — "
+            "the bucket layout only changes through rebucket_lake "
+            "(pass n_buckets=None to adopt the pinned layout)"
+        )
+    if manifest is None and os.path.isdir(lake_dir):
+        # pre-manifest layout (root bucket=K dirs from the r6 dynamic-
+        # overwrite scheme): adopt the existing dirs as the live set;
+        # subsequent merges migrate touched buckets into commit dirs.
+        legacy = sorted(
+            d for d in os.listdir(lake_dir) if d.startswith("bucket=") and "=" in d
+        )
+        if legacy:
+            if not adopt_legacy:
+                raise ValueError(
+                    f"lake at {lake_dir} has a pre-manifest legacy layout "
+                    f"({len(legacy)} root bucket= dirs, no {MANIFEST_NAME}); "
+                    "the optimistic merge cannot adopt it safely — run one "
+                    "locked merge_batch_into_lake first to migrate it"
+                )
+            manifest = {
+                "format": 1,
+                "version": 0,
+                "n_buckets": n_buckets,
+                "buckets": {d.split("=", 1)[1]: d for d in legacy},
+            }
+    return manifest, n_buckets
+
+
+def _merged_for_batch(
+    spark, lake_dir: str, manifest: dict | None, updates, n_buckets: int, all_extras=()
+):
+    """Shared merge compute: the touched-bucket list (metadata-sized
+    collect) and the LWW combine of the affected buckets' current
+    rows with the batch — everything about a merge EXCEPT the commit
+    protocol, so the locked/optimistic twins differ only in locking.
+    ``updates`` must already be persisted by the caller. ``all_extras``
+    is the POST-merge schema epoch (manifest columns + any accreted by
+    this batch); both sides null-fill to it before combining."""
+    all_extras = list(all_extras)
+    touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+    if not touched:
+        return [], None
+    current = log._read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
+    names = tuple(c["name"] for c in all_extras)
+    updates = _align_extras(updates, all_extras)
+    if current is not None:
+        merged = _lww_combine(
+            _align_extras(current, all_extras).unionByName(updates), names
+        )
+    else:
+        merged = _lww_combine(updates, names)
+    return touched, merged
+
+
+def _validate_extra_cols(extra_cols: tuple) -> None:
+    """Reject declarations that can never be valid BEFORE any plan is
+    built (a colliding name would otherwise surface as an ambiguous-
+    field AnalysisException deep inside the snapshot struct; a
+    non-identifier name would break the dotted struct-field access in
+    ``snapshot_stream`` or the DDL string ``_snapshot_schema``
+    interpolates)."""
+    import re
+
+    seen = set()
+    for name in extra_cols:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name or ""):
+            raise ValueError(
+                f"extra column {name!r} is not a plain identifier "
+                "([A-Za-z_][A-Za-z0-9_]*) — dotted/quoted/spaced names would "
+                "break struct-field access and schema DDL downstream"
+            )
+        if name in _LAKE_COLS or name in ("pk", "event_seq", "ts", "type"):
+            raise ValueError(f"extra column {name!r} collides with a core lake column")
+        if name in (_PARTITION_COL, "__z"):
+            # writer internals: _stage_commit overwrites pb with the
+            # bucket id and partitionBy drops it from the data files;
+            # a Z-order compact overwrites and drops __z — either way
+            # the user's values would be silently destroyed
+            raise ValueError(
+                f"extra column {name!r} collides with a writer-internal column"
+            )
+        if name in seen:
+            raise ValueError(f"extra column {name!r} declared twice")
+        seen.add(name)
+
+
+#: safe type-widening chains (VERDICT r9 #4 — real producers widen):
+#: a column may move RIGHTWARD along its chain; the epoch records the
+#: widest type ever declared and the read side requests it explicitly
+#: (Spark 4's parquet widening promotion reads the narrower old files
+#: up — see ``log._read_commit_files``). Decimal precision growth at
+#: equal scale is handled separately.
+_WIDENING_CHAINS = (
+    ("tinyint", "smallint", "int", "bigint"),
+    ("float", "double"),
+)
+
+
+def _widens(new_type: str, old_type: str) -> bool:
+    """Is ``new_type`` a declared-safe widening of ``old_type``?"""
+    import re
+
+    for chain in _WIDENING_CHAINS:
+        if old_type in chain and new_type in chain:
+            return chain.index(new_type) > chain.index(old_type)
+    m_old = re.fullmatch(r"decimal\((\d+),(\d+)\)", old_type)
+    m_new = re.fullmatch(r"decimal\((\d+),(\d+)\)", new_type)
+    if m_old and m_new and m_old.group(2) == m_new.group(2):
+        # precision growth at the same scale: every old value is
+        # exactly representable in the new type
+        return int(m_new.group(1)) > int(m_old.group(1))
+    return False
+
+
+def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple):
+    """The post-merge schema epoch: the manifest's accreted columns
+    plus any NEW ones this batch declares, with TYPE WIDENING for
+    known ones (``(all_extras, evolved)``; ``evolved`` is truthy only
+    when the epoch actually changes — commits that don't evolve must
+    not rewrite the columns record).
+
+    Redeclaring a known column under a WIDER type along a safe chain
+    (int→bigint, float→double, decimal precision growth at equal
+    scale) widens the epoch: the manifest records the new type, old
+    files read up under the explicit epoch schema, and every retained
+    pre-widening version still time-travels under its own narrower
+    epoch. Redeclaring under a NARROWER type is accepted without
+    evolving (the batch's values cast up into the pinned type —
+    ``_align_extras``); anything off-chain still raises."""
+    base_extras = _manifest_columns(manifest)
+    known = {c["name"]: c["type"] for c in base_extras}
+    new_cols = []
+    widened: dict[str, str] = {}
+    for name in extra_cols:
+        dtype = updates.schema[name].dataType.simpleString()
+        if name in known:
+            if known[name] == dtype:
+                continue
+            if _widens(dtype, known[name]):
+                widened[name] = dtype
+            elif _widens(known[name], dtype):
+                pass  # narrower batch: cast up at align time, no evolution
+            else:
+                raise ValueError(
+                    f"extra column {name!r} is pinned as {known[name]} in the "
+                    f"lake schema; this batch declares {dtype} — only safe "
+                    f"widenings mutate a column's type ({_WIDENING_CHAINS}, "
+                    "decimal precision growth at equal scale); add a new "
+                    "column otherwise"
+                )
+        else:
+            new_cols.append({"name": name, "type": dtype})
+    evolved_base = [
+        {"name": c["name"], "type": widened.get(c["name"], c["type"])}
+        for c in base_extras
+    ]
+    return evolved_base + new_cols, bool(new_cols) or bool(widened)
+
+
+def _merge_locked(
+    spark,
+    batch_df: DataFrame,
+    lake_dir: str,
+    n_buckets: int | None,
+    retain_versions: int,
+    extra_cols: tuple = (),
+    txn: tuple | None = None,
+) -> None:
+    manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
+    if _txn_already_applied(manifest, txn):
+        return  # replayed batch: the marker makes the no-op FREE
+    updates = snapshot_stream(batch_df, extra_cols).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
+    )
+    all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
+    updates = updates.persist()
+    try:
+        _enforce_constraints(manifest, updates, all_extras)
+        touched, merged = _merged_for_batch(
+            spark, lake_dir, manifest, updates, n_buckets, all_extras
+        )
+        if not touched:
+            return
+        _publish_version(
+            lake_dir,
+            manifest,
+            merged,
+            touched,
+            n_buckets,
+            retain_versions,
+            extra={"columns": all_extras} if evolved else None,
+            txn=txn,
+        )
+    finally:
+        updates.unpersist()
+
+
+def _validate_txn(txn) -> None:
+    if txn is None:
+        return
+    if (
+        not isinstance(txn, (tuple, list))
+        or len(txn) != 2
+        or not isinstance(txn[0], str)
+        or not txn[0]
+        or isinstance(txn[1], bool)
+        or not isinstance(txn[1], int)
+    ):
+        raise ValueError(
+            f"txn must be (app_id: non-empty str, version: int), got {txn!r}"
+        )
+
+
+def _txn_already_applied(manifest: dict | None, txn: tuple | None) -> bool:
+    if txn is None or manifest is None:
+        return False
+    recorded = manifest.get("txns", {}).get(str(txn[0]))
+    return recorded is not None and int(recorded) >= int(txn[1])
+
+
+def _enforce_constraints(manifest: dict | None, updates: DataFrame, all_extras) -> None:
+    """CHECK constraints at write time (Delta's enforcement point):
+    every VISIBLE row of the batch must satisfy every recorded
+    constraint — one aggregate job over the batch (never the table),
+    zero cost when the table has no constraints. SQL-standard CHECK
+    semantics: NULL (unknown) passes, only FALSE violates. Tombstones
+    are exempt (their payload is nulled by design)."""
+    cons = (manifest or {}).get("constraints", {})
+    if not cons:
+        return
+    vis = _align_extras(updates, all_extras).filter(F.col("last_type") != "delete")
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).alias(n)
+        for n, e in sorted(cons.items())
+    ]
+    row = vis.agg(*aggs).first()
+    bad = {n: int(row[n]) for n in sorted(cons) if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"merge batch violates CHECK constraint(s) {bad} "
+            f"({ {n: cons[n] for n in bad} }); commit refused, table unchanged"
+        )
+
+
+#: one-shot guard for the cross-process race barrier below
+_ENV_BARRIER_DONE = False
+
+
+def _env_race_barrier(attempt: int) -> None:
+    """Cross-PROCESS twin of the in-session ``_race_hook`` seam: when
+    ``LAPIDUS_OCC_BARRIER=<dir>:<n>`` is set, the FIRST merge of this
+    process pauses once between staging and flip until ``n`` processes
+    have staged — so a multi-daemon test provably overlaps the
+    stage-to-flip windows instead of hoping JVM startup skew lines up.
+    Inert without the env var; proceeds after a bounded wait if a
+    sibling never arrives (a hung sibling must not deadlock a
+    commit)."""
+    global _ENV_BARRIER_DONE
+    spec = os.environ.get("LAPIDUS_OCC_BARRIER", "")
+    if not spec:
+        return
+    import sys
+    import time
+
+    if _ENV_BARRIER_DONE or attempt > 0:
+        print(
+            f"[occ_barrier {os.getpid()}] skip (done={_ENV_BARRIER_DONE}, "
+            f"attempt={attempt})",
+            file=sys.stderr,
+            flush=True,
+        )
+        return
+    _ENV_BARRIER_DONE = True
+    parts = spec.split(":")
+    d, n = ":".join(parts[:-2]) if len(parts) > 2 else parts[0], int(parts[-2] if len(parts) > 2 else parts[-1])
+    timeout_s = float(parts[-1]) if len(parts) > 2 else 120.0
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"staged.{os.getpid()}"), "w") as fh:
+        fh.write("staged")
+    print(f"[occ_barrier {os.getpid()}] staged, waiting for {n}", file=sys.stderr, flush=True)
+    deadline = time.time() + timeout_s
+    while len([f for f in os.listdir(d) if f.startswith("staged.")]) < n:
+        if time.time() > deadline:
+            print(f"[occ_barrier {os.getpid()}] timeout", file=sys.stderr, flush=True)
+            return
+        time.sleep(0.05)
+    print(f"[occ_barrier {os.getpid()}] released", file=sys.stderr, flush=True)
+
+
+def _occ_conflicts(base: dict | None, cur: dict | None, touched: list, n_buckets: int) -> bool:
+    """Must an optimistic merge computed against ``base`` recompute
+    before flipping onto ``cur``? False when nothing landed in
+    between, or when everything that landed provably left the
+    merge's ``touched`` buckets' CONTENT alone — the per-bucket
+    ``data_versions`` stamps prove that across pointer moves, so an
+    interleaved compaction (pure physical rewrite) never forces a
+    recompute. A layout change (rebucket) always conflicts: bucket
+    ids are not comparable across layouts."""
+    base_v = base["version"] if base else 0
+    cur_v = cur["version"] if cur else 0
+    if cur_v == base_v:
+        return False
+    if cur is None or cur["n_buckets"] != n_buckets:
+        return True
+    if (cur or {}).get("columns") != (base or {}).get("columns"):
+        # an intervening commit EVOLVED the schema: this merge's
+        # staged files predate the epoch and its delta would clobber
+        # the columns record — recompute under the fresh manifest
+        return True
+    if (cur or {}).get("constraints") != (base or {}).get("constraints"):
+        # the constraint set changed under the staging: the staged
+        # rows were validated against the OLD set — recompute (and
+        # re-validate) under the fresh manifest
+        return True
+    if base is None:
+        # merged against an empty table: any intervening write to a
+        # touched bucket would be lost by our snapshot — conflict.
+        return any(str(b) in cur["buckets"] for b in touched)
+    return any(_bucket_content_changed(base, cur, str(b)) for b in touched)
+
+
+def merge_batch_optimistic(
+    batch_df: DataFrame,
+    lake_dir: str,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
+    max_attempts: int = 5,
+    flip_wait_s: float = 30.0,
+    extra_cols: tuple = (),
+    txn: tuple | None = None,
+    _race_hook: Callable[[int], None] | None = None,
+) -> dict | None:
+    """MERGE with OPTIMISTIC concurrency control — multiple writers
+    share one lake, Delta-style. Where ``merge_batch_into_lake``
+    holds the single-writer lock across the whole merge (Spark jobs
+    included), this writer:
+
+    1. reads the manifest (the BASE version) with no lock;
+    2. computes the merged buckets against base and stages them into
+       a uniquely-named commit dir ``commits/<v>.<nonce>`` — the
+       expensive Spark work, fully concurrent with other writers
+       (the nonce prevents dir collisions; GC's grace window keeps a
+       concurrent committer from collecting the staging);
+    3. takes the lock only for the FLIP (a JSON rename — the critical
+       section shrinks from the whole merge to milliseconds), re-reads
+       the manifest, and:
+       - unchanged → flip normally;
+       - advanced, but every intervening commit left this merge's
+         buckets' content alone (disjoint-bucket merges; compactions
+         — their ``data_versions`` stamps carry through) → REBASE:
+         flip the staged pointers onto the newer manifest;
+       - a data change in one of OUR buckets, or a rebucket → the
+         merge was computed against stale content: drop the staging,
+         recompute against the fresh manifest, retry (bounded by
+         ``max_attempts``, then ``CommitConflictError``).
+
+    The flip order serializes writers; each one's LWW combine is a
+    semilattice join, so any interleaving converges to the same
+    snapshot a serial replay would produce. Reader/GC contract: a
+    concurrent commit with ``retain_versions=1`` may GC the base
+    version's files while step 2 is still reading them — the staging
+    fails and retries against the fresh manifest (run concurrent
+    writers with ``retain_versions >= 2`` to make that window a full
+    version wide; same posture as Delta VACUUM vs in-flight reads).
+    Requires a manifested lake (or an empty/new dir); pre-manifest
+    legacy layouts migrate via one locked merge first.
+
+    Returns the committed manifest — or, for an empty batch, the
+    base manifest unchanged (None only if the lake is empty too): an
+    empty batch commits nothing, and the return mirrors what a reader
+    would see. Refuses pre-manifest legacy layouts (run one locked
+    merge first — see ``_resolve_base``). ``_race_hook(attempt)`` is
+    a test seam invoked between staging and flip — deterministic
+    interleave injection.
+
+    ``txn=(app_id, version)`` is the idempotence marker (see
+    ``merge_batch_into_lake``): already-applied versions skip at
+    stage time (free) AND at flip time (a same-app sibling that
+    committed the marker mid-race turns this writer's flip into a
+    skip instead of a double apply); the marker merges into the
+    manifest's per-app watermark map first-class, so a REBASE onto a
+    moved manifest never clobbers a sibling app's watermark."""
+    _validate_merge_args(n_buckets, retain_versions)
+    _validate_extra_cols(extra_cols)
+    _validate_txn(txn)
+    import shutil
+    import uuid
+
+    spark = batch_df.sparkSession
+    snap = snapshot_stream(batch_df, extra_cols)
+    #: staging carried across attempts: (base, nb, touched, commit_rel,
+    #: all_extras, evolved) — a lock timeout with an UNCHANGED manifest
+    #: keeps the staged result (re-running the identical Spark job buys
+    #: nothing)
+    pending = None
+    try:
+        for attempt in range(max_attempts):
+            live = _read_manifest(lake_dir)
+            if pending is not None and (live["version"] if live else 0) == (
+                pending[0]["version"] if pending[0] else 0
+            ):
+                base, nb, touched, commit_rel, all_extras, evolved = pending
+            else:
+                if pending is not None:
+                    shutil.rmtree(
+                        os.path.join(lake_dir, pending[3]), ignore_errors=True
+                    )
+                pending = None
+                base, nb = _resolve_base(lake_dir, n_buckets, adopt_legacy=False)
+                if _txn_already_applied(base, txn):
+                    return base  # replayed batch: skip, zero Spark work
+                updates = snap.withColumn(
+                    "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
+                ).persist()
+                all_extras, evolved = _evolved_schema(base, updates, extra_cols)
+                commit_rel = None
+                try:
+                    _enforce_constraints(base, updates, all_extras)
+                    touched, merged = _merged_for_batch(
+                        spark, lake_dir, base, updates, nb, all_extras
+                    )
+                    if not touched:
+                        return base
+                    commit_rel = (
+                        f"commits/{(base['version'] if base else 0) + 1:010d}"
+                        f".{uuid.uuid4().hex[:8]}"
+                    )
+                    log._stage_commit(lake_dir, merged, touched, commit_rel)
+                except Exception as exc:
+                    if commit_rel is not None:
+                        shutil.rmtree(
+                            os.path.join(lake_dir, commit_rel), ignore_errors=True
+                        )
+                    # retry ONLY the documented GC-vs-read race: the
+                    # manifest moved AND the failure is a missing-file
+                    # error. A deterministic staging failure (schema /
+                    # analysis bug, bad input) re-raises immediately —
+                    # retrying it max_attempts times would surface as
+                    # CommitConflictError and mask the root cause.
+                    live_now = _read_manifest(lake_dir)
+                    if (live_now["version"] if live_now else 0) != (
+                        base["version"] if base else 0
+                    ) and _is_missing_file_error(exc):
+                        continue
+                    raise
+                finally:
+                    updates.unpersist()
+            if _race_hook is not None:
+                _race_hook(attempt)
+            _env_race_barrier(attempt)
+            try:
+                lock = _acquire_lock(lake_dir, wait_s=flip_wait_s)
+            except ConcurrentMergeError:
+                # flip lock held past flip_wait_s (e.g. a LOCKED writer
+                # holding across its whole Spark job): absorbed by the
+                # retry budget, as CommitConflictError's contract says.
+                # The staging is KEPT — if the holder commits nothing
+                # new on our buckets, the next attempt reuses it
+                # instead of re-running the identical merge job.
+                pending = (base, nb, touched, commit_rel, all_extras, evolved)
+                continue
+            try:
+                cur = _healed_manifest(lake_dir)
+                if _txn_already_applied(cur, txn):
+                    # a same-app sibling committed this (or a later)
+                    # version mid-race: applying ours on top would be
+                    # the exact double apply the marker exists to stop
+                    shutil.rmtree(
+                        os.path.join(lake_dir, commit_rel), ignore_errors=True
+                    )
+                    pending = None
+                    return cur
+                # the staging must still exist before its pointers are
+                # published: a stage-to-flip gap longer than the GC
+                # grace (suspended process, long lock waits) or skewed
+                # mtimes (NFS, cross-host clocks) can let a concurrent
+                # committer's GC collect it — flipping then would
+                # commit dangling bucket pointers. Treat a missing
+                # staging as a conflict and recompute.
+                staged_alive = os.path.isdir(os.path.join(lake_dir, commit_rel))
+                if staged_alive and not _occ_conflicts(base, cur, touched, nb):
+                    pending = None
+                    if (cur["version"] if cur else 0) != (
+                        base["version"] if base else 0
+                    ):
+                        global OCC_REBASES
+                        OCC_REBASES += 1
+                    return _flip_version(
+                        lake_dir,
+                        cur,
+                        commit_rel,
+                        touched,
+                        nb,
+                        retain_versions,
+                        extra={"columns": all_extras} if evolved else None,
+                        txn=txn,
+                    )
+            finally:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+            # a conflicting commit landed between read and flip (or the
+            # staging was GC'd out from under us): drop the staging and
+            # recompute against the manifest it produced
+            global OCC_CONFLICTS
+            OCC_CONFLICTS += 1
+            pending = None
+            shutil.rmtree(os.path.join(lake_dir, commit_rel), ignore_errors=True)
+    finally:
+        if pending is not None:
+            shutil.rmtree(os.path.join(lake_dir, pending[3]), ignore_errors=True)
+    raise CommitConflictError(
+        f"optimistic merge into {lake_dir} lost {max_attempts} straight races "
+        "to concurrent data-changing commits or held flip locks on its buckets"
+    )
+
+
+def merge_lake_sink(
+    envelopes: DataFrame,
+    lake_dir: str,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
+    compact_every: int | None = None,
+    concurrency: str = "locked",
+    extra_cols: tuple = (),
+    txn_app_id: str | None = None,
+) -> DataStreamWriter:
+    """Idempotent, CRASH-ATOMIC MERGE-style CDC materialization into
+    a bucketed parquet lake table via ``foreachBatch`` + a manifest
+    commit pointer — the production consumer of the snapshot
+    semantics (sink_cache's populate/invalidate/purge intent,
+    nats.js:25-28) expressed as a table format instead of a KV
+    service, modeling the reference's no-loss-after-ack contract
+    (slot replay, src/postgresql.js:290-354) on the storage side.
+
+    Per micro-batch MERGE:
+
+    1. combine the batch to ≤1 row per key (last-write-wins), stamp
+       the hash bucket;
+    2. read back ONLY the affected buckets, resolved through the
+       manifest (path-level pruning — the bucket list is
+       metadata-sized, like the IVF probe's cell list);
+    3. LWW-merge existing rows with the batch rows — delete
+       tombstones are RETAINED in the lake (a tombstone must keep
+       winning over late-arriving older updates and over replays;
+       consumers filter ``last_type != 'delete'``, the purge view);
+    4. write the merged buckets to a FRESH ``commits/<version>/``
+       directory (live files are never modified), then atomically
+       flip ``_lapidus_manifest.json`` to point the affected buckets
+       at it. The single ``os.replace`` IS the commit.
+
+    Durability: a crash at ANY point before the flip leaves the
+    previous manifest — and therefore the previous table contents —
+    fully intact (the half-written commit dir is unreferenced and
+    GC'd later); a crash after the flip leaves the merge fully
+    applied. Combined with checkpointed offsets (an unflipped merge
+    means an uncommitted batch, so the source re-delivers it) and
+    step 3's semilattice combine (a re-delivered batch produces
+    byte-identical logical content), this is exactly-once effect on
+    the table from at-least-once delivery — the contract
+    Delta/Iceberg ``MERGE INTO`` provides, built from the one atomic
+    primitive plain filesystems offer (rename). Single-writer per
+    lake_dir is ENFORCED by a stale-aware lock file (a live second
+    writer raises ``ConcurrentMergeError``; a SIGKILLed writer's
+    lock is detected dead and broken) — or pass
+    ``concurrency="optimistic"`` to let multiple sinks share the
+    lake, staging unlocked and locking only the manifest flip
+    (``merge_batch_optimistic``). Committed manifests are
+    retained under ``_history/`` within the ``retain_versions``
+    horizon, giving ``read_lake_snapshot(version=...)`` time travel
+    and ``lake_changes`` a bucket-pruned change-data-feed.
+    ``compact_every=K`` runs ``compact_lake`` in-line after every
+    K-th micro-batch, so a long-running sink heals its own
+    small-file accretion without operator cron. On a real table
+    format, steps 2-4 collapse into one ``MERGE INTO`` with the
+    same combine.
+
+    ``txn_app_id`` turns the exactly-once story from idempotent-by-
+    recompute into idempotent-by-marker (Delta's txnAppId/
+    txnVersion): every micro-batch merge carries ``(txn_app_id,
+    epoch_id)``, the manifest records the app's high-water epoch, and
+    a redelivered epoch (restart inside the commit-then-checkpoint
+    window, checkpoint rollback) is SKIPPED outright instead of
+    re-merged to identical bytes — at 100 TB that is k rewritten
+    buckets saved per restart. Must be unique per (sink, lake)
+    pair; two sinks sharing an app id would drop each other's
+    batches."""
+    if concurrency not in ("locked", "optimistic"):
+        raise ValueError(
+            f"concurrency must be 'locked' or 'optimistic', got {concurrency!r}"
+        )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        txn = (txn_app_id, int(epoch_id)) if txn_app_id else None
+        if concurrency == "optimistic":
+            # multiple sinks (daemons) sharing one lake: stage
+            # unlocked, lock only the manifest flip, rebase across
+            # disjoint-bucket / physical-only commits (see
+            # merge_batch_optimistic). Each sink still checkpoints
+            # its own offsets; the semilattice combine makes any
+            # commit interleaving converge.
+            merge_batch_optimistic(
+                batch_df,
+                lake_dir,
+                n_buckets=n_buckets,
+                retain_versions=retain_versions,
+                extra_cols=extra_cols,
+                txn=txn,
+            )
+        else:
+            merge_batch_into_lake(
+                batch_df,
+                lake_dir,
+                n_buckets=n_buckets,
+                retain_versions=retain_versions,
+                extra_cols=extra_cols,
+                txn=txn,
+            )
+        # opportunistic maintenance: every compact_every-th micro-batch
+        # heals the sink's own small-file accretion in-line (a no-op —
+        # no new version — when nothing is degraded, so checkpoint
+        # replays of a compacting epoch stay idempotent). Runs between
+        # this batch's commit and the next batch's lock acquisition,
+        # so it never interleaves with a merge.
+        # guard: all-empty/gated batches so far mean no manifest yet —
+        # skip rather than kill the stream on "no manifest to compact"
+        if (
+            compact_every is not None
+            and (epoch_id + 1) % compact_every == 0
+            and _read_manifest(lake_dir) is not None
+        ):
+            # optimistic sinks compact optimistically too: a sibling
+            # sink's mid-flight merge just drops those buckets from
+            # this compaction instead of deadlocking on the lock
+            compact_lake(
+                batch_df.sparkSession,
+                lake_dir,
+                retain_versions=retain_versions,
+                concurrency=concurrency,
+            )
+
+    # append mode: the stateful combine lives INSIDE the batch merge,
+    # not in a streaming state store — the lake IS the state.
+    return envelopes.writeStream.foreachBatch(merge).outputMode("append")

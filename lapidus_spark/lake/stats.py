@@ -1,0 +1,808 @@
+"""Lake read/observability plane: snapshot and time-travel reads,
+zone-map-pruned point and time-window reads, TIMESTAMP AS OF
+resolution, DESCRIBE HISTORY/DETAIL, and the change-data feeds
+(entity-state and row-level-with-pre-images). Imports only the
+commit-log plane (``log``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import log
+from .log import (
+    HISTORY_DIR,
+    _align_extras,
+    _bucket_content_changed,
+    _delta_path,
+    _epoch_iso,
+    _live_paths,
+    _manifest_at,
+    _manifest_columns,
+    _read_pointer,
+)
+
+from .log import _PARTITION_COL
+
+def _ts_iso(v) -> str:
+    """Normalize a parquet-footer timestamp stat to a naive-UTC ISO
+    string with fixed microsecond precision — lexicographic order ==
+    instant order, so zone-map JSON stays engine-portable."""
+    from datetime import timezone
+
+    if v.tzinfo is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v.isoformat(timespec="microseconds")
+
+
+def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
+    """Per-file zone maps for a staged commit: bucket → file →
+    ``{"entity_id": [min, max], "last_ts": [min, max]}``, read from
+    the parquet FOOTERS only (driver-side, metadata-sized —
+    proportional to the file count, never the data). entity_id ranges
+    are only worth recording for CLUSTERED output (compaction sorts
+    each bucket by entity_id, so the valve's sequential file splits
+    carry disjoint ranges and a point read overlaps ≤1 file per key);
+    last_ts ranges prune time-bounded reads (``lake_time_read``) and
+    pay off whenever keys correlate with time — unsorted on that
+    axis, they are still CORRECT, just possibly wide. A file without
+    usable entity_id min/max drops the whole bucket's entry; a file
+    without usable last_ts stats just omits that column's range —
+    readers fall back to reading it, conservative, never wrong.
+    Timestamps are stored as naive-UTC ISO strings (fixed precision,
+    lexicographically ordered)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for b in buckets:
+        d = os.path.join(lake_dir, commit_rel, f"{_PARTITION_COL}={b}")
+        stats: dict = {}
+        usable = True
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(d, f))
+            mins: list = []
+            maxs: list = []
+            ts_mins: list = []
+            ts_maxs: list = []
+            ts_usable = True
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                cols = {
+                    grp.column(i).path_in_schema: grp.column(i)
+                    for i in range(grp.num_columns)
+                }
+                st = cols["entity_id"].statistics if "entity_id" in cols else None
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                # parquet writers may TRUNCATE long binary min/max
+                # (a truncated max can undershoot the real one, which
+                # would make pruning drop a file that holds the key).
+                # Values short of the common 64-byte truncation floor
+                # cannot have been truncated; longer ones are rejected
+                # — conservative fallback to the full dir.
+                if len(str(st.min)) >= 64 or len(str(st.max)) >= 64:
+                    usable = False
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                ts_st = cols["last_ts"].statistics if "last_ts" in cols else None
+                if ts_st is None or not ts_st.has_min_max:
+                    ts_usable = False  # fixed-width: no truncation risk
+                else:
+                    ts_mins.append(ts_st.min)
+                    ts_maxs.append(ts_st.max)
+            if not usable or not mins:
+                usable = False
+                break
+            entry = {"entity_id": [min(mins), max(maxs)]}
+            if ts_usable and ts_mins:
+                entry["last_ts"] = [_ts_iso(min(ts_mins)), _ts_iso(max(ts_maxs))]
+            stats[f] = entry
+        if usable and stats:
+            out[str(b)] = stats
+    return out
+
+
+def _file_key_range(entry) -> tuple:
+    """A zone-map entry's entity_id [min, max] — handles both the
+    current dict form and the pre-round-9 bare-list form carried by
+    migrated format-1 manifests."""
+    return tuple(entry["entity_id"] if isinstance(entry, dict) else entry)
+
+
+def lake_version_at(lake_dir: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the NEWEST retained version whose
+    commit instant is ≤ ``ts`` (Delta's rule; same-instant ties are
+    impossible — commit stamps are strictly increasing by
+    construction). ``ts`` is a unix-epoch float, a datetime (naive =
+    UTC), or an ISO string. Driver-side commit-log reads only,
+    O(retained). Fails fast when ``ts`` predates the oldest retained
+    commit (its stamp is the earliest instant still resolvable) or
+    when the retained range predates commit stamps entirely (a lake
+    last written before stamps existed — commit once to stamp it)."""
+    from datetime import datetime, timezone
+
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        ts = ts.timestamp()
+    pointer = _read_pointer(lake_dir)
+    if pointer is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest")
+    if "buckets" in pointer:
+        raise ValueError(
+            f"lake at {lake_dir} still carries a format-1 monolithic manifest "
+            "(no commit stamps); commit once (merge/compact) to migrate"
+        )
+    floor, live_v = int(pointer.get("floor", 1)), int(pointer["version"])
+    best, earliest = None, None
+    for v in range(floor, live_v + 1):
+        try:
+            with open(_delta_path(lake_dir, v)) as fh:
+                at = json.load(fh).get("committed_at")
+        except FileNotFoundError:
+            continue  # format-1 era of a migrated lake: unstamped
+        if at is None:
+            continue
+        earliest = at if earliest is None else min(earliest, at)
+        if at <= ts:
+            best = v
+    if best is None:
+        if earliest is None:
+            raise ValueError(
+                f"lake at {lake_dir} has no commit stamps in its retained "
+                "range (written before TIMESTAMP AS OF existed); commit once "
+                "to stamp it"
+            )
+        raise ValueError(
+            f"lake at {lake_dir}: no retained version committed at or before "
+            f"{ts} (oldest retained commit is {earliest}; older versions are "
+            "GC'd past the retention horizon)"
+        )
+    return best
+
+
+def describe_detail(lake_dir: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL for the lake (the Delta command's analog):
+    layout, physical footprint and schema epoch of one committed
+    version (live by default) — version, commit instant, bucket
+    count, file/byte/row totals, accreted columns, retention floor,
+    and clone provenance when present. Bytes come from the
+    filesystem, row counts from the parquet FOOTERS — driver-side
+    metadata reads proportional to the version's file count, never
+    the data (the explicit-command analog of the zone-map
+    collection)."""
+    import pyarrow.parquet as pq
+
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest to describe")
+    pointer = _read_pointer(lake_dir) or {}
+    legacy, commits = _live_paths(lake_dir, manifest)
+    nfiles = nbytes = nrows = 0
+    for d in legacy + commits:
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(d, f)
+            nfiles += 1
+            nbytes += os.path.getsize(p)
+            nrows += pq.read_metadata(p).num_rows
+    out = {
+        "version": int(manifest["version"]),
+        "n_buckets": int(manifest["n_buckets"]),
+        "num_files": nfiles,
+        "size_bytes": nbytes,
+        "num_rows": nrows,  # physical rows incl. tombstones
+        "columns": [c["name"] for c in _manifest_columns(manifest)],
+        "floor": int(pointer.get("floor", 1)) if "buckets" not in pointer else 1,
+    }
+    if manifest.get("committed_at") is not None:
+        out["committed_at"] = _epoch_iso(manifest["committed_at"])
+    if manifest.get("cloned_from"):
+        out["cloned_from"] = dict(manifest["cloned_from"])
+    if manifest.get("deletion_vectors"):
+        # standing read-time redactions awaiting their OPTIMIZE purge
+        out["dv_entries"] = sum(
+            len(v) for v in manifest["deletion_vectors"].values()
+        )
+    return out
+
+
+def read_lake_snapshot(
+    spark, lake_dir: str, buckets=None, version: int | None = None, timestamp=None
+) -> DataFrame:
+    """Consumer view of the merged lake table, resolved through the
+    manifest (orphaned / half-committed files are invisible by
+    construction): tombstones filtered (purge semantics). Pass
+    ``buckets`` to prune a point read to the key's bucket — path
+    pruning, no file outside those buckets is even opened. Pass
+    ``version`` to time-travel to an earlier committed snapshot (the
+    version must be inside the merge's ``retain_versions`` horizon),
+    or ``timestamp`` (TIMESTAMP AS OF — resolved to the newest
+    retained version committed at or before it, ``lake_version_at``);
+    a version is just a different manifest, so the read plan is
+    identical to a live read. Reader-vs-GC contract (same as Delta
+    VACUUM): the manifest is resolved at open, so a writer GC'ing
+    that version can invalidate an in-flight scan — size
+    ``retain_versions`` to cover the longest concurrent reader.
+    Falls back to a direct read for pre-manifest lakes."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp, not both")
+        version = lake_version_at(lake_dir, timestamp)
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        if version is not None:
+            raise ValueError(f"lake at {lake_dir} has no manifest to time-travel in")
+        df = spark.read.parquet(lake_dir)
+    else:
+        df = log._read_live(spark, lake_dir, manifest, set(buckets) if buckets is not None else None)
+        if df is None:
+            raise ValueError(f"lake at {lake_dir} has an empty manifest bucket set")
+    return df.filter(F.col("last_type") != "delete")
+
+
+#: canonical snapshot-row schema (what _read_live returns)
+_SNAPSHOT_SCHEMA = (
+    "entity_id string, last_seq bigint, last_ts timestamp_ntz, "
+    "last_type string, item string, bucket int"
+)
+
+
+def _snapshot_schema(extras: list[dict]) -> str:
+    """The core snapshot schema extended with a manifest's accreted
+    columns — for building empty frames under the right epoch."""
+    return _SNAPSHOT_SCHEMA + "".join(f", {c['name']} {c['type']}" for c in extras)
+
+
+def lake_point_read(
+    spark, lake_dir: str, keys: list, version: int | None = None
+) -> DataFrame:
+    """Pruned point read: hash the requested keys to their buckets
+    under the manifest's pinned layout (a metadata-sized computation
+    on the key list itself — the one driver-side step, proportional
+    to the keys you asked for, never the table) and read ONLY those
+    bucket directories, then filter to the keys. This is the lookup
+    path a serving layer uses: at 100 TB a k-key read opens
+    ≤k·(table/B) bytes regardless of table size, and stays correct
+    across ``rebucket_lake`` layout changes because the manifest is
+    resolved ONCE and both the bucket computation and the read use
+    that same manifest (a rebucket committing between two separate
+    resolutions could otherwise prune under the wrong layout). Keys
+    hashing to never-written buckets simply contribute no rows —
+    the normal missing-key lookup outcome.
+
+    Below the bucket pruning sits FILE pruning: buckets last written
+    by a clustered compaction carry per-file entity_id zone maps in
+    the manifest (``file_stats``), so only the files whose [min, max]
+    range overlaps a requested key are opened — after an OPTIMIZE, a
+    key touches ≤1 file of its bucket no matter how many the valve
+    split it into. Buckets without stats (fresh merges) read whole,
+    conservative."""
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest for point reads")
+    key_strs = [str(k) for k in keys]
+    bucket_keys: dict[int, list] = {}
+    if key_strs:
+        kdf = spark.createDataFrame([(k,) for k in key_strs], "entity_id string")
+        for r in kdf.select(
+            "entity_id",
+            F.pmod(F.xxhash64("entity_id"), F.lit(manifest["n_buckets"]))
+            .cast("int")
+            .alias("b"),
+        ).collect():
+            bucket_keys.setdefault(r["b"], []).append(r["entity_id"])
+    zone_maps = manifest.get("file_stats", {})
+    plain, pruned_files = set(), []
+    for b, b_keys in bucket_keys.items():
+        stats = zone_maps.get(str(b))
+        rel = manifest["buckets"].get(str(b))
+        if stats is None or rel is None or rel.startswith("bucket="):
+            plain.add(b)  # no stats (or legacy layout): whole bucket
+            continue
+        # prune each bucket's files against ITS OWN resident keys
+        # only — a foreign key's range overlap in another bucket is
+        # meaningless (the key cannot live there) and testing it
+        # would open up to |keys| files per bucket instead of ≤1 per
+        # resident key.
+        for f, entry in sorted(stats.items()):
+            mn, mx = _file_key_range(entry)
+            if any(mn <= k <= mx for k in b_keys):
+                pruned_files.append(os.path.join(lake_dir, rel, f))
+    extras = _manifest_columns(manifest)
+    parts = []
+    base = log._read_live(spark, lake_dir, manifest, plain) if plain else None
+    if base is not None:
+        parts.append(base)  # already schema-epoch aligned
+    if pruned_files:
+        parts.append(
+            # zone-map-pruned files bypass log._read_live, so the
+            # shared commit reader (explicit epoch schema: accretion
+            # null-fill + type widening) and the deletion-vector mask
+            # apply here explicitly (global entity match — see
+            # log._dv_entries on why that is identical to per-bucket
+            # application)
+            log._apply_dv_mask(
+                spark,
+                _align_extras(
+                    log._read_commit_files(spark, manifest, pruned_files), extras
+                ),
+                manifest,
+            )
+        )
+    if not parts:  # every requested bucket unwritten / fully pruned
+        df = spark.createDataFrame([], _snapshot_schema(extras))
+    else:
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+    return df.filter(
+        (F.col("last_type") != "delete") & F.col("entity_id").isin(key_strs)
+    )
+
+
+def lake_time_read(
+    spark, lake_dir: str, ts_from, ts_to, version: int | None = None
+) -> DataFrame:
+    """Time-bounded lake read: consumer-view rows whose ``last_ts``
+    falls in ``[ts_from, ts_to)``. Below the manifest resolution sits
+    FILE pruning on the time axis: buckets whose zone maps carry
+    per-file ``last_ts`` [min, max] ranges (recorded from the parquet
+    footers by a clustered OPTIMIZE) open only the files overlapping
+    the requested window — when keys correlate with time (the common
+    case for id-assigned-over-time entities), a narrow window opens a
+    small fraction of each bucket instead of the whole dir. Buckets
+    without stats read whole and filter — conservative, never wrong
+    (the predicate is re-applied to every row either way, so pruning
+    is purely an I/O optimization). Bounds accept datetimes (naive =
+    UTC) or ISO strings; this is the read path a CDF backfill or a
+    time-sliced export uses at 100 TB."""
+    from datetime import datetime, timezone
+
+    def norm(v) -> datetime:
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+
+    lo, hi = norm(ts_from), norm(ts_to)
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest for time reads")
+    zone_maps = manifest.get("file_stats", {})
+    plain, pruned_files = set(), []
+    for b_str, rel in manifest["buckets"].items():
+        stats = zone_maps.get(b_str)
+        if (
+            stats is None
+            or rel.startswith("bucket=")
+            or not all(isinstance(e, dict) and "last_ts" in e for e in stats.values())
+        ):
+            plain.add(int(b_str))  # no time stats: whole bucket
+            continue
+        for f, entry in sorted(stats.items()):
+            mn, mx = (datetime.fromisoformat(x) for x in entry["last_ts"])
+            if mx >= lo and mn < hi:
+                pruned_files.append(os.path.join(lake_dir, rel, f))
+    extras = _manifest_columns(manifest)
+    parts = []
+    base = log._read_live(spark, lake_dir, manifest, plain) if plain else None
+    if base is not None:
+        parts.append(base)  # already schema-epoch aligned
+    if pruned_files:
+        parts.append(
+            # zone-map-pruned files bypass log._read_live, so the
+            # shared commit reader (explicit epoch schema: accretion
+            # null-fill + type widening) and the deletion-vector mask
+            # apply here explicitly (global entity match — see
+            # log._dv_entries on why that is identical to per-bucket
+            # application)
+            log._apply_dv_mask(
+                spark,
+                _align_extras(
+                    log._read_commit_files(spark, manifest, pruned_files), extras
+                ),
+                manifest,
+            )
+        )
+    if not parts:
+        df = spark.createDataFrame([], _snapshot_schema(extras))
+    else:
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+    # compare in NTZ: the lake's last_ts may be LTZ or NTZ depending
+    # on the producing envelope; the session TZ is pinned UTC so the
+    # cast is value-preserving either way, and mixed NTZ/LTZ
+    # comparisons are a type error in Spark 4
+    ts = F.col("last_ts").cast("timestamp_ntz")
+    return df.filter(
+        (F.col("last_type") != "delete")
+        & (ts >= F.lit(lo).cast("timestamp_ntz"))
+        & (ts < F.lit(hi).cast("timestamp_ntz"))
+    )
+
+
+def describe_history(lake_dir: str, limit: int | None = None) -> list[dict]:
+    """DESCRIBE HISTORY for the lake (the Delta command's analog):
+    one row per RETAINED committed version, newest first — version,
+    operation kind (merge / compact / rebucket, inferred from the
+    commit markers), layout, how many buckets the commit
+    data-changed (0 for a compaction: physical-only), and whether it
+    is the live version. Driver-side JSON reads only — proportional
+    to the retention horizon, never the data. Versions GC'd past
+    ``retain_versions`` are absent by construction (their history
+    JSON is pruned with their data)."""
+
+    def hist_row(
+        v: int,
+        markers: dict,
+        n_buckets: int,
+        data_changed: int,
+        is_live: bool,
+        committed_at=None,
+    ) -> dict:
+        if int(markers.get("rebucket", {}).get("version", -1)) == v:
+            op = "rebucket"
+        elif int(markers.get("compaction", {}).get("version", -1)) == v:
+            op = "compact"
+        elif int(markers.get("delete_dv", {}).get("version", -1)) == v:
+            op = "delete_dv"  # deletion-vector DELETE: zero data bytes
+        else:
+            op = "merge"
+        row = {
+            "version": v,
+            "operation": op,
+            "n_buckets": n_buckets,
+            "data_changed_buckets": data_changed,
+            "is_live": is_live,
+        }
+        if committed_at is not None:
+            row["committed_at"] = _epoch_iso(committed_at)
+        return row
+
+    pointer = _read_pointer(lake_dir)
+    if pointer is not None and "buckets" not in pointer:
+        # format 2: one row per retained commit-LOG entry — the delta
+        # already carries the op markers and the touched-bucket count,
+        # so no full manifest is resolved (O(retained) tiny JSON reads)
+        floor, live_v = int(pointer.get("floor", 1)), int(pointer["version"])
+        out = []
+        for v in range(live_v, floor - 1, -1):
+            if limit is not None and len(out) >= limit:
+                break
+            try:
+                with open(_delta_path(lake_dir, v)) as fh:
+                    delta = json.load(fh)
+            except FileNotFoundError:
+                # format-1 era of a migrated lake: its retained
+                # _history manifest still describes it
+                try:
+                    with open(
+                        os.path.join(lake_dir, HISTORY_DIR, f"{v:010d}.json")
+                    ) as fh:
+                        m = json.load(fh)
+                except FileNotFoundError:
+                    continue
+                dv = m.get("data_versions", {})
+                out.append(
+                    hist_row(
+                        v, m, m["n_buckets"],
+                        sum(1 for x in dv.values() if x == v), False,
+                    )
+                )
+                continue
+            out.append(
+                hist_row(
+                    v,
+                    delta.get("extra", {}),
+                    delta["n_buckets"],
+                    len(delta["touched"]) if delta["data_change"] else 0,
+                    v == live_v,
+                    committed_at=delta.get("committed_at"),
+                )
+            )
+        return out
+    live = pointer
+    hist = os.path.join(lake_dir, HISTORY_DIR)
+    try:
+        names = sorted(os.listdir(hist), reverse=True)
+    except FileNotFoundError:
+        names = []
+
+    def row(m: dict) -> dict:
+        v = m["version"]
+        return hist_row(
+            v,
+            m,
+            m["n_buckets"],
+            sum(1 for dv in m.get("data_versions", {}).values() if dv == v),
+            bool(live) and live["version"] == v,
+        )
+
+    out: list[dict] = []
+    # a writer killed between the flip and the history write leaves
+    # the LIVE version absent from _history/ until the next op heals
+    # it — report it anyway (the manifest is authoritative)
+    if live is not None and f"{live['version']:010d}.json" not in names:
+        out.append(row(live))
+    for fn in names:
+        if not fn.endswith(".json"):
+            continue
+        if limit is not None and len(out) >= limit:
+            break
+        with open(os.path.join(hist, fn)) as fh:
+            m = json.load(fh)
+        out.append(row(m))
+    return out[:limit] if limit is not None else out
+
+
+def _cdf_frames(
+    spark, lake_dir: str, from_version: int, to_version: int | None, caller: str
+):
+    """Shared preamble of both change feeds: resolve the two
+    manifests, compute the data-changed bucket set (pointer diff
+    refined by the ``data_versions`` stamps — physical-only pointer
+    moves are skipped; a rebucket degrades to a layout-independent
+    full diff, each side through its OWN manifest), and return
+    ``(new_df, old_df)`` pruned to those buckets — ``(None, None)``
+    when nothing data-changed. Ordinary commits never physically drop
+    rows (tombstones persist), so new ⊇ old keys — but a RESTORE
+    reverts the table to a version predating some keys' first
+    appearance, so the bucket walk takes the UNION of both manifests'
+    bucket sets and the feeds join FULL OUTER: vanished keys surface
+    as deletes instead of silently disappearing."""
+    m_new = _manifest_at(lake_dir, to_version)
+    if m_new is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest")
+    # from_version=0 = "from empty" (Delta CDF's startingVersion=0):
+    # the first version's whole snapshot arrives as inserts/deletes.
+    # Only 0 is the from-empty sentinel — a negative from_version is a
+    # caller bug and must not silently return a full load.
+    if from_version < 0:
+        raise ValueError(
+            f"{caller}: from_version must be >= 0 (0 = from empty), "
+            f"got {from_version}"
+        )
+    m_old = _manifest_at(lake_dir, from_version) if from_version >= 1 else None
+    if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
+        # a rebucket between the versions: bucket ids mean different
+        # hash ranges, so pointer-diff pruning is meaningless — read
+        # both sides fully (each through its OWN manifest, so old-
+        # layout-only buckets are not dropped). The entity-level join
+        # below is layout-independent; a rebucket is a rare full
+        # rewrite anyway, so the feed matching its cost is honest.
+        changed_new = {int(b) for b in m_new["buckets"]}
+        changed_old = {int(b) for b in m_old["buckets"]}
+    else:
+        # pointer diff refined by the per-bucket dataChange stamps:
+        # a bucket whose pointer moved only through physical-only
+        # commits (compaction) in (from, to] is provably identical
+        # and is neither read nor joined. The union of both bucket
+        # sets matters only across a restore (a bucket first written
+        # after the restored-to version exists in old but not new —
+        # its keys vanished and must emit deletes).
+        all_b = set(m_new["buckets"]) | set(m_old["buckets"] if m_old else ())
+        changed_new = {
+            int(b) for b in all_b if _bucket_content_changed(m_old, m_new, b)
+        }
+        changed_old = changed_new
+    if not changed_new:
+        return None, None
+    new_df = log._read_live(spark, lake_dir, m_new, changed_new)
+    old_df = log._read_live(spark, lake_dir, m_old, changed_old) if m_old else None
+    if new_df is None and old_df is None:
+        return None, None
+    if new_df is None:
+        new_df = spark.createDataFrame([], old_df.schema)
+    if old_df is None:
+        old_df = spark.createDataFrame([], new_df.schema)
+    return new_df, old_df
+
+
+def _resolve_change_bounds(
+    lake_dir: str,
+    from_version,
+    to_version,
+    from_timestamp,
+    to_timestamp,
+    caller: str,
+) -> tuple:
+    """Version bounds for a change feed, from versions or commit
+    instants (TIMESTAMP AS OF each end: the snapshot state AT the
+    instant is the diff endpoint — 'what changed between instant A
+    and instant B')."""
+    if from_version is not None and from_timestamp is not None:
+        raise ValueError(f"{caller}: pass from_version or from_timestamp, not both")
+    if from_version is None and from_timestamp is None:
+        raise ValueError(f"{caller}: pass from_version or from_timestamp")
+    if to_version is not None and to_timestamp is not None:
+        raise ValueError(f"{caller}: pass to_version or to_timestamp, not both")
+    if from_timestamp is not None:
+        from_version = lake_version_at(lake_dir, from_timestamp)
+    if to_timestamp is not None:
+        to_version = lake_version_at(lake_dir, to_timestamp)
+    return from_version, to_version
+
+
+def lake_changes(
+    spark,
+    lake_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
+) -> DataFrame:
+    """Change-data-feed between two committed versions: one row per
+    entity whose snapshot state differs, with the POST-image and a
+    ``change_type`` (insert / update / delete — delete meaning the
+    entity's latest state became a tombstone).
+
+    Scale contract: versions are manifests, so the changed-entity set
+    is computed by reading ONLY the buckets whose manifest pointers
+    differ between the two versions (path-level pruning — a merge
+    that touched k of B buckets makes this a k·(table/B) read, never
+    a table scan), then an entity-level anti-equality join of old vs
+    new within those buckets. Ordinary commits never physically drop
+    rows (tombstones persist), so new ⊇ old keys — except across a
+    RESTORE, which reverts the table to a version predating some
+    keys' first appearance: the join is FULL OUTER, and a VANISHED
+    key (present and visible in old, physically absent in new) emits
+    ``change_type='delete'`` with NULL post-image columns (there is
+    no post-image — consumers keyed on entity_id drop the key; a
+    restore is the only producer of such rows). Bounds are versions
+    or commit instants (``from_timestamp``/``to_timestamp`` —
+    TIMESTAMP AS OF each end)."""
+    from_version, to_version = _resolve_change_bounds(
+        lake_dir, from_version, to_version, from_timestamp, to_timestamp, "lake_changes"
+    )
+    new_df, old_df = _cdf_frames(spark, lake_dir, from_version, to_version, "lake_changes")
+    schema = (
+        "entity_id string, change_type string, last_seq bigint, "
+        "last_ts timestamp_ntz, last_type string, item string"
+    )
+    if new_df is None:
+        return spark.createDataFrame([], schema)
+    n, o = new_df.alias("n"), old_df.select("entity_id", "last_seq", "last_ts", "last_type").alias("o")
+    new_exists = F.col("n.last_seq").isNotNull()
+    old_exists = F.col("o.last_seq").isNotNull()
+    return (
+        n.join(o, "entity_id", "full_outer")
+        .filter(
+            ~old_exists
+            | (~new_exists & (F.col("o.last_type") != "delete"))
+            | (F.col("o.last_seq") != F.col("n.last_seq"))
+            | (F.col("o.last_ts") != F.col("n.last_ts"))
+            # a REDACTION (DELETE WHERE, rewrite or deletion-vector)
+            # flips last_type while keeping the LWW position — the
+            # (seq, ts) comparison alone is blind to it (a real gap
+            # until round 10: the entity-state feed silently skipped
+            # rewrite redactions; only lake_changes_rows caught them)
+            | (F.col("o.last_type") != F.col("n.last_type"))
+        )
+        .select(
+            "entity_id",
+            F.when(~new_exists | (F.col("n.last_type") == "delete"), F.lit("delete"))
+            .when(
+                ~old_exists | (F.col("o.last_type") == "delete"),
+                F.lit("insert"),
+            )
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("n.last_seq").alias("last_seq"),
+            F.col("n.last_ts").alias("last_ts"),
+            F.col("n.last_type").alias("last_type"),
+            F.col("n.item").alias("item"),
+        )
+    )
+
+
+def lake_changes_rows(
+    spark,
+    lake_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
+) -> DataFrame:
+    """Row-level change feed WITH PRE-IMAGES — Delta CDF's full
+    ``_change_type`` vocabulary over the consumer view (tombstones
+    filtered on both sides):
+
+    - visible in new only            → one ``insert`` row (new values)
+    - visible in both, values differ → ``update_preimage`` (old
+      values) + ``update_postimage`` (new values)
+    - visible in old only            → one ``delete`` row (OLD values
+      — the content that was removed, not the tombstone)
+
+    Pre-images are what make downstream aggregates INCREMENTALLY
+    maintainable without keeping per-entity state: every emitted row
+    carries a sign (+1 for insert/update_postimage, -1 for
+    delete/update_preimage), so ``gold += sign · f(row)`` folds the
+    feed into any group-by sum/count — the retraction algebra
+    streaming engines call upsert→retract conversion. The old rows
+    are already in the buckets this feed must read for the diff, so
+    pre-images cost ZERO extra I/O over ``lake_changes``; the same
+    stamp-refined pointer pruning applies (compactions skipped,
+    k·(table/B) reads). A tombstone refreshed by a newer tombstone is
+    logically absent→absent and emits NOTHING here (the entity-state
+    feed ``lake_changes`` reports it; this feed is the logical-row
+    view). Emission is one pass: the joined row builds an array of
+    candidate change structs, filters nulls, explodes — no
+    re-reading the join output per change type."""
+    from_version, to_version = _resolve_change_bounds(
+        lake_dir,
+        from_version,
+        to_version,
+        from_timestamp,
+        to_timestamp,
+        "lake_changes_rows",
+    )
+    new_df, old_df = _cdf_frames(
+        spark, lake_dir, from_version, to_version, "lake_changes_rows"
+    )
+    schema = (
+        "entity_id string, change_type string, last_seq bigint, "
+        "last_ts timestamp_ntz, last_type string, item string"
+    )
+    if new_df is None:
+        return spark.createDataFrame([], schema)
+    n = new_df.alias("n")
+    o = old_df.select("entity_id", "last_seq", "last_ts", "last_type", "item").alias("o")
+    # old-row existence via a never-null payload column: the USING
+    # join coalesces entity_id itself, so the o-side key is not
+    # addressable after the join
+    old_vis = F.col("o.last_seq").isNotNull() & (F.col("o.last_type") != "delete")
+    # null-guarded: across a RESTORE a key can be physically ABSENT
+    # on the new side (the table reverted to before its first
+    # appearance) — visible→absent is a delete like any other, and
+    # the old values are already in hand for the pre-image
+    new_vis = F.col("n.last_seq").isNotNull() & (F.col("n.last_type") != "delete")
+    updated = (
+        old_vis
+        & new_vis
+        & (
+            (F.col("o.last_seq") != F.col("n.last_seq"))
+            | (F.col("o.last_ts") != F.col("n.last_ts"))
+        )
+    )
+
+    def change(kind: str, side: str):
+        return F.struct(
+            F.lit(kind).alias("change_type"),
+            F.col(f"{side}.last_seq").alias("last_seq"),
+            F.col(f"{side}.last_ts").alias("last_ts"),
+            F.col(f"{side}.last_type").alias("last_type"),
+            F.col(f"{side}.item").alias("item"),
+        )
+
+    null_change = F.lit(None).cast(
+        "struct<change_type:string,last_seq:bigint,last_ts:timestamp_ntz,"
+        "last_type:string,item:string>"
+    )
+    changes = F.array(
+        F.when(~old_vis & new_vis, change("insert", "n")).otherwise(null_change),
+        F.when(updated, change("update_preimage", "o")).otherwise(null_change),
+        F.when(updated, change("update_postimage", "n")).otherwise(null_change),
+        F.when(old_vis & ~new_vis, change("delete", "o")).otherwise(null_change),
+    )
+    return (
+        n.join(o, "entity_id", "full_outer")
+        .select(
+            "entity_id",
+            F.explode(F.filter(changes, lambda c: c.isNotNull())).alias("c"),
+        )
+        .select("entity_id", "c.*")
+    )

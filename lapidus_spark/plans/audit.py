@@ -398,6 +398,16 @@ EXPECTATIONS: dict[str, dict] = {
     # pair join) + two doc-id equi-joins for exact verification +
     # the 1-row stats agg (candidates are few at any scale)
     "ext_dedup_eval": {"max_exchanges": 9, "no_single_partition": True},
+    # recall@10 eval: two ANN legs (IVF partition-pruned probe; LSH
+    # bucket join) each semi-joined against the exact top-10 and
+    # reduced to one row — the exchanges are the per-leg top-k and
+    # single-row aggregations, never a corpus shuffle
+    "ext_ann_eval": {
+        "pushed": True,
+        "take_ordered": True,
+        "max_exchanges": 6,
+        "no_single_partition": True,
+    },
     # EMA: sorted-collect on the entity key — one exchange, fold inside
     "win_ema": {"max_exchanges": 1, "no_single_partition": True},
     # Lloyd step: broadcast centroid-table assignment (16 rows —
@@ -512,6 +522,12 @@ EXPECTATIONS: dict[str, dict] = {
     # accreted columns — still a pushed-tombstone-filter read with
     # zero exchanges (the epoch machinery is all commit-time metadata)
     "lake_schema_evolution": {"pushed": True, "max_exchanges": 0},
+    # widened epochs read under an explicit requested schema (one
+    # footer probe) — same pruned-scan shape as the accretion query
+    "lake_type_widening": {"pushed": True, "max_exchanges": 0},
+    # tx-consistent catalog reads are two ordinary time-travel scans
+    # unioned — the catalog resolution is driver-side JSON, never a job
+    "lake_multi_table_tx": {"pushed": True, "max_exchanges": 0},
     # time-bounded read: per-file last_ts zone-map pruning below the
     # manifest resolution; the window bound is computed in a separate
     # metadata-sized aggregation, so the read plan itself is a pushed
@@ -529,6 +545,14 @@ EXPECTATIONS: dict[str, dict] = {
     "lake_constraint_merge": {"pushed": True, "max_exchanges": 0},
     "lake_vacuum_read": {"pushed": True, "max_exchanges": 0},
     "lake_delete_where": {"pushed": True, "max_exchanges": 0},
+    # ---- round-10: deletion vectors ----
+    # the DV-masked read is scan + ONE broadcast (the vector, grouped
+    # driver-side so no shuffle ever materializes the metadata list);
+    # no "pushed" clause — the consumer's tombstone filter applies to
+    # the mask's computed last_type, which by construction cannot
+    # reach the scan while a vector is standing (OPTIMIZE purges the
+    # vector and restores full pushdown — the documented trade)
+    "lake_delete_dv": {"max_exchanges": 0, "broadcasts": 1, "no_single_partition": True},
     "lake_zorder_read": {"pushed": True, "max_exchanges": 0},
     "lake_clone": {"pushed": True, "max_exchanges": 0},
 }

@@ -151,7 +151,9 @@ def test_compaction_step_is_free_for_row_feed(spark, tmp_path, monkeypatch):
     def boom(*a, **k):
         raise AssertionError("compaction-only diff must not read any bucket")
 
-    monkeypatch.setattr(M, "_read_live", boom)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_read_live", boom)
     assert M.lake_changes_rows(spark, lake, 1, 2).count() == 0
 
 

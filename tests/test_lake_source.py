@@ -335,7 +335,9 @@ def test_compaction_step_is_free(spark, tmp_path, monkeypatch):
     def boom(*a, **k):
         raise AssertionError("compaction-only diff must not read any bucket")
 
-    monkeypatch.setattr(M, "_read_live", boom)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_read_live", boom)
     assert M.lake_changes(spark, lake, from_version=2, to_version=3).count() == 0
 
 
@@ -371,7 +373,9 @@ def test_compaction_then_merge_prunes_to_merged_buckets(spark, tmp_path, monkeyp
         seen.append(set(buckets) if buckets is not None else None)
         return real(spark_, lake_dir, manifest, buckets)
 
-    monkeypatch.setattr(M, "_read_live", spying)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_read_live", spying)
     step = M.lake_changes(spark, lake, from_version=2, to_version=4)
     assert step.count() == 1  # exactly the merged entity
     assert seen and all(b == merged_buckets for b in seen)

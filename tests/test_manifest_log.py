@@ -215,10 +215,12 @@ def test_crash_between_log_entry_and_pointer_flip(spark, tmp_path, monkeypatch):
     def boom(lake_dir, pointer):
         raise RuntimeError("killed before pointer flip")
 
-    monkeypatch.setattr(M, "_commit_manifest", boom)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_commit_manifest", boom)
     with pytest.raises(RuntimeError, match="killed before pointer flip"):
         M.merge_batch_into_lake(env.filter(F.col("event_seq") % 3 == 1), lake)
-    monkeypatch.setattr(M, "_commit_manifest", real)
+    monkeypatch.setattr(lake_log, "_commit_manifest", real)
 
     assert M._read_pointer(lake)["version"] == 1  # old version live
     # tag the dead writer's entry so the overwrite is observable (the

@@ -608,7 +608,9 @@ def test_held_lock_reuses_staging_no_recompute(spark, tmp_path, monkeypatch):
         stages.append(1)
         return real(*a, **k)
 
-    monkeypatch.setattr(M, "_stage_commit", counting)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_stage_commit", counting)
     with open(os.path.join(lake, LOCK_NAME), "w") as fh:
         json.dump({"pid": os.getpid(), "host": socket.gethostname()}, fh)
     try:
@@ -759,7 +761,9 @@ def test_occ_deterministic_staging_failure_surfaces(spark, tmp_path, monkeypatch
         calls.append(1)
         raise ValueError("deterministic staging bug")
 
-    monkeypatch.setattr(M, "_stage_commit", broken_stage)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_stage_commit", broken_stage)
     with pytest.raises(ValueError, match="deterministic staging bug"):
         M.merge_batch_optimistic(env.filter(F.col("event_seq") % 2 == 1), lake)
     assert len(calls) == 1  # no blind retry loop

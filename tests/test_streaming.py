@@ -1628,14 +1628,16 @@ def test_merge_lake_crash_before_flip_preserves_table(spark, tmp_path, monkeypat
     def exploding_commit(lake_dir, manifest):
         raise RuntimeError("injected crash before manifest flip")
 
-    monkeypatch.setattr(materialize, "_commit_manifest", exploding_commit)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_commit_manifest", exploding_commit)
     with pytest.raises(RuntimeError, match="injected crash"):
         merge_batch_into_lake(batches[2], lake)
     # the failed merge is invisible: same rows, and the orphan commit
     # dir exists but is unreferenced
     assert _lake_rows(spark, lake) == before
     commits = set(os.listdir(os.path.join(lake, "commits")))
-    monkeypatch.setattr(materialize, "_commit_manifest", real_commit)
+    monkeypatch.setattr(lake_log, "_commit_manifest", real_commit)
 
     # replay heals: final snapshot == one-shot oracle of full history
     merge_batch_into_lake(batches[2], lake)
@@ -2171,7 +2173,9 @@ def test_compact_lake_crash_before_flip_is_invisible(spark, tmp_path, monkeypatc
     def boom(lake_dir, manifest):
         raise RuntimeError("injected crash before flip")
 
-    monkeypatch.setattr(M, "_commit_manifest", boom)
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_commit_manifest", boom)
     with pytest.raises(RuntimeError, match="injected"):
         M.compact_lake(spark, lake)
     monkeypatch.undo()
