@@ -18,7 +18,7 @@ import json
 import re
 from dataclasses import dataclass, field
 
-BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file", "jsoncdc")
+BACKEND_TYPES = ("postgresql", "mysql", "mongo", "file", "jsoncdc", "kafka")
 SINK_TYPES = ("console", "parquet", "memory", "kafka", "lake")
 EVENT_TYPES = ("insert", "update", "delete")
 
@@ -142,6 +142,14 @@ class BackendConfig:
     #: at most N input files per trigger. None → Spark default (all
     #: available files in one batch).
     max_files_per_trigger: int | None = None
+    #: kafka backend (the Debezium→Kafka production capture path,
+    #: SURVEY §2.1): broker list + the topic carrying the LDJSON
+    #: change lines; startingOffsets follows the Kafka source's
+    #: 'earliest'/'latest' contract — checkpointed offsets win on
+    #: restart (the slot-cursor analog)
+    bootstrap_servers: str | None = None
+    topic: str | None = None
+    starting_offsets: str = "earliest"
 
     def enabled_types(self) -> list[str] | None:
         """Flag cascade: an explicit ``emitTypes`` list wins; otherwise
@@ -196,6 +204,21 @@ def validate_config(raw: dict) -> EngineConfig:
             # friendly error at validate time instead of a TypeError
             # deep inside stream_events (mirrors the pg slot check)
             raise ConfigError(f"backend[{i}]: {btype} backend requires a 'path'")
+        if btype == "kafka":
+            # mirror the kafka SINK's bootstrap_servers rule — fail at
+            # validate time (-t), not at .load() inside the daemon
+            if not b.get("bootstrapServers"):
+                raise ConfigError(
+                    f"backend[{i}]: kafka backend requires 'bootstrapServers'"
+                )
+            if not b.get("topic"):
+                raise ConfigError(f"backend[{i}]: kafka backend requires 'topic'")
+            so = b.get("startingOffsets", "earliest")
+            if so not in ("earliest", "latest"):
+                raise ConfigError(
+                    f"backend[{i}]: startingOffsets must be 'earliest' or "
+                    f"'latest', got {so!r}"
+                )
         mfpt = b.get("maxFilesPerTrigger")
         if mfpt is not None and (
             isinstance(mfpt, bool) or not isinstance(mfpt, int) or mfpt < 1
@@ -236,6 +259,9 @@ def validate_config(raw: dict) -> EngineConfig:
                 wrappers=wrappers,
                 sinks=sinks,
                 max_files_per_trigger=mfpt,
+                bootstrap_servers=b.get("bootstrapServers"),
+                topic=b.get("topic"),
+                starting_offsets=b.get("startingOffsets", "earliest"),
             )
         )
     ckpt_root = raw.get("checkpointRoot")

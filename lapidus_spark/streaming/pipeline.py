@@ -44,11 +44,30 @@ def envelope_stream(spark: SparkSession, backend: BackendConfig) -> DataFrame:
             spark, backend.path, max_files_per_trigger=backend.max_files_per_trigger
         )
         env = normalize_events(raw, source=backend.name)
+    elif backend.type == "kafka":
+        # the production capture feed (VERDICT r9 #3): the Debezium→
+        # Kafka posture is the declared src_pg mapping (SURVEY §2.1,
+        # postgresql.js:550-619's live pipe externalized) — each Kafka
+        # record's value is the same LDJSON line the reference reads
+        # off pg_recvlogical, so the decode→normalize pipeline is the
+        # jsoncdc one unchanged. Plan-level constructible without a
+        # broker (.load() fixes the Kafka schema; only .start()
+        # connects), exactly like the kafka SINK.
+        from lapidus_spark.streaming.sources import kafka_envelope_source
+
+        env = kafka_envelope_source(
+            spark,
+            backend.bootstrap_servers,
+            backend.topic,
+            source=backend.name,
+            starting_offsets=backend.starting_offsets,
+        )
     else:
         raise NotImplementedError(
             f"backend type {backend.type!r}: live capture is external "
-            "(Debezium->Kafka); only the 'file' and 'jsoncdc' replay "
-            "backends run in this container"
+            "(Debezium->Kafka — declare it as a 'kafka' backend reading "
+            "the connector's topic); only the 'file', 'jsoncdc' and "
+            "'kafka' backends construct streams in this container"
         )
     # null-safe: tx markers (begin/commit) carry no table_name and
     # must pass table filters (they are events in their own right)

@@ -85,14 +85,19 @@ def kafka_envelope_source(
     bootstrap_servers: str,
     topic: str,
     source: str = "pg_main",
+    starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Kafka feed → canonical envelope: the broker analog of
     ``stream_jsoncdc_envelope`` (value bytes are the same LDJSON line
     the reference reads off the pg_recvlogical pipe,
-    src/postgresql.js:607-611 — one JSON object per Kafka record)."""
+    src/postgresql.js:607-611 — one JSON object per Kafka record).
+    The daemon's ``backend.type == "kafka"`` resolves here
+    (streaming/pipeline.py), making live capture a config entry:
+    Debezium/pg_recvlogical publishes to the topic, the engine
+    consumes with checkpointed offsets (src_slot's durable cursor)."""
     from lapidus_spark.sources.jsoncdc import decode_jsoncdc, normalize_jsoncdc
 
-    raw = kafka_raw_source(spark, bootstrap_servers, topic)
+    raw = kafka_raw_source(spark, bootstrap_servers, topic, starting_offsets)
     lines = raw.select(F.col("value").cast("string").alias("value"))
     return normalize_jsoncdc(decode_jsoncdc(lines), source=source)
 

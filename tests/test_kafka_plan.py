@@ -132,3 +132,85 @@ def test_kafka_source_plan_resolves(spark):
     env = kafka_envelope_source(spark, "broker-1:9092", "cdc.public.users")
     assert [f.name for f in env.schema.fields] == [f.name for f in ENVELOPE_SCHEMA.fields]
     assert env.isStreaming
+
+
+def test_kafka_backend_config_validation():
+    """The daemon accepts Kafka as a SOURCE backend (VERDICT r9 #3):
+    config validation mirrors the sink's bootstrap_servers rule and
+    fails at -t time, not at .load() inside a running daemon."""
+    from lapidus_spark.config import ConfigError, validate_config
+
+    ok = validate_config(
+        {
+            "backends": [
+                {
+                    "name": "pg_live",
+                    "type": "kafka",
+                    "bootstrapServers": "k:9092",
+                    "topic": "pg_main.jsoncdc",
+                }
+            ],
+            "sinks": [{"type": "console"}],
+        }
+    )
+    b = ok.backends[0]
+    assert (b.type, b.bootstrap_servers, b.topic, b.starting_offsets) == (
+        "kafka", "k:9092", "pg_main.jsoncdc", "earliest",
+    )
+    with pytest.raises(ConfigError, match="bootstrapServers"):
+        validate_config(
+            {"backends": [{"type": "kafka", "topic": "t"}], "sinks": [{"type": "console"}]}
+        )
+    with pytest.raises(ConfigError, match="topic"):
+        validate_config(
+            {
+                "backends": [{"type": "kafka", "bootstrapServers": "k:9092"}],
+                "sinks": [{"type": "console"}],
+            }
+        )
+    with pytest.raises(ConfigError, match="startingOffsets"):
+        validate_config(
+            {
+                "backends": [
+                    {
+                        "type": "kafka",
+                        "bootstrapServers": "k:9092",
+                        "topic": "t",
+                        "startingOffsets": "sometimes",
+                    }
+                ],
+                "sinks": [{"type": "console"}],
+            }
+        )
+
+
+def test_kafka_backend_builds_daemon_envelope_stream(spark):
+    """envelope_stream constructs the full Kafka→decode→normalize→
+    filter pipeline from config alone (plan-level — no broker; only
+    .start() would connect), with the backend's pre-dispatch filters
+    applied like any other backend's."""
+    from lapidus_spark.config import validate_config
+    from lapidus_spark.streaming.pipeline import envelope_stream
+
+    cfg = validate_config(
+        {
+            "backends": [
+                {
+                    "name": "pg_live",
+                    "type": "kafka",
+                    "bootstrapServers": "broker-1:9092",
+                    "topic": "pg_main.jsoncdc",
+                    "excludeTables": ["audit_log"],
+                }
+            ],
+            "sinks": [{"type": "console"}],
+        }
+    )
+    try:
+        env = envelope_stream(spark, cfg.backends[0])
+    except Exception as e:  # connector jar absent in this container
+        pytest.skip(f"kafka connector not available: {e}")
+    assert env.isStreaming
+    assert [f.name for f in env.schema.fields] == [f.name for f in ENVELOPE_SCHEMA.fields]
+    plan = env._jdf.queryExecution().logical().toString()
+    assert "audit_log" in plan  # excludeTables filter is in the plan
