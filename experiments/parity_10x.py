@@ -109,6 +109,18 @@ COHORT = [
     # bucket counts; constraint validation riding every merge
     "lake_txn_idempotent",
     "lake_constraint_merge",
+    # round-10 surface: deletion-vector reads (the broadcast mask must
+    # suppress the same LWW winners whatever the split layout), the
+    # widened-epoch read (int32 files promoted to bigint across real
+    # multi-split buckets), the catalog's tx-consistent two-table
+    # resolve, recall@10 of the ANN probes vs the exact ranking at a
+    # 10x corpus, and the de-vacuo-fixed set-operation battery (its
+    # EXCEPT leg now contributes rows at every scale — 10x included)
+    "lake_delete_dv",
+    "lake_type_widening",
+    "lake_multi_table_tx",
+    "ext_ann_eval",
+    "set_except_intersect",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -5,8 +5,9 @@
     python -m lapidus_spark --rebucket LAKE_DIR --buckets N
     python -m lapidus_spark --restore LAKE_DIR --version N
     python -m lapidus_spark --vacuum LAKE_DIR [--retain-versions K] [--dry-run]
-    python -m lapidus_spark --delete LAKE_DIR --where SQL_PREDICATE
+    python -m lapidus_spark --delete LAKE_DIR --where SQL_PREDICATE [--delete-mode dv]
     python -m lapidus_spark --clone SRC_LAKE --into DST_DIR [--version N]
+    python -m lapidus_spark --rename-column LAKE_DIR --old X --new Y
     python -m lapidus_spark --history LAKE_DIR / --detail LAKE_DIR
 
 ``--validate-only`` parses and validates the config then exits 0/1
@@ -15,8 +16,9 @@ administration commands run one lake table operation and exit; the
 mutating ones take the lake's single-writer lock, so run them while
 the daemon's lake sink is paused (a colliding writer raises — or
 waits out a transient flip-lock hold — instead of corrupting).
-``--restore``, ``--vacuum``, ``--clone``, ``--history`` and
-``--detail`` are metadata-only and need no Spark session at all."""
+``--restore``, ``--vacuum``, ``--clone``, ``--rename-column``,
+``--history`` and ``--detail`` are metadata-only and need no Spark
+session at all."""
 
 from __future__ import annotations
 
@@ -109,6 +111,23 @@ def main(argv: list[str] | None = None) -> int:
         help="SQL predicate over the snapshot columns for --delete",
     )
     ap.add_argument(
+        "--delete-mode",
+        choices=("rewrite", "dv"),
+        default="rewrite",
+        help="--delete strategy: 'rewrite' materializes tombstones into "
+        "rewritten buckets; 'dv' records a deletion vector (zero data "
+        "bytes, merge-on-read — the GDPR single-row path; the next "
+        "OPTIMIZE materializes and sheds it)",
+    )
+    ap.add_argument(
+        "--rename-column",
+        metavar="LAKE_DIR",
+        help="RENAME an accreted lake column --old to --new "
+        "(metadata-only commit; old files read through the alias) and exit",
+    )
+    ap.add_argument("--old", default=None, help="current column name for --rename-column")
+    ap.add_argument("--new", default=None, help="new column name for --rename-column")
+    ap.add_argument(
         "--clone",
         metavar="SRC_LAKE",
         help="shallow-clone SRC_LAKE into --into (zero-copy) and exit",
@@ -149,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
             args.clone,
             args.history,
             args.detail,
+            args.rename_column,
         )
         if a
     ]
@@ -167,6 +187,8 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--delete requires --where")
         if args.clone and not args.into:
             ap.error("--clone requires --into")
+        if args.rename_column and (not args.old or not args.new):
+            ap.error("--rename-column requires --old and --new")
 
         import json as _json
 
@@ -220,6 +242,17 @@ def main(argv: list[str] | None = None) -> int:
 
             print(_json.dumps(describe_detail(args.detail), sort_keys=True))
             return 0
+        if args.rename_column:
+            from lapidus_spark.streaming.materialize import rename_lake_column
+
+            res = rename_lake_column(
+                args.rename_column, args.old, args.new, retain_versions=retain
+            )
+            print(
+                f"renamed {args.old} -> {args.new}; version {res['version']} "
+                "(metadata-only, zero data bytes)"
+            )
+            return 0
 
         from lapidus_spark.streaming.materialize import (
             compact_lake,
@@ -243,10 +276,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"compacted {res['compacted_buckets']} bucket(s); version {res['version']}{skipped}"
             )
         elif args.delete:
-            res = delete_from_lake(spark, args.delete, args.where, retain_versions=retain)
+            res = delete_from_lake(
+                spark, args.delete, args.where, retain_versions=retain,
+                mode=args.delete_mode,
+            )
+            how = "deletion vector" if args.delete_mode == "dv" else "rewrite"
             print(
                 f"deleted {res['deleted_rows']} row(s) across "
-                f"{res['deleted_buckets']} bucket(s); version {res['version']}"
+                f"{res['deleted_buckets']} bucket(s) via {how}; "
+                f"version {res['version']}"
             )
         else:
             res = rebucket_lake(spark, args.rebucket, args.buckets, retain_versions=retain)

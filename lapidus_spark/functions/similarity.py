@@ -335,6 +335,27 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _ivf_probe_cells(qe) -> list[int]:
+    """The query's n_probe nearest IVF cells, computed driver-side
+    with the SAME left-to-right IEEE-double fold the SQL quantizer
+    uses (int weight × double element, then −dot/|c| against the
+    norm-normalized centroids — see _cell_scores), so every bit
+    matches the engines' arithmetic. <= keeps score ties, same as
+    the oracle's predicate. Shared by the raw-IVF and IVF-PQ
+    probes."""
+    import math
+
+    qscores = []
+    for i in range(N_CELLS):
+        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
+        dot = 0.0
+        for d in range(1, DIM + 1):
+            dot = dot + _ivf_weight(i, d) * float(qe[d - 1])
+        qscores.append(-dot / norm)
+    thr = sorted(qscores)[N_PROBE - 1]
+    return [c for c, s in enumerate(qscores) if s <= thr]
+
+
 def ivf_candidates(
     spark: SparkSession, sf_dir: str, k: int, idx_path: str | None = None
 ) -> DataFrame:
@@ -355,19 +376,8 @@ def ivf_candidates(
     if idx_path is None:
         idx_path = build_ivf_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings", parallel=True)
-    import math
-
     qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    qscores = []
-    for i in range(N_CELLS):
-        norm = math.sqrt(sum(_ivf_weight(i, d) ** 2 for d in range(1, DIM + 1)))
-        dot = 0.0
-        for d in range(1, DIM + 1):
-            dot = dot + _ivf_weight(i, d) * float(qrow.embedding[d - 1])
-        qscores.append(-dot / norm)
-    thr = sorted(qscores)[N_PROBE - 1]
-    # <= keeps score ties, same as the oracle's predicate
-    cells = [c for c, s in enumerate(qscores) if s <= thr]
+    cells = _ivf_probe_cells(qrow.embedding)
     qe = F.array(*[F.lit(float(v)) for v in qrow.embedding])
     # literal cell IN (...) on the partition column → static partition
     # pruning: the scan reads only the probed cells' files
@@ -1113,6 +1123,263 @@ def ext_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- IVF-PQ: product quantization over the IVF layout ----
+#
+# The memory-compression scale path: the ADC pass ranks candidates
+# from 4-bit codes (PQ_M bytes/vector in spirit; stored as a tinyint
+# array here) instead of the 512-byte raw embedding — at 100 TB the
+# shortlist scan reads ~1% of the bytes the raw-vector probe reads,
+# and only the PQ_CAND shortlist survivors fetch their full vectors
+# for the exact re-rank (a broadcast semi-join, never a second scan
+# of the probed cells' raw vectors).
+
+PQ_M = 8  # subspaces: 64 dims → 8 sub-vectors of 8
+PQ_SUB = DIM // PQ_M
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_CAND = 50  # ADC shortlist re-ranked with exact cosine
+
+
+def _pq_weight(m: int, j: int, d: int) -> int:
+    """md5-derived integer codeword component for subspace ``m``
+    (1-based), codeword ``j`` (0-based), sub-dimension ``d``
+    (1..PQ_SUB) — the same frozen-quantizer construction as
+    ``_ivf_weight``: computed once in Python, identical in both
+    engines, never refit."""
+    import hashlib
+
+    return int(hashlib.md5(f"pq_{m}_{j}_{d}".encode()).hexdigest()[:4], 16) - 32768
+
+
+def _pq_norm(m: int, j: int) -> float:
+    import math
+
+    return math.sqrt(sum(_pq_weight(m, j, d) ** 2 for d in range(1, PQ_SUB + 1)))
+
+
+def _pq_sub_scores(dialect: str, col: str, m: int) -> list[str]:
+    """Per-codeword assignment scores for sub-vector ``m``:
+    -(c_mj · x_m)/|c_mj| — direction-driven argmin against the
+    norm-normalized codewords, the same normalization argument as
+    ``_cell_scores`` (raw md5 norms would otherwise decide every
+    assignment). Left-associated sums → bit-identical doubles."""
+    off = (m - 1) * PQ_SUB
+    scores = []
+    for j in range(PQ_K):
+        dot = " + ".join(
+            f"{_pq_weight(m, j, d)} * {_elem_at(dialect, col, off + d)}"
+            for d in range(1, PQ_SUB + 1)
+        )
+        scores.append(f"(-({dot}) / {_pq_norm(m, j)!r})")
+    return scores
+
+
+def _pq_code_expr(dialect: str, col: str, m: int) -> str:
+    """0-based codeword id for sub-vector ``m`` — first-minimum
+    tie-break, matching the Spark build's min(struct(score, j))."""
+    arr = ", ".join(_pq_sub_scores(dialect, col, m))
+    if dialect == "spark":
+        from lapidus_spark.functions.exprs import let_
+
+        return f"CAST({let_(f'array({arr})', 'sc', 'array_position(sc, array_min(sc)) - 1')} AS INT)"
+    return f"CAST(list_position([{arr}], list_aggregate([{arr}], 'min')) - 1 AS INT)"
+
+
+def _pq_codebook_df(spark: SparkSession):
+    """The PQ_M×PQ_K codebook as a 128-row DataFrame (m, j,
+    w: array<double>, cnorm) — codewords as broadcast DATA for the
+    index build, same Janino-limit rationale as ``_centroid_df``;
+    the values are exactly the ones the oracle's literal expressions
+    inline."""
+    rows = []
+    for m in range(1, PQ_M + 1):
+        for j in range(PQ_K):
+            w = [float(_pq_weight(m, j, d)) for d in range(1, PQ_SUB + 1)]
+            rows.append((m, j, w, _pq_norm(m, j)))
+    return spark.createDataFrame(rows, "m INT, j INT, w ARRAY<DOUBLE>, cnorm DOUBLE")
+
+
+#: Spark-side assignment score for the codebook join: identical fold
+#: order to _pq_sub_scores' literal form (0.0-seeded left fold over
+#: sub-dimensions 1..PQ_SUB at offset (m-1)*PQ_SUB).
+_PQ_SCORE = (
+    f"-(aggregate(sequence(1, {PQ_SUB}), CAST(0 AS DOUBLE), "
+    f"(acc, d) -> acc + element_at(w, d) * "
+    f"CAST(element_at(embedding, (m - 1) * {PQ_SUB} + d) AS DOUBLE))) / cnorm"
+)
+
+#: IVF-PQ index dirs per (process, sf_dir) — ingest-time work, like
+#: the plain IVF index.
+_PQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the IVF-PQ index: one row
+    per vector carrying ONLY (vec_id, code: array<int> of PQ_M 4-bit
+    ids), parquet-partitioned by IVF cell. The raw embedding is
+    deliberately NOT in the index — the ADC pass reads PQ_M small
+    ints per vector, and re-ranking fetches full vectors for the
+    shortlist alone."""
+    if sf_dir in _PQ_INDEX_DIRS:
+        return _PQ_INDEX_DIRS[sf_dir]
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="lapidus_ivfpq_")
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    scored = e.join(F.broadcast(_pq_codebook_df(spark))).select(
+        "vec_id", "m", "j", F.expr(_PQ_SCORE).alias("score")
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("score", "j")).alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, s.j AS cw))), x -> x.cw)"
+            ).alias("code")
+        )
+    )
+    (
+        codes.join(assign_cells(spark, e).drop("mn"), "vec_id")
+        .select("vec_id", "code", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    _PQ_INDEX_DIRS[sf_dir] = path
+    return path
+
+
+def _pq_lut_py(qe) -> list[float]:
+    """The query's ADC lookup table, flattened (m-major: entry
+    (m-1)*PQ_K + j = (c_mj · q_m)/|c_mj|), computed driver-side with
+    the SAME left-to-right IEEE fold the oracle's SQL uses — 128
+    doubles inlined as literals into the Spark ADC expression."""
+    lut = []
+    for m in range(1, PQ_M + 1):
+        off = (m - 1) * PQ_SUB
+        for j in range(PQ_K):
+            dot = 0.0
+            for d in range(1, PQ_SUB + 1):
+                dot = dot + _pq_weight(m, j, d) * float(qe[off + d - 1])
+            lut.append(dot / _pq_norm(m, j))
+    return lut
+
+
+def _pq_lut_sql(dialect: str, qcol: str) -> list[str]:
+    """The same LUT as SQL expressions over the query row's embedding
+    (the oracle cannot inline per-dataset literals — its string is
+    fixed at registration): entry order and fold order match
+    ``_pq_lut_py`` exactly."""
+    lut = []
+    for m in range(1, PQ_M + 1):
+        off = (m - 1) * PQ_SUB
+        for j in range(PQ_K):
+            dot = " + ".join(
+                f"{_pq_weight(m, j, d)} * {_elem_at(dialect, qcol, off + d)}"
+                for d in range(1, PQ_SUB + 1)
+            )
+            lut.append(f"(({dot}) / {_pq_norm(m, j)!r})")
+    return lut
+
+
+def _pq_adc_sql(dialect: str) -> str:
+    """ADC score from the code columns c1..c{PQ_M} and the LUT list
+    ``lut`` (duck) — left-associated sum over subspaces, matching the
+    Spark fold's order."""
+    assert dialect == "duck"
+    return " + ".join(f"lut[{(m - 1) * PQ_K} + c{m} + 1]" for m in range(1, PQ_M + 1))
+
+
+def pq_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Top-``k`` exact-cosine results via the IVF-PQ two-stage probe:
+    ADC over the probed cells' CODES (column-pruned scan of the
+    compressed index — never the raw vectors), PQ_CAND shortlist by
+    approximate score, exact re-rank of the shortlist's full vectors
+    fetched through a broadcast semi-join on the corpus table."""
+    idx = build_pq_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings", parallel=True)
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    cells = _ivf_probe_cells(qrow.embedding)
+    lut = _pq_lut_py(qrow.embedding)
+    lut_lit = ", ".join(repr(v) for v in lut)
+    adc = F.expr(
+        f"aggregate(sequence(1, {PQ_M}), CAST(0 AS DOUBLE), "
+        f"(acc, m) -> acc + element_at(array({lut_lit}), "
+        f"(m - 1) * {PQ_K} + element_at(code, m) + 1))"
+    )
+    shortlist = (
+        spark.read.parquet(idx)
+        .filter(F.col("cell").isin(cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_CAND)
+    )
+    qe = F.array(*[F.lit(float(v)) for v in qrow.embedding])
+    return (
+        e.join(F.broadcast(shortlist.select("vec_id")), "vec_id", "semi")
+        .withColumn("qe", qe)
+        .select("vec_id", F.expr(_cos("spark", "embedding", "qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """The full IVF-PQ probe in DuckDB — codes, probe cells, LUT and
+    ADC all recomputed from the raw table with the Spark path's exact
+    arithmetic."""
+    code_cols = ", ".join(
+        f"{_pq_code_expr('duck', 'embedding', m)} AS c{m}" for m in range(1, PQ_M + 1)
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding, {_cell_expr("duck", "embedding")} AS cell,
+             {code_cols}
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS qe,
+             {_scores_arr("duck", "embedding")} AS qscores,
+             [{", ".join(_pq_lut_sql("duck", "embedding"))}] AS lut
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), cand AS (
+      SELECT s.vec_id, s.embedding, {_pq_adc_sql("duck")} AS adc
+      FROM s CROSS JOIN q
+      WHERE q.qscores[s.cell + 1] <= list_sort(q.qscores)[{N_PROBE}]
+        AND s.vec_id <> {QUERY_VEC_ID}
+      ORDER BY adc DESC, s.vec_id ASC
+      LIMIT {PQ_CAND}
+    )
+    SELECT cand.vec_id, {_cos("duck", "cand.embedding", "q.qe")} AS cos_sim
+    FROM cand CROSS JOIN q
+    ORDER BY cos_sim DESC, cand.vec_id ASC
+    LIMIT {TOP_K}
+    """
+
+
+@query(
+    "ext_ann_pq",
+    oracle=_pq_oracle_sql(),
+    operator="ext_sim_search (ANN/IVF-PQ compressed scale path)",
+    doc="IVF-PQ ANN: the corpus is indexed as PQ_M=8 4-bit codes per "
+    "vector (each 8-dim sub-vector assigned to its nearest of 16 "
+    "frozen md5-derived codewords — the same deterministic-quantizer "
+    "construction as the IVF cells), parquet-partitioned by IVF "
+    "cell. A query probes its n_probe cells and ranks by ASYMMETRIC "
+    "DISTANCE: a driver-computed 128-entry lookup table (query "
+    "sub-vector · each codeword) folded over the code array — the "
+    "scan reads ONLY the code column (~1% of the raw-vector bytes; "
+    "at 100 TB this is the difference between an in-memory shortlist "
+    "pass and re-reading half a terabyte per probed cell). The "
+    "PQ_CAND=50 shortlist then fetches full vectors via a broadcast "
+    "semi-join for the exact cosine top-10. Every stage deterministic "
+    "(left-fold doubles, first-minimum assignment, total tie order), "
+    "so the oracle replays codes, LUT, ADC and re-rank bit-for-bit.",
+)
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_candidates(spark, sf_dir, TOP_K)
+
+
 def _exact_topk_sql() -> str:
     """The exact-cosine top-k CTE body (ext_sim_search's oracle) —
     shared by ext_ann_eval so the ground truth can never drift from
@@ -1156,7 +1423,7 @@ def _exact_topk_sql() -> str:
       WHERE s.vec_id <> {QUERY_VEC_ID}
       ORDER BY cos_sim DESC, s.vec_id ASC
       LIMIT {TOP_K}
-    )
+    ), pq_k AS ({_pq_oracle_sql()})
     SELECT 'ivf' AS method, CAST({TOP_K} AS BIGINT) AS k,
            count(*) AS n_hits,
            (1000 * count(*)) // {TOP_K} AS recall_permille
@@ -1166,11 +1433,17 @@ def _exact_topk_sql() -> str:
            count(*) AS n_hits,
            (1000 * count(*)) // {TOP_K} AS recall_permille
     FROM lsh_k JOIN exact_k USING (vec_id)
+    UNION ALL
+    SELECT 'pq' AS method, CAST({TOP_K} AS BIGINT) AS k,
+           count(*) AS n_hits,
+           (1000 * count(*)) // {TOP_K} AS recall_permille
+    FROM pq_k JOIN exact_k USING (vec_id)
     """,
     operator="ext_sim_search (ANN recall@k evaluation)",
     doc="ANN recall measurement (VERDICT r9 #5) — the observability "
-    "twin of ext_dedup_eval: the IVF probe (n_probe=2 of 16 cells) "
-    "and the multi-probe LSH (query bucket + Hamming-1 neighbors) "
+    "twin of ext_dedup_eval: the IVF probe (n_probe=2 of 16 cells), "
+    "the multi-probe LSH (query bucket + Hamming-1 neighbors) and "
+    "the IVF-PQ ADC probe (compressed codes + exact re-rank) "
     "top-10 candidate sets are each semi-joined against the EXACT "
     "cosine top-10 (ext_sim_search, the declared-exact baseline this "
     "module measures every ANN variant against), reporting integer-"
@@ -1200,6 +1473,8 @@ def ext_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return leg("ivf", ivf_candidates(spark, sf_dir, TOP_K)).unionByName(
-        leg("lsh", ext_ann_lsh(spark, sf_dir))
+    return (
+        leg("ivf", ivf_candidates(spark, sf_dir, TOP_K))
+        .unionByName(leg("lsh", ext_ann_lsh(spark, sf_dir)))
+        .unionByName(leg("pq", pq_candidates(spark, sf_dir, TOP_K)))
     )

@@ -959,6 +959,90 @@ def drop_constraint(lake_dir: str, name: str, retain_versions: int = 2) -> dict:
             pass
 
 
+def rename_lake_column(
+    lake_dir: str, old: str, new: str, retain_versions: int = 2
+) -> dict:
+    """ALTER TABLE ... RENAME COLUMN — a METADATA-ONLY commit (zero
+    data bytes; Delta column-mapping's rename posture, VERDICT r9
+    'schema evolution beyond accretion'). The epoch entry keeps its
+    type and gains the former name as an ``alias``; data files are
+    untouched — files written before the rename carry the column
+    under the old name, files written after under the new, and the
+    read side resolves them with an exact coalesce
+    (``log._align_extras``: each file has the column under exactly
+    ONE of its names). Old retained versions still time-travel under
+    their own pre-rename epoch.
+
+    Only ACCRETED extra columns rename (the five core envelope
+    columns are the table's contract). The former name stays
+    RESERVED: a later batch writing under it, or a new column taking
+    it, is refused at merge time (old files' data would silently
+    resurrect into the wrong column otherwise). Renaming BACK to a
+    former name of the same column is allowed — the coalesce chain
+    covers every epoch's files either way. A rename is refused while
+    any CHECK constraint references the old name (the recorded SQL
+    would silently start evaluating against nothing); drop or
+    re-add the constraint around the rename."""
+    import re
+
+    from .merge import _validate_extra_cols
+
+    _validate_merge_args(None, retain_versions)
+    _validate_extra_cols((new,))  # identifier shape + core/internal collisions
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest")
+        cols = [dict(c) for c in _manifest_columns(manifest)]
+        target = next((c for c in cols if c["name"] == old), None)
+        if target is None:
+            known = [c["name"] for c in cols]
+            raise ValueError(
+                f"no extra column {old!r} to rename (accreted columns: "
+                f"{known}; core envelope columns never rename)"
+            )
+        if new == old:
+            return {"version": int(manifest["version"]), "columns": cols}
+        for c in cols:
+            if c is target:
+                continue
+            if new == c["name"] or new in c.get("aliases", ()):
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: the name belongs to "
+                    f"column {c['name']!r} (current or former — old files "
+                    "still carry data under former names)"
+                )
+        for cname, cexpr in (manifest.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(old)}\b", cexpr):
+                raise ValueError(
+                    f"cannot rename {old!r}: CHECK constraint {cname!r} "
+                    f"({cexpr!r}) references it — drop the constraint, "
+                    "rename, then re-add it against the new name"
+                )
+        target["aliases"] = sorted(
+            (set(target.get("aliases", ())) | {old}) - {new}
+        )
+        target["name"] = new
+        new_manifest = _flip_version(
+            lake_dir,
+            manifest,
+            commit_rel="",
+            touched=[],
+            n_buckets=manifest["n_buckets"],
+            retain_versions=retain_versions,
+            extra={"columns": cols, "rename": {"from": old, "to": new}},
+            data_change=False,  # pure metadata: CDF consumers skip it
+            touched_rels={},
+        )
+        return {"version": int(new_manifest["version"]), "columns": cols}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
     """SHALLOW CLONE — a zero-copy fork of the table at a version:
     the clone is a fresh lake whose version-1 commit repoints every

@@ -687,22 +687,41 @@ def _manifest_columns(manifest: dict | None) -> list[dict]:
     return list((manifest or {}).get("columns", []))
 
 
+def _column_names(c: dict) -> list[str]:
+    """All names a column has ever been written under: its current
+    logical name first, then former names recorded by RENAME commits
+    (``aliases``). Any given FILE carries the column under exactly one
+    of these (the logical name at that file's write time), so a
+    coalesce across them is exact — there is no drop-column op, so a
+    former name can never denote a different column's data."""
+    return [c["name"], *c.get("aliases", ())]
+
+
 def _align_extras(df: DataFrame, extras: list[dict]) -> DataFrame:
     """Align a frame to the schema epoch: null-fill declared extra
     columns the frame predates (files written before a schema
     evolution lack the accreted columns — Delta/parquet schema-
     evolution read semantics), CAST present ones up to the epoch's
     type (a batch declaring int into a bigint-widened column, or a
-    pre-widening file read outside the explicit-schema path), then
-    project the canonical column order. The cast is a no-op when
-    types already match."""
+    pre-widening file read outside the explicit-schema path), resolve
+    RENAMED columns (files written before a rename carry the former
+    name — ``aliases``; coalesce is exact because each file has the
+    column under exactly one name), then project the canonical column
+    order. The cast is a no-op when types already match."""
     have = set(df.columns)
     aligned = []
     for c in extras:
-        if c["name"] not in have:
+        present = [n for n in _column_names(c) if n in have]
+        if not present:
             aligned.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+        elif len(present) == 1:
+            aligned.append(F.col(present[0]).cast(c["type"]).alias(c["name"]))
         else:
-            aligned.append(F.col(c["name"]).cast(c["type"]).alias(c["name"]))
+            aligned.append(
+                F.coalesce(*[F.col(n).cast(c["type"]) for n in present]).alias(
+                    c["name"]
+                )
+            )
     return df.select(*_LAKE_COLS, *aligned)
 
 
@@ -725,8 +744,14 @@ def _read_commit_files(spark, manifest: dict | None, paths: list[str]) -> DataFr
 
     core = spark.read.parquet(paths[0]).schema  # one footer
     core_fields = [f for f in core.fields if f.name in set(_LAKE_COLS)]
+    # request every name each column has ever been written under (the
+    # current logical name AND rename aliases), all at the epoch type:
+    # a file carries exactly one of them populated, the rest null-fill,
+    # and _align_extras coalesces them into the logical column
     extra_fields = StructType.fromDDL(
-        ", ".join(f"{c['name']} {c['type']}" for c in extras)
+        ", ".join(
+            f"{n} {c['type']}" for c in extras for n in _column_names(c)
+        )
     ).fields
     have = {f.name for f in core_fields}
     schema = StructType(core_fields + [f for f in extra_fields if f.name not in have])

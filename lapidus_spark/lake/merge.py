@@ -302,10 +302,23 @@ def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple
     ``_align_extras``); anything off-chain still raises."""
     base_extras = _manifest_columns(manifest)
     known = {c["name"]: c["type"] for c in base_extras}
+    # former names from RENAME commits: a batch may not write under
+    # one (the data would silently land in the renamed column via the
+    # read-side coalesce), and a NEW column may not take one (old
+    # files' data under that name would resurrect into it)
+    former = {
+        a: c["name"] for c in base_extras for a in c.get("aliases", ())
+    }
     new_cols = []
     widened: dict[str, str] = {}
     for name in extra_cols:
         dtype = updates.schema[name].dataType.simpleString()
+        if name in former:
+            raise ValueError(
+                f"extra column {name!r} was renamed to {former[name]!r} in "
+                "the lake schema — write under the current name (former "
+                "names stay reserved: old files still carry data under them)"
+            )
         if name in known:
             if known[name] == dtype:
                 continue
@@ -324,8 +337,7 @@ def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple
         else:
             new_cols.append({"name": name, "type": dtype})
     evolved_base = [
-        {"name": c["name"], "type": widened.get(c["name"], c["type"])}
-        for c in base_extras
+        {**c, "type": widened.get(c["name"], c["type"])} for c in base_extras
     ]
     return evolved_base + new_cols, bool(new_cols) or bool(widened)
 

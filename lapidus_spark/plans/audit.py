@@ -206,6 +206,18 @@ EXPECTATIONS: dict[str, dict] = {
         "take_ordered": True,
         "max_exchanges": 0,
     },
+    # IVF-PQ: same partition-pruned probe over the COMPRESSED index
+    # (the ADC scan reads only vec_id + the code array — never a raw
+    # vector), ADC shortlist as a TakeOrdered, shortlist broadcast
+    # back to the corpus for the exact re-rank; the one exchange is
+    # load_table(parallel=True)'s fixture-split crutch on the rerank
+    # side, never a corpus shuffle
+    "ext_ann_pq": {
+        "partition_pruned": True,
+        "take_ordered": True,
+        "broadcasts": 1,
+        "max_exchanges": 1,
+    },
     # two-stage retrieval: pruned IVF probe (stage 1), candidates +
     # stats as broadcasts (stage 2), final TakeOrdered; the single
     # shuffle is load_table(parallel=True)'s fixture-split crutch
@@ -398,14 +410,15 @@ EXPECTATIONS: dict[str, dict] = {
     # pair join) + two doc-id equi-joins for exact verification +
     # the 1-row stats agg (candidates are few at any scale)
     "ext_dedup_eval": {"max_exchanges": 9, "no_single_partition": True},
-    # recall@10 eval: two ANN legs (IVF partition-pruned probe; LSH
-    # bucket join) each semi-joined against the exact top-10 and
-    # reduced to one row — the exchanges are the per-leg top-k and
-    # single-row aggregations, never a corpus shuffle
+    # recall@10 eval: three ANN legs (IVF partition-pruned probe; LSH
+    # bucket join; IVF-PQ ADC probe + re-rank) each semi-joined
+    # against the exact top-10 and reduced to one row — the exchanges
+    # are the per-leg top-k and single-row aggregations, never a
+    # corpus shuffle
     "ext_ann_eval": {
         "pushed": True,
         "take_ordered": True,
-        "max_exchanges": 6,
+        "max_exchanges": 9,
         "no_single_partition": True,
     },
     # EMA: sorted-collect on the entity key — one exchange, fold inside
@@ -555,6 +568,12 @@ EXPECTATIONS: dict[str, dict] = {
     "lake_delete_dv": {"max_exchanges": 0, "broadcasts": 1, "no_single_partition": True},
     "lake_zorder_read": {"pushed": True, "max_exchanges": 0},
     "lake_clone": {"pushed": True, "max_exchanges": 0},
+    # ---- round-10: RENAME COLUMN ----
+    # the rename is a metadata-only commit; the read stays the
+    # ordinary pruned scan + pushed tombstone filter with zero
+    # exchanges — the alias coalesce is a per-row projection over
+    # columns the explicit requested schema already null-fills
+    "lake_column_rename": {"pushed": True, "max_exchanges": 0},
 }
 
 

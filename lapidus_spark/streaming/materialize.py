@@ -130,6 +130,7 @@ from lapidus_spark.lake.admin import (  # noqa: F401
     delete_from_lake,
     drop_constraint,
     rebucket_lake,
+    rename_lake_column,
     restore_lake,
     vacuum_lake,
 )
