@@ -121,6 +121,13 @@ COHORT = [
     "lake_multi_table_tx",
     "ext_ann_eval",
     "set_except_intersect",
+    # the rename's alias-coalesce read over multi-split mixed-epoch
+    # files, and the PQ codes/ADC/shortlist under real parallelism
+    # (the shortlist cut is a global top-50 across 8 splits)
+    "lake_column_rename",
+    "ext_ann_pq",
+    # the resync retirement anti-join across 10x multi-split buckets
+    "lake_snapshot_sync",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -157,6 +157,104 @@ def merge_batch_into_lake(
             pass
 
 
+def sync_snapshot_into_lake(
+    batch_df: DataFrame,
+    lake_dir: str,
+    retire_seq: int,
+    retire_ts,
+    n_buckets: int | None = MERGE_LAKE_BUCKETS,
+    retain_versions: int = 1,
+    extra_cols: tuple = (),
+    txn: tuple | None = None,
+) -> dict:
+    """FULL-STATE re-sync — MERGE's ``WHEN NOT MATCHED BY SOURCE THEN
+    DELETE`` analog, the periodic-resnapshot posture a CDC consumer
+    needs when the upstream re-sends its complete state (slot loss,
+    initial-load repair, reference full resync): ``batch_df`` is an
+    envelope batch declaring the ENTIRE current upstream state, and
+    this op (1) upserts every source row and (2) retires every lake
+    entity ABSENT from the source as a tombstone stamped
+    ``(retire_seq, retire_ts)`` — both in ONE commit, so readers
+    never observe the upserts without the retirements.
+
+    The retirement stamp must outrank the retired entities' stored
+    rows in the LWW order (pass the snapshot's watermark, e.g.
+    max source ts + ε) — a stale stamp would lose the combine and
+    silently resurrect the row; this is the caller's declaration of
+    WHEN the snapshot was taken, not something the lake can infer.
+
+    Scale contract: a resync is by definition full-table work — the
+    retirement anti-join reads every live bucket ONCE, but carries
+    only ``entity_id`` (never payloads) into the join against the
+    source's key set; the subsequent merge rewrites only the buckets
+    the union actually touches (untouched buckets keep their
+    pointers, exactly like any merge). Returns
+    ``{"retired": n, "version": v}``."""
+    _validate_merge_args(n_buckets, retain_versions)
+    _validate_extra_cols(extra_cols)
+    _validate_txn(txn)
+    if isinstance(retire_seq, bool) or not isinstance(retire_seq, int):
+        raise ValueError(f"retire_seq must be an int, got {retire_seq!r}")
+    spark = batch_df.sparkSession
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = log._healed_manifest(lake_dir)
+        union = batch_df
+        retired = 0
+        if manifest is not None:
+            live = log._read_live(spark, lake_dir, manifest)
+            if live is not None:
+                gone = (
+                    live.filter(F.col("last_type") != "delete")
+                    .select("entity_id")
+                    .join(
+                        batch_df.select(
+                            F.col("pk").cast("string").alias("entity_id")
+                        ).distinct(),
+                        "entity_id",
+                        "anti",
+                    )
+                    .persist()
+                )
+                try:
+                    retired = gone.count()
+                    if retired:
+                        tomb = gone.select(
+                            F.col("entity_id").alias("pk"),
+                            F.lit(retire_seq).cast("bigint").alias("event_seq"),
+                            F.lit(retire_ts)
+                            .cast(batch_df.schema["ts"].dataType)
+                            .alias("ts"),
+                            F.lit("delete").alias("type"),
+                            F.lit(None).cast("string").alias("item"),
+                            *[
+                                F.lit(None)
+                                .cast(batch_df.schema[c].dataType)
+                                .alias(c)
+                                for c in extra_cols
+                            ],
+                        )
+                        union = batch_df.unionByName(tomb)
+                    _merge_locked(
+                        spark, union, lake_dir, n_buckets, retain_versions,
+                        extra_cols, txn,
+                    )
+                finally:
+                    gone.unpersist()
+                m = log._read_manifest(lake_dir)
+                return {"retired": retired, "version": int(m["version"])}
+        _merge_locked(
+            spark, union, lake_dir, n_buckets, retain_versions, extra_cols, txn
+        )
+        m = log._read_manifest(lake_dir)
+        return {"retired": 0, "version": int(m["version"])}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
 def _resolve_base(lake_dir: str, n_buckets: int | None, adopt_legacy: bool):
     """Shared merge preamble: the healed base manifest plus the
     resolved bucket count (pinned layout wins; a mismatch raises).

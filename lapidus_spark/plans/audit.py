@@ -568,6 +568,10 @@ EXPECTATIONS: dict[str, dict] = {
     "lake_delete_dv": {"max_exchanges": 0, "broadcasts": 1, "no_single_partition": True},
     "lake_zorder_read": {"pushed": True, "max_exchanges": 0},
     "lake_clone": {"pushed": True, "max_exchanges": 0},
+    # full-state re-sync: the retirement work happens at COMMIT time
+    # (anti-join inside the sync); the audited read is the ordinary
+    # manifest-resolved pruned scan + pushed tombstone filter
+    "lake_snapshot_sync": {"pushed": True, "max_exchanges": 0},
     # ---- round-10: RENAME COLUMN ----
     # the rename is a metadata-only commit; the read stays the
     # ordinary pruned scan + pushed tombstone filter with zero

@@ -118,6 +118,7 @@ from lapidus_spark.lake.merge import (  # noqa: F401
     merge_batch_optimistic,
     merge_lake_sink,
     snapshot_stream,
+    sync_snapshot_into_lake,
 )
 from lapidus_spark.lake.admin import (  # noqa: F401
     _cluster_sorted,

@@ -2341,6 +2341,89 @@ def lake_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lake_snapshot_sync",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error' AND user_id % 3 <> 0
+    """,
+    operator="full-state re-sync — MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    doc="Snapshot re-sync (the periodic-resnapshot posture a CDC "
+    "consumer needs on slot loss / initial-load repair): the lake is "
+    "seeded from the even-seq half of the history, then "
+    "sync_snapshot_into_lake receives the upstream's FULL current "
+    "state — the global LWW winners restricted to visible rows with "
+    "user_id % 3 <> 0 (a third of the entities vanished upstream, "
+    "and every surviving entity's value may have moved past what "
+    "the lake saw). One commit upserts every source row AND retires "
+    "every absent lake entity as a tombstone stamped past the "
+    "snapshot watermark — readers never observe the upserts without "
+    "the retirements. The oracle is the visible LWW snapshot of the "
+    "raw history under the same survival predicate: any entity the "
+    "sync failed to retire (or wrongly retired, or whose upsert lost "
+    "the LWW combine) is a value mismatch. The retirement anti-join "
+    "reads each live bucket once carrying only entity_id (a resync "
+    "is full-table work by definition); the merge rewrites only "
+    "touched buckets. Guard rails in tests/test_snapshot_sync.py: "
+    "idempotent re-sync (second run retires nothing, txn markers "
+    "make it free), resurrection via a later ordinary merge, empty "
+    "lake bootstrap.",
+)
+def lake_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    from lapidus_spark.streaming.materialize import (
+        merge_batch_into_lake,
+        read_lake_snapshot,
+        sync_snapshot_into_lake,
+    )
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    lake = tempfile.mkdtemp(prefix="lapidus_sync_lake_")
+    merge_batch_into_lake(
+        env.filter(F.col("event_seq") % 2 == 0), lake, retain_versions=2
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("ts"), F.desc("event_seq"))
+    source = (
+        env.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("type") != "delete")
+            & (F.col("pk").cast("long") % 3 != 0)
+        )
+        .select("pk", "event_seq", "ts", "type", "item")
+    )
+    hi = env.agg(F.max("ts").alias("hi")).first()["hi"]
+    res = sync_snapshot_into_lake(
+        source,
+        lake,
+        retire_seq=10_000_000,
+        retire_ts=hi + timedelta(hours=1),
+        retain_versions=2,
+    )
+    assert res["retired"] > 0, "the sync must retire the vanished third"
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
 #: three-epoch renamed lake per (process, sf_dir): batch 1 accretes
 #: ``shard``, a metadata-only RENAME makes it ``zone``, batch 2
 #: writes under the new name, batch 3 carries no extra at all.
