@@ -128,6 +128,17 @@ COHORT = [
     "lake_timestamp_travel",
     "lake_txn_idempotent",
     "lake_constraint_merge",
+    # round-10 surface (all-digestable schemas): deletion-vector
+    # masked reads at real bucket sizes (the broadcast mask must
+    # suppress the same winners at 10M envelopes), widened-epoch
+    # reads across mixed int32/int64 files, the catalog's
+    # two-table tx-consistent resolve, the rename's alias-coalesce
+    # over mixed-epoch files, and the resync retirement anti-join
+    "lake_delete_dv",
+    "lake_type_widening",
+    "lake_multi_table_tx",
+    "lake_column_rename",
+    "lake_snapshot_sync",
 ]
 DERIVED_TABLES = ("documents", "events")
 

@@ -127,7 +127,9 @@ COHORT = [
     "lake_column_rename",
     "ext_ann_pq",
     # the resync retirement anti-join across 10x multi-split buckets
+    # (batch + its streaming twin)
     "lake_snapshot_sync",
+    "stream_snapshot_sync",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

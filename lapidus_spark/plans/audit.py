@@ -601,6 +601,11 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # run as batch jobs inside the sink fn (the lake IS the state);
     # 3 batches with entities scattered across them
     "stream_merge_lake": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # streaming full-state re-sync: one micro-batch per snapshot file
+    # (the batch boundary IS the snapshot boundary); all the work —
+    # upserts + retirement anti-join + one commit — happens inside
+    # foreachBatch, so the streamed plan itself is a stateless scan
+    "stream_snapshot_sync": {"plan_ops": [], "max_exchanges": 0, "min_batches": 2},
     # the lake as a streaming SOURCE (python data source, offsets =
     # manifest versions): stateless pass-through to the sink, one
     # rate-limited micro-batch per committed version

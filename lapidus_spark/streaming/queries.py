@@ -2424,6 +2424,137 @@ def lake_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_REPLAY_DIRS: dict[str, str] = {}
+
+
+def build_snapshot_replay(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Two-snapshot replay for the streaming re-sync: file 0 is the
+    upstream's full visible state as of the first 3/4 of the history
+    (event_id % 4 < 3), file 1 the state over the FULL history with a
+    third of the entities vanished (user_id % 3 == 0) — so the second
+    sync must retire entities the first one upserted. One file per
+    snapshot (a full-state batch must arrive whole), mtimes pinned so
+    snapshot order is arrival order. Returns (dir, max_ts)."""
+    from pyspark.sql import Window
+
+    if sf_dir in _SNAPSHOT_REPLAY_DIRS:
+        return _SNAPSHOT_REPLAY_DIRS[sf_dir]
+    import time
+
+    env = normalize_events(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("pk").orderBy(F.desc("ts"), F.desc("event_seq"))
+
+    def state(src: DataFrame, survives) -> DataFrame:
+        return (
+            src.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("type") != "delete") & survives)
+            .select("pk", "event_seq", "ts", "type", "item")
+        )
+
+    snap_a = state(env.filter(F.col("event_seq") % 4 < 3), F.lit(True))
+    snap_b = state(env, F.col("pk").cast("long") % 3 != 0)
+    replay_dir = tempfile.mkdtemp(prefix="lapidus_snapreplay_")
+    now = time.time()
+    for i, snap in enumerate((snap_a, snap_b)):
+        sub = os.path.join(replay_dir, f"snap={i}")
+        snap.repartition(1).write.mode("overwrite").parquet(sub)
+        for fn in os.listdir(sub):
+            os.utime(os.path.join(sub, fn), (now + i * 10, now + i * 10))
+    hi = env.agg(F.max("ts").alias("hi")).first()["hi"]
+    _SNAPSHOT_REPLAY_DIRS[sf_dir] = (replay_dir, hi)
+    return _SNAPSHOT_REPLAY_DIRS[sf_dir]
+
+
+@query(
+    "stream_snapshot_sync",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error' AND user_id % 3 <> 0
+    """,
+    operator="streaming full-state re-sync — periodic snapshots through foreachBatch",
+    doc="The streaming twin of lake_snapshot_sync: a stream of FULL "
+    "upstream snapshots (one file = one micro-batch = one complete "
+    "state — maxFilesPerTrigger=1 pins the batch boundary to the "
+    "snapshot boundary) drives sync_snapshot_into_lake through "
+    "foreachBatch, each sync one atomic commit of upserts + "
+    "retirements under a per-snapshot txn marker (a restarted sink "
+    "redelivering its last snapshot re-syncs for free). Snapshot 1 "
+    "is the state as of 3/4 of the history (all entities); snapshot "
+    "2 the full-history state with a third of the entities vanished "
+    "— so the stream must retire entities its own earlier batch "
+    "upserted, the exact slot-loss-then-repair sequence. The oracle "
+    "is the final snapshot's visible LWW state; any retirement the "
+    "second sync missed (or value the first sync's stamp wrongly "
+    "beat) is a value mismatch.",
+)
+def stream_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from lapidus_spark.streaming.materialize import (
+        read_lake_snapshot,
+        sync_snapshot_into_lake,
+    )
+
+    clear_stream_run("stream_snapshot_sync")
+    replay_dir, hi = build_snapshot_replay(spark, sf_dir)
+    schema = (
+        normalize_events(load_table(spark, sf_dir, "events"))
+        .select("pk", "event_seq", "ts", "type", "item")
+        .schema
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    lake = tempfile.mkdtemp(prefix="lapidus_syncstream_lake_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_syncstream_ckpt_")
+    retire_ts = hi + timedelta(hours=1)
+
+    def sync_batch(batch_df, batch_id: int) -> None:
+        sync_snapshot_into_lake(
+            batch_df,
+            lake,
+            retire_seq=10_000_000 + int(batch_id),
+            retire_ts=retire_ts,
+            retain_versions=2,
+            txn=("resync_stream", int(batch_id) + 1),
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            raw.writeStream.foreachBatch(sync_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_stream_run("stream_snapshot_sync", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
 #: three-epoch renamed lake per (process, sf_dir): batch 1 accretes
 #: ``shard``, a metadata-only RENAME makes it ``zone``, batch 2
 #: writes under the new name, batch 3 carries no extra at all.

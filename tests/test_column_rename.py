@@ -211,6 +211,102 @@ def test_clone_carries_alias_chain(spark, tmp_path):
     )
 
 
+def test_rename_step_is_free_for_change_feeds(spark, tmp_path, monkeypatch):
+    """A rename commit is data_change=False with zero touched
+    buckets: the CDF streaming source plans zero partitions across
+    it and the batch feed reads zero buckets — consumers keyed on
+    the core columns never restart for a rename (the feeds emit core
+    columns only, so their schema is rename-stable by construction)."""
+    from lapidus_spark.streaming.lake_source import LakeCDFStreamReader
+
+    lake = str(tmp_path / "lake")
+    _build_renamed(spark, lake)  # v1 data, v2 rename, v3 data
+    v = M._read_manifest(lake)["version"]
+    M.rename_lake_column(lake, "zone", "sector", retain_versions=8)
+
+    reader = LakeCDFStreamReader({"path": lake})
+    assert reader.partitions({"version": v}, {"version": v + 1}) == []
+
+    def boom(*a, **k):
+        raise AssertionError("a rename-only diff must not read any bucket")
+
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_read_live", boom)
+    assert M.lake_changes(spark, lake, from_version=v, to_version=v + 1).count() == 0
+
+
+def test_occ_merge_conflicts_on_concurrent_rename(spark, tmp_path):
+    """An optimistic merge staged against the pre-rename manifest
+    must NOT clobber the rename at flip time: the changed columns
+    epoch is an OCC conflict (merge._occ_conflicts), the recompute
+    re-resolves under the renamed schema, and a batch still writing
+    under the former name surfaces the reserved-name error to the
+    writer instead of resurrecting old files' data."""
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _env(spark, 30, 0, (F.col("id") % 7).cast("bigint"), "shard"),
+        lake,
+        n_buckets=4,
+        retain_versions=8,
+        extra_cols=("shard",),
+    )
+    renamed = []
+
+    def hook(attempt):
+        if not renamed:
+            M.rename_lake_column(lake, "shard", "zone", retain_versions=8)
+            renamed.append(True)
+
+    with pytest.raises(ValueError, match="renamed to 'zone'"):
+        M.merge_batch_optimistic(
+            _env(spark, 10, 30, (F.col("id") % 7).cast("bigint"), "shard"),
+            lake,
+            n_buckets=4,
+            retain_versions=8,
+            extra_cols=("shard",),
+            _race_hook=hook,
+        )
+    # the rename survived the race
+    assert M._manifest_at(lake, None)["columns"] == [
+        {"name": "zone", "type": "bigint", "aliases": ["shard"]}
+    ]
+
+
+def test_cli_rename_and_dv_delete(spark, tmp_path, capsys):
+    import pytest as _pt
+
+    from lapidus_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    # batch 1 predates the column (no extra_cols), batch 2 accretes it
+    M.merge_batch_into_lake(
+        _env(spark, 30, 0), lake, n_buckets=4, retain_versions=4
+    )
+    M.merge_batch_into_lake(
+        _env(spark, 30, 30, (F.col("id") % 7).cast("bigint"), "shard"),
+        lake,
+        n_buckets=4,
+        retain_versions=4,
+        extra_cols=("shard",),
+    )
+    assert main(
+        ["--rename-column", lake, "--old", "shard", "--new", "zone",
+         "--retain-versions", "4"]
+    ) == 0
+    assert "metadata-only, zero data bytes" in capsys.readouterr().out
+    assert M._manifest_at(lake, None)["columns"][0]["name"] == "zone"
+    before = M._manifest_at(lake, None)["buckets"]
+    assert main(
+        ["--delete", lake, "--where", "zone = 1", "--delete-mode", "dv",
+         "--retain-versions", "4"]
+    ) == 0
+    assert "deletion vector" in capsys.readouterr().out
+    assert M._manifest_at(lake, None)["buckets"] == before  # zero data bytes
+    with _pt.raises(SystemExit):
+        main(["--rename-column", lake, "--old", "zone"])  # missing --new
+
+
 def test_rename_composes_with_widening_and_dv_delete(spark, tmp_path):
     lake = str(tmp_path / "lake")
     _build_renamed(spark, lake)
