@@ -49,8 +49,9 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="committed versions whose data GC keeps (time-travel "
         "horizon). Defaults per command: 1 for --compact/--rebucket/"
-        "--vacuum, 2 for --restore/--delete (keeping the undone/"
-        "pre-delete version time-travelable, the library default)",
+        "--vacuum, 2 for --restore/--delete/--rename-column (keeping "
+        "the undone/pre-delete/pre-rename version time-travelable, "
+        "the library default)",
     )
     ap.add_argument(
         "--target-files-per-bucket",
@@ -194,10 +195,11 @@ def main(argv: list[str] | None = None) -> int:
 
         retain = args.retain_versions
         if retain is None:
-            # restore/delete keep the undone / pre-delete version
-            # time-travelable by default (the library defaults);
-            # maintenance commands default to live-only
-            retain = 2 if (args.restore or args.delete) else 1
+            # restore/delete/rename keep the undone / pre-delete /
+            # pre-rename version time-travelable by default (the
+            # library defaults); maintenance commands default to
+            # live-only
+            retain = 2 if (args.restore or args.delete or args.rename_column) else 1
 
         # metadata-only commands: no Spark session needed
         if args.restore:

@@ -67,18 +67,24 @@ def _cos(dialect: str, a: str, b: str) -> str:
 
 
 
+def _exact_topk_sql() -> str:
+    """The exact-cosine top-k SQL — ext_sim_search's oracle AND the
+    ground-truth CTE body inside ext_ann_eval's, from ONE definition
+    so the recall baseline can never drift from the declared-exact
+    query it measures against."""
+    return f"""
+      SELECT e.vec_id, {_cos("duck", "e.embedding", "q.qe")} AS cos_sim
+      FROM embeddings e CROSS JOIN
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      ORDER BY cos_sim DESC, e.vec_id ASC
+      LIMIT {TOP_K}
+    """
+
+
 @query(
     "ext_sim_search",
-    oracle=f"""
-    WITH q AS (
-      SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
-    )
-    SELECT e.vec_id, {_cos("duck", "e.embedding", "q.qe")} AS cos_sim
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> {QUERY_VEC_ID}
-    ORDER BY cos_sim DESC, e.vec_id ASC
-    LIMIT {TOP_K}
-    """,
+    oracle=_exact_topk_sql(),
     operator="ext_sim_search",
     doc="Brute-force cosine top-k vs a fixed query vector; broadcast "
     "single-row join + TakeOrderedAndProject.",
@@ -1175,12 +1181,13 @@ def _pq_sub_scores(dialect: str, col: str, m: int) -> list[str]:
 
 def _pq_code_expr(dialect: str, col: str, m: int) -> str:
     """0-based codeword id for sub-vector ``m`` — first-minimum
-    tie-break, matching the Spark build's min(struct(score, j))."""
+    tie-break, matching the Spark build's min(struct(score, j)).
+    Oracle-only: the Spark side assigns codes via the broadcast
+    codebook join in ``build_pq_index`` (a literal expression here
+    would be untested parity-sensitive code free to drift from the
+    join arithmetic it claims to match)."""
+    assert dialect == "duck"
     arr = ", ".join(_pq_sub_scores(dialect, col, m))
-    if dialect == "spark":
-        from lapidus_spark.functions.exprs import let_
-
-        return f"CAST({let_(f'array({arr})', 'sc', 'array_position(sc, array_min(sc)) - 1')} AS INT)"
     return f"CAST(list_position([{arr}], list_aggregate([{arr}], 'min')) - 1 AS INT)"
 
 
@@ -1378,20 +1385,6 @@ def _pq_oracle_sql() -> str:
 )
 def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_candidates(spark, sf_dir, TOP_K)
-
-
-def _exact_topk_sql() -> str:
-    """The exact-cosine top-k CTE body (ext_sim_search's oracle) —
-    shared by ext_ann_eval so the ground truth can never drift from
-    the declared-exact baseline."""
-    return f"""
-      SELECT e.vec_id, {_cos("duck", "e.embedding", "q.qe")} AS cos_sim
-      FROM embeddings e CROSS JOIN
-           (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
-      WHERE e.vec_id <> {QUERY_VEC_ID}
-      ORDER BY cos_sim DESC, e.vec_id ASC
-      LIMIT {TOP_K}
-    """
 
 
 @query(

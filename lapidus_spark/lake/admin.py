@@ -1092,6 +1092,15 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
     extra: dict = {"cloned_from": {"source": src_abs, "version": int(m["version"])}}
     if m.get("columns"):
         extra["columns"] = list(m["columns"])
+    # CHECK constraints and writer-txn watermarks carry for the same
+    # reason deletion vectors do: dropping constraints would let a
+    # merge into the clone commit rows the source's CHECK forbids,
+    # and dropping watermarks would make a txn-marked writer resumed
+    # against the clone re-apply batches already in the cloned data
+    if m.get("constraints"):
+        extra["constraints"] = dict(m["constraints"])
+    if m.get("txns"):
+        extra["txns"] = dict(m["txns"])
     delta = {
         "format": 2,
         "version": 1,

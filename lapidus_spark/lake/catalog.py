@@ -145,6 +145,18 @@ def commit_multi_table_tx(
         tables = dict(prev_tables)
         for table in batches:
             m = log._read_manifest(os.path.join(catalog_dir, table))
+            if m is None:
+                # an all-empty batch for a table never written before:
+                # the merge touched no buckets and created no manifest,
+                # so there is no version to reference — refuse clearly
+                # (the sibling tables' merges are marker-idempotent;
+                # re-running the tx with a non-empty batch is safe)
+                raise ValueError(
+                    f"transaction {txid}: table {table!r} has no committed "
+                    "version to reference — its batch was empty and the "
+                    "table does not exist yet; drop the table from the tx "
+                    "or give it at least one row"
+                )
             tables[table] = int(m["version"])
         version = (int(pointer["version"]) if pointer else 0) + 1
         entry = {"version": version, "txid": int(txid), "tables": tables}

@@ -199,6 +199,12 @@ def sync_snapshot_into_lake(
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
         manifest = log._healed_manifest(lake_dir)
+        if _txn_already_applied(manifest, txn):
+            # replayed snapshot epoch: skip BEFORE the full-table
+            # retirement anti-join, not just inside the merge — a
+            # restarted sink redelivering its last snapshot must be
+            # metadata-speed, never a table scan
+            return {"retired": 0, "version": int(manifest["version"])}
         union = batch_df
         retired = 0
         if manifest is not None:
@@ -219,20 +225,29 @@ def sync_snapshot_into_lake(
                 try:
                     retired = gone.count()
                     if retired:
-                        tomb = gone.select(
-                            F.col("entity_id").alias("pk"),
-                            F.lit(retire_seq).cast("bigint").alias("event_seq"),
-                            F.lit(retire_ts)
+                        # the tombstone frame mirrors the batch's FULL
+                        # schema (envelope batches carry source/tx
+                        # columns beyond the core five): everything
+                        # except the key and the retirement stamp
+                        # null-fills at the batch's own types
+                        pinned = {
+                            "pk": F.col("entity_id").alias("pk"),
+                            "event_seq": F.lit(retire_seq)
+                            .cast("bigint")
+                            .alias("event_seq"),
+                            "ts": F.lit(retire_ts)
                             .cast(batch_df.schema["ts"].dataType)
                             .alias("ts"),
-                            F.lit("delete").alias("type"),
-                            F.lit(None).cast("string").alias("item"),
+                            "type": F.lit("delete").alias("type"),
+                        }
+                        tomb = gone.select(
                             *[
-                                F.lit(None)
-                                .cast(batch_df.schema[c].dataType)
-                                .alias(c)
-                                for c in extra_cols
-                            ],
+                                pinned.get(
+                                    f.name,
+                                    F.lit(None).cast(f.dataType).alias(f.name),
+                                )
+                                for f in batch_df.schema.fields
+                            ]
                         )
                         union = batch_df.unionByName(tomb)
                     _merge_locked(

@@ -2266,17 +2266,19 @@ def build_widened_lake(spark: SparkSession, sf_dir: str) -> str:
 
     env = normalize_events(load_table(spark, sf_dir, "events"))
     small = (F.col("event_seq") % 1000).cast("int")
+    # one dir, cached only once the whole build succeeds — a partial
+    # build must not poison every later call in the process
+    lake = tempfile.mkdtemp(prefix="lapidus_widened_lake_")
     for i, amount in enumerate(
         (small, (F.col("event_seq") + F.lit(3_000_000_000)).cast("bigint"), small)
     ):
         merge_batch_into_lake(
             env.filter(F.col("event_seq") % 3 == i).withColumn("amount", amount),
-            _WIDENED_LAKES.setdefault(
-                sf_dir, tempfile.mkdtemp(prefix="lapidus_widened_lake_")
-            ),
+            lake,
             retain_versions=4,
             extra_cols=("amount",),
         )
+    _WIDENED_LAKES[sf_dir] = lake
     return _WIDENED_LAKES[sf_dir]
 
 

@@ -188,3 +188,16 @@ def test_sigkill_never_exposes_half_a_transaction(spark, tmp_path, failpoint):
     # both tables observed tx 2 under ONE catalog version
     entry = C.catalog_entry(cat)
     assert set(entry["tables"]) == set(TABLES)
+
+
+def test_empty_batch_for_unknown_table_raises_clearly(spark, tmp_path):
+    """Regression (round-10 review): an all-empty batch for a table
+    never written before has no version to reference — the tx must
+    refuse with a named-table error, not a TypeError off a missing
+    manifest (the sibling merges are marker-idempotent, so re-running
+    the tx with a non-empty batch is safe)."""
+    cat = str(tmp_path / "cat")
+    halves = _halves(spark, 2, 0)
+    halves["by_type"] = halves["by_type"].filter(F.lit(False))
+    with pytest.raises(ValueError, match="'by_type' has no committed version"):
+        C.commit_multi_table_tx(cat, halves, txid=1, retain_versions=4, n_buckets=4)

@@ -345,3 +345,23 @@ def test_rename_composes_with_widening_and_dv_delete(spark, tmp_path):
     # (one physical row per entity in the merged files)
     assert snap.count() == before - res["deleted_rows"]
     assert snap.filter(F.col("zone") == 3).count() == 0
+
+
+def test_cli_rename_default_keeps_pre_rename_version(spark, tmp_path):
+    """Regression (round-10 review): bare --rename-column must use
+    the library default retain_versions=2 — the pre-rename version
+    stays time-travelable under its own epoch, like --restore keeps
+    the undone version."""
+    from lapidus_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _env(spark, 20, 0, (F.col("id") % 7).cast("bigint"), "shard"),
+        lake,
+        n_buckets=4,
+        retain_versions=1,
+        extra_cols=("shard",),
+    )
+    assert main(["--rename-column", lake, "--old", "shard", "--new", "zone"]) == 0
+    v1 = M.read_lake_snapshot(spark, lake, version=1)
+    assert "shard" in v1.columns and v1.count() > 0

@@ -423,3 +423,30 @@ def test_cloned_from_survives_later_commits(spark, tmp_path):
     )
     d = M.describe_detail(dst)
     assert d["version"] == 2 and d["cloned_from"]["version"] == 1
+
+
+def test_clone_carries_constraints_and_txn_watermarks(spark, tmp_path):
+    """Regression (round-10 review): a shallow clone reads the
+    source's data, so the source's write-side governance must ride
+    along — dropping the CHECK set would let a merge into the clone
+    commit rows the source forbids, and dropping the txn watermarks
+    would make a resumed txn-marked writer re-apply batches already
+    present in the cloned data."""
+    lake, dst = str(tmp_path / "lake"), str(tmp_path / "clone")
+    M.merge_batch_into_lake(
+        _env(spark, 20), lake, n_buckets=4, retain_versions=2, txn=("app", 5)
+    )
+    M.add_constraint(spark, lake, "seq_cap", "last_seq < 1000000")
+    M.clone_lake(lake, dst)
+    m = M._read_manifest(dst)
+    assert m["constraints"] == {"seq_cap": "last_seq < 1000000"}
+    assert m["txns"] == {"app": 5}
+    bad = _env(spark, 5).withColumn("event_seq", F.col("event_seq") + 2_000_000)
+    with pytest.raises(M.ConstraintViolationError):
+        M.merge_batch_into_lake(bad, dst, n_buckets=None, retain_versions=2)
+    # a replayed epoch against the clone is a free skip, not a re-merge
+    before = M._read_manifest(dst)["version"]
+    M.merge_batch_into_lake(
+        _env(spark, 5), dst, n_buckets=None, retain_versions=2, txn=("app", 5)
+    )
+    assert M._read_manifest(dst)["version"] == before

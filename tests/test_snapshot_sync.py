@@ -162,3 +162,57 @@ def test_sync_validates_retire_seq(spark, tmp_path):
             retire_seq="nope",
             retire_ts=RETIRE_TS,
         )
+
+
+def test_sync_accepts_full_envelope_batches(spark, tmp_path):
+    """Regression (round-10 review): a canonical envelope batch also
+    carries source/schema_name/table_name/tx_id beyond the core five
+    — the retirement tombstone frame must mirror the batch's FULL
+    schema or the union fails on the first retirement."""
+    lake = str(tmp_path / "lake")
+
+    def envelope(ids, seq_base=0):
+        return _env(spark, ids, seq_base).select(
+            "pk", "event_seq",
+            F.lit("pg_main").alias("source"),
+            "type",
+            F.lit("public").alias("schema_name"),
+            F.lit("users").alias("table_name"),
+            "item",
+            F.col("event_seq").alias("tx_id"),
+            "ts",
+        )
+
+    M.merge_batch_into_lake(envelope(range(10)), lake, n_buckets=4, retain_versions=2)
+    res = M.sync_snapshot_into_lake(
+        envelope(range(6), seq_base=1000),
+        lake,
+        retire_seq=10_000,
+        retire_ts=RETIRE_TS,
+        n_buckets=4,
+        retain_versions=2,
+    )
+    assert res["retired"] == 4
+    assert set(_visible(spark, lake)) == {f"k{i:04d}" for i in range(6)}
+
+
+def test_replayed_sync_never_scans_the_table(spark, tmp_path, monkeypatch):
+    """Regression (round-10 review): the txn marker must short-circuit
+    BEFORE the retirement anti-join — a restarted sink redelivering
+    its last snapshot is metadata-speed, never a full-table read."""
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(_env(spark, range(8)), lake, n_buckets=4, retain_versions=2)
+    src = _env(spark, range(5), seq_base=1000)
+    kw = dict(retire_seq=10_000, retire_ts=RETIRE_TS, n_buckets=4, retain_versions=2)
+    v = M.sync_snapshot_into_lake(src, lake, txn=("resync", 7), **kw)["version"]
+
+    def boom(*a, **k):
+        raise AssertionError("a replayed sync must not read any bucket")
+
+    from lapidus_spark.lake import log as lake_log
+
+    monkeypatch.setattr(lake_log, "_read_live", boom)
+    assert M.sync_snapshot_into_lake(src, lake, txn=("resync", 7), **kw) == {
+        "retired": 0,
+        "version": v,
+    }
