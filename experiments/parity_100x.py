@@ -139,6 +139,7 @@ COHORT = [
     "lake_multi_table_tx",
     "lake_column_rename",
     "lake_snapshot_sync",
+    "stream_snapshot_sync",
 ]
 DERIVED_TABLES = ("documents", "events")
 
