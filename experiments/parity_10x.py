@@ -130,6 +130,8 @@ COHORT = [
     # (batch + its streaming twin)
     "lake_snapshot_sync",
     "stream_snapshot_sync",
+    # the catalog CDF's per-table full-outer diffs at 10x/multi-split
+    "lake_catalog_cdf",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

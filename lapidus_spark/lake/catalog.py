@@ -198,6 +198,51 @@ def read_catalog_table(
     )
 
 
+def catalog_changes(
+    spark, catalog_dir: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Tx-consistent multi-table change feed — the CDF analog of
+    ``read_catalog_table``: what changed in EVERY table between two
+    catalog versions, with a ``tbl`` discriminator column. Each
+    table diffs between ITS catalog-mapped versions via
+    ``lake_changes`` (all the usual stamp-refined bucket pruning
+    applies per table), so the combined frame is exactly the diff of
+    two tx-consistent snapshots: a consumer folding it can never
+    apply table A's half of a transaction without table B's — the
+    per-table feeds, consumed independently, cannot promise that.
+
+    ``from_version=0`` is from-empty (every table's first snapshot
+    arrives as inserts). A table first committed between the two
+    catalog versions diffs from empty; tables are never dropped, so
+    the to-entry's table set is always a superset."""
+    entry_to = catalog_entry(catalog_dir, to_version)
+    if from_version < 0:
+        raise ValueError(
+            f"catalog_changes: from_version must be >= 0 (0 = from empty), "
+            f"got {from_version}"
+        )
+    entry_from = (
+        catalog_entry(catalog_dir, from_version)
+        if from_version >= 1
+        else {"tables": {}}
+    )
+    from pyspark.sql import functions as F
+
+    parts = []
+    for table in sorted(entry_to["tables"]):
+        ch = stats.lake_changes(
+            spark,
+            os.path.join(catalog_dir, table),
+            from_version=int(entry_from["tables"].get(table, 0)),
+            to_version=int(entry_to["tables"][table]),
+        )
+        parts.append(ch.select(F.lit(table).alias("tbl"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def describe_catalog_history(catalog_dir: str) -> list[dict]:
     """One row per committed catalog version, newest first — the
     tx-level DESCRIBE HISTORY."""

@@ -572,6 +572,12 @@ EXPECTATIONS: dict[str, dict] = {
     # (anti-join inside the sync); the audited read is the ordinary
     # manifest-resolved pruned scan + pushed tombstone filter
     "lake_snapshot_sync": {"pushed": True, "max_exchanges": 0},
+    # tx-consistent catalog CDF: one entity-keyed full-outer diff per
+    # table (bucket-pruned reads per table under its own manifest),
+    # unioned with a literal discriminator — exchanges are the per-
+    # table diff joins, never a cross-table shuffle and never a
+    # single-partition collapse
+    "lake_catalog_cdf": {"max_exchanges": 4, "no_single_partition": True},
     # ---- round-10: RENAME COLUMN ----
     # the rename is a metadata-only commit; the read stays the
     # ordinary pruned scan + pushed tombstone filter with zero

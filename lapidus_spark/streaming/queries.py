@@ -2252,6 +2252,117 @@ def lake_multi_table_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side("by_user").unionByName(side("by_type"))
 
 
+#: two-transaction catalog per (process, sf_dir): tx1 = even event
+#: ids, tx2 = odd — both halves of both tables, no in-flight leg
+#: (that is lake_multi_table_tx's concern).
+_CDF_CATALOGS: dict[str, str] = {}
+
+
+def build_catalog_2tx(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _CDF_CATALOGS:
+        return _CDF_CATALOGS[sf_dir]
+    from lapidus_spark.lake.catalog import commit_multi_table_tx
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def halves(rows):
+        def env(pk_col):
+            return rows.select(
+                F.col(pk_col).cast("string").alias("pk"),
+                F.col("event_id").alias("event_seq"),
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                F.lit("update").alias("type"),
+                F.col("props").alias("item"),
+            )
+
+        return {"by_user": env("user_id"), "by_type": env("event_type")}
+
+    cat = tempfile.mkdtemp(prefix="lapidus_cdf_catalog_")
+    for txid, rem in ((1, 0), (2, 1)):
+        commit_multi_table_tx(
+            cat,
+            halves(ev.filter(F.col("event_id") % 2 == rem)),
+            txid=txid,
+            retain_versions=4,
+            n_buckets=4,
+        )
+    _CDF_CATALOGS[sf_dir] = cat
+    return cat
+
+
+@query(
+    "lake_catalog_cdf",
+    oracle="""
+    WITH ue AS (
+      SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id AS last_seq,
+             ts AS last_ts, props AS item,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ), ua AS (
+      SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id AS last_seq,
+             ts AS last_ts, props AS item,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), te AS (
+      SELECT event_type AS entity_id, event_id AS last_seq,
+             ts AS last_ts, props AS item,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 2 = 0
+    ), ta AS (
+      SELECT event_type AS entity_id, event_id AS last_seq,
+             ts AS last_ts, props AS item,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), u AS (
+      SELECT 'by_user' AS tbl, n.entity_id,
+             CASE WHEN o.last_seq IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+             n.last_seq, n.last_ts, 'update' AS last_type, n.item
+      FROM (SELECT * FROM ua WHERE rn = 1) n
+      LEFT JOIN (SELECT * FROM ue WHERE rn = 1) o USING (entity_id)
+      WHERE o.last_seq IS NULL OR o.last_seq <> n.last_seq OR o.last_ts <> n.last_ts
+    ), t AS (
+      SELECT 'by_type' AS tbl, n.entity_id,
+             CASE WHEN o.last_seq IS NULL THEN 'insert' ELSE 'update' END AS change_type,
+             n.last_seq, n.last_ts, 'update' AS last_type, n.item
+      FROM (SELECT * FROM ta WHERE rn = 1) n
+      LEFT JOIN (SELECT * FROM te WHERE rn = 1) o USING (entity_id)
+      WHERE o.last_seq IS NULL OR o.last_seq <> n.last_seq OR o.last_ts <> n.last_ts
+    )
+    SELECT * FROM u UNION ALL SELECT * FROM t
+    """,
+    operator="tx-consistent multi-table change feed (catalog CDF)",
+    doc="The CDF analog of read_catalog_table: what changed in EVERY "
+    "table between two CATALOG versions, each table diffing between "
+    "its catalog-mapped lake versions (stamp-refined bucket pruning "
+    "per table) with a tbl discriminator. The combined frame is the "
+    "diff of two TX-CONSISTENT snapshots — a consumer folding it can "
+    "never apply table A's half of a transaction without table B's, "
+    "which the per-table feeds consumed independently cannot "
+    "promise. The fixture catalog commits tx1 (even event ids) and "
+    "tx2 (odd) across by_user/by_type; the feed from catalog v1 to "
+    "v2 is every key whose LWW winner moved when the odd half "
+    "arrived, per table — recomputed by the oracle from raw history "
+    "(insert = key with no even-half row at all).",
+)
+def lake_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.lake.catalog import catalog_changes
+
+    cat = build_catalog_2tx(spark, sf_dir)
+    return catalog_changes(spark, cat, from_version=1, to_version=2).select(
+        "tbl",
+        "entity_id",
+        "change_type",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
 #: three-epoch widened lake per (process, sf_dir): batch 1 declares
 #: ``amount`` INT, batch 2 redeclares it BIGINT with values past the
 #: int range (type widening on MERGE), batch 3 declares INT again

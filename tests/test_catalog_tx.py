@@ -201,3 +201,57 @@ def test_empty_batch_for_unknown_table_raises_clearly(spark, tmp_path):
     halves["by_type"] = halves["by_type"].filter(F.lit(False))
     with pytest.raises(ValueError, match="'by_type' has no committed version"):
         C.commit_multi_table_tx(cat, halves, txid=1, retain_versions=4, n_buckets=4)
+
+
+def test_catalog_changes_spans_tables_tx_consistently(spark, tmp_path):
+    """catalog_changes diffs every table between its catalog-mapped
+    versions: from-empty yields each table's full v1 snapshot as
+    inserts, the v1->v2 step yields exactly the keys the second tx
+    moved in EITHER table, and a table first committed between the
+    endpoints diffs from empty."""
+    cat = str(tmp_path / "cat")
+    _commit(spark, cat, 1, 2, 0)
+    # tx 2 adds a THIRD table alongside the odd halves
+    halves = _halves(spark, 2, 1)
+    halves["by_day"] = halves["by_user"].withColumn(
+        "pk", F.concat(F.lit("d"), F.col("pk"))
+    )
+    C.commit_multi_table_tx(cat, halves, txid=2, retain_versions=4, n_buckets=4)
+
+    full = C.catalog_changes(spark, cat, from_version=0, to_version=1)
+    assert set(r["tbl"] for r in full.select("tbl").distinct().collect()) == {
+        "by_user", "by_type",  # by_day does not exist at catalog v1
+    }
+    assert full.filter(F.col("change_type") != "insert").count() == 0
+    assert full.filter(F.col("tbl") == "by_user").count() == len(
+        _catalog_rows(spark, cat, "by_user", version=1)
+    )
+
+    step = C.catalog_changes(spark, cat, from_version=1, to_version=2)
+    by_tbl = {
+        r["tbl"]: r["n"]
+        for r in step.groupBy("tbl").agg(F.count("*").alias("n")).collect()
+    }
+    # the new table arrives whole, as inserts
+    assert by_tbl["by_day"] == len(_catalog_rows(spark, cat, "by_day", version=2))
+    assert (
+        step.filter((F.col("tbl") == "by_day") & (F.col("change_type") != "insert")).count()
+        == 0
+    )
+    # the pre-existing tables emit exactly the keys tx 2 moved
+    for t in TABLES:
+        v1 = dict(
+            (e, s) for e, s, _ in _catalog_rows(spark, cat, t, version=1)
+        )
+        v2 = dict(
+            (e, s) for e, s, _ in _catalog_rows(spark, cat, t, version=2)
+        )
+        moved = {e for e, s in v2.items() if v1.get(e) != s}
+        got = {
+            r["entity_id"]
+            for r in step.filter(F.col("tbl") == t).select("entity_id").collect()
+        }
+        assert got == moved
+
+    with pytest.raises(ValueError, match="from_version must be >= 0"):
+        C.catalog_changes(spark, cat, from_version=-1)
