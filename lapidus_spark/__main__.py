@@ -9,6 +9,7 @@
     python -m lapidus_spark --clone SRC_LAKE --into DST_DIR [--version N]
     python -m lapidus_spark --rename-column LAKE_DIR --old X --new Y
     python -m lapidus_spark --history LAKE_DIR / --detail LAKE_DIR
+    python -m lapidus_spark --catalog-history CATALOG_DIR
 
 ``--validate-only`` parses and validates the config then exits 0/1
 (the reference's ``-t`` flag, index.js:46-49). The maintenance and
@@ -140,6 +141,13 @@ def main(argv: list[str] | None = None) -> int:
         help="print DESCRIBE HISTORY (one JSON line per retained version) and exit",
     )
     ap.add_argument(
+        "--catalog-history",
+        metavar="CATALOG_DIR",
+        help="print a multi-table catalog's committed entries (one JSON "
+        "line per catalog version, newest first: version, txid, the "
+        "table→version map) and exit",
+    )
+    ap.add_argument(
         "--detail",
         metavar="LAKE_DIR",
         help="print DESCRIBE DETAIL (one JSON line) and exit",
@@ -170,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             args.history,
             args.detail,
             args.rename_column,
+            args.catalog_history,
         )
         if a
     ]
@@ -237,6 +246,12 @@ def main(argv: list[str] | None = None) -> int:
             from lapidus_spark.streaming.materialize import describe_history
 
             for row in describe_history(args.history):
+                print(_json.dumps(row, sort_keys=True))
+            return 0
+        if args.catalog_history:
+            from lapidus_spark.lake.catalog import describe_catalog_history
+
+            for row in describe_catalog_history(args.catalog_history):
                 print(_json.dumps(row, sort_keys=True))
             return 0
         if args.detail:

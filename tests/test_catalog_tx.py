@@ -255,3 +255,17 @@ def test_catalog_changes_spans_tables_tx_consistently(spark, tmp_path):
 
     with pytest.raises(ValueError, match="from_version must be >= 0"):
         C.catalog_changes(spark, cat, from_version=-1)
+
+
+def test_cli_catalog_history(spark, tmp_path, capsys):
+    import json as _json
+
+    from lapidus_spark.__main__ import main
+
+    cat = str(tmp_path / "cat")
+    _commit(spark, cat, 1, 2, 0)
+    _commit(spark, cat, 2, 2, 1)
+    assert main(["--catalog-history", cat]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["version"] for r in rows] == [2, 1]
+    assert rows[0]["txid"] == 2 and set(rows[0]["tables"]) == set(TABLES)
