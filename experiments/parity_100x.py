@@ -140,6 +140,16 @@ COHORT = [
     "lake_column_rename",
     "lake_snapshot_sync",
     "stream_snapshot_sync",
+    # round-11 surface (all-digestable schemas; the embeddings-side
+    # ext_ann_pq_trained lives in the 10x cohort — 100x derives only
+    # documents/events): the predicate MERGE's conditional clause
+    # outcomes over 10M envelopes, DROP COLUMN's epoch-less read,
+    # per-column skip reads at real file counts, and the catalog
+    # streaming CDF's per-tx multi-table diffs
+    "lake_merge_predicates",
+    "lake_column_drop",
+    "lake_column_skipping",
+    "stream_catalog_cdf",
 ]
 DERIVED_TABLES = ("documents", "events")
 

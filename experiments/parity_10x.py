@@ -132,6 +132,19 @@ COHORT = [
     "stream_snapshot_sync",
     # the catalog CDF's per-table full-outer diffs at 10x/multi-split
     "lake_catalog_cdf",
+    # round-11 surface: the general-predicate MERGE's clause CASE
+    # tree + two-pass bucket-pruned join at 10x, DROP COLUMN's
+    # stop-requesting read over multi-split mixed-epoch files, the
+    # per-column skip read (file pruning on the declared column must
+    # select the same rows whatever the valve split layout), the
+    # trained-PQ Lloyd update + re-code + ADC at a 10x corpus, and
+    # the catalog-level streaming CDF's tx-consistent multi-table
+    # diffs
+    "lake_merge_predicates",
+    "lake_column_drop",
+    "lake_column_skipping",
+    "ext_ann_pq_trained",
+    "stream_catalog_cdf",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

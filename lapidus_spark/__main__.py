@@ -8,8 +8,10 @@
     python -m lapidus_spark --delete LAKE_DIR --where SQL_PREDICATE [--delete-mode dv]
     python -m lapidus_spark --clone SRC_LAKE --into DST_DIR [--version N]
     python -m lapidus_spark --rename-column LAKE_DIR --old X --new Y
+    python -m lapidus_spark --drop-column LAKE_DIR --column X
     python -m lapidus_spark --history LAKE_DIR / --detail LAKE_DIR
     python -m lapidus_spark --catalog-history CATALOG_DIR
+    python -m lapidus_spark --catalog-vacuum CATALOG_DIR --retain-entries K [--dry-run]
 
 ``--validate-only`` parses and validates the config then exits 0/1
 (the reference's ``-t`` flag, index.js:46-49). The maintenance and
@@ -75,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
         "touched — losing a race defers maintenance, never blocks it",
     )
     ap.add_argument(
+        "--stats-columns",
+        default=None,
+        help="--compact: comma-separated payload columns to record "
+        "per-file min/max zone maps for (data skipping via "
+        "lake_skip_read); omit to adopt the set a previous OPTIMIZE "
+        "recorded (table-property semantics)",
+    )
+    ap.add_argument(
         "--cluster-by",
         default="entity_id",
         help="--compact sort dims, comma-separated (entity_id | "
@@ -128,6 +138,14 @@ def main(argv: list[str] | None = None) -> int:
         "(metadata-only commit; old files read through the alias) and exit",
     )
     ap.add_argument("--old", default=None, help="current column name for --rename-column")
+    ap.add_argument(
+        "--drop-column",
+        metavar="LAKE_DIR",
+        help="DROP an accreted lake column --column (metadata-only "
+        "commit; the name set stays quarantined, pre-drop versions "
+        "still time-travel with the column) and exit",
+    )
+    ap.add_argument("--column", default=None, help="column name for --drop-column")
     ap.add_argument("--new", default=None, help="new column name for --rename-column")
     ap.add_argument(
         "--clone",
@@ -146,6 +164,23 @@ def main(argv: list[str] | None = None) -> int:
         help="print a multi-table catalog's committed entries (one JSON "
         "line per catalog version, newest first: version, txid, the "
         "table→version map) and exit",
+    )
+    ap.add_argument(
+        "--catalog-vacuum",
+        metavar="CATALOG_DIR",
+        help="coordinated retention trim: raise the catalog floor to "
+        "keep --retain-entries catalog versions, reclaim older entry "
+        "JSONs, then vacuum each member table down to exactly the "
+        "versions the remaining entries reference (the ONLY safe way "
+        "to shrink a catalog member's history — uncoordinated "
+        "--vacuum on a member table refuses to cross a retained "
+        "entry's reference)",
+    )
+    ap.add_argument(
+        "--retain-entries",
+        type=int,
+        default=None,
+        help="catalog versions to keep for --catalog-vacuum",
     )
     ap.add_argument(
         "--detail",
@@ -178,7 +213,9 @@ def main(argv: list[str] | None = None) -> int:
             args.history,
             args.detail,
             args.rename_column,
+            args.drop_column,
             args.catalog_history,
+            args.catalog_vacuum,
         )
         if a
     ]
@@ -197,8 +234,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--delete requires --where")
         if args.clone and not args.into:
             ap.error("--clone requires --into")
+        if args.catalog_vacuum and args.retain_entries is None:
+            ap.error("--catalog-vacuum requires --retain-entries")
         if args.rename_column and (not args.old or not args.new):
             ap.error("--rename-column requires --old and --new")
+        if args.drop_column and not args.column:
+            ap.error("--drop-column requires --column")
 
         import json as _json
 
@@ -208,7 +249,11 @@ def main(argv: list[str] | None = None) -> int:
             # pre-rename version time-travelable by default (the
             # library defaults); maintenance commands default to
             # live-only
-            retain = 2 if (args.restore or args.delete or args.rename_column) else 1
+            retain = (
+                2
+                if (args.restore or args.delete or args.rename_column or args.drop_column)
+                else 1
+            )
 
         # metadata-only commands: no Spark session needed
         if args.restore:
@@ -254,10 +299,40 @@ def main(argv: list[str] | None = None) -> int:
             for row in describe_catalog_history(args.catalog_history):
                 print(_json.dumps(row, sort_keys=True))
             return 0
+        if args.catalog_vacuum:
+            from lapidus_spark.lake.catalog import catalog_vacuum
+
+            res = catalog_vacuum(
+                args.catalog_vacuum,
+                retain_entries=args.retain_entries,
+                dry_run=args.dry_run,
+            )
+            verb = "would reclaim" if args.dry_run else "reclaimed"
+            print(
+                f"{verb} {res['reclaimed_entries']} catalog entr(ies); "
+                f"catalog floor now {res['floor']}; "
+                + "; ".join(
+                    f"{t}: retain {p['retain_versions']} (oldest ref "
+                    f"{p['min_referenced']})"
+                    for t, p in sorted(res["tables"].items())
+                )
+            )
+            return 0
         if args.detail:
             from lapidus_spark.streaming.materialize import describe_detail
 
             print(_json.dumps(describe_detail(args.detail), sort_keys=True))
+            return 0
+        if args.drop_column:
+            from lapidus_spark.streaming.materialize import drop_lake_column
+
+            res = drop_lake_column(
+                args.drop_column, args.column, retain_versions=retain
+            )
+            print(
+                f"dropped {args.column}; version {res['version']} "
+                "(metadata-only, name quarantined, zero data bytes)"
+            )
             return 0
         if args.rename_column:
             from lapidus_spark.streaming.materialize import rename_lake_column
@@ -287,6 +362,11 @@ def main(argv: list[str] | None = None) -> int:
                 retain_versions=retain,
                 concurrency="optimistic" if args.optimistic else "locked",
                 cluster_by=tuple(args.cluster_by.split(",")),
+                stats_columns=(
+                    tuple(c for c in args.stats_columns.split(",") if c)
+                    if args.stats_columns is not None
+                    else None
+                ),
             )
             skipped = f" ({res['skipped_buckets']} lost to concurrent merges)" if args.optimistic else ""
             print(

@@ -22,6 +22,7 @@ from .log import (
     _acquire_lock,
     _apply_delta,
     _atomic_write_json,
+    _catalog_min_referenced,
     _bucket_content_changed,
     _checkpoint_path,
     _delta_path,
@@ -84,6 +85,31 @@ def _cluster_sorted(rows: DataFrame, n_partitions: int, cluster_by: tuple) -> Da
     )
 
 
+def _resolve_stats_columns(manifest: dict, stats_columns) -> tuple:
+    """The declared data-skipping columns for an OPTIMIZE (VERDICT r10
+    #4 — Delta's dataSkippingStatsColumns posture): ``None`` ADOPTS
+    the set a previous compaction recorded in the manifest (the table
+    property semantics — declare once, every later OPTIMIZE keeps the
+    maps fresh), an explicit tuple declares/replaces it. Only payload
+    columns the epoch actually carries qualify — recording ranges for
+    an unknown name would be dead metadata, and the core axes
+    (entity_id, last_ts) are always mapped anyway."""
+    if stats_columns is None:
+        return tuple(manifest.get("stats_columns", ()))
+    known = {"item"} | {c["name"] for c in _manifest_columns(manifest)}
+    cols = tuple(stats_columns)
+    for c in cols:
+        if c not in known:
+            raise ValueError(
+                f"stats_columns: {c!r} is not a payload column of this lake "
+                f"(known: {sorted(known)}; entity_id/last_ts are always "
+                "mapped)"
+            )
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"stats_columns: duplicate names in {cols!r}")
+    return cols
+
+
 def _validate_cluster_by(cluster_by) -> tuple:
     cols = tuple(cluster_by)
     if not 1 <= len(cols) <= 2 or any(c not in _CLUSTERABLE for c in cols) or len(
@@ -104,6 +130,7 @@ def compact_lake(
     retain_versions: int = 1,
     concurrency: str = "locked",
     cluster_by: tuple = ("entity_id",),
+    stats_columns: tuple | None = None,
 ) -> dict:
     """OPTIMIZE for the lake: rewrite the buckets whose physical
     layout has degraded — more than ``target_files_per_bucket``
@@ -163,12 +190,14 @@ def compact_lake(
             max_records_per_file,
             retain_versions,
             cluster_by=cluster_by,
+            stats_columns=stats_columns,
         )
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
         manifest = _healed_manifest(lake_dir)
         if manifest is None:
             raise ValueError(f"lake at {lake_dir} has no manifest to compact")
+        stats_columns = _resolve_stats_columns(manifest, stats_columns)
         degraded = _degraded_buckets(
             lake_dir, manifest, target_files_per_bucket, max_records_per_file, cluster_by
         )
@@ -196,10 +225,12 @@ def compact_lake(
                     "valve": max_records_per_file,
                     "rel": f"commits/{version:010d}",
                     "cluster_by": list(cluster_by),
-                }
+                },
+                "stats_columns": list(stats_columns),
             },
             data_change=False,
             with_file_stats=True,
+            stats_columns=stats_columns,
         )
         return {"version": version, "compacted_buckets": len(degraded)}
     finally:
@@ -271,6 +302,7 @@ def _compact_optimistic(
     flip_wait_s: float = 30.0,
     _race_hook: Callable[[], None] | None = None,
     cluster_by: tuple = ("entity_id",),
+    stats_columns: tuple | None = None,
 ) -> dict:
     """Lock-free-staging OPTIMIZE (see ``compact_lake``): read and
     rewrite the degraded buckets with NO lock held, then under the
@@ -294,11 +326,12 @@ def _compact_optimistic(
         return {"version": base["version"], "compacted_buckets": 0, "skipped_buckets": 0}
     commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
     try:
+        stats_columns = _resolve_stats_columns(base, stats_columns)
         rows = log._read_live(spark, lake_dir, base, set(degraded))
         # clustered, like the locked path — zone maps from the footers
         packed = _cluster_sorted(rows, len(degraded), cluster_by)
         log._stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
-        staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded)
+        staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded, stats_columns)
     except Exception:
         # a concurrent commit (retain_versions=1) can GC the base
         # version's files out from under the unlocked rewrite.
@@ -373,7 +406,8 @@ def _compact_optimistic(
                     "valve": max_records_per_file,
                     "rel": commit_rel,
                     "cluster_by": list(cluster_by),
-                }
+                },
+                "stats_columns": list(stats_columns),
             },
             data_change=False,
             file_stats={b: s for b, s in staged_stats.items() if int(b) in set(keep)},
@@ -634,6 +668,21 @@ def vacuum_lake(
         live_v = int(pointer["version"])
         old_floor = int(pointer.get("floor", 1))
         new_floor = max(old_floor, live_v - retain_versions + 1)
+        # catalog interlock (VERDICT r10 #2): a catalog member's floor
+        # must never rise past the oldest table version a retained
+        # catalog entry references — that version IS still readable
+        # through read_catalog_table, so reclaiming it would break a
+        # committed tx-consistent snapshot. The coordinated path is
+        # catalog_vacuum, which trims the catalog horizon FIRST.
+        cat_min = _catalog_min_referenced(lake_dir)
+        if cat_min is not None and new_floor > cat_min:
+            raise ValueError(
+                f"vacuum_lake: retain_versions={retain_versions} would raise "
+                f"the floor to {new_floor}, but a retained catalog entry "
+                f"still references this table at version {cat_min} — trim "
+                "the catalog horizon first (catalog_vacuum) or retain at "
+                f"least {live_v - cat_min + 1} versions"
+            )
         # fail-closed like GC: if any version that must REMAIN
         # retained cannot be resolved, vacuum nothing
         retained = [
@@ -1014,12 +1063,22 @@ def rename_lake_column(
                     "still carry data under former names)"
                 )
         for cname, cexpr in (manifest.get("constraints") or {}).items():
-            if re.search(rf"\b{re.escape(old)}\b", cexpr):
+            # Spark resolves identifiers case-insensitively by default
+            # (spark.sql.caseSensitive=false), so a constraint written
+            # as 'SHARD > 0' binds to column `shard` — the interlock
+            # must match case-variant references too.
+            if re.search(rf"\b{re.escape(old)}\b", cexpr, re.IGNORECASE):
                 raise ValueError(
                     f"cannot rename {old!r}: CHECK constraint {cname!r} "
                     f"({cexpr!r}) references it — drop the constraint, "
                     "rename, then re-add it against the new name"
                 )
+        if new in log._dropped_names(manifest):
+            raise ValueError(
+                f"cannot rename {old!r} to {new!r}: the name belonged to a "
+                "DROPPED column and stays quarantined — old files still "
+                "carry the dead column's data under it"
+            )
         target["aliases"] = sorted(
             (set(target.get("aliases", ())) | {old}) - {new}
         )
@@ -1036,6 +1095,99 @@ def rename_lake_column(
             touched_rels={},
         )
         return {"version": int(new_manifest["version"]), "columns": cols}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def drop_lake_column(
+    lake_dir: str, name: str, retain_versions: int = 2
+) -> dict:
+    """ALTER TABLE ... DROP COLUMN — a METADATA-ONLY commit (zero data
+    bytes; Delta column-mapping's drop posture, VERDICT r10 #3),
+    completing the rename surface's one-way schema lifecycle. The
+    column leaves the epoch's ``columns`` record, so every read of
+    the NEW version simply stops requesting it (the explicit
+    requested-schema read never opens the dead bytes); data files are
+    untouched, and retained PRE-drop versions still time-travel with
+    the column under their own epoch.
+
+    The alias-safety argument, RE-PROVEN for drop: ``_align_extras``'
+    coalesce is exact because any name ever written denotes exactly
+    one column's data. A drop does not release names — the dropped
+    column's ENTIRE name set (current name + rename aliases) moves to
+    the manifest's ``dropped`` quarantine (``log._dropped_names``):
+    a later batch accreting under a quarantined name, or a rename
+    taking one, is refused at merge/rename time, because old files
+    still carry the dead column's values under those names and would
+    resurrect them into the newcomer on read. There is no un-drop.
+
+    CDF across the drop: the drop commit itself is ``data_change=
+    False`` (CDF consumers skip it, like RENAME); a change feed whose
+    bounds SPAN the drop compares both endpoints under the TO-side
+    epoch, so the dropped column is absent from the diff — consumers
+    tracking it must read the pre-drop versions while retention
+    covers them. Only ACCRETED extra columns drop (the five core
+    envelope columns are the table's contract). A drop is refused
+    while a CHECK constraint references the column (case-insensitive,
+    like the rename interlock). The next OPTIMIZE/compaction rewrite
+    materializes the current epoch and physically sheds the dead
+    bytes. Returns ``{"version", "columns", "dropped"}``."""
+    import re
+
+    _validate_merge_args(None, retain_versions)
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    try:
+        manifest = _healed_manifest(lake_dir)
+        if manifest is None:
+            raise ValueError(f"lake at {lake_dir} has no manifest")
+        cols = [dict(c) for c in _manifest_columns(manifest)]
+        target = next((c for c in cols if c["name"] == name), None)
+        if target is None:
+            known = [c["name"] for c in cols]
+            raise ValueError(
+                f"no extra column {name!r} to drop (accreted columns: "
+                f"{known}; core envelope columns never drop)"
+            )
+        for cname, cexpr in (manifest.get("constraints") or {}).items():
+            for n in log._column_names(target):
+                if re.search(rf"\b{re.escape(n)}\b", cexpr, re.IGNORECASE):
+                    raise ValueError(
+                        f"cannot drop {name!r}: CHECK constraint {cname!r} "
+                        f"({cexpr!r}) references it — drop the constraint "
+                        "first"
+                    )
+        cols.remove(target)
+        dropped = [dict(c) for c in manifest.get("dropped", [])]
+        dropped.append(
+            {
+                "name": target["name"],
+                "type": target["type"],
+                "aliases": sorted(target.get("aliases", ())),
+            }
+        )
+        new_manifest = _flip_version(
+            lake_dir,
+            manifest,
+            commit_rel="",
+            touched=[],
+            n_buckets=manifest["n_buckets"],
+            retain_versions=retain_versions,
+            extra={
+                "columns": cols,
+                "dropped": dropped,
+                "drop": {"column": name},
+            },
+            data_change=False,  # pure metadata: CDF consumers skip it
+            touched_rels={},
+        )
+        return {
+            "version": int(new_manifest["version"]),
+            "columns": cols,
+            "dropped": dropped,
+        }
     finally:
         try:
             os.remove(lock)

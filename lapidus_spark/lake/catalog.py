@@ -41,9 +41,16 @@ line.commit`` assertion, postgresql.js:463). A crashed tx must be
 replayed (same txid) before the next txid commits; the source's
 checkpointed offsets give exactly that order for free.
 
-Retention contract: a catalog version references table versions, so
-each table's ``retain_versions`` must cover the catalog horizon a
-reader may resolve (the same reader-vs-GC rule as everywhere else).
+Retention contract (ENFORCED since round 11): a catalog version
+references table versions, so a member table's retention floor must
+never rise past the oldest version a retained catalog entry
+references. Three guards make the contract structural instead of
+documentary: per-commit GC clamps its floor to the catalog minimum
+(``log._catalog_min_referenced``), an uncoordinated ``vacuum_lake``
+on a member table REFUSES to cross a retained reference, and
+``catalog_vacuum`` is the coordinated trim (catalog floor first —
+the crash-safe direction — then per-table vacuums at
+exactly-covering floors).
 """
 
 from __future__ import annotations
@@ -55,8 +62,8 @@ from pyspark.sql import DataFrame
 
 from . import log, merge, stats
 
-CATALOG_POINTER = "_lapidus_catalog.json"
-CATALOG_LOG = "_catalog_log"
+from .log import CATALOG_LOG, CATALOG_POINTER  # noqa: E402 — shared with
+# the retention guards in log/admin (bottom layer, no import cycle)
 
 #: the per-table txn-marker app id all catalog commits share — one
 #: watermark per lake, monotone in txid
@@ -91,6 +98,13 @@ def catalog_entry(catalog_dir: str, version: int | None = None) -> dict:
         raise ValueError(
             f"catalog at {catalog_dir} has no version {v} (live is "
             f"{pointer['version']})"
+        )
+    floor = int(pointer.get("floor", 1))
+    if v < floor:
+        raise ValueError(
+            f"catalog version {v} at {catalog_dir} is below the retention "
+            f"floor {floor} (catalog_vacuum reclaimed it); oldest readable "
+            f"catalog version is {floor}"
         )
     with open(_entry_path(catalog_dir, v)) as f:
         return json.load(f)
@@ -165,10 +179,11 @@ def commit_multi_table_tx(
         # 3. THE tx commit point (crash tests SIGKILL here: the tx
         # must be all-or-nothing across tables at this exact rename)
         log._failpoint("catalog.before_flip")
+        flipped = {"version": version, "txid": int(txid)}
+        if pointer and "floor" in pointer:
+            flipped["floor"] = int(pointer["floor"])  # carry the vacuum floor
         log._atomic_write_json(
-            _pointer_path(catalog_dir),
-            {"version": version, "txid": int(txid)},
-            sync_dir=True,
+            _pointer_path(catalog_dir), flipped, sync_dir=True
         )
         return entry
     finally:
@@ -221,6 +236,14 @@ def catalog_changes(
             f"catalog_changes: from_version must be >= 0 (0 = from empty), "
             f"got {from_version}"
         )
+    if from_version > int(entry_to["version"]):
+        # inverted bounds would invert the per-table diffs (inserts and
+        # deletes swapped) AND drop tables present only in the from
+        # entry — the documented superset assumption reversed, silently
+        raise ValueError(
+            f"catalog_changes: from_version ({from_version}) > to_version "
+            f"({entry_to['version']}) — the feed runs forward; swap the bounds"
+        )
     entry_from = (
         catalog_entry(catalog_dir, from_version)
         if from_version >= 1
@@ -250,9 +273,102 @@ def describe_catalog_history(catalog_dir: str) -> list[dict]:
     if pointer is None:
         return []
     out = []
-    for v in range(int(pointer["version"]), 0, -1):
+    floor = int(pointer.get("floor", 1))
+    for v in range(int(pointer["version"]), floor - 1, -1):
         try:
             out.append(catalog_entry(catalog_dir, v))
         except FileNotFoundError:
             break
     return out
+
+
+def catalog_vacuum(
+    catalog_dir: str, retain_entries: int, dry_run: bool = False
+) -> dict:
+    """Coordinated retention trim — the ONLY safe way to shrink a
+    catalog member table's history (VERDICT r10 #2). Raises the
+    CATALOG floor to ``live - retain_entries + 1`` (older catalog
+    entries stop being readable and their JSONs are reclaimed), then
+    vacuums each member table down to exactly the versions the
+    remaining entries reference: per table, retention becomes
+    ``table_live - min_referenced + 1``.
+
+    Ordering is the crash-safe direction: the catalog floor flips
+    FIRST (atomic pointer rename), so at every instant the table
+    versions on disk cover every catalog entry a reader can resolve —
+    a crash between the flip and a table vacuum merely leaves extra
+    retained table versions (wasted space, never a broken
+    ``read_catalog_table``). Uncoordinated per-table ``vacuum_lake``
+    calls that would cross a retained entry's reference are REFUSED
+    by the table-side interlock; this op computes floors that pass it
+    by construction.
+
+    ``dry_run=True`` reports the planned floor and per-table
+    retentions without mutating anything. Returns ``{"floor",
+    "reclaimed_entries", "tables": {t: {"retain_versions",
+    "min_referenced"}}, "dry_run"}``."""
+    from . import admin
+
+    if (
+        isinstance(retain_entries, bool)
+        or not isinstance(retain_entries, int)
+        or retain_entries < 1
+    ):
+        raise ValueError(
+            f"retain_entries must be a positive int, got {retain_entries!r}"
+        )
+    lock = log._acquire_lock(catalog_dir, wait_s=log.LOCKED_WAIT_S)
+    try:
+        pointer = read_catalog_pointer(catalog_dir)
+        if pointer is None:
+            raise ValueError(f"{catalog_dir} has no catalog pointer")
+        live = int(pointer["version"])
+        old_floor = int(pointer.get("floor", 1))
+        new_floor = max(old_floor, live - retain_entries + 1)
+        retained = [catalog_entry(catalog_dir, v) for v in range(new_floor, live + 1)]
+        plan = {}
+        for table in sorted(retained[-1]["tables"]):
+            refs = [
+                int(e["tables"][table]) for e in retained if table in e["tables"]
+            ]
+            min_ref = min(refs)
+            m = log._read_manifest(os.path.join(catalog_dir, table))
+            table_live = int(m["version"])
+            plan[table] = {
+                "retain_versions": table_live - min_ref + 1,
+                "min_referenced": min_ref,
+            }
+        if dry_run:
+            return {
+                "floor": new_floor,
+                "reclaimed_entries": new_floor - old_floor,
+                "tables": plan,
+                "dry_run": True,
+            }
+        # 1. the catalog floor flips first (see docstring ordering)
+        flipped = dict(pointer)
+        flipped["floor"] = new_floor
+        log._atomic_write_json(_pointer_path(catalog_dir), flipped, sync_dir=True)
+        # 2. reclaim the below-floor entry JSONs (metadata files)
+        for v in range(old_floor, new_floor):
+            try:
+                os.remove(_entry_path(catalog_dir, v))
+            except FileNotFoundError:
+                pass
+        # 3. per-table vacuums, floors that cover every retained entry
+        for table, p in plan.items():
+            admin.vacuum_lake(
+                os.path.join(catalog_dir, table),
+                retain_versions=p["retain_versions"],
+            )
+        return {
+            "floor": new_floor,
+            "reclaimed_entries": new_floor - old_floor,
+            "tables": plan,
+            "dry_run": False,
+        }
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass

@@ -131,6 +131,51 @@ LOCKED_WAIT_S = 5.0
 #: retention window protecting in-flight, not-yet-committed files).
 GC_GRACE_SECONDS = 3600.0
 
+#: catalog-plane filenames (defined HERE, the dependency-free bottom
+#: layer, so both ``catalog`` above and the retention guards below
+#: can see them without an import cycle): a lake whose PARENT
+#: directory carries the catalog pointer is a catalog member, and its
+#: retention floor must never rise past the oldest table version a
+#: retained catalog entry still references.
+CATALOG_POINTER = "_lapidus_catalog.json"
+CATALOG_LOG = "_catalog_log"
+
+
+def _catalog_min_referenced(lake_dir: str) -> int | None:
+    """The oldest version of THIS lake that a retained catalog entry
+    references, or None when the lake is not a catalog member (no
+    catalog pointer in the parent directory, or no retained entry
+    names the table). O(retained catalog entries) tiny JSON reads —
+    metadata-sized, driver-side. Fail-closed: an unreadable entry
+    counts as referencing version 1 (better to retain too much than
+    to break ``read_catalog_table`` for a snapshot we cannot prove
+    unreferenced)."""
+    root = os.path.abspath(lake_dir).rstrip(os.sep)
+    parent, table = os.path.dirname(root), os.path.basename(root)
+    try:
+        with open(os.path.join(parent, CATALOG_POINTER)) as f:
+            pointer = json.load(f)
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    except (OSError, ValueError):
+        return 1  # torn catalog pointer: fail closed
+    live = int(pointer["version"])
+    floor = int(pointer.get("floor", 1))
+    mins = []
+    for v in range(floor, live + 1):
+        try:
+            with open(
+                os.path.join(parent, CATALOG_LOG, f"{v:010d}.json")
+            ) as f:
+                entry = json.load(f)
+        except FileNotFoundError:
+            continue  # already vacuumed below a newer floor
+        except (OSError, ValueError):
+            return 1  # unreadable retained entry: fail closed
+        if table in entry.get("tables", {}):
+            mins.append(int(entry["tables"][table]))
+    return min(mins) if mins else None
+
 
 def _failpoint(name: str) -> None:
     spec = os.environ.get("LAPIDUS_FAILPOINT", "")
@@ -202,7 +247,10 @@ def _apply_delta(base: dict | None, delta: dict) -> dict:
     if base is not None:
         if not replace_all and "compaction" in base:
             new_manifest["compaction"] = base["compaction"]
-        for carried in ("columns", "constraints", "txns", "cloned_from"):
+        for carried in (
+            "columns", "constraints", "txns", "cloned_from", "dropped",
+            "stats_columns",
+        ):
             if carried in base:
                 new_manifest[carried] = base[carried]
     if delta.get("extra"):
@@ -692,9 +740,25 @@ def _column_names(c: dict) -> list[str]:
     logical name first, then former names recorded by RENAME commits
     (``aliases``). Any given FILE carries the column under exactly one
     of these (the logical name at that file's write time), so a
-    coalesce across them is exact — there is no drop-column op, so a
-    former name can never denote a different column's data."""
+    coalesce across them is exact — a former name can never denote a
+    different column's data because every name ever used stays
+    reserved: rename aliases against re-use at merge time, and DROP
+    COLUMN quarantines the dropped column's whole name set
+    (``_dropped_names``) instead of releasing it."""
     return [c["name"], *c.get("aliases", ())]
+
+
+def _dropped_names(manifest: dict | None) -> set[str]:
+    """Every name a DROPPED column was ever written under — the
+    quarantine set (VERDICT r10 #3): old data files still carry data
+    under these names, so a NEW column (accretion or rename target)
+    taking one would silently resurrect the dead column's values into
+    it on read. One-way by design; there is no un-drop."""
+    return {
+        n
+        for c in (manifest or {}).get("dropped", [])
+        for n in _column_names(c)
+    }
 
 
 def _align_extras(df: DataFrame, extras: list[dict]) -> DataFrame:
@@ -909,6 +973,7 @@ def _publish_version(
     extra: dict | None = None,
     data_change: bool = True,
     with_file_stats: bool = False,
+    stats_columns: tuple = (),
     txn: tuple | None = None,
 ) -> dict:
     """The shared publish step of every table-mutating op (merge,
@@ -940,7 +1005,7 @@ def _publish_version(
         # plane (stats.py), which imports this module
         from .stats import _commit_file_stats
 
-        stats = _commit_file_stats(lake_dir, commit_rel, touched)
+        stats = _commit_file_stats(lake_dir, commit_rel, touched, stats_columns)
     else:
         stats = None
     return _flip_version(
@@ -1093,6 +1158,14 @@ def _flip_version(
     elif pointer is not None:
         prev_floor = int(pointer.get("floor", 1))
     floor = max(prev_floor, version - retain_versions + 1)
+    # catalog-aware floor (VERDICT r10 #2): per-commit GC must never
+    # reclaim a table version a retained catalog entry still
+    # references — a small writer-side retain_versions silently
+    # retains MORE here, so read_catalog_table keeps resolving every
+    # retained catalog snapshot
+    cat_min = _catalog_min_referenced(lake_dir)
+    if cat_min is not None:
+        floor = max(prev_floor, min(floor, cat_min))
     # sync_dir on the log writes: the pointer flip below is dirent-
     # journaled, so the entries it makes reachable must be too — a
     # power loss that kept the flipped pointer but dropped the

@@ -193,9 +193,11 @@ def sync_snapshot_into_lake(
     _validate_merge_args(n_buckets, retain_versions)
     _validate_extra_cols(extra_cols)
     _validate_txn(txn)
-    if isinstance(retire_seq, bool) or not isinstance(retire_seq, int):
-        raise ValueError(f"retire_seq must be an int, got {retire_seq!r}")
     spark = batch_df.sparkSession
+    _validate_stamp(
+        spark, retire_seq, retire_ts, batch_df.schema["ts"].dataType,
+        "retire_seq", "retire_ts",
+    )
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
         manifest = log._healed_manifest(lake_dir)
@@ -264,6 +266,358 @@ def sync_snapshot_into_lake(
         m = log._read_manifest(lake_dir)
         return {"retired": 0, "version": int(m["version"])}
     finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _normalize_merge_clauses(
+    when_matched, when_not_matched, when_not_matched_by_source, writable
+):
+    """Validate the Delta-shaped clause lists and compile them into a
+    flat ``[(group, tag, kind, condition, assignments)]`` plan.
+    Shapes: matched / not-matched-by-source clauses are
+    ``{"condition": sql|None, "update": {col: sql}}`` or
+    ``{"condition": sql|None, "delete": True}``; not-matched clauses
+    are ``{"condition": sql|None, "insert": {col: sql} | None}``
+    (``None`` = INSERT * — every writable column the source carries,
+    by name). Within each list clauses fire in order, first condition
+    wins; only the LAST clause of a list may omit its condition
+    (anything after an unconditional clause is unreachable — an
+    authoring bug, refused)."""
+    plan = []
+    writable = set(writable)
+
+    def assignments(d, kind, tag):
+        if d is None:
+            return None
+        if not isinstance(d, dict) or not d:
+            raise ValueError(
+                f"merge clause {tag}: {kind} assignments must be a non-empty "
+                f"dict of {{column: sql_expr}}, got {d!r}"
+            )
+        for col, expr in d.items():
+            if col not in writable:
+                raise ValueError(
+                    f"merge clause {tag}: cannot assign {col!r} — writable "
+                    f"columns are {sorted(writable)} (the key and the LWW "
+                    "stamp columns are never assignable; declare new columns "
+                    "via extra_cols)"
+                )
+            if not isinstance(expr, str) or not expr.strip():
+                raise ValueError(
+                    f"merge clause {tag}: assignment for {col!r} must be a "
+                    f"SQL expression string, got {expr!r}"
+                )
+        return dict(d)
+
+    for group, clauses, allowed in (
+        ("m", when_matched, ("update", "delete")),
+        ("i", when_not_matched, ("insert",)),
+        ("b", when_not_matched_by_source, ("update", "delete")),
+    ):
+        for idx, cl in enumerate(clauses):
+            tag = f"{group}{idx}"
+            if not isinstance(cl, dict):
+                raise ValueError(f"merge clause {tag} must be a dict, got {cl!r}")
+            unknown = set(cl) - {"condition", *allowed}
+            if unknown:
+                raise ValueError(
+                    f"merge clause {tag}: unknown key(s) {sorted(unknown)} "
+                    f"(allowed: condition + one of {allowed})"
+                )
+            actions = [k for k in allowed if k in cl]
+            if len(actions) != 1:
+                raise ValueError(
+                    f"merge clause {tag} must carry exactly one of {allowed}, "
+                    f"got {sorted(cl)}"
+                )
+            kind = actions[0]
+            cond = cl.get("condition")
+            if cond is not None and (not isinstance(cond, str) or not cond.strip()):
+                raise ValueError(
+                    f"merge clause {tag}: condition must be a SQL expression "
+                    f"string or None, got {cond!r}"
+                )
+            if cond is None and idx != len(clauses) - 1:
+                raise ValueError(
+                    f"merge clause {tag} omits its condition but is not the "
+                    "last clause of its list — later clauses would be "
+                    "unreachable"
+                )
+            if kind == "delete":
+                if cl["delete"] is not True:
+                    raise ValueError(
+                        f"merge clause {tag}: delete must be literal True"
+                    )
+                plan.append((group, tag, "delete", cond, None))
+            else:
+                plan.append(
+                    (group, tag, kind, cond, assignments(cl[kind], kind, tag))
+                )
+    if not plan:
+        raise ValueError(
+            "merge_into_lake needs at least one clause (when_matched / "
+            "when_not_matched / when_not_matched_by_source)"
+        )
+    return plan
+
+
+def merge_into_lake(
+    source_df: DataFrame,
+    lake_dir: str,
+    stamp_seq: int,
+    stamp_ts,
+    when_matched: tuple = (),
+    when_not_matched: tuple = (),
+    when_not_matched_by_source: tuple = (),
+    n_buckets: int | None = None,
+    retain_versions: int = 1,
+    extra_cols: tuple = (),
+    txn: tuple | None = None,
+) -> dict:
+    """General-predicate MERGE — the Delta-shaped
+    ``MERGE INTO lake USING source ON lake.entity_id = source.pk``
+    with ``WHEN MATCHED [AND cond] THEN UPDATE SET <partial cols> /
+    DELETE``, ``WHEN NOT MATCHED [AND cond] THEN INSERT`` and
+    ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE``
+    clauses, COMPILED ONTO the envelope LWW combine: the clause
+    evaluation emits an ordinary envelope batch (updates/inserts as
+    ``type='insert'`` rows, deletes as tombstones, every row stamped
+    ``(stamp_seq, stamp_ts)``) and commits through ``_merge_locked``
+    — so OCC locking, txn idempotency markers, CHECK constraints,
+    CDF pre-images, schema evolution/widening and time travel all
+    apply unchanged. This is the arbitrary per-event consumer logic
+    the reference exposes through row callbacks (reference
+    ``src/postgresql.js:503-537``), declared as SQL instead.
+
+    ``source_df`` carries ``pk`` plus any columns the clause
+    expressions read; conditions and assignments are SQL strings
+    over the aliases ``source`` (the batch) and ``target`` (the
+    lake's live row: ``target.item``, ``target.<extra>``, plus
+    ``target.last_seq/last_ts/last_type`` for stamp-aware logic).
+    Not-matched (insert) conditions may reference only ``source``
+    (there is no target row — Delta's rule). A matched UPDATE sets
+    ONLY the assigned columns; unassigned writable columns keep the
+    target row's values. ``insert: None`` means INSERT * — each
+    writable column takes the source's same-named column, NULL if
+    absent. Duplicate source keys raise (one target row must never
+    receive two conflicting clause outcomes — Delta's multiple-
+    source-rows-matched error).
+
+    ``(stamp_seq, stamp_ts)`` is the caller's declaration of WHEN
+    this merge happened in the lake's LWW order — it must outrank
+    the stored rows it intends to overwrite (pass the batch
+    watermark), exactly like ``sync_snapshot_into_lake``'s
+    retirement stamp. A stale stamp loses the combine and the write
+    silently yields to the stored row: that is the lake's
+    out-of-order-arrival contract, not an error.
+
+    Scale contract: two-pass like Delta's merge — pass 1 reads ONLY
+    the buckets the source's keys hash into (path-level pruning;
+    ``when_not_matched_by_source`` is by definition full-table work,
+    the one case that reads every live bucket) and joins
+    batch-vs-bucket-subset; pass 2 is the ordinary merge commit
+    rewriting only touched buckets. The clause CASE tree is a single
+    projection — no per-clause jobs, no driver-side row loops; the
+    only collects are the metadata-sized touched-bucket list and the
+    per-clause outcome counts. Returns
+    ``{"version", "updated", "deleted", "inserted"}``."""
+    _validate_merge_args(None, retain_versions)
+    _validate_extra_cols(extra_cols)
+    _validate_txn(txn)
+    spark = source_df.sparkSession
+    if "pk" not in source_df.columns:
+        raise ValueError(
+            "merge_into_lake: source_df must carry a 'pk' column (the merge "
+            f"key); got columns {source_df.columns}"
+        )
+    lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
+    src = None
+    envelope = None
+    try:
+        manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
+        if _txn_already_applied(manifest, txn):
+            return {
+                "version": int(manifest["version"]),
+                "updated": 0,
+                "deleted": 0,
+                "inserted": 0,
+            }
+        carried = [c["name"] for c in _manifest_columns(manifest)]
+        carried += [c for c in extra_cols if c not in carried]
+        writable = ["item", *carried]
+        plan = _normalize_merge_clauses(
+            when_matched, when_not_matched, when_not_matched_by_source, writable
+        )
+        src = source_df.withColumn("pk", F.col("pk").cast("string")).persist()
+        dup = (
+            src.groupBy("pk")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_into_lake: source has duplicate key {dup[0]['pk']!r} "
+                "— a target row must not receive two clause outcomes; "
+                "pre-aggregate the source to one row per pk"
+            )
+        target = None
+        if manifest is not None:
+            if when_not_matched_by_source:
+                buckets = None  # full-table by definition
+            else:
+                buckets = {
+                    r["b"]
+                    for r in src.select(
+                        F.pmod(F.xxhash64("pk"), F.lit(n_buckets))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            current = log._read_live(spark, lake_dir, manifest, buckets)
+            if current is not None:
+                # matched = a VISIBLE live row; tombstoned entities are
+                # NOT MATCHED (their re-insert goes through insert clauses)
+                target = current.filter(F.col("last_type") != "delete")
+        if target is not None:
+            joined = src.alias("source").join(
+                target.alias("target"),
+                F.expr("source.pk = target.entity_id"),
+                "full_outer" if when_not_matched_by_source else "left",
+            )
+            matched = (
+                F.col("source.pk").isNotNull()
+                & F.col("target.entity_id").isNotNull()
+            )
+            by_src = F.col("source.pk").isNull()
+            tgt_cols = set(target.columns)
+            key = F.coalesce(F.col("source.pk"), F.col("target.entity_id"))
+            ts_type = target.schema["last_ts"].dataType
+        else:
+            # empty lake: nothing matches, by-source is vacuous; only
+            # insert clauses (source-referencing by rule) can fire
+            from pyspark.sql.types import TimestampNTZType
+
+            joined = src.alias("source")
+            matched = F.lit(False)
+            by_src = F.lit(False)
+            tgt_cols = set()
+            key = F.col("source.pk")
+            ts_type = TimestampNTZType()
+        _validate_stamp(spark, stamp_seq, stamp_ts, ts_type, "stamp_seq", "stamp_ts")
+        not_matched = ~matched & ~by_src
+
+        def tcol(c):
+            return F.col(f"target.{c}") if c in tgt_cols else F.lit(None)
+
+        def scol(c):
+            return F.col(f"source.{c}") if c in src.columns else F.lit(None)
+
+        flags = {"m": matched, "i": not_matched, "b": by_src}
+        action = None
+        for group, tag, kind, cond, _sets in plan:
+            if target is None and group in ("m", "b"):
+                continue  # vacuous — and their exprs may reference target.*
+            fire = flags[group]
+            if cond is not None:
+                fire = fire & F.expr(cond)
+            action = F.when(fire, tag) if action is None else action.when(fire, tag)
+        if action is None:
+            m = log._read_manifest(lake_dir)
+            return {
+                "version": int(m["version"]) if m else 0,
+                "updated": 0,
+                "deleted": 0,
+                "inserted": 0,
+            }
+        live_plan = [
+            p for p in plan if target is not None or p[0] not in ("m", "b")
+        ]
+        delete_tags = [t for _g, t, k, _c, _s in live_plan if k == "delete"]
+        type_col = F.lit("insert")
+        if delete_tags:
+            type_col = F.when(
+                F.col("__action").isin(delete_tags), F.lit("delete")
+            ).otherwise(F.lit("insert"))
+
+        def value_of(cname):
+            out = None
+            for group, tag, kind, _cond, sets in live_plan:
+                if kind == "delete":
+                    v = F.lit(None)  # tombstone: payload nulls by design
+                elif kind == "update":
+                    v = F.expr(sets[cname]) if cname in sets else tcol(cname)
+                else:  # insert
+                    if sets is None:
+                        v = scol(cname)  # INSERT * by name
+                    else:
+                        v = F.expr(sets[cname]) if cname in sets else F.lit(None)
+                hit = F.col("__action") == tag
+                out = F.when(hit, v) if out is None else out.when(hit, v)
+            return out
+
+        # pin each carried column to its epoch type (a delete-only or
+        # partial batch otherwise emits untyped NULLs, which
+        # _evolved_schema would read as a void redeclaration)
+        pinned = {c["name"]: c["type"] for c in _manifest_columns(manifest)}
+
+        def typed(cname):
+            v = value_of(cname)
+            if cname in pinned:
+                return v.cast(pinned[cname])
+            return v
+
+        item = value_of("item")
+        if target is not None:
+            item = item.cast(target.schema["item"].dataType)
+        envelope = (
+            joined.withColumn("__action", action)
+            .filter(F.col("__action").isNotNull())
+            .select(
+                key.alias("pk"),
+                F.lit(stamp_seq).cast("bigint").alias("event_seq"),
+                F.lit(stamp_ts).cast(ts_type).alias("ts"),
+                type_col.alias("type"),
+                item.alias("item"),
+                *[typed(c).alias(c) for c in carried],
+                "__action",
+            )
+            .persist()
+        )
+        by_tag = {
+            r["__action"]: int(r["n"])
+            for r in envelope.groupBy("__action").agg(F.count("*").alias("n")).collect()
+        }
+        kinds = {t: k for _g, t, k, _c, _s in live_plan}
+        counts = {"updated": 0, "deleted": 0, "inserted": 0}
+        for tag, n in by_tag.items():
+            counts[
+                {"update": "updated", "delete": "deleted", "insert": "inserted"}[
+                    kinds[tag]
+                ]
+            ] += n
+        if sum(counts.values()):
+            _merge_locked(
+                spark,
+                envelope.drop("__action"),
+                lake_dir,
+                n_buckets,
+                retain_versions,
+                tuple(carried),
+                txn,
+            )
+        m = log._read_manifest(lake_dir)
+        return {"version": int(m["version"]) if m else 0, **counts}
+    finally:
+        for df in (src, envelope):
+            if df is not None:
+                df.unpersist()
         try:
             os.remove(lock)
         except FileNotFoundError:
@@ -422,10 +776,18 @@ def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple
     former = {
         a: c["name"] for c in base_extras for a in c.get("aliases", ())
     }
+    quarantined = log._dropped_names(manifest)
     new_cols = []
     widened: dict[str, str] = {}
     for name in extra_cols:
         dtype = updates.schema[name].dataType.simpleString()
+        if name in quarantined:
+            raise ValueError(
+                f"extra column {name!r} belonged to a DROPPED column and "
+                "stays quarantined — old files still carry the dead "
+                "column's data under this name, and a new column taking it "
+                "would resurrect those values on read; pick another name"
+            )
         if name in former:
             raise ValueError(
                 f"extra column {name!r} was renamed to {former[name]!r} in "
@@ -492,6 +854,25 @@ def _merge_locked(
         )
     finally:
         updates.unpersist()
+
+
+def _validate_stamp(spark, seq, ts, ts_type, seq_name: str, ts_name: str) -> None:
+    """Fail-fast validation of a caller-declared LWW stamp (snapshot
+    retirement, predicate-merge write stamp): a stamp whose ts casts
+    to NULL at the lake's ts type would lose EVERY combine — the op
+    would silently no-op its writes while reporting success."""
+    if isinstance(seq, bool) or not isinstance(seq, int):
+        raise ValueError(f"{seq_name} must be an int, got {seq!r}")
+    if ts is None:
+        raise ValueError(f"{ts_name} must not be None (it stamps the writes)")
+    probe = spark.range(1).select(F.lit(ts).try_cast(ts_type).alias("ts")).first()
+    if probe["ts"] is None:
+        raise ValueError(
+            f"{ts_name} {ts!r} casts to NULL at the lake ts type "
+            f"{ts_type.simpleString()} — the stamp would lose every LWW "
+            "combine; pass a value valid at that type (e.g. the batch "
+            "watermark)"
+        )
 
 
 def _validate_txn(txn) -> None:

@@ -39,22 +39,57 @@ def _ts_iso(v) -> str:
     return v.isoformat(timespec="microseconds")
 
 
-def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
+def _stat_value(v):
+    """A footer min/max value in JSON-safe, comparison-faithful form,
+    or None when it cannot be trusted for pruning: NaN floats order
+    arbitrarily; byte strings decode (or reject); values at/past the
+    common 64-byte parquet truncation floor may undershoot the real
+    max (dropping a file that holds the value) — conservative
+    fallback."""
+    import math
+    from datetime import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) or math.isinf(v) else v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, datetime):
+        return _ts_iso(v)
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return None if len(v) >= 64 else v
+    return None
+
+
+def _commit_file_stats(
+    lake_dir: str, commit_rel: str, buckets: list, stat_columns: tuple = ()
+) -> dict:
     """Per-file zone maps for a staged commit: bucket → file →
-    ``{"entity_id": [min, max], "last_ts": [min, max]}``, read from
-    the parquet FOOTERS only (driver-side, metadata-sized —
-    proportional to the file count, never the data). entity_id ranges
-    are only worth recording for CLUSTERED output (compaction sorts
-    each bucket by entity_id, so the valve's sequential file splits
-    carry disjoint ranges and a point read overlaps ≤1 file per key);
-    last_ts ranges prune time-bounded reads (``lake_time_read``) and
-    pay off whenever keys correlate with time — unsorted on that
-    axis, they are still CORRECT, just possibly wide. A file without
-    usable entity_id min/max drops the whole bucket's entry; a file
-    without usable last_ts stats just omits that column's range —
-    readers fall back to reading it, conservative, never wrong.
-    Timestamps are stored as naive-UTC ISO strings (fixed precision,
-    lexicographically ordered)."""
+    ``{"entity_id": [min, max], "last_ts": [min, max], <declared
+    column>: [min, max], ...}``, read from the parquet FOOTERS only
+    (driver-side, metadata-sized — proportional to the file count,
+    never the data). entity_id ranges are only worth recording for
+    CLUSTERED output (compaction sorts each bucket by entity_id, so
+    the valve's sequential file splits carry disjoint ranges and a
+    point read overlaps ≤1 file per key); last_ts ranges prune
+    time-bounded reads (``lake_time_read``) and pay off whenever keys
+    correlate with time — unsorted on that axis, they are still
+    CORRECT, just possibly wide. ``stat_columns`` (VERDICT r10 #4 —
+    Delta's dataSkippingStatsColumns posture) extends the maps to
+    DECLARED payload columns under the same contract: ranges are
+    exact whatever the physical order, and ``lake_skip_read`` prunes
+    files on any mapped column. A file without usable entity_id
+    min/max drops the whole bucket's entry; a file without usable
+    stats for last_ts or a declared column just omits that column's
+    range — readers fall back to reading it, conservative, never
+    wrong. Timestamps are stored as naive-UTC ISO strings (fixed
+    precision, lexicographically ordered)."""
     import pyarrow.parquet as pq
 
     out: dict = {}
@@ -71,6 +106,7 @@ def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
             ts_mins: list = []
             ts_maxs: list = []
             ts_usable = True
+            col_ranges: dict = {c: ([], [], True) for c in stat_columns}
             for rg in range(md.num_row_groups):
                 grp = md.row_group(rg)
                 cols = {
@@ -98,12 +134,33 @@ def _commit_file_stats(lake_dir: str, commit_rel: str, buckets: list) -> dict:
                 else:
                     ts_mins.append(ts_st.min)
                     ts_maxs.append(ts_st.max)
+                for c in stat_columns:
+                    c_mins, c_maxs, c_ok = col_ranges[c]
+                    if not c_ok:
+                        continue
+                    c_st = cols[c].statistics if c in cols else None
+                    lo = _stat_value(c_st.min) if c_st and c_st.has_min_max else None
+                    hi = _stat_value(c_st.max) if c_st and c_st.has_min_max else None
+                    if lo is None or hi is None:
+                        # an all-NULL or untrustworthy row group: the
+                        # column's range cannot prove absence for this
+                        # file — omit it (NULL rows never match a
+                        # range predicate, but a missing range must
+                        # not be read as "no non-null values")
+                        col_ranges[c] = ([], [], False)
+                    else:
+                        c_mins.append(lo)
+                        c_maxs.append(hi)
             if not usable or not mins:
                 usable = False
                 break
             entry = {"entity_id": [min(mins), max(maxs)]}
             if ts_usable and ts_mins:
                 entry["last_ts"] = [_ts_iso(min(ts_mins)), _ts_iso(max(ts_maxs))]
+            for c in stat_columns:
+                c_mins, c_maxs, c_ok = col_ranges[c]
+                if c_ok and c_mins:
+                    entry[c] = [min(c_mins), max(c_maxs)]
             stats[f] = entry
         if usable and stats:
             out[str(b)] = stats
@@ -210,6 +267,9 @@ def describe_detail(lake_dir: str, version: int | None = None) -> dict:
         out["committed_at"] = _epoch_iso(manifest["committed_at"])
     if manifest.get("cloned_from"):
         out["cloned_from"] = dict(manifest["cloned_from"])
+    if manifest.get("dropped"):
+        # quarantined name sets of DROPPED columns (never reusable)
+        out["dropped_columns"] = [c["name"] for c in manifest["dropped"]]
     if manifest.get("deletion_vectors"):
         # standing read-time redactions awaiting their OPTIMIZE purge
         out["dv_entries"] = sum(
@@ -350,6 +410,112 @@ def lake_point_read(
     return df.filter(
         (F.col("last_type") != "delete") & F.col("entity_id").isin(key_strs)
     )
+
+
+def lake_skip_read(
+    spark, lake_dir: str, ranges: dict, version: int | None = None
+) -> DataFrame:
+    """Per-column data skipping (VERDICT r10 #4 — Delta's
+    data-skipping read over dataSkippingStatsColumns): consumer-view
+    rows satisfying a conjunction of range predicates
+    ``{column: (lo, hi)}`` (inclusive bounds; ``None`` = open end;
+    equality = ``(v, v)``), opening ONLY the files whose recorded
+    [min, max] ranges can overlap EVERY predicate. Below the manifest
+    resolution, buckets last written by an OPTIMIZE that declared the
+    column in ``stats_columns`` prune at FILE granularity; buckets
+    without stats — fresh merges, undeclared columns, a file whose
+    footer stats were untrustworthy — read whole, conservative (the
+    exact predicate re-applies to every row either way, so pruning is
+    purely I/O). Skipping is NULL-safe: a pruned-away file can hide
+    only rows that are NULL in some predicate column, and NULL never
+    satisfies a range predicate. Predicates accept the payload
+    columns (``item``, accreted extras) plus ``entity_id``; values
+    compare as their storage type (numbers numerically, strings
+    lexically). This is the secondary-predicate read path at 100 TB:
+    a selective predicate on a clustered-correlated column opens a
+    small fraction of each bucket instead of the whole table."""
+    if not ranges or not isinstance(ranges, dict):
+        raise ValueError(
+            "lake_skip_read: ranges must be a non-empty dict "
+            "{column: (lo, hi)} (None = open end)"
+        )
+    manifest = _manifest_at(lake_dir, version)
+    if manifest is None:
+        raise ValueError(f"lake at {lake_dir} has no manifest for skip reads")
+    known = {"entity_id", "item"} | {
+        c["name"] for c in _manifest_columns(manifest)
+    }
+    norm: dict[str, tuple] = {}
+    for col, bound in ranges.items():
+        if col not in known:
+            raise ValueError(
+                f"lake_skip_read: unknown column {col!r} (known: "
+                f"{sorted(known)}; use lake_time_read for the time axis)"
+            )
+        if not isinstance(bound, (tuple, list)) or len(bound) != 2:
+            raise ValueError(
+                f"lake_skip_read: range for {col!r} must be (lo, hi), "
+                f"got {bound!r}"
+            )
+        lo, hi = bound
+        if lo is None and hi is None:
+            raise ValueError(f"lake_skip_read: range for {col!r} is fully open")
+        norm[col] = (lo, hi)
+
+    def overlaps(entry: dict) -> bool:
+        for col, (lo, hi) in norm.items():
+            rng = entry.get(col) if isinstance(entry, dict) else None
+            if col == "entity_id" and rng is None and not isinstance(entry, dict):
+                rng = entry  # pre-round-9 bare-list form
+            if rng is None:
+                continue  # column unmapped for this file: cannot prune
+            mn, mx = rng
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                return False  # provably disjoint on this column
+        return True
+
+    zone_maps = manifest.get("file_stats", {})
+    plain, pruned_files = set(), []
+    for b_str, rel in manifest["buckets"].items():
+        stats = zone_maps.get(b_str)
+        if stats is None or rel.startswith("bucket="):
+            plain.add(int(b_str))  # no stats (or legacy layout): whole bucket
+            continue
+        for f, entry in sorted(stats.items()):
+            if overlaps(entry):
+                pruned_files.append(os.path.join(lake_dir, rel, f))
+    extras = _manifest_columns(manifest)
+    parts = []
+    base = log._read_live(spark, lake_dir, manifest, plain) if plain else None
+    if base is not None:
+        parts.append(base)  # already schema-epoch aligned
+    if pruned_files:
+        parts.append(
+            # zone-map-pruned files bypass log._read_live, so the
+            # shared commit reader (explicit epoch schema) and the
+            # deletion-vector mask apply here explicitly, exactly as
+            # in lake_point_read / lake_time_read
+            log._apply_dv_mask(
+                spark,
+                _align_extras(
+                    log._read_commit_files(spark, manifest, pruned_files), extras
+                ),
+                manifest,
+            )
+        )
+    if not parts:
+        df = spark.createDataFrame([], _snapshot_schema(extras))
+    else:
+        from functools import reduce
+
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+    pred = F.col("last_type") != "delete"
+    for col, (lo, hi) in norm.items():
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)
 
 
 def lake_time_read(
@@ -634,6 +800,14 @@ def _resolve_change_bounds(
         from_version = lake_version_at(lake_dir, from_timestamp)
     if to_timestamp is not None:
         to_version = lake_version_at(lake_dir, to_timestamp)
+    if to_version is not None and from_version > to_version:
+        # inverted bounds would silently swap inserts/deletes through
+        # the full-outer diff — a reversed feed, not an error the
+        # consumer could detect
+        raise ValueError(
+            f"{caller}: from_version ({from_version}) > to_version "
+            f"({to_version}) — change feeds run forward; swap the bounds"
+        )
     return from_version, to_version
 
 

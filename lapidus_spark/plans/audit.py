@@ -421,6 +421,16 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 9,
         "no_single_partition": True,
     },
+    # trained-vs-frozen PQ recall: two ADC probes (each pruned index
+    # scan + broadcast shortlist re-rank) against the exact top-k;
+    # the extra exchanges over ext_ann_pq are the trained leg's
+    # (vec,m)-keyed argmin aggregations — codebook training itself
+    # ran at index-build time, like the frozen path's code assignment
+    "ext_ann_pq_trained": {
+        "take_ordered": True,
+        "max_exchanges": 10,
+        "no_single_partition": True,
+    },
     # EMA: sorted-collect on the entity key — one exchange, fold inside
     "win_ema": {"max_exchanges": 1, "no_single_partition": True},
     # Lloyd step: broadcast centroid-table assignment (16 rows —
@@ -572,6 +582,11 @@ EXPECTATIONS: dict[str, dict] = {
     # (anti-join inside the sync); the audited read is the ordinary
     # manifest-resolved pruned scan + pushed tombstone filter
     "lake_snapshot_sync": {"pushed": True, "max_exchanges": 0},
+    # general-predicate MERGE: the clause CASE tree evaluates at
+    # COMMIT time (pass 1's batch-vs-pruned-buckets join inside
+    # merge_into_lake); the audited read is the ordinary manifest-
+    # resolved pruned scan + pushed tombstone filter, zero exchanges
+    "lake_merge_predicates": {"pushed": True, "max_exchanges": 0},
     # tx-consistent catalog CDF: one entity-keyed full-outer diff per
     # table (bucket-pruned reads per table under its own manifest),
     # unioned with a literal discriminator — exchanges are the per-
@@ -584,6 +599,15 @@ EXPECTATIONS: dict[str, dict] = {
     # exchanges — the alias coalesce is a per-row projection over
     # columns the explicit requested schema already null-fills
     "lake_column_rename": {"pushed": True, "max_exchanges": 0},
+    # DROP COLUMN is likewise metadata-only; the read is the ordinary
+    # pruned scan + pushed tombstone filter — it simply stops
+    # requesting the dead column (never opens its bytes)
+    "lake_column_drop": {"pushed": True, "max_exchanges": 0},
+    # per-column data skipping: the file list is pruned driver-side
+    # against the declared column's zone maps; the plan itself is a
+    # plain scan over the surviving files + pushed range/tombstone
+    # filters, zero exchanges (pruning happens before the plan)
+    "lake_column_skipping": {"pushed": True, "max_exchanges": 0},
 }
 
 
@@ -616,6 +640,9 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # manifest versions): stateless pass-through to the sink, one
     # rate-limited micro-batch per committed version
     "stream_lake_cdf": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # catalog-level CDF: same stateless per-partition diff shape, one
+    # micro-batch per catalog TRANSACTION (maxVersionsPerBatch=1)
+    "stream_catalog_cdf": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
     # continuously-maintained gold layer from the rowChanges feed:
     # state = ONE complete-mode agg row per gold group (never per
     # entity — the pre-images carry the retractions), one exchange

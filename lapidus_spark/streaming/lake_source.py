@@ -118,6 +118,154 @@ def _bucket_files(lake_dir: str, manifest: dict | None, bucket: int) -> list:
     )
 
 
+def _read_side(files: list, cols: list):
+    """Executor-side: one side of a bucket diff as pandas
+    (column-pruned pyarrow reads; empty typed frame for no files)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not files:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+    tbl = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+    return tbl.to_pandas()
+
+
+def _entity_state_changes(m):
+    """Executor-side entity-state diff over an outer-merged frame
+    (suffixes ("", "_o")): keep entities whose (last_seq, last_ts)
+    changed, type the change. Returns ``{"m": filtered_frame,
+    "change_type": np.array}`` or None when nothing changed — shared
+    by the per-table and catalog-level CDF sources."""
+    import numpy as np
+
+    missing_old = m["last_seq_o"].isna().to_numpy(dtype=bool)
+    missing_new = m["last_seq"].isna().to_numpy(dtype=bool)
+    changed = (
+        missing_old
+        | missing_new
+        | m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
+        | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
+    )
+    # a vanished TOMBSTONE is absent→absent: emit nothing (the
+    # visible-vanished keys keep their delete row below)
+    old_invisible = missing_old | m["last_type_o"].eq("delete").to_numpy(dtype=bool)
+    m = m[changed & ~(missing_new & old_invisible)]
+    if m.empty:
+        return None
+    vanished = m["last_seq"].isna().to_numpy(dtype=bool)
+    is_tomb = m["last_type"].eq("delete").to_numpy(dtype=bool) | vanished
+    was_absent = m["last_seq_o"].isna() | m["last_type_o"].eq("delete")
+    change_type = np.where(
+        is_tomb, "delete", np.where(was_absent, "insert", "update")
+    )
+    return {"m": m, "change_type": change_type}
+
+
+def _state_record_batch(m, change_type, ver: int, tbl: str | None = None):
+    """One Arrow batch of entity-state change rows; with ``tbl`` the
+    catalog-level feed's discriminator column leads."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # stored instants are UTC-normalized (Spark parquet writer);
+    # stamping the zone makes the Arrow->Catalyst handoff
+    # session-timezone-proof.
+    ts = pc.assume_timezone(
+        pa.Array.from_pandas(m["last_ts"], type=pa.timestamp("us")), "UTC"
+    )
+    arrays = [
+        pa.Array.from_pandas(m["entity_id"], type=pa.string()),
+        pa.array(change_type, type=pa.string()),
+        pa.Array.from_pandas(m["last_seq"], type=pa.int64()),
+        ts,
+        pa.Array.from_pandas(m["last_type"], type=pa.string()),
+        pa.Array.from_pandas(m["item"], type=pa.string()),
+        pa.array([ver] * len(m), type=pa.int32()),
+    ]
+    names = ["entity_id", "change_type", "last_seq", "last_ts",
+             "last_type", "item", "ver"]
+    if tbl is not None:
+        arrays = [pa.array([tbl] * len(m), type=pa.string()), *arrays]
+        names = ["tbl", *names]
+    return pa.record_batch(arrays, names=names)
+
+
+def _plan_version_steps(lake_dir: str, s: int, e: int, caller: str = "lake_cdf"):
+    """Driver-side planning shared by the per-table and catalog-level
+    CDF sources: expand the version range (s, e] into
+    ``(ver, bucket, new_files, old_files)`` tuples — one per (version
+    step, data-changed bucket). All the scale properties live here:
+    per-version stepping (deterministic replay independent of batch
+    grouping), pointer-diff bucket pruning refined by the
+    ``data_versions`` stamps (physical-only commits plan ZERO
+    partitions), marked-rebucket steps skipped as snapshot-identical,
+    unmarked layout changes refused."""
+    from lapidus_spark.streaming.materialize import (
+        _bucket_content_changed,
+        _manifest_at,
+    )
+
+    parts = []
+    m_prev: dict | None = None
+    for v in range(s + 1, e + 1):
+        # _manifest_at raises for a GC'd version, naming the
+        # retain_versions horizon — the consumer lagged past
+        # retention and must restart from a full snapshot.
+        # Carrying m_new forward as the next step's m_old halves
+        # the driver-side manifest reads on long catch-ups.
+        m_new = _manifest_at(lake_dir, v)
+        m_old = (
+            m_prev
+            if m_prev is not None
+            else (_manifest_at(lake_dir, v - 1) if v - 1 >= 1 else None)
+        )
+        m_prev = m_new
+        if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
+            reb = m_new.get("rebucket")
+            if reb is not None and int(reb.get("version", -1)) == v:
+                # marked rebucket commit: rebucket_lake reads the
+                # live snapshot and only re-hashes the bucket
+                # column, published as one atomic flip — the step
+                # is snapshot-identical, so the correct change feed
+                # for it is ZERO rows. Skip it (zero partitions,
+                # zero bucket reads) and keep streaming; the next
+                # step diffs within the new layout. This matches
+                # the batch twin's layout-independent diff (which
+                # would read both sides in full to emit the same
+                # zero rows) at none of its cost.
+                continue
+            raise ValueError(
+                f"{caller}: bucket layout changed between versions {v - 1} "
+                f"and {v} ({m_old['n_buckets']} -> {m_new['n_buckets']} "
+                "buckets) without a rebucket marker — bucket ids are not "
+                "comparable across layouts; restart the consumer from a "
+                "full snapshot at or after the layout change"
+            )
+        # union of both bucket sets: a RESTORE can revert to a
+        # version predating a bucket's first write — its keys
+        # VANISHED and the old-only bucket must still be diffed
+        # (new side empty → delete rows), or subscribers would
+        # silently keep the retracted keys.
+        all_b = set(m_new["buckets"]) | set(m_old["buckets"] if m_old else ())
+        for b_str in sorted(all_b, key=int):
+            b = int(b_str)
+            if not _bucket_content_changed(m_old, m_new, b_str):
+                # pointer unchanged, or moved only by physical-only
+                # commits (compaction — dataChange=false): content
+                # provably identical, skip without reading.
+                continue
+            parts.append(
+                (
+                    v,
+                    b,
+                    _bucket_files(lake_dir, m_new, b),
+                    _bucket_files(lake_dir, m_old, b),
+                )
+            )
+    return parts
+
+
 class LakeCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.lake_dir = options.get("path")
@@ -184,71 +332,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         return {"version": cur}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        from lapidus_spark.streaming.materialize import (
-            _bucket_content_changed,
-            _manifest_at,
-        )
-
         s, e = int(start["version"]), int(end["version"])
         self._floor = max(self._floor, s, e)
-        parts: list[InputPartition] = []
-        m_prev: dict | None = None
-        for v in range(s + 1, e + 1):
-            # _manifest_at raises for a GC'd version, naming the
-            # retain_versions horizon — the consumer lagged past
-            # retention and must restart from a full snapshot.
-            # Carrying m_new forward as the next step's m_old halves
-            # the driver-side manifest reads on long catch-ups.
-            m_new = _manifest_at(self.lake_dir, v)
-            m_old = (
-                m_prev
-                if m_prev is not None
-                else (_manifest_at(self.lake_dir, v - 1) if v - 1 >= 1 else None)
-            )
-            m_prev = m_new
-            if m_old is not None and m_old["n_buckets"] != m_new["n_buckets"]:
-                reb = m_new.get("rebucket")
-                if reb is not None and int(reb.get("version", -1)) == v:
-                    # marked rebucket commit: rebucket_lake reads the
-                    # live snapshot and only re-hashes the bucket
-                    # column, published as one atomic flip — the step
-                    # is snapshot-identical, so the correct change feed
-                    # for it is ZERO rows. Skip it (zero partitions,
-                    # zero bucket reads) and keep streaming; the next
-                    # step diffs within the new layout. This matches
-                    # the batch twin's layout-independent diff (which
-                    # would read both sides in full to emit the same
-                    # zero rows) at none of its cost.
-                    continue
-                raise ValueError(
-                    f"lake_cdf: bucket layout changed between versions {v - 1} "
-                    f"and {v} ({m_old['n_buckets']} -> {m_new['n_buckets']} "
-                    "buckets) without a rebucket marker — bucket ids are not "
-                    "comparable across layouts; restart the consumer from a "
-                    "full snapshot at or after the layout change"
-                )
-            # union of both bucket sets: a RESTORE can revert to a
-            # version predating a bucket's first write — its keys
-            # VANISHED and the old-only bucket must still be diffed
-            # (new side empty → delete rows), or subscribers would
-            # silently keep the retracted keys.
-            all_b = set(m_new["buckets"]) | set(m_old["buckets"] if m_old else ())
-            for b_str in sorted(all_b, key=int):
-                b = int(b_str)
-                if not _bucket_content_changed(m_old, m_new, b_str):
-                    # pointer unchanged, or moved only by physical-only
-                    # commits (compaction — dataChange=false): content
-                    # provably identical, skip without reading.
-                    continue
-                parts.append(
-                    LakeCDFPartition(
-                        ver=v,
-                        bucket=b,
-                        new_files=_bucket_files(self.lake_dir, m_new, b),
-                        old_files=_bucket_files(self.lake_dir, m_old, b),
-                    )
-                )
-        return parts
+        return [
+            LakeCDFPartition(ver=v, bucket=b, new_files=nf, old_files=of)
+            for v, b, nf, of in _plan_version_steps(self.lake_dir, s, e)
+        ]
 
     def read(self, partition: LakeCDFPartition) -> Iterator:
         """Executor-side per-bucket diff: read the bucket's old and
@@ -260,22 +349,8 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         OUTER and a vanished visible key emits ``delete`` (NULL
         post-image columns here; the row-level path carries the old
         values as the pre-image, matching the batch twins)."""
-        import numpy as np
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        def read_side(files: list, cols: list) -> pd.DataFrame:
-            if not files:
-                return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
-            tbl = pa.concat_tables(
-                [pq.read_table(f, columns=cols) for f in files]
-            )
-            return tbl.to_pandas()
-
-        new = read_side(partition.new_files, _NEW_COLS)
-        old = read_side(
+        new = _read_side(partition.new_files, _NEW_COLS)
+        old = _read_side(
             partition.old_files, _OLD_COLS_PRE if self.row_changes else _OLD_COLS
         )
         if new.empty and old.empty:
@@ -290,45 +365,10 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         if self.row_changes:
             yield from self._row_change_batches(m, partition.ver)
             return
-        missing_old = m["last_seq_o"].isna().to_numpy(dtype=bool)
-        missing_new = m["last_seq"].isna().to_numpy(dtype=bool)
-        changed = (
-            missing_old
-            | missing_new
-            | m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
-            | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
-        )
-        # a vanished TOMBSTONE is absent→absent: emit nothing (the
-        # visible-vanished keys keep their delete row below)
-        old_invisible = missing_old | m["last_type_o"].eq("delete").to_numpy(dtype=bool)
-        m = m[changed & ~(missing_new & old_invisible)]
-        if m.empty:
+        out = _entity_state_changes(m)
+        if out is None:
             return
-        vanished = m["last_seq"].isna().to_numpy(dtype=bool)
-        is_tomb = m["last_type"].eq("delete").to_numpy(dtype=bool) | vanished
-        was_absent = m["last_seq_o"].isna() | m["last_type_o"].eq("delete")
-        change_type = np.where(
-            is_tomb, "delete", np.where(was_absent, "insert", "update")
-        )
-        # stored instants are UTC-normalized (Spark parquet writer);
-        # stamping the zone makes the Arrow->Catalyst handoff
-        # session-timezone-proof.
-        ts = pc.assume_timezone(
-            pa.Array.from_pandas(m["last_ts"], type=pa.timestamp("us")), "UTC"
-        )
-        yield pa.record_batch(
-            [
-                pa.Array.from_pandas(m["entity_id"], type=pa.string()),
-                pa.array(change_type, type=pa.string()),
-                pa.Array.from_pandas(m["last_seq"], type=pa.int64()),
-                ts,
-                pa.Array.from_pandas(m["last_type"], type=pa.string()),
-                pa.Array.from_pandas(m["item"], type=pa.string()),
-                pa.array([partition.ver] * len(m), type=pa.int32()),
-            ],
-            names=["entity_id", "change_type", "last_seq", "last_ts",
-                   "last_type", "item", "ver"],
-        )
+        yield _state_record_batch(out["m"], out["change_type"], partition.ver)
 
     def _row_change_batches(self, m, ver: int) -> Iterator:
         """rowChanges=true executor path: the row-level Delta-CDF

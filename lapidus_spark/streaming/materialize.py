@@ -116,6 +116,7 @@ from lapidus_spark.lake.merge import (  # noqa: F401
     _validate_txn,
     merge_batch_into_lake,
     merge_batch_optimistic,
+    merge_into_lake,
     merge_lake_sink,
     snapshot_stream,
     sync_snapshot_into_lake,
@@ -130,6 +131,7 @@ from lapidus_spark.lake.admin import (  # noqa: F401
     compact_lake,
     delete_from_lake,
     drop_constraint,
+    drop_lake_column,
     rebucket_lake,
     rename_lake_column,
     restore_lake,
@@ -147,6 +149,7 @@ from lapidus_spark.lake.stats import (  # noqa: F401
     lake_changes,
     lake_changes_rows,
     lake_point_read,
+    lake_skip_read,
     lake_time_read,
     lake_version_at,
     read_lake_snapshot,

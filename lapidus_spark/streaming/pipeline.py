@@ -61,6 +61,7 @@ def envelope_stream(spark: SparkSession, backend: BackendConfig) -> DataFrame:
             backend.topic,
             source=backend.name,
             starting_offsets=backend.starting_offsets,
+            max_offsets_per_trigger=backend.max_offsets_per_trigger,
         )
     else:
         raise NotImplementedError(

@@ -62,6 +62,7 @@ def kafka_raw_source(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """The production capture feed: ``readStream.format("kafka")``
     over the Debezium topic (src_pg production path, SURVEY §2.1 —
@@ -70,14 +71,25 @@ def kafka_raw_source(
     resolves the source and fixes the Kafka schema (key/value binary,
     topic/partition/offset, timestamp) without contacting a broker;
     it raises only if the spark-sql-kafka connector jar is absent
-    (tests skip on that)."""
-    return (
+    (tests skip on that).
+
+    ``max_offsets_per_trigger`` is the admission-control knob
+    (VERDICT r10 #6, the lake source's ``maxVersionsPerBatch``
+    mirrored onto the live path): at most N records per micro-batch
+    across the topic's partitions, so a daemon restarted against a
+    deep backlog catches up in bounded steps — each an atomic,
+    checkpointed commit — instead of one giant batch that overruns
+    executor memory. ``starting_offsets`` additionally accepts the
+    Kafka JSON offset spec for exact per-partition starts."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
 
 
 def kafka_envelope_source(
@@ -86,6 +98,7 @@ def kafka_envelope_source(
     topic: str,
     source: str = "pg_main",
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Kafka feed → canonical envelope: the broker analog of
     ``stream_jsoncdc_envelope`` (value bytes are the same LDJSON line
@@ -97,7 +110,9 @@ def kafka_envelope_source(
     consumes with checkpointed offsets (src_slot's durable cursor)."""
     from lapidus_spark.sources.jsoncdc import decode_jsoncdc, normalize_jsoncdc
 
-    raw = kafka_raw_source(spark, bootstrap_servers, topic, starting_offsets)
+    raw = kafka_raw_source(
+        spark, bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+    )
     lines = raw.select(F.col("value").cast("string").alias("value"))
     return normalize_jsoncdc(decode_jsoncdc(lines), source=source)
 

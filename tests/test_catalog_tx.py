@@ -269,3 +269,20 @@ def test_cli_catalog_history(spark, tmp_path, capsys):
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert [r["version"] for r in rows] == [2, 1]
     assert rows[0]["txid"] == 2 and set(rows[0]["tables"]) == set(TABLES)
+
+
+def test_catalog_changes_rejects_inverted_bounds(spark, tmp_path):
+    """Regression (round-10 advice): inverted bounds used to produce a
+    silently REVERSED diff (inserts/deletes swapped through the
+    full-outer join) and dropped tables present only in the from
+    entry — they must raise, in the catalog feed and the per-table
+    feed alike."""
+    cat = str(tmp_path / "cat")
+    _commit(spark, cat, 1, 2, 0)
+    _commit(spark, cat, 2, 2, 1)
+    with pytest.raises(ValueError, match="from_version \\(2\\) > to_version"):
+        C.catalog_changes(spark, cat, from_version=2, to_version=1)
+    with pytest.raises(ValueError, match="change feeds run forward"):
+        M.lake_changes(
+            spark, os.path.join(cat, "by_user"), from_version=2, to_version=1
+        )

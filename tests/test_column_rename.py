@@ -365,3 +365,18 @@ def test_cli_rename_default_keeps_pre_rename_version(spark, tmp_path):
     assert main(["--rename-column", lake, "--old", "shard", "--new", "zone"]) == 0
     v1 = M.read_lake_snapshot(spark, lake, version=1)
     assert "shard" in v1.columns and v1.count() > 0
+
+
+def test_case_variant_constraint_blocks_rename(spark, tmp_path):
+    """Regression (round-10 advice): Spark resolves identifiers
+    case-insensitively (spark.sql.caseSensitive=false), so a
+    constraint written as 'ZONE >= 0' binds to column `zone` — the
+    rename interlock must catch case-variant references, or every
+    post-rename merge dies at constraint enforcement."""
+    lake = str(tmp_path / "lake")
+    _build_renamed(spark, lake)
+    M.add_constraint(spark, lake, "zone_up", "ZONE BETWEEN 0 AND 6")
+    with pytest.raises(ValueError, match="CHECK constraint 'zone_up'"):
+        M.rename_lake_column(lake, "zone", "sector", retain_versions=8)
+    M.drop_constraint(lake, "zone_up")
+    M.rename_lake_column(lake, "zone", "sector", retain_versions=8)

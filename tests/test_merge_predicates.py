@@ -1,0 +1,304 @@
+"""General-predicate MERGE (``merge_into_lake``) — the Delta-shaped
+``WHEN MATCHED [AND cond] THEN UPDATE SET <partial> / DELETE``,
+``WHEN NOT MATCHED [AND cond] THEN INSERT`` and ``WHEN NOT MATCHED BY
+SOURCE`` surface compiled onto the envelope LWW combine (VERDICT r10
+#1). The oracle gate (``lake_merge_predicates``) proves end-state
+values; this file pins the contract edges: clause order and
+first-match-wins, partial-update column preservation, tombstone
+deletes visible to CDF with pre-images, INSERT * vs explicit values,
+constraint interplay (a conditional update violating a CHECK refuses
+the WHOLE commit), schema evolution via a SET on a new extra column,
+txn-marker idempotency, duplicate-source-key refusal, stale-stamp
+LWW yield, clause validation, and empty-lake bootstrap.
+
+Reference parity: the reference applies arbitrary per-event consumer
+logic through row callbacks (``src/postgresql.js:503-537``); here that
+logic is declared as SQL clauses so it stays JVM-side and
+bucket-pruned.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import lapidus_spark.streaming.materialize as M
+
+STAMP_TS = "2024-06-01 00:00:00"
+
+
+def _env(spark, ids, seq_base=0, extra=None):
+    cols = [
+        F.format_string("k%04d", F.col("id")).alias("pk"),
+        (F.col("id") + seq_base).alias("event_seq"),
+        F.timestamp_seconds(F.col("id") * 60 + 1_700_000_000 + seq_base)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.lit("insert").alias("type"),
+        F.format_string(f"v{seq_base}-%04d", F.col("id")).alias("item"),
+    ]
+    if extra is not None:
+        cols.append(extra)
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    return df.select(*cols)
+
+
+def _source(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _visible(spark, lake):
+    return {
+        r["entity_id"]: r
+        for r in M.read_lake_snapshot(spark, lake).collect()
+    }
+
+
+def _build(spark, lake, n=10, retain=4):
+    M.merge_batch_into_lake(
+        _env(spark, range(n), extra=(F.col("id") % 5).cast("int").alias("qty")),
+        lake,
+        n_buckets=4,
+        retain_versions=retain,
+        extra_cols=("qty",),
+    )
+
+
+def test_conditional_update_delete_insert_first_match_wins(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    # qty at build time: id % 5 → k0000:0 k0001:1 k0002:2 k0003:3 k0004:4 ...
+    src = _source(
+        spark,
+        [
+            ("k0001", "patched", 50),  # matched, qty 1 → first clause (qty<3): partial update
+            ("k0003", "patched", 60),  # matched, qty 3 → second clause: delete
+            ("k0099", "brandnew", 70),  # not matched → insert
+            ("k0098", "skipme", -1),    # not matched, cond fails → no-op
+        ],
+        "pk string, item string, qty int",
+    )
+    res = M.merge_into_lake(
+        src,
+        lake,
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_matched=(
+            {"condition": "target.qty < 3", "update": {"item": "source.item"}},
+            {"delete": True},
+        ),
+        when_not_matched=(
+            {"condition": "source.qty > 0", "insert": None},
+        ),
+        retain_versions=4,
+    )
+    assert res["updated"] == 1 and res["deleted"] == 1 and res["inserted"] == 1
+    vis = _visible(spark, lake)
+    # partial update: item changed, UNASSIGNED qty kept the target value
+    assert vis["k0001"]["item"] == "patched"
+    assert vis["k0001"]["qty"] == 1
+    # first-match-wins: k0001 hit the update clause, never the delete
+    assert "k0003" not in vis  # second clause deleted it
+    assert vis["k0099"]["item"] == "brandnew" and vis["k0099"]["qty"] == 70
+    assert "k0098" not in vis  # failed insert condition → ignored
+    # untouched rows unchanged
+    assert vis["k0002"]["item"] == "v0-0002" and vis["k0002"]["qty"] == 2
+
+
+def test_delete_is_a_tombstone_with_cdf_preimage(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    v0 = M._read_manifest(lake)["version"]
+    res = M.merge_into_lake(
+        _source(spark, [("k0004", 0)], "pk string, qty int"),
+        lake,
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_matched=({"condition": "target.qty >= 4", "delete": True},),
+        retain_versions=4,
+    )
+    assert res == {"version": v0 + 1, "updated": 0, "deleted": 1, "inserted": 0}
+    ch = M.lake_changes_rows(spark, lake, from_version=v0, to_version=v0 + 1)
+    rows = {(r["entity_id"], r["change_type"]): r for r in ch.collect()}
+    # a MERGE delete is an ordinary tombstone: CDF emits the REMOVED
+    # content (the pre-image values), exactly like an envelope delete
+    gone = rows[("k0004", "delete")]
+    assert gone["item"] == "v0-0004"
+    assert len(rows) == 1  # nothing else changed in the step
+
+
+def test_insert_star_vs_explicit_values(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=2)
+    M.merge_into_lake(
+        _source(spark, [("k0100", "star", 9), ("k0101", "explicit", 9)],
+                "pk string, item string, qty int"),
+        lake,
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_not_matched=(
+            {"condition": "source.pk = 'k0101'",
+             "insert": {"item": "upper(source.item)"}},
+            {"insert": None},
+        ),
+        retain_versions=4,
+    )
+    vis = _visible(spark, lake)
+    assert vis["k0100"]["item"] == "star" and vis["k0100"]["qty"] == 9
+    # explicit values: only assigned columns take values, rest NULL
+    assert vis["k0101"]["item"] == "EXPLICIT" and vis["k0101"]["qty"] is None
+
+
+def test_not_matched_by_source_clauses(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=6)
+    # source mentions only k0000/k0001: by-source rows are k0002..k0005
+    res = M.merge_into_lake(
+        _source(spark, [("k0000", "keep"), ("k0001", "keep")],
+                "pk string, item string"),
+        lake,
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_matched=({"update": {"item": "source.item"}},),
+        when_not_matched_by_source=(
+            {"condition": "target.qty >= 4", "delete": True},
+            {"update": {"item": "'stale'"}},
+        ),
+        retain_versions=4,
+    )
+    assert res["deleted"] == 1  # k0004 (qty 4)
+    assert res["updated"] == 2 + 3  # two matched + three by-source marks
+    vis = _visible(spark, lake)
+    assert "k0004" not in vis
+    assert vis["k0000"]["item"] == "keep"
+    assert {vis[k]["item"] for k in ("k0002", "k0003", "k0005")} == {"stale"}
+    # by-source update keeps unassigned columns
+    assert vis["k0002"]["qty"] == 2
+
+
+def test_constraint_violation_refuses_whole_commit(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    M.add_constraint(spark, lake, "qty_pos", "qty >= 0")
+    v0 = M._read_manifest(lake)["version"]
+    with pytest.raises(M.ConstraintViolationError, match="qty_pos"):
+        M.merge_into_lake(
+            _source(spark, [("k0001", -5), ("k0002", 7)], "pk string, qty int"),
+            lake,
+            stamp_seq=10_000,
+            stamp_ts=STAMP_TS,
+            when_matched=({"update": {"qty": "source.qty"}},),
+            retain_versions=4,
+        )
+    assert M._read_manifest(lake)["version"] == v0  # table unchanged
+    assert _visible(spark, lake)["k0002"]["qty"] == 2
+
+
+def test_set_on_new_extra_column_evolves_schema(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=4)
+    M.merge_into_lake(
+        _source(spark, [("k0001", "eu")], "pk string, region string"),
+        lake,
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_matched=({"update": {"region": "source.region"}},),
+        extra_cols=("region",),
+        retain_versions=4,
+    )
+    cols = {c["name"]: c["type"] for c in M._manifest_at(lake, None)["columns"]}
+    assert cols["region"] == "string"
+    vis = _visible(spark, lake)
+    assert vis["k0001"]["region"] == "eu" and vis["k0001"]["qty"] == 1
+    assert vis["k0002"]["region"] is None  # old rows null-fill
+
+
+def test_txn_marker_makes_replay_free(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=4)
+    kw = dict(
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_matched=({"update": {"item": "'x'"}},),
+        retain_versions=4,
+        txn=("merger", 7),
+    )
+    src = _source(spark, [("k0001",)], "pk string")
+    r1 = M.merge_into_lake(src, lake, **kw)
+    assert r1["updated"] == 1
+    r2 = M.merge_into_lake(src, lake, **kw)
+    assert r2 == {"version": r1["version"], "updated": 0, "deleted": 0, "inserted": 0}
+
+
+def test_duplicate_source_keys_raise(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=2)
+    with pytest.raises(ValueError, match="duplicate key"):
+        M.merge_into_lake(
+            _source(spark, [("k0001", 1), ("k0001", 2)], "pk string, qty int"),
+            lake,
+            stamp_seq=10_000,
+            stamp_ts=STAMP_TS,
+            when_matched=({"update": {"qty": "source.qty"}},),
+        )
+
+
+def test_stale_stamp_yields_to_stored_row(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=2)
+    res = M.merge_into_lake(
+        _source(spark, [("k0001",)], "pk string"),
+        lake,
+        stamp_seq=-1,
+        stamp_ts="1990-01-01 00:00:00",  # predates every stored row
+        when_matched=({"update": {"item": "'loser'"}},),
+        retain_versions=4,
+    )
+    assert res["updated"] == 1  # the clause fired...
+    assert _visible(spark, lake)["k0001"]["item"] == "v0-0001"  # ...and lost LWW
+
+
+def test_empty_lake_bootstrap_insert_only(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    res = M.merge_into_lake(
+        _source(spark, [("a", "one"), ("b", "two")], "pk string, item string"),
+        lake,
+        stamp_seq=1,
+        stamp_ts=STAMP_TS,
+        when_matched=({"update": {"item": "source.item"}},),
+        when_not_matched=({"insert": None},),
+    )
+    assert res["inserted"] == 2 and res["updated"] == 0
+    assert set(_visible(spark, lake)) == {"a", "b"}
+
+
+def test_clause_validation(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    src = _source(spark, [("a",)], "pk string")
+    with pytest.raises(ValueError, match="at least one clause"):
+        M.merge_into_lake(src, lake, stamp_seq=1, stamp_ts=STAMP_TS)
+    with pytest.raises(ValueError, match="exactly one of"):
+        M.merge_into_lake(
+            src, lake, stamp_seq=1, stamp_ts=STAMP_TS,
+            when_matched=({"update": {"item": "'x'"}, "delete": True},),
+        )
+    with pytest.raises(ValueError, match="unreachable"):
+        M.merge_into_lake(
+            src, lake, stamp_seq=1, stamp_ts=STAMP_TS,
+            when_matched=({"delete": True}, {"condition": "1=1", "delete": True}),
+        )
+    with pytest.raises(ValueError, match="cannot assign"):
+        M.merge_into_lake(
+            src, lake, stamp_seq=1, stamp_ts=STAMP_TS,
+            when_matched=({"update": {"entity_id": "'x'"}},),
+        )
+    with pytest.raises(ValueError, match="pk"):
+        M.merge_into_lake(
+            _source(spark, [("a",)], "id string"), lake,
+            stamp_seq=1, stamp_ts=STAMP_TS, when_matched=({"delete": True},),
+        )
+    with pytest.raises(ValueError, match="stamp_ts"):
+        M.merge_into_lake(
+            src, lake, stamp_seq=1, stamp_ts=None,
+            when_matched=({"delete": True},),
+        )

@@ -216,3 +216,24 @@ def test_replayed_sync_never_scans_the_table(spark, tmp_path, monkeypatch):
         "retired": 0,
         "version": v,
     }
+
+
+def test_sync_validates_retire_ts(spark, tmp_path):
+    """Regression (round-10 advice): a None or unparseable retire_ts
+    silently cast to NULL, so every retirement tombstone lost the LWW
+    combine and the op no-op'd its whole purpose while reporting
+    retired>0 — both shapes must fail fast like retire_seq does."""
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(_env(spark, range(6)), lake, n_buckets=4, retain_versions=2)
+    for bad in (None, "not-a-timestamp"):
+        with pytest.raises(ValueError, match="retire_ts"):
+            M.sync_snapshot_into_lake(
+                _env(spark, range(3), seq_base=1000),
+                lake,
+                retire_seq=10_000,
+                retire_ts=bad,
+                n_buckets=4,
+                retain_versions=2,
+            )
+    # lake untouched: the validation fires before any commit
+    assert set(_visible(spark, lake)) == {f"k{i:04d}" for i in range(6)}
