@@ -270,6 +270,10 @@ def describe_detail(lake_dir: str, version: int | None = None) -> dict:
     if manifest.get("dropped"):
         # quarantined name sets of DROPPED columns (never reusable)
         out["dropped_columns"] = [c["name"] for c in manifest["dropped"]]
+    if manifest.get("stats_columns"):
+        # declared data-skipping columns (table property; every later
+        # OPTIMIZE keeps their per-file zone maps fresh)
+        out["stats_columns"] = list(manifest["stats_columns"])
     if manifest.get("deletion_vectors"):
         # standing read-time redactions awaiting their OPTIMIZE purge
         out["dv_entries"] = sum(

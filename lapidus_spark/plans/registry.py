@@ -145,39 +145,44 @@ def _signal_ages(root=None) -> dict[str, int]:
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # Round-10 window accounting. Ages after r9: 50 r9 + 43 r8 +
-    # 44 r7 + 27 r6 (the structural ceiling note from r9 still
-    # applies: with 164+ queries and a 50-slot window, full
-    # re-verification cycles every ⌈N/50⌉ = 4 rounds; the ordering
-    # below minimizes the worst signal age, and the full surface
-    # stays under per-round pytest parity + the committed sf0.1
-    # sweep regardless).
+    # Round-11 window accounting. Ages after r10: 50 r10 + 41 r9 +
+    # 43 r8 + 39 r7 (judge histogram). The r10 judge's standing
+    # instruction: rotate toward the 39 r7-stale signals — the age
+    # ordering below does that automatically once the touched cohort
+    # is accounted; with 178 queries and a 50-slot window, full
+    # re-verification cycles every 4 rounds, and the whole surface
+    # stays under per-round pytest parity + the committed sf0.1 sweep
+    # regardless.
     #
-    # TOUCHED: the two queries the r9 judge found vacuously verified —
-    # their predicates now intersect the fixture (relational.py), so
-    # every previous green is void and they must verify FIRST:
-    "agg_join_revenue",
-    "set_except_intersect",
-    # The lake family is touched again this round: materialize.py is
-    # split into lake/{log,merge,admin,stats}.py (VERDICT r9 #8 —
-    # facade kept, but the code every lake_*/stream_lake_* query runs
-    # through moved), DELETE WHERE gained deletion vectors applied on
-    # EVERY read path (#2), and the merge epoch check gained type
-    # widening (#4). Queries whose latest green predates those
-    # changes (r9 greens are void for the refactor alone):
-    "lake_delete_where",
-    "lake_restore",
+    # TOUCHED (stale green + round-11 code changes, so the old signal
+    # is no evidence): the lake CDF source's planner/diff were
+    # REFACTORED into shared helpers the new catalog source reuses —
+    "stream_lake_cdf",
+    # sync_snapshot_into_lake gained the retire_ts fail-fast
+    # (ADVICE r10) on the path both resync queries drive —
+    "lake_snapshot_sync",
+    "stream_snapshot_sync",
+    # the rename interlock went case-insensitive and gained the
+    # dropped-name quarantine check —
+    "lake_column_rename",
+    # vacuum gained the catalog-retention interlock —
     "lake_vacuum_read",
-    "lake_clone",
+    # the change-feed bound resolution gained the inverted-bounds
+    # guard (lake_changes / catalog_changes) —
+    "lake_changes_feed",
+    "lake_cdf_preimages",
+    "lake_catalog_cdf",
+    # OPTIMIZE gained stats_columns resolution and the footer reader
+    # grew the per-column loop (zone-map recording restructured) —
+    "lake_compaction",
     "lake_zorder_read",
-    "lake_schema_evolution",
-    "lake_constraint_merge",
-    "lake_txn_idempotent",
-    # Demand: 2 vacuity fixes + ~9 touched lake-admin (rank (0,-1)) +
-    # the round-10 new queries (lake_delete_dv, lake_type_widening,
-    # lake_multi_table_tx, ext_ann_eval — age 0) ≈ 15 of 50 slots;
-    # the remainder goes to the r6-stale cohort (27 queries, all fit)
-    # plus the oldest r7 signals, heaviest first.
+    "lake_zonemap_read",
+    "lake_time_read",
+    # Demand: 12 touched (rank (0,-1)) + 5 round-11 new queries
+    # (lake_merge_predicates, lake_column_drop, lake_column_skipping,
+    # ext_ann_pq_trained, stream_catalog_cdf — age 0) = 17 of 50
+    # slots; the remaining 33 go to the oldest (r7) signals,
+    # heaviest first — most of the judge-flagged 39.
 )
 
 
