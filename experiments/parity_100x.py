@@ -150,6 +150,9 @@ COHORT = [
     "lake_column_drop",
     "lake_column_skipping",
     "stream_catalog_cdf",
+    # the streaming predicate MERGE: clause routing + source-derived
+    # stamps across three 10x multi-split micro-batches
+    "stream_merge_predicates",
 ]
 DERIVED_TABLES = ("documents", "events")
 

@@ -145,6 +145,9 @@ COHORT = [
     "lake_column_skipping",
     "ext_ann_pq_trained",
     "stream_catalog_cdf",
+    # the streaming predicate MERGE: clause routing + source-derived
+    # stamps across three 10x multi-split micro-batches
+    "stream_merge_predicates",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -433,11 +433,16 @@ def lake_skip_read(
     purely I/O). Skipping is NULL-safe: a pruned-away file can hide
     only rows that are NULL in some predicate column, and NULL never
     satisfies a range predicate. Predicates accept the payload
-    columns (``item``, accreted extras) plus ``entity_id``; values
-    compare as their storage type (numbers numerically, strings
-    lexically). This is the secondary-predicate read path at 100 TB:
-    a selective predicate on a clustered-correlated column opens a
-    small fraction of each bucket instead of the whole table."""
+    columns (``item``, accreted extras), ``entity_id``, and
+    ``last_ts`` (datetime or ISO bounds — the time axis composes into
+    the conjunction, pruning against the same per-file last_ts maps
+    ``lake_time_read`` uses). Values compare as their storage type
+    (numbers numerically, strings lexically). This is the
+    secondary-predicate read path at 100 TB: a selective predicate on
+    a clustered-correlated column opens a small fraction of each
+    bucket instead of the whole table."""
+    from datetime import datetime, timezone
+
     if not ranges or not isinstance(ranges, dict):
         raise ValueError(
             "lake_skip_read: ranges must be a non-empty dict "
@@ -446,15 +451,24 @@ def lake_skip_read(
     manifest = _manifest_at(lake_dir, version)
     if manifest is None:
         raise ValueError(f"lake at {lake_dir} has no manifest for skip reads")
-    known = {"entity_id", "item"} | {
+    known = {"entity_id", "item", "last_ts"} | {
         c["name"] for c in _manifest_columns(manifest)
     }
+
+    def norm_ts(v):
+        if v is None:
+            return None
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+
     norm: dict[str, tuple] = {}
     for col, bound in ranges.items():
         if col not in known:
             raise ValueError(
-                f"lake_skip_read: unknown column {col!r} (known: "
-                f"{sorted(known)}; use lake_time_read for the time axis)"
+                f"lake_skip_read: unknown column {col!r} (known: {sorted(known)})"
             )
         if not isinstance(bound, (tuple, list)) or len(bound) != 2:
             raise ValueError(
@@ -464,6 +478,8 @@ def lake_skip_read(
         lo, hi = bound
         if lo is None and hi is None:
             raise ValueError(f"lake_skip_read: range for {col!r} is fully open")
+        if col == "last_ts":
+            lo, hi = norm_ts(lo), norm_ts(hi)
         norm[col] = (lo, hi)
 
     def overlaps(entry: dict) -> bool:
@@ -474,6 +490,8 @@ def lake_skip_read(
             if rng is None:
                 continue  # column unmapped for this file: cannot prune
             mn, mx = rng
+            if col == "last_ts":
+                mn, mx = (datetime.fromisoformat(x) for x in (mn, mx))
             if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                 return False  # provably disjoint on this column
         return True
@@ -515,10 +533,15 @@ def lake_skip_read(
         df = reduce(lambda a, b: a.unionByName(b), parts)
     pred = F.col("last_type") != "delete"
     for col, (lo, hi) in norm.items():
+        # last_ts compares in NTZ (the lake's ts may be LTZ or NTZ by
+        # producer; session TZ pinned UTC makes the cast value-
+        # preserving — same rule as lake_time_read)
+        c = F.col(col).cast("timestamp_ntz") if col == "last_ts" else F.col(col)
+        lit = (lambda v: F.lit(v).cast("timestamp_ntz")) if col == "last_ts" else F.lit
         if lo is not None:
-            pred = pred & (F.col(col) >= F.lit(lo))
+            pred = pred & (c >= lit(lo))
         if hi is not None:
-            pred = pred & (F.col(col) <= F.lit(hi))
+            pred = pred & (c <= lit(hi))
     return df.filter(pred)
 
 

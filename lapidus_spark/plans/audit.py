@@ -631,6 +631,10 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # run as batch jobs inside the sink fn (the lake IS the state);
     # 3 batches with entities scattered across them
     "stream_merge_lake": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # streaming predicate MERGE: clause evaluation + two-pass merge
+    # all inside foreachBatch — the streamed plan is a stateless
+    # filtered scan, one batch per replay file
+    "stream_merge_predicates": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
     # streaming full-state re-sync: one micro-batch per snapshot file
     # (the batch boundary IS the snapshot boundary); all the work —
     # upserts + retirement anti-join + one commit — happens inside

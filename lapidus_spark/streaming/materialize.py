@@ -118,6 +118,7 @@ from lapidus_spark.lake.merge import (  # noqa: F401
     merge_batch_optimistic,
     merge_into_lake,
     merge_lake_sink,
+    predicate_merge_sink,
     snapshot_stream,
     sync_snapshot_into_lake,
 )

@@ -1599,6 +1599,101 @@ def stream_lake_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_merge_predicates",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           'insert' AS last_type,
+           CASE WHEN event_id % 2 = 0 THEN upper(props) ELSE props END AS item
+    FROM ranked WHERE rn = 1
+    """,
+    operator="streaming general-predicate MERGE (predicate_merge_sink — "
+    "per-event consumer logic as clauses on the live path)",
+    doc="The STREAMING general-predicate MERGE: the update-only event "
+    "feed replays in THREE micro-batches split event_id%3 (entities "
+    "scattered across batches) through predicate_merge_sink with a "
+    "first-match-wins clause pair on BOTH branches — even event_seq "
+    "routes to the uppercasing clause, odd to the pass-through — so "
+    "clause ROUTING and conditions are exercised on every batch "
+    "while matched/not-matched produce identical values for the "
+    "same source row (the batch-boundary-independent clause shape "
+    "the sink's docstring prescribes). Stamps come from the SOURCE "
+    "rows (stamp_cols), so the final LWW state is independent of "
+    "how events split into batches: the oracle is the plain LWW "
+    "winner per entity over non-error events with the same CASE on "
+    "its own event_id — any routing error, lost partial batch, or "
+    "stamp mix-up is a value mismatch. Idempotent-by-marker like "
+    "merge_lake_sink (txn_app_id; a redelivered epoch moves no "
+    "version — pinned in tests/test_merge_predicates.py together "
+    "with in-batch dedupe, order-independence and validation).",
+)
+def stream_merge_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.materialize import (
+        predicate_merge_sink,
+        read_lake_snapshot,
+    )
+
+    clear_stream_run("stream_merge_predicates")
+    replay_dir = build_merge_replay(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    src = raw.filter(F.col("event_type") != "error").select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.col("event_id").alias("event_seq"),
+        F.col("ts").alias("ts"),
+        F.col("props").alias("item"),
+    )
+    lake = tempfile.mkdtemp(prefix="lapidus_predmerge_lake_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_predmerge_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            predicate_merge_sink(
+                src,
+                lake,
+                when_matched=(
+                    {"condition": "source.event_seq % 2 = 0",
+                     "update": {"item": "upper(source.item)"}},
+                    {"update": {"item": "source.item"}},
+                ),
+                when_not_matched=(
+                    {"condition": "source.event_seq % 2 = 0",
+                     "insert": {"item": "upper(source.item)"}},
+                    {"insert": {"item": "source.item"}},
+                ),
+                retain_versions=2,
+                txn_app_id="stream_merge_predicates",
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_stream_run("stream_merge_predicates", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_lake_snapshot(spark, lake).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
 _CATALOG_CDF_DIRS: dict[str, str] = {}
 
 

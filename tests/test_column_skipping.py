@@ -245,3 +245,41 @@ def test_cli_compact_with_stats_columns(spark, tmp_path, capsys):
     assert all(
         "band" in e for fs in m["file_stats"].values() for e in fs.values()
     )
+
+
+def test_time_axis_composes_into_the_conjunction(spark, tmp_path):
+    """last_ts joins the conjunction: pruning uses the same per-file
+    time maps lake_time_read does, and mixing a column range with a
+    time window opens no more files than either alone."""
+    from datetime import datetime
+
+    lake = str(tmp_path / "lake")
+    m = _build(spark, lake)
+    lo, hi = datetime(2023, 11, 15, 6, 0), datetime(2023, 11, 15, 7, 0)
+    both = M.lake_skip_read(
+        spark, lake, {"band": ("03", "09"), "last_ts": (lo, hi)}
+    )
+    band_only = M.lake_skip_read(spark, lake, {"band": ("03", "09")})
+    assert len(both.inputFiles()) <= len(band_only.inputFiles())
+    live = M._read_live(spark, lake, m)
+    ts = F.col("last_ts").cast("timestamp_ntz")
+    expected = sorted(
+        map(
+            tuple,
+            live.filter(
+                (F.col("last_type") != "delete")
+                & F.col("band").between("03", "09")
+                & (ts >= F.lit(lo)) & (ts <= F.lit(hi))
+            )
+            .select(*COLS)
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, both.select(*COLS).collect())) == expected
+    assert len(expected) > 0
+    # ISO-string bounds are accepted too
+    iso = M.lake_skip_read(
+        spark, lake,
+        {"band": ("03", "09"), "last_ts": (lo.isoformat(), hi.isoformat())},
+    )
+    assert sorted(map(tuple, iso.select(*COLS).collect())) == expected

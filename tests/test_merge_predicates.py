@@ -302,3 +302,184 @@ def test_clause_validation(spark, tmp_path):
             src, lake, stamp_seq=1, stamp_ts=None,
             when_matched=({"delete": True},),
         )
+
+
+def test_dv_deleted_rows_are_not_matched(spark, tmp_path):
+    """Deletion-vector interplay: pass 1 reads through the DV mask,
+    so a DV-redacted entity is NOT MATCHED (its row reads as a
+    tombstone) — a conditional insert may resurrect it, exactly like
+    the ordinary-read semantics."""
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    M.delete_from_lake(spark, lake, "entity_id = 'k0002'", mode="dv",
+                       retain_versions=4)
+    assert "k0002" not in _visible(spark, lake)
+    res = M.merge_into_lake(
+        _source(spark, [("k0002", "back"), ("k0003", "upd")],
+                "pk string, item string"),
+        lake,
+        stamp_seq=10_000,
+        stamp_ts=STAMP_TS,
+        when_matched=({"update": {"item": "source.item"}},),
+        when_not_matched=({"insert": None},),
+        retain_versions=4,
+    )
+    # k0002 went through the INSERT clause (not matched), k0003 UPDATE
+    assert res["inserted"] == 1 and res["updated"] == 1
+    vis = _visible(spark, lake)
+    assert vis["k0002"]["item"] == "back"
+    assert vis["k0003"]["item"] == "upd" and vis["k0003"]["qty"] == 3
+
+
+def _src_env(spark, ids, seq_base=0):
+    """source rows with their own (event_seq, ts) stamps."""
+    return spark.createDataFrame([(i,) for i in ids], "id long").select(
+        F.format_string("k%04d", F.col("id") % 6).alias("pk"),
+        (F.col("id") + seq_base).alias("event_seq"),
+        F.timestamp_seconds(F.col("id") * 60 + 1_700_000_000 + seq_base)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.format_string(f"s{seq_base}-%04d", F.col("id")).alias("item"),
+    )
+
+
+def test_stamp_cols_makes_batches_order_independent(spark, tmp_path):
+    """Source-derived stamps (the streaming mode): applying the same
+    two batches in either order converges to the same LWW state —
+    every row resolves by its own event stamp, never by merge time."""
+    upsert = dict(
+        when_matched=({"update": {"item": "source.item"}},),
+        when_not_matched=({"insert": None},),
+        stamp_cols=("event_seq", "ts"),
+        retain_versions=2,
+    )
+    b1, b2 = _src_env(spark, range(6)), _src_env(spark, range(6), seq_base=500)
+    lakes = []
+    for order in ((b1, b2), (b2, b1)):
+        lake = str(tmp_path / f"lake{len(lakes)}")
+        for b in order:
+            M.merge_into_lake(b, lake, **upsert)
+        lakes.append(
+            sorted(
+                map(
+                    tuple,
+                    M.read_lake_snapshot(spark, lake)
+                    .select("entity_id", "last_seq", "last_ts", "item")
+                    .collect(),
+                )
+            )
+        )
+    assert lakes[0] == lakes[1]
+    # winners are the seq_base=500 rows (higher ts)
+    assert all(r[3].startswith("s500-") for r in lakes[0])
+
+
+def test_stamp_cols_validation(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    src = _src_env(spark, range(3))
+    with pytest.raises(ValueError, match="not both"):
+        M.merge_into_lake(
+            src, lake, stamp_seq=1, stamp_ts=STAMP_TS,
+            stamp_cols=("event_seq", "ts"),
+            when_matched=({"delete": True},),
+        )
+    with pytest.raises(ValueError, match="scalar stamps"):
+        M.merge_into_lake(
+            src, lake, stamp_cols=("event_seq", "ts"),
+            when_matched=({"delete": True},),
+            when_not_matched_by_source=({"delete": True},),
+        )
+    with pytest.raises(ValueError, match="stamp_cols must name"):
+        M.merge_into_lake(
+            src, lake, stamp_cols=("nope", "ts"),
+            when_matched=({"delete": True},),
+        )
+    with pytest.raises(ValueError, match="or stamp_cols"):
+        M.merge_into_lake(src, lake, when_matched=({"delete": True},))
+
+
+def test_predicate_merge_sink_streams_clauses(spark, tmp_path):
+    """The streaming twin end-to-end: a two-file replay driven through
+    predicate_merge_sink with CDC upsert clauses — the final snapshot
+    equals the one-shot batch merge of the union (batch-boundary
+    independence), and a checkpointed restart redelivers for free
+    (txn markers: no new version)."""
+    import os
+    import time
+
+    replay = str(tmp_path / "replay")
+    for i, b in enumerate((_src_env(spark, range(6)),
+                           _src_env(spark, range(6), seq_base=500))):
+        sub = os.path.join(replay, f"b={i}")
+        b.repartition(1).write.mode("overwrite").parquet(sub)
+        now = time.time()
+        for fn in os.listdir(sub):
+            os.utime(os.path.join(sub, fn), (now + i * 10, now + i * 10))
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(_src_env(spark, range(1)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay)
+    )
+    clauses = dict(
+        when_matched=(
+            {"condition": "source.event_seq % 2 = 0",
+             "update": {"item": "upper(source.item)"}},
+            {"update": {"item": "source.item"}},
+        ),
+        when_not_matched=(
+            {"condition": "source.event_seq % 2 = 0",
+             "insert": {"item": "upper(source.item)"}},
+            {"insert": {"item": "source.item"}},
+        ),
+    )
+
+    def run():
+        q = (
+            M.predicate_merge_sink(
+                stream, lake, retain_versions=2, txn_app_id="pms", **clauses
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    vis = _visible(spark, lake)
+    assert set(vis) == {f"k{i:04d}" for i in range(6)}
+    # winners: seq_base=500 rows; ids 500..505 → even event_seq gets
+    # the uppercased item through whichever clause routed it
+    for i in range(6):
+        r = vis[f"k{i:04d}"]
+        want = f"s500-{i:04d}".upper() if (500 + i) % 2 == 0 else f"s500-{i:04d}"
+        assert r["item"] == want, (i, r["item"])
+    v_after = M._read_manifest(lake)["version"]
+    # restart with the same checkpoint: nothing new → no version moves
+    run()
+    assert M._read_manifest(lake)["version"] == v_after
+
+
+def test_predicate_merge_sink_dedupes_within_a_batch(spark, tmp_path):
+    """Duplicate keys inside one micro-batch keep the stamp-maximal
+    row (merge_into_lake refuses duplicates; the losers would have
+    lost the LWW combine anyway)."""
+    lake = str(tmp_path / "lake")
+    # ids 0..11 over 6 keys: two rows per key, the higher id wins
+    batch = _src_env(spark, range(12))
+    batch.repartition(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    q = M.predicate_merge_sink(
+        spark.readStream.schema(batch.schema).parquet(str(tmp_path / "in")),
+        lake,
+        when_matched=({"update": {"item": "source.item"}},),
+        when_not_matched=({"insert": None},),
+        retain_versions=2,
+    )
+    sq = q.option("checkpointLocation", str(tmp_path / "ck")).trigger(
+        availableNow=True
+    ).start()
+    sq.awaitTermination()
+    vis = _visible(spark, lake)
+    assert {r["last_seq"] for r in vis.values()} == set(range(6, 12))
