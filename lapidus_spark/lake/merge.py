@@ -500,6 +500,21 @@ def merge_into_lake(
                 "— a target row must not receive two clause outcomes; "
                 "pre-aggregate the source to one row per pk"
             )
+        if stamp_cols is not None:
+            # the per-row analog of the scalar _validate_stamp: a NULL
+            # stamp would silently lose every LWW combine for its row
+            # (the r10-advice defect class) — fail fast instead
+            seq_name, ts_name = stamp_cols
+            bad = src.filter(
+                F.col(seq_name).isNull() | F.col(ts_name).isNull()
+            ).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"merge_into_lake: source row with pk {bad[0]['pk']!r} "
+                    f"has a NULL stamp ({seq_name}/{ts_name}) — its writes "
+                    "would silently lose every LWW combine; stamp every "
+                    "source row or drop the unstamped ones explicitly"
+                )
         target = None
         if manifest is not None:
             if when_not_matched_by_source:

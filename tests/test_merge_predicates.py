@@ -483,3 +483,22 @@ def test_predicate_merge_sink_dedupes_within_a_batch(spark, tmp_path):
     sq.awaitTermination()
     vis = _visible(spark, lake)
     assert {r["last_seq"] for r in vis.values()} == set(range(6, 12))
+
+
+def test_stamp_cols_rejects_null_stamps(spark, tmp_path):
+    """The per-row analog of the scalar stamp validation (the r10
+    advice defect class): a NULL-stamped source row would silently
+    lose every LWW combine — refused up front, table untouched."""
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=3)
+    src = spark.createDataFrame(
+        [("k0001", 99, None, "x")],
+        "pk string, event_seq bigint, ts timestamp_ntz, item string",
+    )
+    with pytest.raises(ValueError, match="NULL stamp"):
+        M.merge_into_lake(
+            src, lake, stamp_cols=("event_seq", "ts"),
+            when_matched=({"update": {"item": "source.item"}},),
+            retain_versions=4,
+        )
+    assert _visible(spark, lake)["k0001"]["item"] == "v0-0001"
