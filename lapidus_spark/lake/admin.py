@@ -1083,6 +1083,14 @@ def rename_lake_column(
             (set(target.get("aliases", ())) | {old}) - {new}
         )
         target["name"] = new
+        # reconcile the declared stats_columns in the SAME metadata
+        # flip: a declaration left under the former name would make
+        # every later OPTIMIZE adopt a dead identifier and silently
+        # stop recording zone maps for the renamed column
+        stats_cols = [
+            new if s == old else s
+            for s in manifest.get("stats_columns", ())
+        ]
         new_manifest = _flip_version(
             lake_dir,
             manifest,
@@ -1090,7 +1098,11 @@ def rename_lake_column(
             touched=[],
             n_buckets=manifest["n_buckets"],
             retain_versions=retain_versions,
-            extra={"columns": cols, "rename": {"from": old, "to": new}},
+            extra={
+                "columns": cols,
+                "rename": {"from": old, "to": new},
+                "stats_columns": stats_cols,
+            },
             data_change=False,  # pure metadata: CDF consumers skip it
             touched_rels={},
         )
@@ -1179,6 +1191,13 @@ def drop_lake_column(
                 "columns": cols,
                 "dropped": dropped,
                 "drop": {"column": name},
+                # a dropped column leaves the stats declaration too —
+                # otherwise later OPTIMIZEs carry a dead name forever
+                "stats_columns": [
+                    s
+                    for s in manifest.get("stats_columns", ())
+                    if s not in log._column_names(target)
+                ],
             },
             data_change=False,  # pure metadata: CDF consumers skip it
             touched_rels={},

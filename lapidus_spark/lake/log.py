@@ -725,6 +725,27 @@ def _live_paths(lake_dir: str, manifest: dict | None, buckets=None) -> tuple[lis
 _LAKE_COLS = ["entity_id", "last_seq", "last_ts", "last_type", "item", "bucket"]
 
 
+def _epoch_envelope_types(spark, lake_dir: str, manifest: dict | None):
+    """Physical ``(last_ts, item)`` types of the lake's current epoch,
+    probed from ONE live footer (driver-side, metadata-only). A merge
+    whose pruned bucket read comes back empty (every source key hashes
+    to a never-written bucket) still must stamp its emitted rows with
+    the TABLE's timestamp precision — defaulting to NTZ against an
+    LTZ-epoch lake would commit a mixed physical timestamp type that
+    later full-table reads cannot union. Returns ``None`` only when
+    the lake has no live files at all (then there IS no epoch yet and
+    the caller's default applies)."""
+    legacy, commits = _live_paths(lake_dir, manifest, None)
+    for path in [*commits, *legacy]:
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:
+            continue  # vacuum-raced or empty dir: probe the next one
+        if "last_ts" in schema.names and "item" in schema.names:
+            return schema["last_ts"].dataType, schema["item"].dataType
+    return None
+
+
 def _manifest_columns(manifest: dict | None) -> list[dict]:
     """The lake's evolved-schema epoch: columns ACCRETED beyond the
     core five-column envelope, as ``[{"name", "type"}]`` in accretion

@@ -535,6 +535,7 @@ def merge_into_lake(
                 # matched = a VISIBLE live row; tombstoned entities are
                 # NOT MATCHED (their re-insert goes through insert clauses)
                 target = current.filter(F.col("last_type") != "delete")
+        epoch_item_type = None
         if target is not None:
             joined = src.alias("source").join(
                 target.alias("target"),
@@ -560,6 +561,15 @@ def merge_into_lake(
             tgt_cols = set()
             key = F.col("source.pk")
             ts_type = TimestampNTZType()
+            if manifest is not None:
+                # NON-empty lake whose PRUNED read is empty (all source
+                # keys hash to never-written buckets): the table has a
+                # physical epoch already — stamp at ITS timestamp/item
+                # types, not the NTZ default, or this commit writes a
+                # mixed timestamp precision later unions cannot read
+                probed = log._epoch_envelope_types(spark, lake_dir, manifest)
+                if probed is not None:
+                    ts_type, epoch_item_type = probed
         if stamp_cols is None:
             _validate_stamp(
                 spark, stamp_seq, stamp_ts, ts_type, "stamp_seq", "stamp_ts"
@@ -634,6 +644,8 @@ def merge_into_lake(
         item = value_of("item")
         if target is not None:
             item = item.cast(target.schema["item"].dataType)
+        elif epoch_item_type is not None:
+            item = item.cast(epoch_item_type)
         envelope = (
             joined.withColumn("__action", action)
             .filter(F.col("__action").isNotNull())

@@ -464,6 +464,29 @@ def lake_skip_read(
             v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return v
 
+    # epoch types for typed-bound validation: a bound whose Python
+    # type cannot compare with the column's recorded stats (int bound
+    # on a string column, or vice versa) must fail as a descriptive
+    # ValueError in THIS validation loop, not as an unhandled
+    # TypeError inside overlaps() on the driver
+    epoch_types = {"entity_id": "string"}
+    epoch_types.update(
+        {c["name"]: c["type"] for c in _manifest_columns(manifest)}
+    )
+
+    def bound_pytypes(sql_type: str):
+        base = sql_type.lower().split("(")[0].strip()
+        if base in ("string", "varchar", "char"):
+            return (str,), "a string"
+        if base in (
+            "tinyint", "smallint", "int", "integer", "bigint", "long",
+            "float", "double", "decimal", "real",
+        ):
+            return (int, float), "a number"
+        if base == "boolean":
+            return (bool,), "a boolean"
+        return None, None  # item / exotic types: overlaps() guards
+
     norm: dict[str, tuple] = {}
     for col, bound in ranges.items():
         if col not in known:
@@ -480,6 +503,21 @@ def lake_skip_read(
             raise ValueError(f"lake_skip_read: range for {col!r} is fully open")
         if col == "last_ts":
             lo, hi = norm_ts(lo), norm_ts(hi)
+        elif col in epoch_types:
+            allowed, label = bound_pytypes(epoch_types[col])
+            for end, v in (("lo", lo), ("hi", hi)):
+                if v is None or allowed is None:
+                    continue
+                ok = isinstance(v, allowed) and not (
+                    allowed == (int, float) and isinstance(v, bool)
+                )
+                if not ok:
+                    raise ValueError(
+                        f"lake_skip_read: {end} bound {v!r} for column "
+                        f"{col!r} must be {label} (column type "
+                        f"{epoch_types[col]!r}) — a mistyped bound cannot "
+                        "compare with the recorded file stats"
+                    )
         norm[col] = (lo, hi)
 
     def overlaps(entry: dict) -> bool:
@@ -492,8 +530,19 @@ def lake_skip_read(
             mn, mx = rng
             if col == "last_ts":
                 mn, mx = (datetime.fromisoformat(x) for x in (mn, mx))
-            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-                return False  # provably disjoint on this column
+            try:
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    return False  # provably disjoint on this column
+            except TypeError:
+                # columns without a declared epoch type (item) reach
+                # here on a bound/stat type mismatch — same validated
+                # posture as the typed loop above
+                raise ValueError(
+                    f"lake_skip_read: bounds {(lo, hi)!r} for column "
+                    f"{col!r} do not compare with its recorded "
+                    f"{type(mn).__name__} file stats — pass bounds of "
+                    "the column's storage type"
+                ) from None
         return True
 
     zone_maps = manifest.get("file_stats", {})

@@ -58,10 +58,15 @@ from lapidus_spark.streaming.lake_source import (
 #: the batch ``catalog_changes`` frame plus the source's ``ver``
 #: column carrying the CATALOG version whose tx produced the change
 #: (the tx-consistency discriminator: rows sharing ver form one
-#: atomic multi-table diff).
+#: atomic multi-table diff) and ``tbl_ver``, the underlying TABLE
+#: version each step diffed — the within-``ver`` ordering column: one
+#: catalog step spans several table-version steps when a member table
+#: received direct non-catalog data commits between txs, and a
+#: folding consumer must apply those per (tbl, entity_id) in
+#: ``tbl_ver`` order.
 CATALOG_CDF_SCHEMA = (
     "tbl string, entity_id string, change_type string, last_seq bigint, "
-    "last_ts timestamp, last_type string, item string, ver int"
+    "last_ts timestamp, last_type string, item string, ver int, tbl_ver int"
 )
 
 
@@ -197,7 +202,11 @@ class CatalogCDFStreamReader(DataSourceStreamReader):
         if out is None:
             return
         yield _state_record_batch(
-            out["m"], out["change_type"], partition.cat_ver, tbl=partition.tbl
+            out["m"],
+            out["change_type"],
+            partition.cat_ver,
+            tbl=partition.tbl,
+            tbl_ver=partition.ver,
         )
 
     def commit(self, end: dict) -> None:

@@ -162,9 +162,16 @@ def _entity_state_changes(m):
     return {"m": m, "change_type": change_type}
 
 
-def _state_record_batch(m, change_type, ver: int, tbl: str | None = None):
+def _state_record_batch(
+    m, change_type, ver: int, tbl: str | None = None, tbl_ver: int | None = None
+):
     """One Arrow batch of entity-state change rows; with ``tbl`` the
-    catalog-level feed's discriminator column leads."""
+    catalog-level feed's discriminator column leads, and ``tbl_ver``
+    appends the underlying TABLE version the step diffed — the
+    within-catalog-version ordering column (one catalog step can span
+    several table-version steps when a member table received direct
+    non-catalog data commits between txs; without it a folding
+    consumer could not apply same-``ver`` rows in commit order)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -185,6 +192,9 @@ def _state_record_batch(m, change_type, ver: int, tbl: str | None = None):
     ]
     names = ["entity_id", "change_type", "last_seq", "last_ts",
              "last_type", "item", "ver"]
+    if tbl_ver is not None:
+        arrays.append(pa.array([tbl_ver] * len(m), type=pa.int32()))
+        names.append("tbl_ver")
     if tbl is not None:
         arrays = [pa.array([tbl] * len(m), type=pa.string()), *arrays]
         names = ["tbl", *names]

@@ -1756,7 +1756,8 @@ def build_catalog_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
            CASE WHEN o.entity_id IS NULL THEN 'insert'
                 ELSE 'update' END AS change_type,
            n.last_seq, n.last_ts, n.last_type, n.item,
-           CAST(n.v AS INTEGER) AS ver
+           CAST(n.v AS INTEGER) AS ver,
+           CAST(n.v AS INTEGER) AS tbl_ver
     FROM snap n LEFT JOIN snap o
       ON o.v = n.v - 1 AND o.tbl = n.tbl AND o.entity_id = n.entity_id
     WHERE o.entity_id IS NULL
@@ -1797,6 +1798,10 @@ def stream_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     out = _run_to_memory(feed, "stream_catalog_cdf_out", process_all=True)
+    # tbl_ver (the underlying table version each step diffed — the
+    # within-catalog-version ordering column) equals the catalog
+    # version here because every fixture tx steps each table exactly
+    # once; the oracle pins that equality
     return out.select(
         "tbl",
         "entity_id",
@@ -1806,6 +1811,7 @@ def stream_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "item",
         "ver",
+        "tbl_ver",
     )
 
 

@@ -198,6 +198,78 @@ def test_table_first_committed_mid_stream_arrives_whole(spark, tmp_path):
     assert got == _batch_feed(spark, cat, [3])
 
 
+def test_tbl_ver_orders_multi_step_catalog_versions(spark, tmp_path):
+    """A member table that receives a DIRECT (non-catalog) data commit
+    between txs makes the next catalog step span TWO table-version
+    steps: the same entity emits two change rows with identical
+    ``ver``. ``tbl_ver`` (the underlying table version each step
+    diffed) is the within-``ver`` ordering column — folding per
+    (tbl, entity_id) in ``tbl_ver`` order must land on the table's
+    live snapshot, which ``ver`` alone cannot promise."""
+    from lapidus_spark.lake import merge as M
+    from lapidus_spark.lake.stats import read_lake_snapshot
+
+    cat = str(tmp_path / "cat")
+    _build_catalog(spark, cat, n_txs=2)
+    # direct commit on by_user between tx 2 and tx 3 → table version 3
+    # exists with NO catalog entry referencing it
+    M.merge_batch_into_lake(
+        _halves(spark, 1, 0, seq_shift=3_000_000)["by_user"],
+        os.path.join(cat, "by_user"),
+        n_buckets=4,
+        retain_versions=8,
+    )
+    C.commit_multi_table_tx(
+        cat,
+        _halves(spark, 1, 0, seq_shift=4_000_000),
+        txid=3,
+        retain_versions=8,
+        n_buckets=4,
+    )
+    register_catalog_cdf(spark)
+    q = (
+        spark.readStream.format("catalog_cdf")
+        .option("path", cat)
+        .option("startingVersion", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("catcdf_tblver")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = spark.table("catcdf_tblver").collect()
+    assert all(r["ver"] == 3 for r in rows)
+    # the direct commit's step and the tx's step both flow, ordered
+    by_user = [r for r in rows if r["tbl"] == "by_user"]
+    assert {r["tbl_ver"] for r in by_user} == {3, 4}
+    assert {r["tbl_ver"] for r in rows if r["tbl"] == "by_type"} == {3}
+    # at least one entity emits BOTH steps' rows under one ver —
+    # unorderable without tbl_ver
+    per_entity = {}
+    for r in by_user:
+        per_entity.setdefault(r["entity_id"], []).append(r)
+    assert any(len(v) == 2 for v in per_entity.values())
+    # folding in tbl_ver order lands on the live snapshot
+    folded = {
+        e: max(v, key=lambda r: r["tbl_ver"]) for e, v in per_entity.items()
+    }
+    snap = {
+        r["entity_id"]: (r["last_seq"], r["item"])
+        for r in read_lake_snapshot(
+            spark, os.path.join(cat, "by_user")
+        ).collect()
+    }
+    for e, r in folded.items():
+        assert r["change_type"] != "delete"
+        assert snap[e] == (r["last_seq"], r["item"]), e
+
+
 def test_vacuumed_floor_fails_fast(spark, tmp_path):
     cat = str(tmp_path / "cat")
     _build_catalog(spark, cat)

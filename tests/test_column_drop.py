@@ -200,3 +200,29 @@ def test_cli_drop_column(spark, tmp_path, capsys):
     assert "shard" not in M.read_lake_snapshot(spark, lake).columns
     detail = M.describe_detail(lake)
     assert detail["dropped_columns"] == ["shard"]
+
+
+def test_drop_reconciles_declared_stats_columns(spark, tmp_path):
+    """A DROPPED column leaves the declared stats_columns in the same
+    metadata flip — otherwise every later OPTIMIZE carries a dead name
+    forever (and the quarantine covers declarations made under any of
+    the column's former names)."""
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _env(spark, 30, 0, (F.col("id") % 7).cast("bigint"), "shard"),
+        lake,
+        n_buckets=4,
+        retain_versions=8,
+        extra_cols=("shard",),
+    )
+    M.compact_lake(
+        spark, lake, retain_versions=8, max_records_per_file=8,
+        stats_columns=("shard",),
+    )
+    assert M._read_manifest(lake)["stats_columns"] == ["shard"]
+    M.drop_lake_column(lake, "shard", retain_versions=8)
+    m = M._read_manifest(lake)
+    assert m["stats_columns"] == []
+    # a later adopting OPTIMIZE runs clean with no dead declaration
+    M.compact_lake(spark, lake, retain_versions=8, max_records_per_file=8)
+    assert M._read_manifest(lake)["stats_columns"] == []

@@ -380,3 +380,45 @@ def test_case_variant_constraint_blocks_rename(spark, tmp_path):
         M.rename_lake_column(lake, "zone", "sector", retain_versions=8)
     M.drop_constraint(lake, "zone_up")
     M.rename_lake_column(lake, "zone", "sector", retain_versions=8)
+
+
+def test_rename_reconciles_declared_stats_columns(spark, tmp_path):
+    """The declared stats_columns follow a RENAME in the same metadata
+    flip: left under the former name, every later OPTIMIZE would adopt
+    a dead identifier and silently stop recording zone maps for the
+    renamed column (the declare-once table-property contract)."""
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _env(spark, 30, 0, (F.col("id") % 7).cast("bigint"), "shard"),
+        lake,
+        n_buckets=4,
+        retain_versions=8,
+        extra_cols=("shard",),
+    )
+    M.compact_lake(
+        spark, lake, retain_versions=8, max_records_per_file=8,
+        stats_columns=("shard",),
+    )
+    M.rename_lake_column(lake, "shard", "zone", retain_versions=8)
+    m = M._read_manifest(lake)
+    assert m["stats_columns"] == ["zone"]
+    # new data + a forced ADOPTING compaction (stats_columns=None)
+    # keep recording maps under the NEW name
+    M.merge_batch_into_lake(
+        _env(spark, 30, 30, (F.col("id") % 7).cast("bigint"), "zone"),
+        lake,
+        n_buckets=4,
+        retain_versions=8,
+        extra_cols=("zone",),
+    )
+    res = M.compact_lake(
+        spark, lake, target_files_per_bucket=0, retain_versions=8,
+        max_records_per_file=8,
+    )
+    assert res["compacted_buckets"] > 0
+    m2 = M._read_manifest(lake)
+    assert m2["stats_columns"] == ["zone"]
+    assert m2["file_stats"]
+    for fs in m2["file_stats"].values():
+        for entry in fs.values():
+            assert "zone" in entry

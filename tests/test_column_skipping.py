@@ -283,3 +283,39 @@ def test_time_axis_composes_into_the_conjunction(spark, tmp_path):
         {"band": ("03", "09"), "last_ts": (lo.isoformat(), hi.isoformat())},
     )
     assert sorted(map(tuple, iso.select(*COLS).collect())) == expected
+
+
+def test_mistyped_bounds_raise_descriptive_valueerror(spark, tmp_path):
+    """A bound whose Python type cannot compare with the column's
+    recorded stats fails as a descriptive ValueError in the validation
+    loop (the function's validated posture) — never as an unhandled
+    TypeError inside the pruning comparison on the driver."""
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    # string-typed declared column, numeric bounds
+    with pytest.raises(ValueError, match="must be a string"):
+        M.lake_skip_read(spark, lake, {"band": (3, 4)})
+    # string-typed core column (entity_id), numeric bound
+    with pytest.raises(ValueError, match="must be a string"):
+        M.lake_skip_read(spark, lake, {"entity_id": (1, None)})
+    # numeric-typed declared column, string bounds
+    lake2 = str(tmp_path / "lake2")
+    M.merge_batch_into_lake(
+        _env(spark).withColumn("shard", (F.col("event_seq") % 7).cast("bigint")),
+        lake2,
+        n_buckets=4,
+        retain_versions=4,
+        extra_cols=("band", "shard"),
+    )
+    M.compact_lake(
+        spark, lake2, retain_versions=4, max_records_per_file=20,
+        stats_columns=("shard",),
+    )
+    with pytest.raises(ValueError, match="must be a number"):
+        M.lake_skip_read(spark, lake2, {"shard": ("a", "b")})
+    # a boolean is not a number (bool <: int in Python; refused anyway)
+    with pytest.raises(ValueError, match="must be a number"):
+        M.lake_skip_read(spark, lake2, {"shard": (True, None)})
+    # well-typed probes on the same lakes still answer
+    assert M.lake_skip_read(spark, lake, {"band": ("03", "04")}).count() > 0
+    assert M.lake_skip_read(spark, lake2, {"shard": (2, 3)}).count() > 0

@@ -502,3 +502,61 @@ def test_stamp_cols_rejects_null_stamps(spark, tmp_path):
             retain_versions=4,
         )
     assert _visible(spark, lake)["k0001"]["item"] == "v0-0001"
+
+
+def test_pruned_empty_merge_inherits_epoch_ts_type(spark, tmp_path):
+    """A NON-empty lake whose pruned bucket read comes back empty
+    (every source key hashes to a never-written bucket) must stamp at
+    the TABLE's physical timestamp type, not the NTZ default: an
+    LTZ-epoch lake receiving an insert-only NTZ-stamped commit would
+    otherwise mix physical timestamp types across commit dirs, which
+    the explicit-schema union read cannot reconcile."""
+    from datetime import datetime
+
+    lake = str(tmp_path / "lake")
+    # LTZ-epoch lake: ONE entity, so most buckets stay unwritten
+    base = spark.range(1).select(
+        F.lit("seed").alias("pk"),
+        F.lit(1).cast("bigint").alias("event_seq"),
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),  # LTZ
+        F.lit("insert").alias("type"),
+        F.lit("v-seed").alias("item"),
+    )
+    M.merge_batch_into_lake(base, lake, n_buckets=4, retain_versions=4)
+    m = M._read_manifest(lake)
+    written = {int(b) for b in m["buckets"]}
+    assert len(written) == 1
+    cand = (
+        spark.range(64)
+        .select(
+            F.format_string("p%03d", F.col("id")).alias("pk"),
+            F.pmod(F.xxhash64(F.format_string("p%03d", F.col("id"))), F.lit(4))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    )
+    pk = next(r["pk"] for r in cand if r["b"] not in written)
+    src = spark.createDataFrame([(pk, "v-new")], "pk string, item string")
+    res = M.merge_into_lake(
+        src,
+        lake,
+        stamp_seq=2,
+        stamp_ts=datetime(2024, 6, 1),
+        when_not_matched=({"insert": None},),
+        retain_versions=4,
+    )
+    assert res["inserted"] == 1
+    m2 = M._read_manifest(lake)
+    # every commit dir's physical last_ts type matches the epoch (LTZ)
+    types = set()
+    for b, rel in m2["buckets"].items():
+        import os
+
+        sch = spark.read.parquet(os.path.join(lake, rel)).schema
+        types.add(sch["last_ts"].dataType.simpleString())
+    assert types == {"timestamp"}, types
+    # and the full-table snapshot unions cleanly with exact values
+    vis = _visible(spark, lake)
+    assert vis[pk]["item"] == "v-new"
+    assert vis["seed"]["item"] == "v-seed"
