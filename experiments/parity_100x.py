@@ -153,6 +153,10 @@ COHORT = [
     # the streaming predicate MERGE: clause routing + source-derived
     # stamps across three 10x multi-split micro-batches
     "stream_merge_predicates",
+    # round-12 surface (all-digestable schema): the batch DSv2 read
+    # path over 10M envelopes — per-file partitions at real file
+    # counts, pruning decisions and arrow alignment value-compared
+    "lake_sql_read",
 ]
 DERIVED_TABLES = ("documents", "events")
 

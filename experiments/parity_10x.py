@@ -148,6 +148,11 @@ COHORT = [
     # the streaming predicate MERGE: clause routing + source-derived
     # stamps across three 10x multi-split micro-batches
     "stream_merge_predicates",
+    # round-12 surface: the batch DSv2 read path (SELECT over the
+    # USING-lake relation) — the python-source partition planning,
+    # bucket/zone-map pruning and arrow alignment must return the
+    # same LWW snapshot whatever the 10x multi-split file layout
+    "lake_sql_read",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -608,6 +608,14 @@ EXPECTATIONS: dict[str, dict] = {
     # plain scan over the surviving files + pushed range/tombstone
     # filters, zero exchanges (pruning happens before the plan)
     "lake_column_skipping": {"pushed": True, "max_exchanges": 0},
+    # ---- round-12: batch DataSource read path ----
+    # SELECT over the USING-lake relation: a Python data-source scan
+    # (one partition per live parquet file) + the range filter, zero
+    # exchanges. "pushed" (the JVM PushedFilters marker) does not
+    # apply to python scans — the pushdown here is the source's OWN
+    # pushFilters hook, whose bucket/zone-map pruning decisions are
+    # pinned directly in tests/test_lake_batch_source.py
+    "lake_sql_read": {"max_exchanges": 0, "no_single_partition": True},
 }
 
 
