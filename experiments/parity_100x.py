@@ -153,10 +153,12 @@ COHORT = [
     # the streaming predicate MERGE: clause routing + source-derived
     # stamps across three 10x multi-split micro-batches
     "stream_merge_predicates",
-    # round-12 surface (all-digestable schema): the batch DSv2 read
+    # round-12 surface (all-digestable schemas): the batch DSv2 read
     # path over 10M envelopes — per-file partitions at real file
-    # counts, pruning decisions and arrow alignment value-compared
+    # counts, pruning decisions and arrow alignment value-compared —
+    # and the lake→lake replication chain's replica snapshot
     "lake_sql_read",
+    "stream_lake_replicate",
 ]
 DERIVED_TABLES = ("documents", "events")
 

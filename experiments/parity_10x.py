@@ -151,8 +151,12 @@ COHORT = [
     # round-12 surface: the batch DSv2 read path (SELECT over the
     # USING-lake relation) — the python-source partition planning,
     # bucket/zone-map pruning and arrow alignment must return the
-    # same LWW snapshot whatever the 10x multi-split file layout
+    # same LWW snapshot whatever the 10x multi-split file layout —
+    # and the lake→lake replication chain (per-version diffs fed
+    # through the clause MERGE must land the same replica snapshot
+    # at 10x bucket/file counts)
     "lake_sql_read",
+    "stream_lake_replicate",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -655,6 +655,10 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # catalog-level CDF: same stateless per-partition diff shape, one
     # micro-batch per catalog TRANSACTION (maxVersionsPerBatch=1)
     "stream_catalog_cdf": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # lake→lake replication: the streamed plan is the stateless
+    # lake_cdf scan + projection (the clause MERGE runs as batch jobs
+    # inside foreachBatch); one micro-batch per source version
+    "stream_lake_replicate": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
     # continuously-maintained gold layer from the rowChanges feed:
     # state = ONE complete-mode agg row per gold group (never per
     # entity — the pre-images carry the retractions), one exchange

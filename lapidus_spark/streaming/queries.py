@@ -1694,6 +1694,119 @@ def stream_merge_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_lake_replicate",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           'insert' AS last_type,
+           props AS item
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="lake→lake streaming replication E2E (lake_cdf source → "
+    "predicate_merge_sink — tail one store, materialize another)",
+    doc="The reference's entire purpose — tail one store, materialize "
+    "another (package.json:3: 'replicate PostgreSQL databases to "
+    "other systems') — carried end-to-end on the lake plane: the "
+    "versioned source lake's commits stream out through the lake_cdf "
+    "source (offsets = manifest versions, one rate-limited micro-"
+    "batch per version) and MERGE into a REPLICA lake through "
+    "predicate_merge_sink. Change rows map to clauses: matched "
+    "deletes tombstone (the CDF delete carries the winning stamp), "
+    "matched/not-matched upserts take the source values — the "
+    "boundary-independent clause shape — and stamps come from the "
+    "fed rows' own (last_seq, last_ts), so the replica's LWW state "
+    "is independent of batch grouping and a redelivered epoch "
+    "combines to identical bytes (txn_app_id makes it free). The "
+    "oracle is the full-corpus LWW snapshot: replica ≡ source "
+    "snapshot, which IS the replication contract. SIGKILL mid-"
+    "stream + checkpoint resume and marker-idempotent redelivery "
+    "are pinned in tests/test_lake_replication.py via a subprocess "
+    "driver.",
+)
+def stream_lake_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.streaming.lake_source import register_lake_cdf
+    from lapidus_spark.streaming.materialize import read_lake_snapshot
+
+    clear_stream_run("stream_lake_replicate")
+    register_lake_cdf(spark)
+    src_lake = build_versioned_lake(spark, sf_dir)
+    replica = tempfile.mkdtemp(prefix="lapidus_replica_lake_")
+    ckpt = tempfile.mkdtemp(prefix="lapidus_replica_ckpt_")
+    q = replicate_lake_stream(
+        spark, src_lake, replica, ckpt, max_versions_per_batch=1
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    record_stream_run("stream_lake_replicate", q)
+    return read_lake_snapshot(spark, replica).select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+    )
+
+
+def replicate_lake_stream(
+    spark: SparkSession,
+    src_lake: str,
+    replica: str,
+    ckpt: str,
+    max_versions_per_batch: int = 1,
+    starting_version: int = 0,
+):
+    """Compose the lake→lake replication stream (shared by the
+    registered query and the SIGKILL crash driver): lake_cdf feed →
+    clause mapping → predicate_merge_sink, checkpointed at ``ckpt``.
+    Returns the unstarted DataStreamWriter."""
+    from lapidus_spark.streaming.lake_source import register_lake_cdf
+    from lapidus_spark.streaming.materialize import predicate_merge_sink
+
+    register_lake_cdf(spark)
+    feed = (
+        spark.readStream.format("lake_cdf")
+        .option("path", src_lake)
+        .option("startingVersion", str(starting_version))
+        .option("maxVersionsPerBatch", str(max_versions_per_batch))
+        .load()
+        .select(
+            F.col("entity_id").alias("pk"),
+            F.col("last_seq").alias("event_seq"),
+            F.col("last_ts").alias("ts"),
+            "change_type",
+            "item",
+        )
+    )
+    return predicate_merge_sink(
+        feed,
+        replica,
+        when_matched=(
+            {"condition": "source.change_type = 'delete'", "delete": True},
+            {"update": {"item": "source.item"}},
+        ),
+        when_not_matched=(
+            # a delete for a key the replica never saw: skip — the
+            # source's visible snapshot has nothing for it, and any
+            # later resurrection carries a strictly newer stamp
+            {"condition": "source.change_type <> 'delete'",
+             "insert": {"item": "source.item"}},
+        ),
+        retain_versions=2,
+        txn_app_id="stream_lake_replicate",
+    ).option("checkpointLocation", ckpt)
+
+
 _CATALOG_CDF_DIRS: dict[str, str] = {}
 
 
