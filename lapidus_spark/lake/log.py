@@ -177,6 +177,83 @@ def _catalog_min_referenced(lake_dir: str) -> int | None:
     return min(mins) if mins else None
 
 
+#: shallow-clone pin registry inside the SOURCE lake (round 12,
+#: VERDICT r11 #3): each clone_lake registers the version it forked
+#: from, and the source's retention (per-commit GC floor clamp +
+#: vacuum interlock — the same two guards catalog membership gets)
+#: must never expire a version a LIVE clone still reads through.
+CLONES_DIR = "_clones"
+
+
+def _clone_pin_path(src_dir: str, dst_abs: str) -> str:
+    import hashlib
+
+    digest = hashlib.md5(dst_abs.encode("utf-8")).hexdigest()[:16]
+    return os.path.join(src_dir, CLONES_DIR, f"{digest}.json")
+
+
+def _clone_still_references(src_root: str, dst: str) -> bool:
+    """Does the clone at ``dst`` still read any of this source's files
+    — i.e. does ANY of its retained manifest versions carry a bucket
+    pointer that is an absolute path under ``src_root``? A fully
+    compacted clone whose pre-compaction versions aged out references
+    nothing and its pin is stale. Fail-closed: an unresolvable clone
+    log keeps the pin (better to retain too much than to break a fork
+    we cannot prove detached); a DELETED clone (no pointer) is stale."""
+    pointer = _read_pointer(dst)
+    if pointer is None:
+        return False  # clone deleted / never materialized: stale pin
+    if "buckets" in pointer:
+        return True  # format-1 fork we can't introspect: fail closed
+    live = int(pointer["version"])
+    floor = int(pointer.get("floor", 1))
+    prefix = os.path.abspath(src_root).rstrip(os.sep) + os.sep
+    for v in range(floor, live + 1):
+        try:
+            m = _resolve_version(dst, pointer, v)
+        except Exception:  # noqa: BLE001 — unresolvable: fail closed
+            return True
+        for rel in m["buckets"].values():
+            if os.path.isabs(rel) and os.path.abspath(rel).startswith(prefix):
+                return True
+    return False
+
+
+def _clone_min_referenced(lake_dir: str) -> int | None:
+    """The oldest version of THIS lake a LIVE shallow clone still
+    pins, or None when nothing pins it. O(pins × retained clone
+    versions) tiny JSON reads — metadata-sized, driver-side.
+    SELF-HEALING: a pin whose clone was deleted or no longer
+    references this lake (compacted local + old versions vacuumed)
+    is removed on the spot, so an abandoned fork never permanently
+    blocks retention. Fail-closed: a torn pin counts as referencing
+    version 1."""
+    root = os.path.abspath(lake_dir).rstrip(os.sep)
+    d = os.path.join(root, CLONES_DIR)
+    try:
+        pins = sorted(fn for fn in os.listdir(d) if fn.endswith(".json"))
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    mins = []
+    for fn in pins:
+        path = os.path.join(d, fn)
+        try:
+            with open(path) as f:
+                pin = json.load(f)
+            dst, ver = str(pin["clone"]), int(pin["version"])
+        except (OSError, ValueError, KeyError, TypeError):
+            mins.append(1)  # torn pin: fail closed
+            continue
+        if _clone_still_references(root, dst):
+            mins.append(ver)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                mins.append(ver)
+    return min(mins) if mins else None
+
+
 def _failpoint(name: str) -> None:
     spec = os.environ.get("LAPIDUS_FAILPOINT", "")
     if not spec:
@@ -1187,6 +1264,13 @@ def _flip_version(
     cat_min = _catalog_min_referenced(lake_dir)
     if cat_min is not None:
         floor = max(prev_floor, min(floor, cat_min))
+    # clone-aware floor (round 12, VERDICT r11 #3 — the same posture
+    # for shallow clones): per-commit GC must never reclaim a version
+    # a LIVE clone still reads through by absolute reference; the pin
+    # self-heals once the clone is compacted-local or deleted
+    clone_min = _clone_min_referenced(lake_dir)
+    if clone_min is not None:
+        floor = max(prev_floor, min(floor, clone_min))
     # sync_dir on the log writes: the pointer flip below is dirent-
     # journaled, so the entries it makes reachable must be too — a
     # power loss that kept the flipped pointer but dropped the

@@ -168,6 +168,10 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # same metadata flip (ADVICE r11) —
     "lake_column_rename",
     "lake_column_drop",
+    # clone_lake now registers a retention pin (under the source
+    # lock) and vacuum/per-commit GC honor it (VERDICT r11 #3) —
+    "lake_clone",
+    "lake_vacuum_read",
     # Demand: 6 touched (rank (0,-1)) + the round-12 new queries
     # (lake_sql_read, … — age 0) ≈ 10 of 50 slots; the remaining
     # ~40 go to the oldest (r7/r8) signals, heaviest first — the

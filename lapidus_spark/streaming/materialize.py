@@ -131,6 +131,7 @@ from lapidus_spark.lake.admin import (  # noqa: F401
     clone_lake,
     compact_lake,
     delete_from_lake,
+    detach_clone,
     drop_constraint,
     drop_lake_column,
     rebucket_lake,

@@ -668,3 +668,102 @@ def test_cli_restore_default_keeps_undone_version(spark, tmp_path, capsys):
     capsys.readouterr()
     # v3 (the undone live) remains readable under the default horizon
     assert len(_snap(spark, lake, version=3)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Clone-aware retention (round 12): the pin, the two guards, the escape
+# ---------------------------------------------------------------------------
+
+
+def test_clone_pins_source_retention_and_escape(spark, tmp_path):
+    """clone_lake registers a retention pin in the source; per-commit
+    GC clamps its floor to the pinned version and an explicit vacuum
+    REFUSES to cross it — previously both silently expired the cloned
+    version and left the fork's unrewritten buckets unreadable. The
+    coordinated escape (compact the clone local, age out its
+    pre-compaction versions) self-heals the pin."""
+    src = str(tmp_path / "src")
+    _build3(spark, src, retain=6)  # versions 1..3
+    dst = str(tmp_path / "dst")
+    M.clone_lake(src, dst, version=2)
+    want_v2 = _snap(spark, src, version=2)
+    assert os.path.isdir(os.path.join(src, "_clones"))
+
+    # per-commit GC: a retain_versions=1 merge would raise the floor
+    # to live; the pin clamps it at the cloned version
+    M.merge_batch_into_lake(
+        _env(spark, 240).withColumn("event_seq", F.col("event_seq") + 9000),
+        src,
+        n_buckets=None,
+        retain_versions=1,
+    )
+    ptr = json.load(open(os.path.join(src, M.MANIFEST_NAME)))
+    assert ptr["version"] == 4 and ptr["floor"] <= 2
+    assert _snap(spark, dst) == want_v2  # the fork still reads
+
+    # explicit vacuum: refuses to cross the live pin
+    with pytest.raises(ValueError, match="shallow clone"):
+        M.vacuum_lake(src, retain_versions=1)
+    assert _snap(spark, dst) == want_v2
+
+    # escape: OPTIMIZE localizes every clone bucket; retain=1 ages out
+    # the pre-compaction clone versions that referenced the source
+    res = M.compact_lake(spark, dst, target_files_per_bucket=0, retain_versions=1)
+    assert res["compacted_buckets"] > 0
+    rep = M.vacuum_lake(src, retain_versions=1)
+    assert rep["floor"] == 4  # pin self-healed, horizon shrinks
+    # the localized fork is untouched by the source's reclaim
+    assert _snap(spark, dst) == want_v2
+    # and the stale pin is gone
+    assert glob.glob(os.path.join(src, "_clones", "*.json")) == []
+
+
+def test_detach_clone_refuses_then_releases(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _build3(spark, src, retain=6)
+    dst = str(tmp_path / "dst")
+    M.clone_lake(src, dst)
+    # still referencing: refuse without force
+    with pytest.raises(ValueError, match="still references"):
+        M.detach_clone(src, dst)
+    # forced: pin severed, vacuum proceeds (operator accepted the hazard)
+    res = M.detach_clone(src, dst, force=True)
+    assert res == {"detached": True, "was_referencing": True}
+    M.merge_batch_into_lake(
+        _env(spark, 24).withColumn("event_seq", F.col("event_seq") + 9000),
+        src,
+        n_buckets=None,
+        retain_versions=6,
+    )
+    rep = M.vacuum_lake(src, retain_versions=1)
+    assert rep["floor"] == rep["version"]
+    # idempotent: no pin left to detach
+    assert M.detach_clone(src, dst) == {"detached": False, "was_referencing": False}
+
+
+def test_deleted_clone_pin_self_heals(spark, tmp_path):
+    import shutil
+
+    src = str(tmp_path / "src")
+    _build3(spark, src, retain=6)
+    dst = str(tmp_path / "dst")
+    M.clone_lake(src, dst)
+    shutil.rmtree(dst)  # the fork is abandoned outright
+    rep = M.vacuum_lake(src, retain_versions=1)  # no refusal
+    assert rep["floor"] == rep["version"]
+    assert glob.glob(os.path.join(src, "_clones", "*.json")) == []
+
+
+def test_cli_detach_clone(spark, tmp_path, capsys):
+    from lapidus_spark.__main__ import main as cli
+
+    src = str(tmp_path / "src")
+    _build3(spark, src, retain=6)
+    dst = str(tmp_path / "dst")
+    assert cli(["--clone", src, "--into", dst]) == 0
+    with pytest.raises(ValueError, match="still references"):
+        cli(["--detach-clone", src, "--into", dst])
+    assert cli(["--detach-clone", src, "--into", dst, "--force"]) == 0
+    out = capsys.readouterr().out
+    assert "forced" in out
+    assert cli(["--detach-clone", src, "--into", dst]) == 0  # idempotent
