@@ -159,6 +159,8 @@ COHORT = [
     # and the lake→lake replication chain's replica snapshot
     "lake_sql_read",
     "stream_lake_replicate",
+    # Bloom-pruned equality reads at 10M envelopes / real file counts
+    "lake_bloom_read",
 ]
 DERIVED_TABLES = ("documents", "events")
 

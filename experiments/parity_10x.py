@@ -157,6 +157,10 @@ COHORT = [
     # at 10x bucket/file counts)
     "lake_sql_read",
     "stream_lake_replicate",
+    # Bloom-pruned equality reads: the per-file filters must keep
+    # zero false negatives (and the in-query fewer-files assert must
+    # hold) whatever the 10x valve split layout
+    "lake_bloom_read",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
         "recorded (table-property semantics)",
     )
     ap.add_argument(
+        "--bloom-columns",
+        default=None,
+        help="--compact: comma-separated string/integral payload columns "
+        "to record per-file Bloom filters for (equality-probe file "
+        "skipping via lake_skip_read); omit to adopt the previously "
+        "declared set (table-property semantics)",
+    )
+    ap.add_argument(
         "--cluster-by",
         default="entity_id",
         help="--compact sort dims, comma-separated (entity_id | "
@@ -395,6 +403,11 @@ def main(argv: list[str] | None = None) -> int:
                 stats_columns=(
                     tuple(c for c in args.stats_columns.split(",") if c)
                     if args.stats_columns is not None
+                    else None
+                ),
+                bloom_columns=(
+                    tuple(c for c in args.bloom_columns.split(",") if c)
+                    if args.bloom_columns is not None
                     else None
                 ),
             )

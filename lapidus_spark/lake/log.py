@@ -326,7 +326,7 @@ def _apply_delta(base: dict | None, delta: dict) -> dict:
             new_manifest["compaction"] = base["compaction"]
         for carried in (
             "columns", "constraints", "txns", "cloned_from", "dropped",
-            "stats_columns",
+            "stats_columns", "bloom_columns",
         ):
             if carried in base:
                 new_manifest[carried] = base[carried]
@@ -1073,6 +1073,8 @@ def _publish_version(
     with_file_stats: bool = False,
     stats_columns: tuple = (),
     txn: tuple | None = None,
+    bloom_columns: tuple = (),
+    bloom_bits: int | None = None,
 ) -> dict:
     """The shared publish step of every table-mutating op (merge,
     compact, rebucket): write ``rows`` (bucket column already set) for
@@ -1101,9 +1103,20 @@ def _publish_version(
     if with_file_stats:
         # lazy: the zone-map footer reader lives in the read/stats
         # plane (stats.py), which imports this module
-        from .stats import _commit_file_stats
+        from .stats import BLOOM_DEFAULT_BITS, _commit_file_stats, _merge_file_blooms
 
         stats = _commit_file_stats(lake_dir, commit_rel, touched, stats_columns)
+        if bloom_columns:
+            stats = _merge_file_blooms(
+                rows.sparkSession,
+                lake_dir,
+                commit_rel,
+                touched,
+                stats,
+                bloom_columns,
+                manifest,
+                m=bloom_bits or BLOOM_DEFAULT_BITS,
+            )
     else:
         stats = None
     return _flip_version(

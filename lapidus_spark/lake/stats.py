@@ -167,6 +167,151 @@ def _commit_file_stats(
     return out
 
 
+#: per-file Bloom filters (round 12, VERDICT r11 #4 — Delta's
+#: bloom-filter-index posture re-expressed as commit metadata):
+#: min/max ranges cannot prune EQUALITY probes on high-cardinality
+#: payload columns whose values interleave across files; a per-file
+#: Bloom filter can. Recorded by OPTIMIZE for declared
+#: ``bloom_columns`` INSIDE the file_stats entries (key
+#: ``<col>__bloom``), so they ride the zone maps' exact lifecycle —
+#: dropped when a merge moves the bucket's pointer, carried by
+#: metadata-only commits, truthful for the files the manifest names.
+BLOOM_DEFAULT_BITS = 32768
+BLOOM_HASHES = 2
+#: a file whose filter would exceed m/8 set bits is too dense to
+#: prune usefully (false-positive rate above ~1.6%) — not recorded;
+#: readers fall back to opening the file, conservative, never wrong
+_BLOOM_MAX_LOAD = 8
+
+
+def _bloom_integral(manifest: dict | None, cols) -> frozenset:
+    """Which of ``cols`` are integral under the epoch (they hash as
+    BIGINT on both the build and probe sides)."""
+    kinds = {c["name"]: c["type"].lower().split("(")[0] for c in _manifest_columns(manifest)}
+    ints = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+    return frozenset(c for c in cols if kinds.get(c) in ints)
+
+
+def _bloom_probe_bits(value, m: int, k: int) -> list[int] | None:
+    """The probe value's bit positions under the build-side hash:
+    Spark computes ``pmod(xxhash64(col, CAST(i AS BIGINT)), m)`` per
+    hash i — xxhash64 chains arguments (each hashed with the running
+    hash as seed, starting at 42) — and this replays it exactly with
+    the pure-Python XXH64 (parity with F.xxhash64 pinned in
+    tests/test_lake_batch_source.py and tests/test_bloom_skipping.py).
+    Integral columns hash their 8-byte little-endian value (the build
+    casts to bigint), strings their UTF-8 bytes. Returns None for a
+    value type the build side never hashes (probe falls back to the
+    ranges)."""
+    from lapidus_spark.sources.lake_batch import _xxh64
+
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        data = value.to_bytes(8, "little", signed=True)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    else:
+        return None
+    out = []
+    for i in range(k):
+        h = _xxh64(data)  # seed 42
+        h = _xxh64(i.to_bytes(8, "little", signed=True), seed=h & ((1 << 64) - 1))
+        out.append(((h % m) + m) % m)
+    return out
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """Membership test against a recorded per-file filter — False is
+    PROOF of absence (prune the file); True means 'cannot rule out'."""
+    bits = _bloom_probe_bits(value, int(bloom["m"]), int(bloom["k"]))
+    if bits is None:
+        return True  # unprobeable value type: conservative
+    present = set(bloom["bits"])
+    return all(b in present for b in bits)
+
+
+def _merge_file_blooms(
+    spark,
+    lake_dir: str,
+    commit_rel: str,
+    buckets: list,
+    stats: dict,
+    bloom_columns: tuple,
+    manifest: dict | None,
+    m: int = BLOOM_DEFAULT_BITS,
+    k: int = BLOOM_HASHES,
+) -> dict:
+    """Compute per-file Bloom filters for the staged commit's declared
+    columns and merge them into the zone-map dict (``<col>__bloom``
+    keys). ONE column-pruned Spark job over the staged files — the
+    compaction just rewrote those bytes, so this is a bounded re-read
+    of only the declared columns, executor-side, never a driver value
+    loop; the driver handles only the collected bit SETS (≤ m/8
+    positions per file×column by the density cap). Files whose filter
+    would be denser than the cap, or buckets whose ranges were already
+    unusable, record nothing — readers fall back, conservative."""
+    if not bloom_columns or not buckets or not stats:
+        return stats
+    base = os.path.join(lake_dir, commit_rel)
+    paths = [
+        os.path.join(base, f"{_PARTITION_COL}={b}")
+        for b in buckets
+        if str(b) in stats
+    ]
+    if not paths:
+        return stats
+    integral = _bloom_integral(manifest, bloom_columns)
+    df = spark.read.option("basePath", base).parquet(*paths)
+    probes = []
+    for c in bloom_columns:
+        if c not in df.columns:
+            continue
+        v = F.col(c).cast("bigint") if c in integral else F.col(c)
+        for i in range(k):
+            probes.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.pmod(F.xxhash64(v, F.lit(i).cast("bigint")), F.lit(m))
+                        .cast("int")
+                        .alias("b"),
+                    ),
+                )
+            )
+    if not probes:
+        return stats
+    cap = m // _BLOOM_MAX_LOAD
+    rows = (
+        df.select(
+            F.input_file_name().alias("f"),
+            F.col(_PARTITION_COL).cast("string").alias("bk"),
+            F.explode(F.array(*probes)).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .select("f", "bk", F.col("p.c").alias("c"), F.col("p.b").alias("b"))
+        .groupBy("f", "bk", "c")
+        # slice keeps the shuffle payload bounded: cap+1 positions is
+        # enough to detect over-density without carrying the rest
+        .agg(F.slice(F.sort_array(F.collect_set("b")), 1, cap + 1).alias("bits"))
+        .collect()
+    )
+    for r in rows:
+        if len(r["bits"]) > cap:
+            continue  # too dense to prune usefully: not recorded
+        fname = os.path.basename(r["f"])
+        entry = stats.get(str(r["bk"]), {}).get(fname)
+        if entry is None:
+            continue  # ranges unusable for this bucket/file: fall back
+        entry[f"{r['c']}__bloom"] = {
+            "m": m,
+            "k": k,
+            "bits": [int(b) for b in r["bits"]],
+        }
+    return stats
+
+
 def _file_key_range(entry) -> tuple:
     """A zone-map entry's entity_id [min, max] — handles both the
     current dict form and the pre-round-9 bare-list form carried by
@@ -522,6 +667,20 @@ def lake_skip_read(
 
     def overlaps(entry: dict) -> bool:
         for col, (lo, hi) in norm.items():
+            if (
+                lo is not None
+                and lo == hi
+                and isinstance(entry, dict)
+                and f"{col}__bloom" in entry
+            ):
+                # EQUALITY probe with a recorded per-file Bloom filter
+                # (round 12): min/max cannot prune a high-cardinality
+                # probe whose value interleaves across files; the
+                # filter can — a miss is proof of absence. NULL-safe
+                # like the ranges (filters hold only non-null values,
+                # and NULL never satisfies an equality predicate).
+                if not _bloom_might_contain(entry[f"{col}__bloom"], lo):
+                    return False
             rng = entry.get(col) if isinstance(entry, dict) else None
             if col == "entity_id" and rng is None and not isinstance(entry, dict):
                 rng = entry  # pre-round-9 bare-list form

@@ -608,6 +608,10 @@ EXPECTATIONS: dict[str, dict] = {
     # plain scan over the surviving files + pushed range/tombstone
     # filters, zero exchanges (pruning happens before the plan)
     "lake_column_skipping": {"pushed": True, "max_exchanges": 0},
+    # per-file Bloom filters: equality probes prune the file list
+    # driver-side against the recorded filters (the hash replay);
+    # the plan itself is the same pushed scan over surviving files
+    "lake_bloom_read": {"pushed": True, "max_exchanges": 0},
     # ---- round-12: batch DataSource read path ----
     # SELECT over the USING-lake relation: a Python data-source scan
     # (one partition per live parquet file) + the range filter, zero

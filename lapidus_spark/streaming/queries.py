@@ -3505,6 +3505,96 @@ def lake_time_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_bloom_read",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           'update' AS last_type,
+           props AS item,
+           md5(CAST(event_id AS VARCHAR)) AS tag
+    FROM events
+    WHERE md5(CAST(event_id AS VARCHAR)) IN (md5('7'), md5('42'), md5('99'))
+    """,
+    operator="per-file Bloom filters at OPTIMIZE — equality-probe file "
+    "skipping where min/max cannot prune (VERDICT r11 #4)",
+    doc="The last file-skip gap (VERDICT r11 #4): a HIGH-CARDINALITY "
+    "payload column whose values interleave across files — here "
+    "tag = md5(event_id), uncorrelated with the entity_id clustering "
+    "— defeats min/max pruning (every file's [min, max] hex range "
+    "spans nearly the whole value space), but a per-file Bloom "
+    "filter prunes equality probes exactly. A clustered OPTIMIZE "
+    "declaring bloom_columns=('tag',) records, per file, the set-bit "
+    "positions of pmod(xxhash64(tag, i), m) for k hashes (ONE "
+    "column-pruned Spark job over the just-rewritten files, bit sets "
+    "bounded by the m/8 density cap — too-dense files record "
+    "nothing, conservative); lake_skip_read replays the identical "
+    "hash driver-side (the pure-Python Spark-parity xxhash64) for an "
+    "equality probe and opens only files whose filters cannot rule "
+    "the value out. The query probes three tags and ASSERTS "
+    "files_opened*4 <= total (ranges alone cannot get there — "
+    "pinned in tests/test_bloom_skipping.py together with no-false-"
+    "negative membership, density-cap fallback, adoption, rename/"
+    "drop reconciliation and type validation). False positives cost "
+    "an extra file read, never a wrong row: the exact predicate "
+    "re-applies either way.",
+)
+def lake_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from lapidus_spark.streaming.materialize import (
+        _read_manifest,
+        compact_lake,
+        lake_skip_read,
+        merge_batch_into_lake,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("event_id").cast("string").alias("pk"),
+        F.col("event_id").alias("event_seq"),
+        F.col("ts").alias("ts"),
+        F.lit("update").alias("type"),
+        F.col("props").alias("item"),
+    ).withColumn("tag", F.md5(F.col("pk")))
+    lake = tempfile.mkdtemp(prefix="lapidus_bloom_lake_")
+    merge_batch_into_lake(env, lake, retain_versions=2, extra_cols=("tag",))
+    n = ev.count()
+    compact_lake(
+        spark,
+        lake,
+        retain_versions=2,
+        target_files_per_bucket=0,
+        max_records_per_file=max(1, n // 32),  # ~4 files per bucket at any sf
+        stats_columns=("tag",),
+        bloom_columns=("tag",),
+    )
+    m = _read_manifest(lake)
+    total_files = sum(len(fs) for fs in m.get("file_stats", {}).values())
+    import hashlib
+
+    parts, opened = [], 0
+    for key in ("7", "42", "99"):
+        tag = hashlib.md5(key.encode()).hexdigest()
+        df = lake_skip_read(spark, lake, {"tag": (tag, tag)})
+        opened += len(df.inputFiles())
+        parts.append(df)
+    assert total_files >= 8 and opened * 4 <= 3 * total_files, (
+        f"bloom skipping must prune files ranges cannot "
+        f"({opened} opened across 3 probes of {total_files} files)"
+    )
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select(
+        "entity_id",
+        "last_seq",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        "last_type",
+        "item",
+        "tag",
+    )
+
+
+@query(
     "stream_lake_gold_update",
     oracle="""
     WITH ranked AS (

@@ -1,0 +1,221 @@
+"""Per-file Bloom filters at OPTIMIZE (VERDICT r11 #4 — Delta's
+bloom-filter-index posture as commit metadata): equality-probe file
+skipping on high-cardinality payload columns where min/max ranges
+cannot prune.
+
+Pinned here beyond the oracle gate (``lake_bloom_read``): the filters
+record inside the zone-map entries and ride their lifecycle, the hash
+the read side replays equals Spark's build-side hash bit-for-bit
+(strings AND integrals), membership has NO false negatives over every
+live value, an absent probe prunes to (near) zero files while a
+whole-bucket fallback stays exact, the density cap refuses useless
+filters, the declaration is a table property (adoption) reconciled by
+RENAME/DROP, and mistyped declarations are refused."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import lapidus_spark.streaming.materialize as M
+from lapidus_spark.lake.stats import (
+    _bloom_might_contain,
+    _bloom_probe_bits,
+)
+
+COLS = ["entity_id", "last_seq", "last_type", "item", "tag"]
+
+
+def _env(spark, n=400, start=0):
+    return spark.range(start, start + n).select(
+        F.format_string("k%04d", F.col("id")).alias("pk"),
+        F.col("id").alias("event_seq"),
+        F.timestamp_seconds(F.col("id") * 60 + 1_700_000_000)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.lit("update").alias("type"),
+        F.format_string("payload-%04d", F.col("id")).alias("item"),
+        # high-cardinality, uncorrelated with the entity_id clustering:
+        # min/max ranges span ~the whole hex space per file
+        F.md5(F.format_string("k%04d", F.col("id"))).alias("tag"),
+        (F.xxhash64(F.col("id")) % 100_000).alias("num"),
+    )
+
+
+def _build(spark, lake, bloom=("tag", "num"), bits=None):
+    M.merge_batch_into_lake(
+        _env(spark), lake, n_buckets=4, retain_versions=4,
+        extra_cols=("tag", "num"),
+    )
+    kw = {"bloom_bits": bits} if bits else {}
+    M.compact_lake(
+        spark, lake,
+        target_files_per_bucket=0,
+        retain_versions=4,
+        max_records_per_file=25,  # ~4 files per bucket
+        stats_columns=("tag",),
+        bloom_columns=bloom,
+        **kw,
+    )
+    return M._read_manifest(lake)
+
+
+def test_probe_bits_match_spark_hash(spark):
+    """The driver-side probe must replay the build-side Spark hash
+    exactly: pmod(xxhash64(value, CAST(i AS BIGINT)), m) — strings
+    hash their UTF-8 bytes, integrals their 8-byte value."""
+    m_bits, k = 32768, 2
+    vals = ["", "a", "k0042", "日本語", "x" * 40, 0, 1, -1, 99, 123456789012345]
+    rows = []
+    for v in vals:
+        col = F.lit(v).cast("bigint") if isinstance(v, int) else F.lit(v)
+        rows.append(
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(col, F.lit(i).cast("bigint")), F.lit(m_bits))
+                    .cast("int")
+                    .alias(f"b{i}")
+                    for i in range(k)
+                ]
+            )
+            .first()
+        )
+    for v, r in zip(vals, rows):
+        assert _bloom_probe_bits(v, m_bits, k) == [r["b0"], r["b1"]], v
+
+
+def test_filters_recorded_with_no_false_negatives(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    m = _build(spark, lake)
+    assert m["bloom_columns"] == ["tag", "num"]
+    stats = m["file_stats"]
+    assert stats
+    # every live row's tag/num is a member of ITS file's filter (the
+    # file located via the disjoint entity_id ranges)
+    rows = (
+        M._read_live(spark, lake, m)
+        .select("bucket", "entity_id", "tag", "num")
+        .collect()
+    )
+    checked = 0
+    for r in rows:
+        hits = [
+            e
+            for e in stats[str(r["bucket"])].values()
+            if e["entity_id"][0] <= r["entity_id"] <= e["entity_id"][1]
+        ]
+        assert len(hits) == 1
+        e = hits[0]
+        assert "tag__bloom" in e and "num__bloom" in e
+        assert _bloom_might_contain(e["tag__bloom"], r["tag"])
+        assert _bloom_might_contain(e["num__bloom"], int(r["num"]))
+        checked += 1
+    assert checked == 400
+
+
+def test_equality_probe_prunes_files_ranges_cannot(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    m = _build(spark, lake)
+    total = sum(len(fs) for fs in m["file_stats"].values())
+    assert total >= 8
+    live = {r["pk"]: r for r in _env(spark).collect()}
+    tag = live["k0123"]["tag"]
+    df = M.lake_skip_read(spark, lake, {"tag": (tag, tag)})
+    opened = len(df.inputFiles())
+    assert 0 < opened * 4 <= total, (opened, total)
+    got = df.select(*COLS).collect()
+    assert len(got) == 1 and got[0]["entity_id"] == "k0123"
+    # integral column probes prune too
+    num = int(live["k0077"]["num"])
+    df2 = M.lake_skip_read(spark, lake, {"num": (num, num)})
+    assert 0 < len(df2.inputFiles()) * 4 <= total
+    assert {r["entity_id"] for r in df2.collect()} >= {"k0077"}
+    # an ABSENT value prunes to (near) zero files and returns nothing
+    ghost = hashlib.md5(b"not-a-key").hexdigest()
+    df3 = M.lake_skip_read(spark, lake, {"tag": (ghost, ghost)})
+    assert len(df3.inputFiles()) * 4 <= total
+    assert df3.count() == 0
+    # a RANGE predicate on the same column ignores the filter (ranges
+    # span ~everything for md5 values → opens everything, still exact)
+    df4 = M.lake_skip_read(spark, lake, {"tag": (tag, ghost if ghost > tag else tag)})
+    assert df4.count() >= 1
+
+
+def test_fresh_merge_drops_filters_conservative_fallback(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake)
+    # a merge moves bucket pointers: its buckets lose maps AND filters
+    M.merge_batch_into_lake(
+        _env(spark, n=40, start=400), lake, n_buckets=4, retain_versions=4,
+        extra_cols=("tag", "num"),
+    )
+    m = M._read_manifest(lake)
+    assert not m.get("file_stats")  # all four buckets were touched
+    tag = hashlib.md5(b"k0423").hexdigest()
+    df = M.lake_skip_read(spark, lake, {"tag": (tag, tag)})
+    assert [r["entity_id"] for r in df.collect()] == ["k0423"]
+
+
+def test_density_cap_refuses_useless_filters(spark, tmp_path):
+    """With bloom_bits tiny, every file's filter would exceed the m/8
+    density cap — nothing records, reads fall back whole-bucket."""
+    lake = str(tmp_path / "lake")
+    m = _build(spark, lake, bits=64)
+    for fs in m["file_stats"].values():
+        for e in fs.values():
+            assert "tag__bloom" not in e and "num__bloom" not in e
+    tag = hashlib.md5(b"k0123").hexdigest()
+    got = M.lake_skip_read(spark, lake, {"tag": (tag, tag)}).collect()
+    assert [r["entity_id"] for r in got] == ["k0123"]
+
+
+def test_adoption_and_rename_drop_reconciliation(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, bloom=("tag",))
+    # adoption: a later OPTIMIZE with bloom_columns=None keeps recording
+    M.merge_batch_into_lake(
+        _env(spark, n=40, start=400), lake, n_buckets=4, retain_versions=4,
+        extra_cols=("tag", "num"),
+    )
+    M.compact_lake(
+        spark, lake, target_files_per_bucket=0, retain_versions=4,
+        max_records_per_file=25,
+    )
+    m = M._read_manifest(lake)
+    assert m["bloom_columns"] == ["tag"]
+    assert any(
+        "tag__bloom" in e for fs in m["file_stats"].values() for e in fs.values()
+    )
+    # rename follows the declaration
+    M.rename_lake_column(lake, "tag", "fingerprint", retain_versions=4)
+    assert M._read_manifest(lake)["bloom_columns"] == ["fingerprint"]
+    # drop removes it
+    M.drop_lake_column(lake, "fingerprint", retain_versions=4)
+    assert M._read_manifest(lake)["bloom_columns"] == []
+
+
+def test_declaration_validation(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(
+        _env(spark).withColumn("score", (F.col("event_seq") / 7.0)),
+        lake, n_buckets=4, retain_versions=4,
+        extra_cols=("tag", "num", "score"),
+    )
+    with pytest.raises(ValueError, match="not a payload column"):
+        M.compact_lake(
+            spark, lake, target_files_per_bucket=0, retain_versions=4,
+            bloom_columns=("nope",),
+        )
+    with pytest.raises(ValueError, match="string/integral"):
+        M.compact_lake(
+            spark, lake, target_files_per_bucket=0, retain_versions=4,
+            bloom_columns=("score",),
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        M.compact_lake(
+            spark, lake, target_files_per_bucket=0, retain_versions=4,
+            bloom_columns=("tag", "tag"),
+        )
