@@ -278,19 +278,33 @@ def _normalize_merge_clauses(
     """Validate the Delta-shaped clause lists and compile them into a
     flat ``[(group, tag, kind, condition, assignments)]`` plan.
     Shapes: matched / not-matched-by-source clauses are
-    ``{"condition": sql|None, "update": {col: sql}}`` or
+    ``{"condition": sql|None, "update": {col: sql} | None}`` or
     ``{"condition": sql|None, "delete": True}``; not-matched clauses
-    are ``{"condition": sql|None, "insert": {col: sql} | None}``
-    (``None`` = INSERT * — every writable column the source carries,
-    by name). Within each list clauses fire in order, first condition
-    wins; only the LAST clause of a list may omit its condition
-    (anything after an unconditional clause is unreachable — an
-    authoring bug, refused)."""
+    are ``{"condition": sql|None, "insert": {col: sql} | None}``.
+    ``None`` is the STAR sugar (round 12, the Delta ``UPDATE SET *``
+    / ``INSERT *`` pair — the common CDC upsert without enumerating
+    columns): INSERT * gives every writable column the source's
+    same-named column (NULL if absent), UPDATE SET * the same but an
+    absent source column KEEPS the target row's value (the partial-
+    update rule applied per column; Delta instead errors on absent —
+    keeping the stored value is the envelope's LWW-friendly reading
+    and is pinned in tests). ``when_not_matched_by_source`` clauses
+    have no source row, so their star is meaningless and refused.
+    Within each list clauses fire in order, first condition wins;
+    only the LAST clause of a list may omit its condition (anything
+    after an unconditional clause is unreachable — an authoring bug,
+    refused)."""
     plan = []
     writable = set(writable)
 
     def assignments(d, kind, tag):
         if d is None:
+            if tag.startswith("b"):
+                raise ValueError(
+                    f"merge clause {tag}: UPDATE SET * needs a source row "
+                    "to read from — when_not_matched_by_source clauses "
+                    "must enumerate their assignments"
+                )
             return None
         if not isinstance(d, dict) or not d:
             raise ValueError(
@@ -620,7 +634,13 @@ def merge_into_lake(
                 if kind == "delete":
                     v = F.lit(None)  # tombstone: payload nulls by design
                 elif kind == "update":
-                    v = F.expr(sets[cname]) if cname in sets else tcol(cname)
+                    if sets is None:
+                        # UPDATE SET * — source's same-named column;
+                        # absent in source keeps the stored value (the
+                        # partial-update rule, per column)
+                        v = scol(cname) if cname in src.columns else tcol(cname)
+                    else:
+                        v = F.expr(sets[cname]) if cname in sets else tcol(cname)
                 else:  # insert
                     if sets is None:
                         v = scol(cname)  # INSERT * by name

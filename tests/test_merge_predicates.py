@@ -560,3 +560,58 @@ def test_pruned_empty_merge_inherits_epoch_ts_type(spark, tmp_path):
     vis = _visible(spark, lake)
     assert vis[pk]["item"] == "v-new"
     assert vis["seed"]["item"] == "v-seed"
+
+
+def test_update_set_star_sugar(spark, tmp_path):
+    """UPDATE SET * / INSERT * — the CDC upsert without enumerating
+    columns: every writable column takes the source's same-named
+    column; for UPDATE SET * a column the source does NOT carry keeps
+    the stored value (the partial-update rule per column; pinned
+    deviation from Delta's absent-column error)."""
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=4)  # k0000..k0003, qty = id % 5, item = v0-XXXX
+    src = spark.createDataFrame(
+        [("k0001", "starred"), ("k0099", "fresh")],
+        "pk string, item string",  # note: NO qty column
+    )
+    res = M.merge_into_lake(
+        src,
+        lake,
+        stamp_seq=10_000,
+        stamp_ts="2024-06-01 00:00:00",
+        when_matched=({"update": None},),
+        when_not_matched=({"insert": None},),
+        retain_versions=4,
+    )
+    assert res == {"version": 2, "updated": 1, "deleted": 0, "inserted": 1}
+    vis = _visible(spark, lake)
+    assert vis["k0001"]["item"] == "starred"
+    assert vis["k0001"]["qty"] == 1  # absent in source → stored value kept
+    assert vis["k0099"]["item"] == "fresh"
+    assert vis["k0099"]["qty"] is None  # INSERT *: absent → NULL
+    assert vis["k0000"]["item"] == "v0-0000"  # untouched row intact
+    # source columns beyond the writable set still refuse loudly via
+    # the ordinary path (star reads by NAME, never positionally)
+    src2 = spark.createDataFrame(
+        [("k0002", "x", 9)], "pk string, item string, qty int"
+    )
+    res2 = M.merge_into_lake(
+        src2, lake, stamp_seq=10_001, stamp_ts="2024-06-01 00:00:01",
+        when_matched=({"update": None},), retain_versions=4,
+    )
+    assert res2["updated"] == 1
+    vis2 = _visible(spark, lake)
+    assert vis2["k0002"]["item"] == "x" and vis2["k0002"]["qty"] == 9
+
+
+def test_update_set_star_refused_for_by_source(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, n=3)
+    src = spark.createDataFrame([("k0001", "v")], "pk string, item string")
+    with pytest.raises(ValueError, match="source row to read from"):
+        M.merge_into_lake(
+            src, lake, stamp_seq=10_000, stamp_ts="2024-06-01 00:00:00",
+            when_matched=({"update": {"item": "source.item"}},),
+            when_not_matched_by_source=({"update": None},),
+            retain_versions=4,
+        )
