@@ -383,11 +383,14 @@ def _compact_optimistic(
         log._stage_commit(lake_dir, packed, degraded, commit_rel, max_records_per_file)
         staged_stats = _commit_file_stats(lake_dir, commit_rel, degraded, stats_columns)
         if bloom_columns:
-            from .stats import BLOOM_DEFAULT_BITS, _merge_file_blooms
+            from .stats import _write_bloom_sidecar
 
-            staged_stats = _merge_file_blooms(
-                spark, lake_dir, commit_rel, degraded, staged_stats,
-                bloom_columns, base, m=bloom_bits or BLOOM_DEFAULT_BITS,
+            # sidecar into the STAGED dir; buckets later dropped at the
+            # flip leave unused entries behind — dead weight in a dir
+            # GC reclaims, never wrong (readers look up by live file)
+            _write_bloom_sidecar(
+                spark, lake_dir, commit_rel, degraded,
+                bloom_columns, base, bloom_bits=bloom_bits,
             )
     except Exception:
         # a concurrent commit (retain_versions=1) can GC the base

@@ -1103,19 +1103,19 @@ def _publish_version(
     if with_file_stats:
         # lazy: the zone-map footer reader lives in the read/stats
         # plane (stats.py), which imports this module
-        from .stats import BLOOM_DEFAULT_BITS, _commit_file_stats, _merge_file_blooms
+        from .stats import _commit_file_stats, _write_bloom_sidecar
 
         stats = _commit_file_stats(lake_dir, commit_rel, touched, stats_columns)
         if bloom_columns:
-            stats = _merge_file_blooms(
+            # sidecar into the STAGED dir (invisible until the flip)
+            _write_bloom_sidecar(
                 rows.sparkSession,
                 lake_dir,
                 commit_rel,
                 touched,
-                stats,
                 bloom_columns,
                 manifest,
-                m=bloom_bits or BLOOM_DEFAULT_BITS,
+                bloom_bits=bloom_bits,
             )
     else:
         stats = None

@@ -168,20 +168,28 @@ def _commit_file_stats(
 
 
 #: per-file Bloom filters (round 12, VERDICT r11 #4 — Delta's
-#: bloom-filter-index posture re-expressed as commit metadata):
-#: min/max ranges cannot prune EQUALITY probes on high-cardinality
-#: payload columns whose values interleave across files; a per-file
-#: Bloom filter can. Recorded by OPTIMIZE for declared
-#: ``bloom_columns`` INSIDE the file_stats entries (key
-#: ``<col>__bloom``), so they ride the zone maps' exact lifecycle —
-#: dropped when a merge moves the bucket's pointer, carried by
-#: metadata-only commits, truthful for the files the manifest names.
-BLOOM_DEFAULT_BITS = 32768
+#: bloom-filter-index posture): min/max ranges cannot prune EQUALITY
+#: probes on high-cardinality payload columns whose values interleave
+#: across files; a per-file Bloom filter can. Recorded by OPTIMIZE
+#: for declared ``bloom_columns`` as a SIDECAR per commit dir
+#: (``_bloom_index.json``) — DATA-plane like Delta's index files,
+#: never log-plane: filter bytes are proportional to the rewritten
+#: data (≈2 bytes/row at the default sizing), which must not live in
+#: the manifest JSON every reader parses. Lifecycle is automatic: a
+#: bucket pointer names its commit dir, the sidecar describes exactly
+#: that dir's files, so a merge moving the pointer leaves the old
+#: sidecar behind with the old files (still truthful for time travel)
+#: and the new dir simply has no filters until the next OPTIMIZE —
+#: conservative fallback, never wrong.
 BLOOM_HASHES = 2
-#: a file whose filter would exceed m/8 set bits is too dense to
-#: prune usefully (false-positive rate above ~1.6%) — not recorded;
-#: readers fall back to opening the file, conservative, never wrong
-_BLOOM_MAX_LOAD = 8
+#: per-file adaptive sizing: m = next power of two ≥ 16·rows (k=2 →
+#: ~12.5% bits set at full cardinality → FPR ≈ 1.6%), clamped to
+#: [2^13, 2^23] bits (1 KiB–1 MiB bitmap per file per column); files
+#: beyond the clamp record nothing (readers fall back whole)
+_BLOOM_BITS_PER_ROW = 16
+_BLOOM_MIN_BITS = 1 << 13
+_BLOOM_MAX_BITS = 1 << 23
+BLOOM_SIDECAR = "_bloom_index.json"
 
 
 def _bloom_integral(manifest: dict | None, cols) -> frozenset:
@@ -227,89 +235,160 @@ def _bloom_might_contain(bloom: dict, value) -> bool:
     bits = _bloom_probe_bits(value, int(bloom["m"]), int(bloom["k"]))
     if bits is None:
         return True  # unprobeable value type: conservative
-    present = set(bloom["bits"])
-    return all(b in present for b in bits)
+    bitmap = bytes.fromhex(bloom["hex"])
+    return all(bitmap[b >> 3] & (1 << (b & 7)) for b in bits)
 
 
-def _merge_file_blooms(
+def _write_bloom_sidecar(
     spark,
     lake_dir: str,
     commit_rel: str,
     buckets: list,
-    stats: dict,
     bloom_columns: tuple,
     manifest: dict | None,
-    m: int = BLOOM_DEFAULT_BITS,
+    bloom_bits: int | None = None,
     k: int = BLOOM_HASHES,
-) -> dict:
-    """Compute per-file Bloom filters for the staged commit's declared
-    columns and merge them into the zone-map dict (``<col>__bloom``
-    keys). ONE column-pruned Spark job over the staged files — the
-    compaction just rewrote those bytes, so this is a bounded re-read
-    of only the declared columns, executor-side, never a driver value
-    loop; the driver handles only the collected bit SETS (≤ m/8
-    positions per file×column by the density cap). Files whose filter
-    would be denser than the cap, or buckets whose ranges were already
-    unusable, record nothing — readers fall back, conservative."""
-    if not bloom_columns or not buckets or not stats:
-        return stats
+) -> None:
+    """Build per-file Bloom filters for the staged commit's declared
+    columns and write them as ONE sidecar JSON at the commit-dir root
+    (``_bloom_index.json``: ``"bucket=B/file.parquet" → {col: {m, k,
+    hex}}``). Runs BEFORE the manifest flip — the dir is invisible
+    until the flip, so a crash leaves an orphan dir, never a torn
+    index.
+
+    Scale contract: the 64-bit hashes are computed JVM-side
+    (``xxhash64(col, i)`` — the exact hash the read side replays in
+    pure Python) and each (file, column)'s BITMAP is assembled
+    executor-side in one Arrow/numpy pass (``applyInPandas``); the
+    driver collects only the finished bitmaps — m/8 bytes per
+    file×column, proportional to file count, never to row count.
+    Sizing is per-file ADAPTIVE from the staged footers' row counts
+    (m = next pow2 ≥ 16·rows, so the filter stays useful at ANY valve
+    — the flaw the first cut had: a fixed m went all-dense and
+    recorded nothing the moment files grew 10×), clamped to 1 MiB of
+    bitmap; files beyond the clamp, or filters that still come out
+    majority-dense, record nothing — readers fall back whole,
+    conservative, never wrong."""
+    if not bloom_columns or not buckets:
+        return
+    import pyarrow.parquet as pq
+
     base = os.path.join(lake_dir, commit_rel)
-    paths = [
-        os.path.join(base, f"{_PARTITION_COL}={b}")
-        for b in buckets
-        if str(b) in stats
-    ]
-    if not paths:
-        return stats
+    file_m: dict[str, int] = {}
+    for b in buckets:
+        d = os.path.join(base, f"{_PARTITION_COL}={b}")
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            rel_key = f"{_PARTITION_COL}={b}/{fn}"
+            if bloom_bits is not None:
+                file_m[rel_key] = int(bloom_bits)
+                continue
+            n = pq.read_metadata(os.path.join(d, fn)).num_rows
+            m = _BLOOM_MIN_BITS
+            while m < n * _BLOOM_BITS_PER_ROW and m < _BLOOM_MAX_BITS:
+                m <<= 1
+            if n * _BLOOM_BITS_PER_ROW > _BLOOM_MAX_BITS:
+                continue  # beyond the clamp: not recorded (fallback)
+            file_m[rel_key] = m
+    if not file_m:
+        return
     integral = _bloom_integral(manifest, bloom_columns)
-    df = spark.read.option("basePath", base).parquet(*paths)
-    probes = []
+    df = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, f"{_PARTITION_COL}={b}") for b in buckets]
+    )
+    hashes = []
     for c in bloom_columns:
         if c not in df.columns:
             continue
         v = F.col(c).cast("bigint") if c in integral else F.col(c)
         for i in range(k):
-            probes.append(
+            hashes.append(
                 F.when(
                     F.col(c).isNotNull(),
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.pmod(F.xxhash64(v, F.lit(i).cast("bigint")), F.lit(m))
-                        .cast("int")
-                        .alias("b"),
+                        F.xxhash64(v, F.lit(i).cast("bigint")).alias("h"),
                     ),
                 )
             )
-    if not probes:
-        return stats
-    cap = m // _BLOOM_MAX_LOAD
+    if not hashes:
+        return
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        key, col = pdf["key"].iloc[0], pdf["c"].iloc[0]
+        m = file_m.get(key)
+        if m is None:
+            return pd.DataFrame({"key": [], "c": [], "m": [], "hex": []})
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        bits = np.mod(np.mod(h, m) + m, m).astype(np.int64)
+        bitmap = np.zeros(m >> 3, dtype=np.uint8)
+        np.bitwise_or.at(bitmap, bits >> 3, (1 << (bits & 7)).astype(np.uint8))
+        if int(np.unpackbits(bitmap).sum()) * 2 > m:
+            # majority-dense (low-m override / degenerate data): a
+            # filter this loaded cannot prune — record nothing
+            return pd.DataFrame({"key": [], "c": [], "m": [], "hex": []})
+        return pd.DataFrame(
+            {"key": [key], "c": [col], "m": [m], "hex": [bitmap.tobytes().hex()]}
+        )
+
     rows = (
         df.select(
-            F.input_file_name().alias("f"),
-            F.col(_PARTITION_COL).cast("string").alias("bk"),
-            F.explode(F.array(*probes)).alias("p"),
+            # input_file_name is a URI; the sidecar key is the last
+            # two path segments (bucket=B/file.parquet)
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+=[^/]+/[^/]+)$", 1
+            ).alias("key"),
+            F.explode(F.array(*hashes)).alias("p"),
         )
         .filter(F.col("p").isNotNull())
-        .select("f", "bk", F.col("p.c").alias("c"), F.col("p.b").alias("b"))
-        .groupBy("f", "bk", "c")
-        # slice keeps the shuffle payload bounded: cap+1 positions is
-        # enough to detect over-density without carrying the rest
-        .agg(F.slice(F.sort_array(F.collect_set("b")), 1, cap + 1).alias("bits"))
+        .select("key", F.col("p.c").alias("c"), F.col("p.h").alias("h"))
+        .groupBy("key", "c")
+        .applyInPandas(build, "key string, c string, m long, hex string")
         .collect()
     )
+    index: dict = {}
     for r in rows:
-        if len(r["bits"]) > cap:
-            continue  # too dense to prune usefully: not recorded
-        fname = os.path.basename(r["f"])
-        entry = stats.get(str(r["bk"]), {}).get(fname)
-        if entry is None:
-            continue  # ranges unusable for this bucket/file: fall back
-        entry[f"{r['c']}__bloom"] = {
-            "m": m,
+        # input_file_name is a URI (file://…); normalize to the same
+        # relative key file_m used
+        key = r["key"]
+        if key not in file_m:
+            key = "/".join(key.split("/")[-2:])
+        if key not in file_m:
+            continue
+        index.setdefault(key, {})[r["c"]] = {
+            "m": int(r["m"]),
             "k": k,
-            "bits": [int(b) for b in r["bits"]],
+            "hex": r["hex"],
         }
-    return stats
+    if index:
+        log._atomic_write_json(os.path.join(base, BLOOM_SIDECAR), index)
+
+
+def _load_bloom_index(lake_dir: str, bucket_rel: str) -> dict:
+    """The commit dir's bloom sidecar for a manifest bucket pointer
+    (``commits/<v>/bucket=B`` → the dir's ``_bloom_index.json``
+    filtered to that bucket), ``{}`` when absent — fresh merges and
+    pre-bloom commits simply have no filters. Pure file I/O,
+    driver-side, one tiny JSON per DISTINCT commit dir (callers
+    cache per read)."""
+    if f"{_PARTITION_COL}=" not in bucket_rel:
+        return {}
+    root, bucket_part = bucket_rel.rsplit("/", 1)
+    path = os.path.join(lake_dir, root, BLOOM_SIDECAR)
+    try:
+        with open(path) as fh:
+            idx = json.load(fh)
+    except (FileNotFoundError, NotADirectoryError, ValueError, OSError):
+        return {}
+    prefix = bucket_part + "/"
+    return {
+        key[len(prefix):]: cols
+        for key, cols in idx.items()
+        if key.startswith(prefix)
+    }
 
 
 def _file_key_range(entry) -> tuple:
@@ -665,21 +744,16 @@ def lake_skip_read(
                     )
         norm[col] = (lo, hi)
 
-    def overlaps(entry: dict) -> bool:
+    def overlaps(entry: dict, fblooms: dict) -> bool:
         for col, (lo, hi) in norm.items():
-            if (
-                lo is not None
-                and lo == hi
-                and isinstance(entry, dict)
-                and f"{col}__bloom" in entry
-            ):
+            if lo is not None and lo == hi and col in fblooms:
                 # EQUALITY probe with a recorded per-file Bloom filter
                 # (round 12): min/max cannot prune a high-cardinality
                 # probe whose value interleaves across files; the
                 # filter can — a miss is proof of absence. NULL-safe
                 # like the ranges (filters hold only non-null values,
                 # and NULL never satisfies an equality predicate).
-                if not _bloom_might_contain(entry[f"{col}__bloom"], lo):
+                if not _bloom_might_contain(fblooms[col], lo):
                     return False
             rng = entry.get(col) if isinstance(entry, dict) else None
             if col == "entity_id" and rng is None and not isinstance(entry, dict):
@@ -705,14 +779,19 @@ def lake_skip_read(
         return True
 
     zone_maps = manifest.get("file_stats", {})
+    want_blooms = any(
+        lo is not None and lo == hi and col != "last_ts"
+        for col, (lo, hi) in norm.items()
+    )
     plain, pruned_files = set(), []
     for b_str, rel in manifest["buckets"].items():
         stats = zone_maps.get(b_str)
         if stats is None or rel.startswith("bucket="):
             plain.add(int(b_str))  # no stats (or legacy layout): whole bucket
             continue
+        blooms = _load_bloom_index(lake_dir, rel) if want_blooms else {}
         for f, entry in sorted(stats.items()):
-            if overlaps(entry):
+            if overlaps(entry, blooms.get(f, {})):
                 pruned_files.append(os.path.join(lake_dir, rel, f))
     extras = _manifest_columns(manifest)
     parts = []

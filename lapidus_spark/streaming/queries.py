@@ -3524,19 +3524,27 @@ def lake_time_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— defeats min/max pruning (every file's [min, max] hex range "
     "spans nearly the whole value space), but a per-file Bloom "
     "filter prunes equality probes exactly. A clustered OPTIMIZE "
-    "declaring bloom_columns=('tag',) records, per file, the set-bit "
-    "positions of pmod(xxhash64(tag, i), m) for k hashes (ONE "
-    "column-pruned Spark job over the just-rewritten files, bit sets "
-    "bounded by the m/8 density cap — too-dense files record "
-    "nothing, conservative); lake_skip_read replays the identical "
-    "hash driver-side (the pure-Python Spark-parity xxhash64) for an "
-    "equality probe and opens only files whose filters cannot rule "
-    "the value out. The query probes three tags and ASSERTS "
-    "files_opened*4 <= total (ranges alone cannot get there — "
-    "pinned in tests/test_bloom_skipping.py together with no-false-"
-    "negative membership, density-cap fallback, adoption, rename/"
-    "drop reconciliation and type validation). False positives cost "
-    "an extra file read, never a wrong row: the exact predicate "
+    "declaring bloom_columns=('tag',) hashes the column JVM-side "
+    "(xxhash64(tag, i) for k hashes — ONE column-pruned Spark job "
+    "over the just-rewritten files), assembles each file's bitmap "
+    "executor-side (Arrow+numpy), and writes them as a SIDECAR per "
+    "commit dir (_bloom_index.json — DATA-plane like Delta's bloom "
+    "index files, never manifest-plane: filter bytes are "
+    "proportional to the data and must not live in the JSON every "
+    "reader parses; the lifecycle is automatic because a bucket "
+    "pointer names its dir). Sizing is per-file ADAPTIVE "
+    "(m = next-pow2 of 16·rows, FPR ~1.6% at ANY valve or scale — "
+    "the 10x cohort is what exposed the fixed-m first cut); "
+    "majority-dense filters record nothing, conservative. "
+    "lake_skip_read replays the identical hash driver-side (the "
+    "pure-Python Spark-parity xxhash64) for an equality probe and "
+    "opens only files whose filters cannot rule the value out. The "
+    "query probes three tags and ASSERTS files_opened*4 <= total "
+    "(ranges alone cannot get there — pinned in "
+    "tests/test_bloom_skipping.py together with no-false-negative "
+    "membership, density-guard fallback, adoption, rename/drop "
+    "reconciliation and type validation). False positives cost an "
+    "extra file read, never a wrong row: the exact predicate "
     "re-applies either way.",
 )
 def lake_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:

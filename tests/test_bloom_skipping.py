@@ -23,6 +23,7 @@ import lapidus_spark.streaming.materialize as M
 from lapidus_spark.lake.stats import (
     _bloom_might_contain,
     _bloom_probe_bits,
+    _load_bloom_index,
 )
 
 COLS = ["entity_id", "last_seq", "last_type", "item", "tag"]
@@ -93,6 +94,15 @@ def test_filters_recorded_with_no_false_negatives(spark, tmp_path):
     assert m["bloom_columns"] == ["tag", "num"]
     stats = m["file_stats"]
     assert stats
+    # the sidecar records one filter per (file, column), sized
+    # adaptively (min clamp 8 KiB bits for these small files)
+    blooms = {
+        b: _load_bloom_index(lake, rel) for b, rel in m["buckets"].items()
+    }
+    for b, fs in stats.items():
+        for f in fs:
+            assert {"tag", "num"} <= set(blooms[b][f]), (b, f)
+            assert blooms[b][f]["tag"]["m"] == 8192
     # every live row's tag/num is a member of ITS file's filter (the
     # file located via the disjoint entity_id ranges)
     rows = (
@@ -103,15 +113,15 @@ def test_filters_recorded_with_no_false_negatives(spark, tmp_path):
     checked = 0
     for r in rows:
         hits = [
-            e
-            for e in stats[str(r["bucket"])].values()
+            (f, e)
+            for f, e in stats[str(r["bucket"])].items()
             if e["entity_id"][0] <= r["entity_id"] <= e["entity_id"][1]
         ]
         assert len(hits) == 1
-        e = hits[0]
-        assert "tag__bloom" in e and "num__bloom" in e
-        assert _bloom_might_contain(e["tag__bloom"], r["tag"])
-        assert _bloom_might_contain(e["num__bloom"], int(r["num"]))
+        fname, _e = hits[0]
+        fb = blooms[str(r["bucket"])][fname]
+        assert _bloom_might_contain(fb["tag"], r["tag"])
+        assert _bloom_might_contain(fb["num"], int(r["num"]))
         checked += 1
     assert checked == 400
 
@@ -159,14 +169,26 @@ def test_fresh_merge_drops_filters_conservative_fallback(spark, tmp_path):
     assert [r["entity_id"] for r in df.collect()] == ["k0423"]
 
 
-def test_density_cap_refuses_useless_filters(spark, tmp_path):
-    """With bloom_bits tiny, every file's filter would exceed the m/8
-    density cap — nothing records, reads fall back whole-bucket."""
+def test_density_guard_bounds_filter_load(spark, tmp_path):
+    """With bloom_bits forced tiny, a full 25-row file's filter comes
+    out majority-dense and records NOTHING (a filter that loaded
+    cannot prune); only near-empty trailing files may keep a sparse
+    one — every recorded filter is ≤ half-set, and reads stay exact
+    through the fallback either way."""
     lake = str(tmp_path / "lake")
     m = _build(spark, lake, bits=64)
-    for fs in m["file_stats"].values():
-        for e in fs.values():
-            assert "tag__bloom" not in e and "num__bloom" not in e
+    recorded = dropped = 0
+    for b, rel in m["buckets"].items():
+        fs = m["file_stats"].get(b, {})
+        idx = _load_bloom_index(lake, rel)
+        for f in fs:
+            cols = idx.get(f, {})
+            if not cols:
+                dropped += 1
+            for e in cols.values():
+                recorded += 1
+                assert bin(int(e["hex"], 16)).count("1") * 2 <= e["m"]
+    assert dropped > 0  # the guard really fired on the full files
     tag = hashlib.md5(b"k0123").hexdigest()
     got = M.lake_skip_read(spark, lake, {"tag": (tag, tag)}).collect()
     assert [r["entity_id"] for r in got] == ["k0123"]
@@ -187,7 +209,9 @@ def test_adoption_and_rename_drop_reconciliation(spark, tmp_path):
     m = M._read_manifest(lake)
     assert m["bloom_columns"] == ["tag"]
     assert any(
-        "tag__bloom" in e for fs in m["file_stats"].values() for e in fs.values()
+        "tag" in cols
+        for rel in m["buckets"].values()
+        for cols in _load_bloom_index(lake, rel).values()
     )
     # rename follows the declaration
     M.rename_lake_column(lake, "tag", "fingerprint", retain_versions=4)
