@@ -161,6 +161,8 @@ COHORT = [
     "stream_lake_replicate",
     # Bloom-pruned equality reads at 10M envelopes / real file counts
     "lake_bloom_read",
+    # the batch catalog relation at 10M envelopes
+    "catalog_sql_read",
 ]
 DERIVED_TABLES = ("documents", "events")
 

@@ -161,6 +161,9 @@ COHORT = [
     # zero false negatives (and the in-query fewer-files assert must
     # hold) whatever the 10x valve split layout
     "lake_bloom_read",
+    # the batch catalog relation: tx-consistent member-table resolve
+    # + the pinned-version python scan at 10x bucket/file counts
+    "catalog_sql_read",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

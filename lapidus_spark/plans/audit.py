@@ -620,6 +620,9 @@ EXPECTATIONS: dict[str, dict] = {
     # pushFilters hook, whose bucket/zone-map pruning decisions are
     # pinned directly in tests/test_lake_batch_source.py
     "lake_sql_read": {"max_exchanges": 0, "no_single_partition": True},
+    # batch catalog relation: snapshot mode IS the lake batch reader
+    # pinned to the catalog-mapped version — same python scan shape
+    "catalog_sql_read": {"max_exchanges": 0, "no_single_partition": True},
 }
 
 

@@ -335,6 +335,21 @@ def _file_overlaps(entry, ranges: dict) -> bool:
     return True
 
 
+def _bloom_rules_in(fblooms: dict, ranges: dict) -> bool:
+    """True unless some equality probe's recorded per-file Bloom
+    filter PROVES the value absent (same decision as
+    ``lake_skip_read``); files without filters always rule in."""
+    if not fblooms:
+        return True
+    from lapidus_spark.lake.stats import _bloom_might_contain
+
+    for col, (lo, hi) in ranges.items():
+        if lo is not None and lo == hi and col in fblooms:
+            if not _bloom_might_contain(fblooms[col], lo):
+                return False
+    return True
+
+
 class LakeFilePartition(InputPartition):
     """One snapshot read unit: the parquet files of one bucket slice,
     with everything the executor needs (epoch extras spec, declared
@@ -446,13 +461,29 @@ class LakeBatchReader(DataSourceReader):
                 )
                 continue
             stats = zone_maps.get(b_str)
+            blooms: dict = {}
+            if self.ranges and any(
+                lo is not None and lo == hi
+                for lo, hi in self.ranges.values()
+            ):
+                # equality probes consult the commit dir's Bloom
+                # sidecar exactly like lake_skip_read — the SQL path
+                # prunes files the helper path prunes
+                from lapidus_spark.lake.stats import _load_bloom_index
+
+                blooms = _load_bloom_index(lake_dir, rel)
             for f in files:
+                fname = os.path.basename(f)
                 if stats is not None and self.ranges:
-                    entry = stats.get(os.path.basename(f))
+                    entry = stats.get(fname)
                     if entry is not None and not _file_overlaps(
                         entry, self.ranges
                     ):
                         continue  # provably disjoint: never opened
+                if blooms and not _bloom_rules_in(
+                    blooms.get(fname, {}), self.ranges
+                ):
+                    continue  # filter misses prove absence
                 parts.append(
                     LakeFilePartition(
                         [f], self.extras, ts_ddl, item_ddl, dv

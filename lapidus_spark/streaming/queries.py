@@ -1928,6 +1928,58 @@ def stream_catalog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "catalog_sql_read",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(user_id AS VARCHAR) AS entity_id, event_id, ts, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 3 < 2
+    )
+    SELECT entity_id, event_id AS last_seq, ts AS last_ts,
+           'update' AS last_type, props AS item
+    FROM ranked WHERE rn = 1
+    """,
+    operator="batch CATALOG DataSource — tx-consistent SELECT over a "
+    "USING-catalog relation (r12, the catalog twin of lake_sql_read)",
+    doc="The batch DSv2 twin of the catalog_cdf streaming source "
+    "(sources/catalog_batch.py): format('catalog') resolves a member "
+    "table through a committed catalog entry (one tiny JSON) and "
+    "reads its lake at EXACTLY the tx-consistent mapped version — "
+    "read_catalog_table semantics, SQL-addressable without importing "
+    "lapidus_spark. Snapshot mode IS the lake batch reader pinned to "
+    "the mapped version (bucket-hash/zone-map/Bloom pushdown "
+    "pruning included, pure reuse); changes=true is the batch "
+    "tx-consistent multi-table diff sharing the streaming source's "
+    "planner and executor diff (identical rows to draining the "
+    "stream — pinned in tests/test_catalog_batch_source.py). This "
+    "query CREATEs a USING-catalog view pinned to catalogVersion 2 "
+    "of the two-projection fixture catalog and SELECTs the by_user "
+    "snapshot: the oracle is the LWW state over exactly the first "
+    "two transactions' events — a reader of catalog version 2 can "
+    "never see tx 3's rows in EITHER table.",
+)
+def catalog_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.sources.catalog_batch import register_catalog_batch
+
+    register_catalog_batch(spark)
+    cat = build_catalog_cdf_fixture(spark, sf_dir)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW catalog_sql_read_v "
+        f"USING catalog OPTIONS (path '{cat}', `table` 'by_user', "
+        f"catalogVersion '2')"
+    )
+    return spark.sql(
+        """
+        SELECT entity_id, last_seq,
+               CAST(last_ts AS timestamp_ntz) AS last_ts,
+               last_type, item
+        FROM catalog_sql_read_v
+        """
+    )
+
+
 #: maintenance lake per (process, sf_dir): quarter-batches merged at
 #: B=8 (small-file accretion), OPTIMIZE compaction, an 8→16 rebucket,
 #: then a post-rebucket merge that ADOPTS the new layout

@@ -320,3 +320,41 @@ def test_option_validation_failure_postures(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_bloom_sidecar_prunes_sql_equality_probes(spark, tmp_path):
+    """The batch format consults the commit dir's Bloom sidecars for
+    pushed equality probes — the SQL path prunes the files
+    lake_skip_read prunes (round 12: the lake_bloom_read story
+    carried to spark.read.format('lake'))."""
+    import hashlib
+
+    lake = str(tmp_path / "lake")
+    env = _env(spark, n=400).withColumn("tag", F.md5(F.col("pk")))
+    M.merge_batch_into_lake(
+        env, lake, n_buckets=4, retain_versions=4, extra_cols=("band", "tag")
+    )
+    M.compact_lake(
+        spark, lake,
+        target_files_per_bucket=0,
+        retain_versions=4,
+        max_records_per_file=10,
+        stats_columns=("tag",),
+        bloom_columns=("tag",),
+    )
+    register_lake_batch(spark)
+    total = len(LakeBatchReader({"path": lake}).partitions())
+    assert total >= 10
+    tag = hashlib.md5(b"k0010").hexdigest()
+    r = LakeBatchReader({"path": lake})
+    r.ranges = {"tag": (tag, tag)}
+    pruned = r.partitions()
+    assert 0 < len(pruned) * 4 <= total
+    got = (
+        spark.read.format("lake")
+        .option("path", lake)
+        .load()
+        .filter(F.col("tag") == tag)
+        .collect()
+    )
+    assert {x["entity_id"] for x in got} == {"k0010"}
