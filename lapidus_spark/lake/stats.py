@@ -498,6 +498,19 @@ def describe_detail(lake_dir: str, version: int | None = None) -> dict:
         # declared data-skipping columns (table property; every later
         # OPTIMIZE keeps their per-file zone maps fresh)
         out["stats_columns"] = list(manifest["stats_columns"])
+    if manifest.get("bloom_columns"):
+        # declared Bloom-filter columns (round 12; sidecar per commit
+        # dir, equality-probe file skipping)
+        out["bloom_columns"] = list(manifest["bloom_columns"])
+    clone_dir = os.path.join(lake_dir, log.CLONES_DIR)
+    if os.path.isdir(clone_dir):
+        pins = [
+            fn for fn in os.listdir(clone_dir) if fn.endswith(".json")
+        ]
+        if pins:
+            # live shallow-clone retention pins (round 12): versions
+            # the source's GC/vacuum must not expire
+            out["clone_pins"] = len(pins)
     if manifest.get("deletion_vectors"):
         # standing read-time redactions awaiting their OPTIMIZE purge
         out["dv_entries"] = sum(

@@ -4,13 +4,14 @@ skipping on high-cardinality payload columns where min/max ranges
 cannot prune.
 
 Pinned here beyond the oracle gate (``lake_bloom_read``): the filters
-record inside the zone-map entries and ride their lifecycle, the hash
-the read side replays equals Spark's build-side hash bit-for-bit
-(strings AND integrals), membership has NO false negatives over every
-live value, an absent probe prunes to (near) zero files while a
-whole-bucket fallback stays exact, the density cap refuses useless
-filters, the declaration is a table property (adoption) reconciled by
-RENAME/DROP, and mistyped declarations are refused."""
+record as a SIDECAR per commit dir (adaptively sized per file) whose
+lifecycle follows the bucket pointers, the hash the read side replays
+equals Spark's build-side hash bit-for-bit (strings AND integrals),
+membership has NO false negatives over every live value, an absent
+probe prunes to (near) zero files while a whole-bucket fallback stays
+exact, the density guard refuses useless filters, the declaration is
+a table property (adoption) reconciled by RENAME/DROP and surfaced by
+DESCRIBE DETAIL, and mistyped declarations are refused."""
 
 from __future__ import annotations
 
@@ -243,3 +244,11 @@ def test_declaration_validation(spark, tmp_path):
             spark, lake, target_files_per_bucket=0, retain_versions=4,
             bloom_columns=("tag", "tag"),
         )
+
+
+def test_describe_detail_surfaces_bloom_declaration(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    _build(spark, lake, bloom=("tag",))
+    d = M.describe_detail(lake)
+    assert d["bloom_columns"] == ["tag"]
+    assert d["stats_columns"] == ["tag"]

@@ -767,3 +767,14 @@ def test_cli_detach_clone(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "forced" in out
     assert cli(["--detach-clone", src, "--into", dst]) == 0  # idempotent
+
+
+def test_describe_detail_surfaces_clone_pins(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _build3(spark, src, retain=6)
+    assert "clone_pins" not in M.describe_detail(src)
+    M.clone_lake(src, str(tmp_path / "d1"))
+    M.clone_lake(src, str(tmp_path / "d2"))
+    assert M.describe_detail(src)["clone_pins"] == 2
+    M.detach_clone(src, str(tmp_path / "d1"), force=True)
+    assert M.describe_detail(src)["clone_pins"] == 1
