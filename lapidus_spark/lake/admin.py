@@ -119,10 +119,16 @@ def _resolve_bloom_columns(manifest: dict, bloom_columns) -> tuple:
     equality-probe shapes whose hash the read side can replay exactly
     (strings hash their UTF-8 bytes, integrals their 8-byte value);
     float/decimal equality probes are ill-posed and stay on the
-    min/max path."""
+    min/max path. ``item``'s physical type is producer-defined and
+    not recorded in the epoch, so it is always accepted HERE and
+    resolved at build time instead (ADVICE r12 #2): the sidecar
+    writer reads the staged files' actual schema, casts integrals to
+    bigint so build and probe hash the same 8 bytes, and records
+    nothing for any other physical type — declaring a float-typed
+    ``item`` costs the pruning, never correctness."""
     if bloom_columns is None:
         return tuple(manifest.get("bloom_columns", ()))
-    kinds = {"item": "string"}
+    kinds = {"item": None}  # physical type resolved at build time
     kinds.update(
         {c["name"]: c["type"].lower().split("(")[0] for c in _manifest_columns(manifest)}
     )
@@ -137,7 +143,7 @@ def _resolve_bloom_columns(manifest: dict, bloom_columns) -> tuple:
                 f"bloom_columns: {c!r} is not a payload column of this lake "
                 f"(known: {sorted(kinds)})"
             )
-        if kinds[c] not in ok_types:
+        if kinds[c] is not None and kinds[c] not in ok_types:
             raise ValueError(
                 f"bloom_columns: {c!r} has type {kinds[c]!r} — Bloom "
                 "filters record string/integral columns only (equality "
@@ -1379,6 +1385,44 @@ def clone_lake(src_dir: str, dst_dir: str, version: int | None = None) -> dict:
         b: rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
         for b, rel in m["buckets"].items()
     }
+    # TRANSITIVE pins (round 13, ADVICE r12 #3): when the source is
+    # itself a shallow clone, its manifest carries ABSOLUTE pointers
+    # into its own ancestors — and this clone copies them verbatim,
+    # so it reads those ancestors DIRECTLY. The immediate-parent pin
+    # alone would let an ancestor reclaim such files the moment the
+    # parent compacts local and its own pin self-heals. Every
+    # distinct external root named by a copied absolute pointer
+    # therefore gets its own pin, at the oldest commit-dir version
+    # the pointers name (retaining that version keeps the named dirs
+    # alive — GC preserves dirs any retained manifest references).
+    # Written under each ancestor's writer lock so a concurrent
+    # vacuum either sees the pin or finished before we resolved; the
+    # in-flight grace window covers the pin-before-dst-commit gap.
+    external: dict[str, int] = {}
+    for abs_rel in touched.values():
+        head, sep, tail = os.path.abspath(abs_rel).partition(
+            os.sep + "commits" + os.sep
+        )
+        if not sep or head == src_abs:
+            continue
+        try:
+            ver = int(tail.split(os.sep, 1)[0])
+        except ValueError:
+            ver = 1  # unparseable commit dir: pin from the beginning
+        external[head] = min(external.get(head, ver), ver)
+    for root, ver in sorted(external.items()):
+        xlock = _acquire_lock(root, wait_s=LOCKED_WAIT_S)
+        try:
+            os.makedirs(os.path.join(root, log.CLONES_DIR), exist_ok=True)
+            _atomic_write_json(
+                log._clone_pin_path(root, dst_abs),
+                {"clone": dst_abs, "version": ver, "created_at": time.time()},
+            )
+        finally:
+            try:
+                os.remove(xlock)
+            except FileNotFoundError:
+                pass
     extra: dict = {"cloned_from": {"source": src_abs, "version": int(m["version"])}}
     if m.get("columns"):
         extra["columns"] = list(m["columns"])

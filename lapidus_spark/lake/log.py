@@ -184,6 +184,19 @@ def _catalog_min_referenced(lake_dir: str) -> int | None:
 #: must never expire a version a LIVE clone still reads through.
 CLONES_DIR = "_clones"
 
+#: in-flight-clone grace window (round 13, ADVICE r12 #1):
+#: ``clone_lake`` writes the pin under the source lock but commits
+#: the clone's own manifest/pointer AFTER releasing it; in that
+#: window the clone looks deleted (``_read_pointer(dst) is None``)
+#: and the self-heal would drop the just-written pin — letting a
+#: concurrent merge's GC (or vacuum) reclaim the pinned version's
+#: files before the clone finishes. A pin younger than this grace is
+#: therefore fail-closed: kept even when the clone cannot be proven
+#: to reference the source. Clone commits are driver-side JSON
+#: writes (milliseconds); minutes of grace is orders of magnitude of
+#: headroom, and an abandoned pin still self-heals right after it.
+CLONE_PIN_GRACE_S = 900.0
+
 
 def _clone_pin_path(src_dir: str, dst_abs: str) -> str:
     import hashlib
@@ -226,8 +239,14 @@ def _clone_min_referenced(lake_dir: str) -> int | None:
     SELF-HEALING: a pin whose clone was deleted or no longer
     references this lake (compacted local + old versions vacuumed)
     is removed on the spot, so an abandoned fork never permanently
-    blocks retention. Fail-closed: a torn pin counts as referencing
-    version 1."""
+    blocks retention. Fail-closed twice over: a torn pin counts as
+    referencing version 1, and a pin younger than
+    ``CLONE_PIN_GRACE_S`` is kept even when the clone looks absent —
+    ``clone_lake`` commits the clone's pointer AFTER releasing the
+    source lock, so a brand-new pin with no destination pointer is
+    most likely an in-flight clone, not a deleted one (ADVICE r12)."""
+    import time
+
     root = os.path.abspath(lake_dir).rstrip(os.sep)
     d = os.path.join(root, CLONES_DIR)
     try:
@@ -246,11 +265,24 @@ def _clone_min_referenced(lake_dir: str) -> int | None:
             continue
         if _clone_still_references(root, dst):
             mins.append(ver)
-        else:
+            continue
+        if _read_pointer(dst) is None:
+            # no destination pointer: either a deleted fork (stale)
+            # or a clone_lake still between pin-write and its own
+            # manifest commit (LIVE — the pointer lands milliseconds
+            # later). Distinguish by pin age, fail-closed on young
+            # (negative age = clock skew: also keep).
             try:
-                os.remove(path)
-            except OSError:
+                age = time.time() - float(pin.get("created_at", 0.0))
+            except (TypeError, ValueError):
+                age = float("inf")
+            if age < CLONE_PIN_GRACE_S:
                 mins.append(ver)
+                continue
+        try:
+            os.remove(path)
+        except OSError:
+            mins.append(ver)
     return min(mins) if mins else None
 
 

@@ -857,6 +857,22 @@ def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple
     epoch. Redeclaring under a NARROWER type is accepted without
     evolving (the batch's values cast up into the pinned type —
     ``_align_extras``); anything off-chain still raises."""
+    return _evolved_schema_from_types(
+        manifest,
+        {name: updates.schema[name].dataType.simpleString() for name in extra_cols},
+        extra_cols,
+    )
+
+
+def _evolved_schema_from_types(
+    manifest: dict | None, declared: dict, extra_cols: tuple
+):
+    """``_evolved_schema`` for callers without a DataFrame (the
+    session-less ``df.write.format("lake")`` commit worker resolves
+    its declared types from the staged files' Arrow schema) —
+    ``declared`` maps each extra column to its Spark DDL type
+    string. Same rules, same errors: shared so the SQL-write path and
+    the library merge can never diverge on evolution semantics."""
     base_extras = _manifest_columns(manifest)
     known = {c["name"]: c["type"] for c in base_extras}
     # former names from RENAME commits: a batch may not write under
@@ -870,7 +886,7 @@ def _evolved_schema(manifest: dict | None, updates: DataFrame, extra_cols: tuple
     new_cols = []
     widened: dict[str, str] = {}
     for name in extra_cols:
-        dtype = updates.schema[name].dataType.simpleString()
+        dtype = declared[name]
         if name in quarantined:
             raise ValueError(
                 f"extra column {name!r} belonged to a DROPPED column and "

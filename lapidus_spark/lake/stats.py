@@ -192,14 +192,6 @@ _BLOOM_MAX_BITS = 1 << 23
 BLOOM_SIDECAR = "_bloom_index.json"
 
 
-def _bloom_integral(manifest: dict | None, cols) -> frozenset:
-    """Which of ``cols`` are integral under the epoch (they hash as
-    BIGINT on both the build and probe sides)."""
-    kinds = {c["name"]: c["type"].lower().split("(")[0] for c in _manifest_columns(manifest)}
-    ints = ("tinyint", "smallint", "int", "integer", "bigint", "long")
-    return frozenset(c for c in cols if kinds.get(c) in ints)
-
-
 def _bloom_probe_bits(value, m: int, k: int) -> list[int] | None:
     """The probe value's bit positions under the build-side hash:
     Spark computes ``pmod(xxhash64(col, CAST(i AS BIGINT)), m)`` per
@@ -210,13 +202,18 @@ def _bloom_probe_bits(value, m: int, k: int) -> list[int] | None:
     Integral columns hash their 8-byte little-endian value (the build
     casts to bigint), strings their UTF-8 bytes. Returns None for a
     value type the build side never hashes (probe falls back to the
-    ranges)."""
+    ranges), including ints outside int64 — the build can never have
+    hashed such a value, so the range path is the correct fallback
+    (previously an uncaught driver-side OverflowError, ADVICE r12)."""
     from lapidus_spark.sources.lake_batch import _xxh64
 
     if isinstance(value, bool) or value is None:
         return None
     if isinstance(value, int):
-        data = value.to_bytes(8, "little", signed=True)
+        try:
+            data = value.to_bytes(8, "little", signed=True)
+        except OverflowError:
+            return None
     elif isinstance(value, str):
         data = value.encode("utf-8")
     else:
@@ -231,7 +228,19 @@ def _bloom_probe_bits(value, m: int, k: int) -> list[int] | None:
 
 def _bloom_might_contain(bloom: dict, value) -> bool:
     """Membership test against a recorded per-file filter — False is
-    PROOF of absence (prune the file); True means 'cannot rule out'."""
+    PROOF of absence (prune the file); True means 'cannot rule out'.
+    The filter records the HASHED KIND it was built with (``t``:
+    ``string`` or ``bigint``, round 13 — ADVICE r12 #2): a probe
+    whose Python type does not match it cannot replay the build-side
+    hash (e.g. an int probe against a filter built over doubles) and
+    falls back conservative instead of risking a false negative.
+    Pre-round-13 sidecars carry no ``t`` and keep the by-value-type
+    inference."""
+    t = bloom.get("t")
+    if t == "bigint" and (isinstance(value, bool) or not isinstance(value, int)):
+        return True
+    if t == "string" and not isinstance(value, str):
+        return True
     bits = _bloom_probe_bits(value, int(bloom["m"]), int(bloom["k"]))
     if bits is None:
         return True  # unprobeable value type: conservative
@@ -293,15 +302,34 @@ def _write_bloom_sidecar(
             file_m[rel_key] = m
     if not file_m:
         return
-    integral = _bloom_integral(manifest, bloom_columns)
     df = spark.read.option("basePath", base).parquet(
         *[os.path.join(base, f"{_PARTITION_COL}={b}") for b in buckets]
     )
+    # hashed kind per column from the staged files' PHYSICAL schema,
+    # not the declared epoch type (ADVICE r12 #2: ``item``'s physical
+    # type is producer-defined — an int32 item hashed raw would use
+    # Spark's 4-byte hashInt while the probe replays 8-byte hashLong,
+    # a FALSE-NEGATIVE factory). Integrals are cast to bigint so both
+    # sides hash 8 bytes; strings hash UTF-8 bytes; any other
+    # physical type records no filter at all (conservative fallback —
+    # float/decimal equality probes stay on the min/max path).
+    from pyspark.sql import types as T
+
+    col_kind: dict[str, str] = {}
+    for field in df.schema.fields:
+        if field.name not in bloom_columns:
+            continue
+        if isinstance(
+            field.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            col_kind[field.name] = "bigint"
+        elif isinstance(field.dataType, (T.StringType, T.VarcharType, T.CharType)):
+            col_kind[field.name] = "string"
     hashes = []
     for c in bloom_columns:
-        if c not in df.columns:
+        if c not in col_kind:
             continue
-        v = F.col(c).cast("bigint") if c in integral else F.col(c)
+        v = F.col(c).cast("bigint") if col_kind[c] == "bigint" else F.col(c)
         for i in range(k):
             hashes.append(
                 F.when(
@@ -362,6 +390,7 @@ def _write_bloom_sidecar(
             "m": int(r["m"]),
             "k": k,
             "hex": r["hex"],
+            "t": col_kind[r["c"]],
         }
     if index:
         log._atomic_write_json(os.path.join(base, BLOOM_SIDECAR), index)
@@ -374,9 +403,14 @@ def _load_bloom_index(lake_dir: str, bucket_rel: str) -> dict:
     pre-bloom commits simply have no filters. Pure file I/O,
     driver-side, one tiny JSON per DISTINCT commit dir (callers
     cache per read)."""
-    if f"{_PARTITION_COL}=" not in bucket_rel:
+    # a commit-dir pointer is "<root>/<bucket=B>"; a legacy root-dir
+    # pointer is a bare "bucket=B" with no slash — it contains
+    # "bucket=" too, so the layout guard must key on the SEPARATOR
+    # (ADVICE r12 #4: the old substring check passed legacy rels
+    # through to a ValueError on the 2-tuple unpack below)
+    root, sep, bucket_part = bucket_rel.rpartition("/")
+    if not sep or f"{_PARTITION_COL}=" not in bucket_part:
         return {}
-    root, bucket_part = bucket_rel.rsplit("/", 1)
     path = os.path.join(lake_dir, root, BLOOM_SIDECAR)
     try:
         with open(path) as fh:
@@ -654,7 +688,11 @@ def lake_point_read(
 
 
 def lake_skip_read(
-    spark, lake_dir: str, ranges: dict, version: int | None = None
+    spark,
+    lake_dir: str,
+    ranges: dict,
+    version: int | None = None,
+    in_values: dict | None = None,
 ) -> DataFrame:
     """Per-column data skipping (VERDICT r10 #4 — Delta's
     data-skipping read over dataSkippingStatsColumns): consumer-view
@@ -677,13 +715,24 @@ def lake_skip_read(
     (numbers numerically, strings lexically). This is the
     secondary-predicate read path at 100 TB: a selective predicate on
     a clustered-correlated column opens a small fraction of each
-    bucket instead of the whole table."""
+    bucket instead of the whole table.
+
+    ``in_values`` (round 13, VERDICT r12 #4) adds SET predicates
+    ``{column: [v1, .., vk]}`` ("col IN (v1..vk)", conjunctive with
+    ``ranges``): the zone path keeps a file only when SOME listed
+    value lies inside its [min, max] (strictly stronger than the
+    set's [min(v), max(v)] envelope, which a scattered set defeats),
+    and a recorded per-file Bloom filter skips the file when EVERY
+    listed value misses — each miss is individually proof of absence,
+    so the conjunction of misses proves the whole disjunction
+    unsatisfiable. NULL-safe for the same reason equality is: IN
+    never matches NULL."""
     from datetime import datetime, timezone
 
-    if not ranges or not isinstance(ranges, dict):
+    if not isinstance(ranges, dict) or (not ranges and not in_values):
         raise ValueError(
-            "lake_skip_read: ranges must be a non-empty dict "
-            "{column: (lo, hi)} (None = open end)"
+            "lake_skip_read: ranges must be a dict {column: (lo, hi)} "
+            "(None = open end), non-empty unless in_values is given"
         )
     manifest = _manifest_at(lake_dir, version)
     if manifest is None:
@@ -757,6 +806,57 @@ def lake_skip_read(
                     )
         norm[col] = (lo, hi)
 
+    in_norm: dict[str, list] = {}
+    for col, vals in (in_values or {}).items():
+        if col not in known:
+            raise ValueError(
+                f"lake_skip_read: unknown column {col!r} (known: {sorted(known)})"
+            )
+        if not isinstance(vals, (list, tuple, set, frozenset)):
+            raise ValueError(
+                f"lake_skip_read: in_values for {col!r} must be a "
+                f"sequence of values, got {vals!r}"
+            )
+        vs = [v for v in vals if v is not None]
+        if not vs:
+            raise ValueError(
+                f"lake_skip_read: in_values for {col!r} has no non-null "
+                "values (IN never matches NULL — the predicate is "
+                "unsatisfiable)"
+            )
+        if col == "last_ts":
+            vs = [norm_ts(v) for v in vs]
+        elif col in epoch_types:
+            allowed, label = bound_pytypes(epoch_types[col])
+            for v in vs:
+                if allowed is None:
+                    continue
+                ok = isinstance(v, allowed) and not (
+                    allowed == (int, float) and isinstance(v, bool)
+                )
+                if not ok:
+                    raise ValueError(
+                        f"lake_skip_read: IN value {v!r} for column "
+                        f"{col!r} must be {label} (column type "
+                        f"{epoch_types[col]!r}) — a mistyped value cannot "
+                        "compare with the recorded file stats"
+                    )
+        in_norm[col] = vs
+        # fold the set's envelope into the range conjunction so the
+        # plain min/max zone test engages even where the per-value
+        # test below cannot (e.g. a file without recorded stats for
+        # some OTHER conjunct column)
+        lo, hi = norm.get(col, (None, None))
+        try:
+            env_lo, env_hi = min(vs), max(vs)
+            if lo is None or env_lo > lo:
+                lo = env_lo
+            if hi is None or env_hi < hi:
+                hi = env_hi
+            norm[col] = (lo, hi)
+        except TypeError:
+            pass  # mixed/incomparable values: envelope skipped, per-value path still applies
+
     def overlaps(entry: dict, fblooms: dict) -> bool:
         for col, (lo, hi) in norm.items():
             if lo is not None and lo == hi and col in fblooms:
@@ -789,13 +889,39 @@ def lake_skip_read(
                     f"{type(mn).__name__} file stats — pass bounds of "
                     "the column's storage type"
                 ) from None
+        for col, vs in in_norm.items():
+            # set predicate: Bloom all-miss proves the whole
+            # disjunction absent; the zone test keeps the file only
+            # when SOME value lies inside its recorded [min, max]
+            if col in fblooms and all(
+                not _bloom_might_contain(fblooms[col], v) for v in vs
+            ):
+                return False
+            rng = entry.get(col) if isinstance(entry, dict) else None
+            if col == "entity_id" and rng is None and not isinstance(entry, dict):
+                rng = entry  # pre-round-9 bare-list form
+            if rng is None:
+                continue
+            mn, mx = rng
+            if col == "last_ts":
+                mn, mx = (datetime.fromisoformat(x) for x in (mn, mx))
+            try:
+                if not any(mn <= v <= mx for v in vs):
+                    return False
+            except TypeError:
+                raise ValueError(
+                    f"lake_skip_read: IN values {vs!r} for column "
+                    f"{col!r} do not compare with its recorded "
+                    f"{type(mn).__name__} file stats — pass values of "
+                    "the column's storage type"
+                ) from None
         return True
 
     zone_maps = manifest.get("file_stats", {})
     want_blooms = any(
         lo is not None and lo == hi and col != "last_ts"
         for col, (lo, hi) in norm.items()
-    )
+    ) or any(col != "last_ts" for col in in_norm)
     plain, pruned_files = set(), []
     for b_str, rel in manifest["buckets"].items():
         stats = zone_maps.get(b_str)
@@ -831,17 +957,37 @@ def lake_skip_read(
         from functools import reduce
 
         df = reduce(lambda a, b: a.unionByName(b), parts)
+    def _num_lit(v):
+        # a Python int outside int64 cannot become a JVM long literal;
+        # Spark's numeric promotion makes the double literal compare
+        # correctly against any stored integral (same fallback rule as
+        # the Bloom probe: the stored side can never hold such a value)
+        if isinstance(v, int) and not isinstance(v, bool) and not (
+            -(1 << 63) <= v < (1 << 63)
+        ):
+            return F.lit(float(v))
+        return F.lit(v)
+
     pred = F.col("last_type") != "delete"
     for col, (lo, hi) in norm.items():
         # last_ts compares in NTZ (the lake's ts may be LTZ or NTZ by
         # producer; session TZ pinned UTC makes the cast value-
         # preserving — same rule as lake_time_read)
         c = F.col(col).cast("timestamp_ntz") if col == "last_ts" else F.col(col)
-        lit = (lambda v: F.lit(v).cast("timestamp_ntz")) if col == "last_ts" else F.lit
+        lit = (lambda v: F.lit(v).cast("timestamp_ntz")) if col == "last_ts" else _num_lit
         if lo is not None:
             pred = pred & (c >= lit(lo))
         if hi is not None:
             pred = pred & (c <= lit(hi))
+    for col, vs in in_norm.items():
+        # the set predicate applies row-level too (file pruning is
+        # I/O-only; the envelope fold above is strictly weaker)
+        c = F.col(col).cast("timestamp_ntz") if col == "last_ts" else F.col(col)
+        lit = (lambda v: F.lit(v).cast("timestamp_ntz")) if col == "last_ts" else _num_lit
+        member = lit(vs[0]) == c
+        for v in vs[1:]:
+            member = member | (lit(v) == c)
+        pred = pred & member
     return df.filter(pred)
 
 

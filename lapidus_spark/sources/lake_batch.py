@@ -263,14 +263,19 @@ def _epoch_ddl(lake_dir: str, manifest: dict) -> tuple[str, list[dict]]:
 # ---------------------------------------------------------------------------
 
 
-def _pushed_ranges(filters) -> tuple[dict, set | None]:
+def _pushed_ranges(filters) -> tuple[dict, set | None, dict]:
     """Fold supported pushed filters into per-column conjunctive
-    ranges ``{col: (lo, hi)}`` plus the entity_id equality key set
-    (``None`` = no equality constraint). Only top-level single-name
+    ranges ``{col: (lo, hi)}``, the entity_id equality key set
+    (``None`` = no equality constraint), and per-column VALUE SETS
+    ``{col: frozenset}`` from ``EqualTo``/``In`` conjuncts (round 13,
+    VERDICT r12 #4 — an ``In`` collapsed to its [min, max] envelope
+    defeats Bloom pruning; the set lets the reader skip a file when
+    EVERY listed value misses its filter). Only top-level single-name
     attributes participate; everything else is ignored here (Spark
     re-applies all filters regardless — pruning is I/O-only)."""
     ranges: dict[str, list] = {}
     eq_keys: set | None = None
+    value_sets: dict[str, frozenset] = {}
 
     def narrow(col, lo, hi):
         cur = ranges.setdefault(col, [None, None])
@@ -279,19 +284,29 @@ def _pushed_ranges(filters) -> tuple[dict, set | None]:
         if hi is not None and (cur[1] is None or hi < cur[1]):
             cur[1] = hi
 
+    def restrict(col, vs):
+        s = frozenset(vs)
+        if col in value_sets:
+            s = value_sets[col] & s  # conjunctive: intersect
+        value_sets[col] = s
+
     for f in filters:
         col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
         if col is None:
             continue
         if isinstance(f, EqualTo):
             narrow(col, f.value, f.value)
+            if f.value is not None:
+                restrict(col, [f.value])
             if col == "entity_id":
                 ks = {str(f.value)}
                 eq_keys = ks if eq_keys is None else (eq_keys & ks)
         elif isinstance(f, In):
-            vs = [v for v in f.values if v is not None]
+            # the dataclass field is ``value`` (a tuple of listed values)
+            vs = [v for v in f.value if v is not None]
             if vs:
                 narrow(col, min(vs), max(vs))
+                restrict(col, vs)
                 if col == "entity_id":
                     ks = {str(v) for v in vs}
                     eq_keys = ks if eq_keys is None else (eq_keys & ks)
@@ -299,15 +314,31 @@ def _pushed_ranges(filters) -> tuple[dict, set | None]:
             narrow(col, f.value, None)
         elif isinstance(f, LessThan) or isinstance(f, LessThanOrEqual):
             narrow(col, None, f.value)
-    return {c: (lo, hi) for c, (lo, hi) in ranges.items()}, eq_keys
+    return {c: (lo, hi) for c, (lo, hi) in ranges.items()}, eq_keys, value_sets
 
 
-def _file_overlaps(entry, ranges: dict) -> bool:
+def _file_overlaps(entry, ranges: dict, value_sets: dict | None = None) -> bool:
     """Zone-map overlap test for one file's recorded stats — same
     semantics as ``lake_skip_read``: an unmapped column cannot prune;
     incomparable bound/stat types fall back to 'overlaps' (pruning
-    must never be wrong, and pushed filters re-apply anyway)."""
+    must never be wrong, and pushed filters re-apply anyway). An
+    ``In`` conjunct's value set prunes when NO listed value lies in
+    the file's [min, max] — stronger than the set's envelope, which
+    a scattered set straddling the file defeats."""
     from datetime import datetime
+
+    for col, vs in (value_sets or {}).items():
+        rng = entry.get(col) if isinstance(entry, dict) else None
+        if col == "entity_id" and rng is None and not isinstance(entry, dict):
+            rng = entry
+        if rng is None or not vs or col == "last_ts":
+            continue  # last_ts sets keep the plain envelope path below
+        mn, mx = rng
+        try:
+            if not any(mn <= v <= mx for v in vs):
+                return False
+        except TypeError:
+            continue  # incomparable: conservative, keep the file
 
     for col, (lo, hi) in ranges.items():
         rng = entry.get(col) if isinstance(entry, dict) else None
@@ -335,10 +366,13 @@ def _file_overlaps(entry, ranges: dict) -> bool:
     return True
 
 
-def _bloom_rules_in(fblooms: dict, ranges: dict) -> bool:
+def _bloom_rules_in(fblooms: dict, ranges: dict, value_sets: dict | None = None) -> bool:
     """True unless some equality probe's recorded per-file Bloom
     filter PROVES the value absent (same decision as
-    ``lake_skip_read``); files without filters always rule in."""
+    ``lake_skip_read``), or — for an ``In`` conjunct — EVERY listed
+    value misses the filter (each miss is individually proof of
+    absence, so the conjunction of misses refutes the whole
+    disjunction). Files without filters always rule in."""
     if not fblooms:
         return True
     from lapidus_spark.lake.stats import _bloom_might_contain
@@ -346,6 +380,10 @@ def _bloom_rules_in(fblooms: dict, ranges: dict) -> bool:
     for col, (lo, hi) in ranges.items():
         if lo is not None and lo == hi and col in fblooms:
             if not _bloom_might_contain(fblooms[col], lo):
+                return False
+    for col, vs in (value_sets or {}).items():
+        if vs and col in fblooms:
+            if all(not _bloom_might_contain(fblooms[col], v) for v in vs):
                 return False
     return True
 
@@ -404,12 +442,13 @@ class LakeBatchReader(DataSourceReader):
         _, self.extras = _epoch_ddl(self.lake_dir, self.manifest)
         self.ranges: dict = {}
         self.eq_keys: set | None = None
+        self.value_sets: dict = {}
 
     def pushFilters(self, filters):
         """Record prunable predicates, hand EVERY filter back to Spark
         (it re-applies them exactly): pushdown here is an I/O
         optimization with zero correctness surface."""
-        self.ranges, self.eq_keys = _pushed_ranges(filters)
+        self.ranges, self.eq_keys, self.value_sets = _pushed_ranges(filters)
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -462,26 +501,29 @@ class LakeBatchReader(DataSourceReader):
                 continue
             stats = zone_maps.get(b_str)
             blooms: dict = {}
-            if self.ranges and any(
-                lo is not None and lo == hi
-                for lo, hi in self.ranges.values()
-            ):
-                # equality probes consult the commit dir's Bloom
-                # sidecar exactly like lake_skip_read — the SQL path
-                # prunes files the helper path prunes
+            if (
+                self.ranges
+                and any(
+                    lo is not None and lo == hi
+                    for lo, hi in self.ranges.values()
+                )
+            ) or any(vs for vs in self.value_sets.values()):
+                # equality and IN probes consult the commit dir's
+                # Bloom sidecar exactly like lake_skip_read — the SQL
+                # path prunes files the helper path prunes
                 from lapidus_spark.lake.stats import _load_bloom_index
 
                 blooms = _load_bloom_index(lake_dir, rel)
             for f in files:
                 fname = os.path.basename(f)
-                if stats is not None and self.ranges:
+                if stats is not None and (self.ranges or self.value_sets):
                     entry = stats.get(fname)
                     if entry is not None and not _file_overlaps(
-                        entry, self.ranges
+                        entry, self.ranges, self.value_sets
                     ):
                         continue  # provably disjoint: never opened
                 if blooms and not _bloom_rules_in(
-                    blooms.get(fname, {}), self.ranges
+                    blooms.get(fname, {}), self.ranges, self.value_sets
                 ):
                     continue  # filter misses prove absence
                 parts.append(
@@ -502,118 +544,160 @@ class LakeBatchReader(DataSourceReader):
         cast widened types up), deletion-vector mask applied, then the
         snapshot's tombstone filter — row-for-row
         ``read_lake_snapshot``."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        out_fields = [
-            pa.field("entity_id", pa.string()),
-            pa.field("last_seq", pa.int64()),
-            pa.field("last_ts", _arrow_type(partition.ts_ddl)),
-            pa.field("last_type", pa.string()),
-            pa.field("item", _arrow_type(partition.item_ddl)),
-            pa.field("bucket", pa.int32()),
-            *[
-                pa.field(c["name"], _arrow_type(c["type"]))
-                for c in partition.extras
-            ],
-        ]
-        schema = pa.schema(out_fields)
-        dv_keys = {
-            (str(e[0]), int(e[1]), str(e[2])) for e in partition.dv
-        }
         for f in partition.files:
-            pf = pq.ParquetFile(f)
-            present = set(pf.schema_arrow.names)
-            need = [c for c in _CORE if c in present]
-            need += [
-                n
-                for c in partition.extras
-                for n in c["names"]
-                if n in present
-            ]
-            tbl = pf.read(columns=need)
-
-            def cast_ts(arr, target):
-                t = arr.type
-                if pa.types.is_timestamp(target) and pa.types.is_timestamp(t):
-                    if target.tz is not None and t.tz is None:
-                        arr = pc.assume_timezone(
-                            arr.cast(pa.timestamp(t.unit)), "UTC"
-                        )
-                    elif target.tz is None and t.tz is not None:
-                        # stored instants are UTC-normalized
-                        arr = arr.cast(pa.timestamp(t.unit, tz="UTC")).cast(
-                            pa.timestamp(t.unit)
-                        )
-                return arr.cast(target)
-
-            def col(name, target):
-                if name in tbl.column_names:
-                    arr = tbl.column(name).combine_chunks()
-                    if pa.types.is_timestamp(target):
-                        return cast_ts(arr, target)
-                    return arr.cast(target)
-                return pa.nulls(len(tbl), target)
-
-            arrays = [
-                col("entity_id", pa.string()),
-                col("last_seq", pa.int64()),
-                col("last_ts", _arrow_type(partition.ts_ddl)),
-                col("last_type", pa.string()),
-                col("item", _arrow_type(partition.item_ddl)),
-                (
-                    pa.array([partition.bucket] * len(tbl), pa.int32())
-                    if partition.bucket is not None
-                    else col("bucket", pa.int32())
-                ),
-            ]
-            for c in partition.extras:
-                target = _arrow_type(c["type"])
-                have = [n for n in c["names"] if n in tbl.column_names]
-                if not have:
-                    arrays.append(pa.nulls(len(tbl), target))
-                elif len(have) == 1:
-                    arrays.append(col(have[0], target))
-                else:
-                    # a file carries the column under exactly one of
-                    # its names; coalesce is exact (log._align_extras)
-                    acc = col(have[0], target)
-                    for n in have[1:]:
-                        acc = pc.coalesce(acc, col(n, target))
-                    arrays.append(acc)
-            out = pa.table(dict(zip(schema.names, arrays)))
-            # snapshot visibility: stored tombstones drop, and rows a
-            # deletion vector redacts drop with them (the DV turns the
-            # exact (entity, seq, ts) row version into a tombstone)
-            mask = pc.not_equal(out.column("last_type"), "delete")
-            if dv_keys:
-                # arrow's %S already renders the full fractional part
-                # at the column's unit — "…:20.000000" matches the DV
-                # entries' yyyy-MM-dd'T'HH:mm:ss.SSSSSS ts_iso exactly
-                ts_iso = pc.strftime(
-                    out.column("last_ts").cast(
-                        pa.timestamp("us")
-                        if _arrow_type(partition.ts_ddl).tz is None
-                        else pa.timestamp("us", tz="UTC")
-                    ),
-                    format="%Y-%m-%dT%H:%M:%S",
-                )
-                ents = out.column("entity_id").to_pylist()
-                seqs = out.column("last_seq").to_pylist()
-                isos = ts_iso.to_pylist()
-                hit = pa.array(
-                    [
-                        (e, s, t) in dv_keys
-                        for e, s, t in zip(ents, seqs, isos)
-                    ],
-                    pa.bool_(),
-                )
-                mask = pc.and_(mask, pc.invert(hit))
-            out = out.filter(mask).cast(schema).combine_chunks()
+            out = _aligned_file_table(
+                f,
+                partition.extras,
+                partition.ts_ddl,
+                partition.item_ddl,
+                partition.dv,
+                bucket=partition.bucket,
+            )
             for rb in out.to_batches():
                 if rb.num_rows:
                     yield rb
+
+
+def _aligned_file_table(
+    f: str,
+    extras,
+    ts_ddl: str,
+    item_ddl: str,
+    dv,
+    bucket=None,
+    keep_tombstones: bool = False,
+):
+    """ONE stored parquet file as an Arrow table aligned to the
+    schema epoch (null-fill accreted columns older files predate,
+    coalesce rename aliases, cast widened types up) with the bucket's
+    deletion-vector mask applied — the shared read unit of the batch
+    reader AND the ``df.write.format("lake")`` combine step. The
+    writer passes ``keep_tombstones=True``: an LWW combine that
+    cannot see a stored delete tombstone would resurrect any older
+    staged event for that entity.
+
+    Deletion vectors probe VECTORIZED (VERDICT r12 #3): rows are
+    first restricted to entities the vector names (``pc.is_in`` —
+    one Arrow kernel, no per-row Python for the overwhelmingly common
+    DV-free row), and only those candidates replay the
+    (entity, seq, ts_iso) triple probe. The Python-loop work scales
+    with the DV's entity hit count, never with the file's row
+    count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_fields = [
+        pa.field("entity_id", pa.string()),
+        pa.field("last_seq", pa.int64()),
+        pa.field("last_ts", _arrow_type(ts_ddl)),
+        pa.field("last_type", pa.string()),
+        pa.field("item", _arrow_type(item_ddl)),
+        pa.field("bucket", pa.int32()),
+        *[pa.field(c["name"], _arrow_type(c["type"])) for c in extras],
+    ]
+    schema = pa.schema(out_fields)
+    dv_keys = {(str(e[0]), int(e[1]), str(e[2])) for e in (dv or ())}
+    pf = pq.ParquetFile(f)
+    present = set(pf.schema_arrow.names)
+    need = [c for c in _CORE if c in present]
+    need += [n for c in extras for n in c["names"] if n in present]
+    tbl = pf.read(columns=need)
+
+    def cast_ts(arr, target):
+        t = arr.type
+        if pa.types.is_timestamp(target) and pa.types.is_timestamp(t):
+            if target.tz is not None and t.tz is None:
+                arr = pc.assume_timezone(
+                    arr.cast(pa.timestamp(t.unit)), "UTC"
+                )
+            elif target.tz is None and t.tz is not None:
+                # stored instants are UTC-normalized
+                arr = arr.cast(pa.timestamp(t.unit, tz="UTC")).cast(
+                    pa.timestamp(t.unit)
+                )
+        return arr.cast(target)
+
+    def col(name, target):
+        if name in tbl.column_names:
+            arr = tbl.column(name).combine_chunks()
+            if pa.types.is_timestamp(target):
+                return cast_ts(arr, target)
+            return arr.cast(target)
+        return pa.nulls(len(tbl), target)
+
+    arrays = [
+        col("entity_id", pa.string()),
+        col("last_seq", pa.int64()),
+        col("last_ts", _arrow_type(ts_ddl)),
+        col("last_type", pa.string()),
+        col("item", _arrow_type(item_ddl)),
+        (
+            pa.array([bucket] * len(tbl), pa.int32())
+            if bucket is not None
+            else col("bucket", pa.int32())
+        ),
+    ]
+    for c in extras:
+        target = _arrow_type(c["type"])
+        have = [n for n in c["names"] if n in tbl.column_names]
+        if not have:
+            arrays.append(pa.nulls(len(tbl), target))
+        elif len(have) == 1:
+            arrays.append(col(have[0], target))
+        else:
+            # a file carries the column under exactly one of
+            # its names; coalesce is exact (log._align_extras)
+            acc = col(have[0], target)
+            for n in have[1:]:
+                acc = pc.coalesce(acc, col(n, target))
+            arrays.append(acc)
+    out = pa.table(dict(zip(schema.names, arrays)))
+    # snapshot visibility: stored tombstones drop, and rows a
+    # deletion vector redacts drop with them (the DV turns the
+    # exact (entity, seq, ts) row version into a tombstone)
+    mask = None
+    if not keep_tombstones:
+        mask = pc.not_equal(out.column("last_type"), "delete")
+    if dv_keys:
+        import numpy as np
+
+        ents = out.column("entity_id").combine_chunks()
+        dv_ents = pa.array(sorted({e for e, _, _ in dv_keys}), pa.string())
+        cand = pc.is_in(ents, value_set=dv_ents)
+        if pc.any(cand).as_py():
+            idx = pc.indices_nonzero(cand).to_numpy()
+            sub = out.take(pa.array(idx))
+            # arrow's %S already renders the full fractional part
+            # at the column's unit — "…:20.000000" matches the DV
+            # entries' yyyy-MM-dd'T'HH:mm:ss.SSSSSS ts_iso exactly
+            ts_iso = pc.strftime(
+                sub.column("last_ts").cast(
+                    pa.timestamp("us")
+                    if _arrow_type(ts_ddl).tz is None
+                    else pa.timestamp("us", tz="UTC")
+                ),
+                format="%Y-%m-%dT%H:%M:%S",
+            )
+            hits = np.fromiter(
+                (
+                    (e, s, t) in dv_keys
+                    for e, s, t in zip(
+                        sub.column("entity_id").to_pylist(),
+                        sub.column("last_seq").to_pylist(),
+                        ts_iso.to_pylist(),
+                    )
+                ),
+                dtype=bool,
+                count=len(idx),
+            )
+            hit_np = np.zeros(len(out), dtype=bool)
+            hit_np[idx[hits]] = True
+            dv_mask = pc.invert(pa.array(hit_np))
+            mask = dv_mask if mask is None else pc.and_(mask, dv_mask)
+    if mask is not None:
+        out = out.filter(mask)
+    return out.cast(schema).combine_chunks()
 
 
 class LakeChangesReader(DataSourceReader):

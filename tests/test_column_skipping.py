@@ -194,8 +194,12 @@ def test_validation(spark, tmp_path):
         M.lake_skip_read(spark, lake, {"band": "x"})
     with pytest.raises(ValueError, match="fully open"):
         M.lake_skip_read(spark, lake, {"band": (None, None)})
-    with pytest.raises(ValueError, match="non-empty dict"):
+    with pytest.raises(ValueError, match="non-empty unless in_values"):
         M.lake_skip_read(spark, lake, {})
+    with pytest.raises(ValueError, match="no non-null values"):
+        M.lake_skip_read(spark, lake, {}, in_values={"band": [None]})
+    with pytest.raises(ValueError, match="must be a\\s+sequence"):
+        M.lake_skip_read(spark, lake, {}, in_values={"band": "03"})
 
 
 def test_merge_drops_maps_conservatively(spark, tmp_path):

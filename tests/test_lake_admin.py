@@ -742,16 +742,64 @@ def test_detach_clone_refuses_then_releases(spark, tmp_path):
 
 
 def test_deleted_clone_pin_self_heals(spark, tmp_path):
+    """A pin whose fork is gone self-heals — but only once it is
+    older than the in-flight grace window (ADVICE r12 #1): a
+    brand-new pin with no destination pointer is indistinguishable
+    from a clone_lake still between its pin write and its own
+    manifest commit, and dropping it there reopens exactly the
+    reclaim race the pin exists to close."""
     import shutil
+
+    from lapidus_spark.lake import log as lake_log
 
     src = str(tmp_path / "src")
     _build3(spark, src, retain=6)
     dst = str(tmp_path / "dst")
-    M.clone_lake(src, dst)
+    M.clone_lake(src, dst, version=2)
     shutil.rmtree(dst)  # the fork is abandoned outright
-    rep = M.vacuum_lake(src, retain_versions=1)  # no refusal
+    # within the grace window the pin is fail-closed KEPT: vacuum
+    # still refuses (the "deleted" fork could be an in-flight clone)
+    with pytest.raises(ValueError, match="shallow clone"):
+        M.vacuum_lake(src, retain_versions=1)
+    (pin_path,) = glob.glob(os.path.join(src, "_clones", "*.json"))
+    pin = json.load(open(pin_path))
+    pin["created_at"] = pin["created_at"] - lake_log.CLONE_PIN_GRACE_S - 1
+    with open(pin_path, "w") as fh:
+        json.dump(pin, fh)
+    rep = M.vacuum_lake(src, retain_versions=1)  # aged out: no refusal
     assert rep["floor"] == rep["version"]
     assert glob.glob(os.path.join(src, "_clones", "*.json")) == []
+
+
+def test_transitive_clone_pins_every_ancestor(spark, tmp_path):
+    """ADVICE r12 #3: a clone of a clone copies the parent's ABSOLUTE
+    pointers into the grandparent, so it reads the grandparent
+    DIRECTLY — a pin in the immediate parent alone would let the
+    grandparent reclaim those files the moment the parent localizes
+    and its own pin self-heals. clone_lake must register a pin in
+    EVERY external root its copied pointers name."""
+    src = str(tmp_path / "src")
+    _build3(spark, src, retain=6)  # versions 1..3
+    c1 = str(tmp_path / "c1")
+    M.clone_lake(src, c1, version=2)
+    c2 = str(tmp_path / "c2")
+    M.clone_lake(c1, c2)
+    want = _snap(spark, c2)
+    # both forks pinned in src: c1's direct pin and c2's transitive one
+    assert len(glob.glob(os.path.join(src, "_clones", "*.json"))) == 2
+    # sever c1 from src: localize it and age out its source-referencing
+    # version — its own pin in src is now stale and self-heals, but c2
+    # STILL reads src's files through the pointers it copied from c1
+    M.compact_lake(spark, c1, target_files_per_bucket=0, retain_versions=1)
+    with pytest.raises(ValueError, match="shallow clone"):
+        M.vacuum_lake(src, retain_versions=1)
+    assert _snap(spark, c2) == want  # the grandchild fork still reads
+    # escape: localize c2 too — every pin self-heals, reclaim proceeds
+    M.compact_lake(spark, c2, target_files_per_bucket=0, retain_versions=1)
+    rep = M.vacuum_lake(src, retain_versions=1)
+    assert rep["floor"] == rep["version"]
+    assert glob.glob(os.path.join(src, "_clones", "*.json")) == []
+    assert _snap(spark, c2) == want
 
 
 def test_cli_detach_clone(spark, tmp_path, capsys):
