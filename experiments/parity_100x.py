@@ -163,6 +163,11 @@ COHORT = [
     "lake_bloom_read",
     # the batch catalog relation at 10M envelopes
     "catalog_sql_read",
+    # round-13: the batch DSv2 WRITE path at 10M envelopes — real
+    # multi-task staging, commit-worker combine at real bucket sizes
+    "lake_sql_write",
+    # pre/post-image batch relation at 10M envelopes
+    "lake_sql_changes_images",
 ]
 DERIVED_TABLES = ("documents", "events")
 

@@ -164,6 +164,14 @@ COHORT = [
     # the batch catalog relation: tx-consistent member-table resolve
     # + the pinned-version python scan at 10x bucket/file counts
     "catalog_sql_read",
+    # round-13 surface: the batch DSv2 WRITE path — three txn-marked
+    # df.write commits (executor staging + session-less commit-worker
+    # combine) must land the same LWW snapshot at 10x envelope counts
+    # and multi-file staging layouts
+    "lake_sql_write",
+    # the pre/post-image batch relation: per-(step, bucket) executor
+    # diffs must emit the exact vocabulary at 10x file counts
+    "lake_sql_changes_images",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

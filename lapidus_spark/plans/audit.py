@@ -620,6 +620,14 @@ EXPECTATIONS: dict[str, dict] = {
     # pushFilters hook, whose bucket/zone-map pruning decisions are
     # pinned directly in tests/test_lake_batch_source.py
     "lake_sql_read": {"max_exchanges": 0, "no_single_partition": True},
+    # df.write-built lake read back through the same python scan; the
+    # WRITE side's plan is a python data source write job (stage to
+    # parquet on executors), pinned behaviorally in
+    # tests/test_lake_write_source.py rather than by EXPLAIN shape
+    "lake_sql_write": {"max_exchanges": 0, "no_single_partition": True},
+    # pre/post-image changes relation: python scan partitions per
+    # (version step, changed bucket), diff executor-side — no shuffle
+    "lake_sql_changes_images": {"max_exchanges": 0, "no_single_partition": True},
     # batch catalog relation: snapshot mode IS the lake batch reader
     # pinned to the catalog-mapped version — same python scan shape
     "catalog_sql_read": {"max_exchanges": 0, "no_single_partition": True},

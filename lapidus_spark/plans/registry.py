@@ -145,37 +145,31 @@ def _signal_ages(root=None) -> dict[str, int]:
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # Round-12 window accounting. The r11 judge's standing
-    # instruction: rotate toward the 50 queries whose latest driver
-    # signal is ≤r8 (43 r8 + 7 r7) — the age ordering does that
-    # automatically once the touched cohort is accounted; with ~180
-    # queries and a 50-slot window, full re-verification cycles every
-    # 4 rounds, and the whole surface stays under per-round pytest
-    # parity + the committed sf0.1 sweep regardless.
+    # Round-13 window accounting. VERDICT r12 #5: 12 queries' latest
+    # driver signal is still r8 — the age ordering puts them in the
+    # window automatically once the touched cohort is accounted
+    # (they are the oldest cohort and fit in the ~38 free slots).
     #
-    # TOUCHED (stale green + round-12 code changes, so the old signal
-    # is no evidence): the catalog CDF source's schema grew the
-    # tbl_ver within-version ordering column (ADVICE r11) —
-    "stream_catalog_cdf",
-    # merge_into_lake's pruned-empty fallback now probes the epoch's
-    # physical (ts, item) types instead of defaulting NTZ (ADVICE
-    # r11, medium) — both predicate-MERGE queries drive that path —
-    "lake_merge_predicates",
-    "stream_merge_predicates",
-    # lake_skip_read's bound validation went typed (ADVICE r11) —
+    # TOUCHED (stale green + round-13 code changes, so the old signal
+    # is no evidence): the batch lake relation's planner/executor
+    # changed — pushed-In value sets prune via Bloom sidecars (and
+    # the pushed-In field-name crash is fixed), the per-file aligned
+    # read was extracted for the writer, and the DV mask vectorized
+    # (VERDICT r12 #3/#4) —
+    "lake_sql_read",
+    "catalog_sql_read",
+    "lake_bloom_read",
+    # lake_skip_read grew IN-set pruning (in_values) and the
+    # out-of-int64 bound fallback; its row predicate path changed —
     "lake_column_skipping",
-    # rename/drop now reconcile the declared stats_columns in the
-    # same metadata flip (ADVICE r11) —
-    "lake_column_rename",
-    "lake_column_drop",
-    # clone_lake now registers a retention pin (under the source
-    # lock) and vacuum/per-commit GC honor it (VERDICT r11 #3) —
+    # clone pins: in-flight grace window + transitive ancestor pins
+    # (ADVICE r12 #1/#3) sit on the vacuum/GC path these drive —
     "lake_clone",
     "lake_vacuum_read",
-    # Demand: 6 touched (rank (0,-1)) + the round-12 new queries
-    # (lake_sql_read, … — age 0) ≈ 10 of 50 slots; the remaining
-    # ~40 go to the oldest (r7/r8) signals, heaviest first — the
-    # judge-flagged ≤r8 cohort.
+    # Demand: 6 touched (rank (0,-1)) + the round-13 new query
+    # (lake_sql_write — age 0) ≈ 7 of 50 slots; the remaining ~43 go
+    # to the oldest signals, heaviest first — covering the entire
+    # r8-tail cohort VERDICT r12 #5 names.
 )
 
 

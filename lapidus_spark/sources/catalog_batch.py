@@ -57,7 +57,21 @@ def _resolve_table(opts: dict) -> tuple[str, int]:
             "format('catalog') requires option 'table' (snapshot mode) "
             "or changes=true"
         )
-    entry = _entry(path, opts.get("catalogversion"))
+    cat_ver = opts.get("catalogversion")
+    ts_as_of = opts.get("timestampasof")
+    if cat_ver is not None and ts_as_of is not None:
+        raise ValueError(
+            "format('catalog'): pass option catalogVersion OR "
+            "timestampAsOf, not both"
+        )
+    if ts_as_of is not None:
+        # catalog-level TIMESTAMP AS OF (round 13): resolve the
+        # commit INSTANT to a catalog version, then read the member
+        # table at exactly the version that tx-consistent entry maps
+        from lapidus_spark.lake.catalog import catalog_version_at
+
+        cat_ver = catalog_version_at(path, ts_as_of)
+    entry = _entry(path, cat_ver)
     if table not in entry["tables"]:
         raise ValueError(
             f"catalog at {path} (version {entry['version']}) has no "

@@ -715,6 +715,12 @@ class LakeChangesReader(DataSourceReader):
                 "format('lake'): changes=true takes startingVersion/"
                 "endingVersion, not version/timestampAsOf"
             )
+        #: rowChanges=true switches the relation from entity-state
+        #: diffs to the row-level Delta-CDF vocabulary with
+        #: pre-images (insert / update_preimage / update_postimage /
+        #: delete) — same option name, same executor diff, same rows
+        #: as the streaming lake_cdf source (VERDICT r12 #2)
+        self.row_changes = str(options.get("rowchanges", "false")).lower() == "true"
         from lapidus_spark.streaming.lake_source import _live_version
 
         self.start = int(options.get("startingversion", 0))
@@ -740,18 +746,26 @@ class LakeChangesReader(DataSourceReader):
         from lapidus_spark.streaming.lake_source import (
             _NEW_COLS,
             _OLD_COLS,
+            _OLD_COLS_PRE,
             _entity_state_changes,
             _read_side,
+            _row_change_batches,
             _state_record_batch,
         )
 
         new = _read_side(partition.new_files, _NEW_COLS)
-        old = _read_side(partition.old_files, _OLD_COLS)
+        old = _read_side(
+            partition.old_files,
+            _OLD_COLS_PRE if self.row_changes else _OLD_COLS,
+        )
         if new.empty and old.empty:
             return
         new["last_seq"] = new["last_seq"].astype("Int64")
         old["last_seq"] = old["last_seq"].astype("Int64")
         m = new.merge(old, on="entity_id", how="outer", suffixes=("", "_o"))
+        if self.row_changes:
+            yield from _row_change_batches(m, partition.ver)
+            return
         out = _entity_state_changes(m)
         if out is None:
             return
@@ -799,6 +813,16 @@ class LakeDataSource(DataSource):
         if str(opts.get("changes", "")).lower() == "true":
             return LakeChangesReader(opts)
         return LakeBatchReader(opts)
+
+    def writer(self, schema, overwrite: bool):
+        """``df.write.format("lake")`` — the producer-side MERGE of an
+        envelope batch into the table (``mode("append")``; overwrite
+        replaces the table with the batch's LWW state). See
+        lake_write.py for the architecture and the session-less
+        commit-worker constraint that shapes it."""
+        from lapidus_spark.sources.lake_write import LakeBatchWriter
+
+        return LakeBatchWriter(self._opts(), schema, overwrite)
 
 
 def register_lake_batch(spark) -> None:

@@ -1,0 +1,477 @@
+"""Batch ``df.write.format("lake")`` DataSource writer (VERDICT r12
+#1) — the producer-side twin of the r12 batch reader: an ordinary
+Spark user MERGEs an envelope batch into a lake table with
+``df.write.format("lake").mode("append").option("path", dir).save()``
+and needs no ``import lapidus_spark``. This completes the reference's
+producer posture (``src/plugins/nats.js:23`` is the reference's
+producer side of its wire format) for the SQL surface.
+
+Semantics are EXACTLY ``merge_batch_into_lake``: the batch is an
+envelope stream (``pk, event_seq, ts, type, item`` plus any extra
+payload columns), LWW-combined per entity by ``(ts, event_seq)`` into
+the hash-bucketed table under the writer lock — with the same txn
+markers (``option("txnAppId"/"txnVersion")``), CHECK-constraint
+refusal, schema evolution (accretion + safe widening, inferred from
+the batch schema), CDF visibility, retention/GC, and commit-log
+protocol. ``mode("overwrite")`` is the replace-the-table commit (the
+table becomes the batch's LWW state), mirroring Delta's overwrite.
+
+ARCHITECTURE — why the combine engine differs from the library path:
+Spark's Python DataSource API runs ``DataSourceWriter.commit()`` in a
+session-less worker process (``pyspark/sql/worker/
+commit_data_source_write.py`` — no JVM gateway, no SparkSession), so
+the commit step CANNOT submit Spark jobs. The split keeps every
+expensive step distributed anyway:
+
+- ``write()`` (executors, Arrow): each task bucket-hashes its rows
+  with the Spark-parity pure-Python xxhash64 (``lake_batch._xxh64``,
+  pinned bit-for-bit against ``F.xxhash64``) and stages them as
+  snapshot-named parquet under ``<lake>/_staging/<uuid>/`` — all
+  row-proportional work happens here, in parallel, on executors.
+- ``commit()`` (one worker, under the lake's writer lock): re-uses
+  the library's commit protocol VERBATIM — ``_resolve_base``,
+  ``_txn_already_applied``, ``_evolved_schema_from_types``,
+  ``_flip_version`` (delta entry, checkpointing, pointer flip,
+  history, GC) are the same functions the Spark path calls — and
+  performs only the touched-bucket combine locally: pyarrow reads
+  (through the SAME ``_aligned_file_table`` epoch-alignment/DV path
+  the batch reader executes) + a vectorized sort/take-last LWW +
+  parallel per-bucket parquet writes (thread pool; Arrow releases
+  the GIL). CHECK constraints evaluate through DuckDB SQL over the
+  staged Arrow table — same NULL-passes semantics, same refusal
+  error.
+
+Scale posture: the commit-side combine processes the TOUCHED buckets'
+bytes in one multi-threaded process, which is the right cost model
+for the CDC micro-batches this interop path carries (the reference's
+producer frames are single events). Bulk backfills and full-table
+rewrites should use the Spark-distributed ``merge_batch_into_lake`` /
+``compact_lake`` — the same division Delta draws between its
+commit-service work and its job-side file rewriting.
+
+Parity is pinned in tests/test_lake_write_source.py: a
+``df.write``-built lake is byte-equal (snapshot, CDF, manifest
+semantics) to the ``merge_batch_into_lake`` twin over the same
+batches, and constraint refusal / txn idempotency / concurrent-writer
+serialization all round-trip through the SQL path.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+#: envelope core columns the batch must carry (same contract as
+#: merge_batch_into_lake's snapshot_stream)
+_ENVELOPE_CORE = ("pk", "event_seq", "ts", "type", "item")
+
+#: staged/stored snapshot-row names the combine operates on
+_SNAP_CORE = ("entity_id", "last_seq", "last_ts", "last_type", "item")
+
+
+class LakeWriteMessage(WriterCommitMessage):
+    """One task's staged output: the file it wrote and the buckets in
+    it (metadata-sized — never rows)."""
+
+    def __init__(self, file: str, rows: int, buckets: List[int]):
+        self.file = file
+        self.rows = rows
+        self.buckets = buckets
+
+
+def _spark_ddl_of_arrow_field(field) -> str:
+    """Arrow field type → Spark DDL simpleString, via pyspark's own
+    arrow-type mapping (pure Python — safe in session-less
+    workers)."""
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    return from_arrow_type(field.type).simpleString()
+
+
+class LakeBatchWriter(DataSourceArrowWriter):
+    """See the module docstring. Constructed at plan time (in the
+    create-data-source worker: no session — everything here is
+    file/JSON work), pickled to executors for ``write`` and to the
+    commit worker for ``commit``/``abort``."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.lake_dir = options.get("path")
+        if not self.lake_dir:
+            raise ValueError("format('lake') write requires option 'path'")
+        self.overwrite = bool(overwrite)
+
+        names = [f.name for f in schema.fields]
+        missing = [c for c in _ENVELOPE_CORE if c not in names]
+        if missing:
+            raise ValueError(
+                f"format('lake') write: the batch must be an envelope "
+                f"stream with columns {list(_ENVELOPE_CORE)} (+ extra "
+                f"payload columns); missing {missing} — got {names}"
+            )
+        from lapidus_spark.lake.merge import _validate_extra_cols, _validate_txn
+
+        self.extra_cols = tuple(n for n in names if n not in _ENVELOPE_CORE)
+        _validate_extra_cols(self.extra_cols)
+
+        app_id, txn_ver = options.get("txnappid"), options.get("txnversion")
+        if (app_id is None) != (txn_ver is None):
+            raise ValueError(
+                "format('lake') write: pass txnAppId AND txnVersion "
+                "together (the idempotency marker is the pair)"
+            )
+        self.txn = None
+        if app_id is not None:
+            try:
+                self.txn = (str(app_id), int(txn_ver))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"format('lake') write: txnVersion must be an int, "
+                    f"got {txn_ver!r}"
+                ) from None
+            _validate_txn(self.txn)
+
+        self.retain_versions = int(options.get("retainversions", 1))
+        if self.retain_versions < 1:
+            raise ValueError("format('lake') write: retainVersions must be >= 1")
+
+        # layout: explicit option pins (mismatch raises at commit,
+        # like merge_batch_into_lake(n_buckets=K)); absent = adopt
+        # the pinned layout, defaulting fresh tables like the library
+        from lapidus_spark.lake import log
+
+        opt_n = options.get("nbuckets")
+        self.opt_n_buckets = int(opt_n) if opt_n is not None else None
+        pointer = log._read_pointer(self.lake_dir)
+        if pointer is not None and "buckets" not in pointer:
+            pinned = int(pointer.get("n_buckets", 0)) or None
+        elif pointer is not None:
+            pinned = int(pointer.get("n_buckets", 0)) or None
+        else:
+            pinned = None
+        self.plan_n_buckets = (
+            self.opt_n_buckets
+            if self.opt_n_buckets is not None
+            else (pinned if pinned is not None else log.MERGE_LAKE_BUCKETS)
+        )
+        self.staging_rel = os.path.join("_staging", uuid.uuid4().hex)
+
+    # ------------------------------------------------------------------
+    # executor side
+    # ------------------------------------------------------------------
+
+    def write(self, iterator: Iterator) -> LakeWriteMessage:
+        """One task: bucket-hash the rows (Spark-parity xxhash64 on
+        the utf-8 pk — the identical function the reader prunes
+        with), rename envelope→snapshot columns, stage one parquet
+        file. Row-proportional work stays HERE, distributed."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lapidus_spark.sources.lake_batch import _bucket_of
+
+        batches = [rb for rb in iterator if rb.num_rows]
+        msg_file = ""
+        if not batches:
+            return LakeWriteMessage(msg_file, 0, [])
+        tbl = pa.Table.from_batches(batches)
+        rename = dict(zip(_ENVELOPE_CORE, _SNAP_CORE))
+        tbl = tbl.rename_columns([rename.get(n, n) for n in tbl.column_names])
+        ents = tbl.column("entity_id").combine_chunks()
+        if ents.null_count:
+            raise ValueError(
+                "format('lake') write: envelope pk must be non-null "
+                "(the entity key routes the row to its bucket)"
+            )
+        # hash UNIQUE entities only (dictionary-encode, then gather):
+        # CDC batches repeat keys heavily, so the per-value Python
+        # xxhash64 runs over the distinct set while the row-level
+        # expansion is one numpy take
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = self.plan_n_buckets
+        d = pc.dictionary_encode(ents)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        codes = d.indices.to_numpy()
+        per_uniq = np.fromiter(
+            (_bucket_of(p, n) for p in uniq), dtype=np.int32, count=len(uniq)
+        )
+        buckets = pa.array(per_uniq[codes], pa.int32())
+        tbl = tbl.append_column("bucket", buckets)
+        staging = os.path.join(self.lake_dir, self.staging_rel)
+        os.makedirs(staging, exist_ok=True)
+        msg_file = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, msg_file)
+        touched = sorted({b.as_py() for b in buckets.unique()})
+        return LakeWriteMessage(msg_file, tbl.num_rows, touched)
+
+    # ------------------------------------------------------------------
+    # commit side (session-less worker)
+    # ------------------------------------------------------------------
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        from lapidus_spark.lake import log
+        from lapidus_spark.lake.merge import (
+            _evolved_schema_from_types,
+            _resolve_base,
+            _txn_already_applied,
+        )
+
+        staged_files = [
+            m.file for m in messages if m is not None and getattr(m, "rows", 0)
+        ]
+        lock = log._acquire_lock(self.lake_dir, wait_s=log.LOCKED_WAIT_S)
+        try:
+            if not staged_files:
+                return  # empty batch: no version, nothing staged
+            manifest, n_buckets = _resolve_base(
+                self.lake_dir, self.opt_n_buckets, adopt_legacy=False
+            )
+            if n_buckets != self.plan_n_buckets:
+                raise ValueError(
+                    f"format('lake') write: table layout changed while the "
+                    f"batch staged (planned n_buckets={self.plan_n_buckets}, "
+                    f"now {n_buckets}) — staged rows are bucketed under the "
+                    "old layout; re-run the write"
+                )
+            if _txn_already_applied(manifest, self.txn):
+                return  # replayed batch: the marker makes the no-op FREE
+            self._commit_locked(manifest, n_buckets, staged_files)
+        finally:
+            self._cleanup_staging()
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def _commit_locked(self, manifest, n_buckets: int, staged_files) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lapidus_spark.lake import log
+        from lapidus_spark.lake.merge import _evolved_schema_from_types
+        from lapidus_spark.sources.lake_batch import (
+            _aligned_file_table,
+            _ddl_of_arrow,
+            _epoch_ddl,
+        )
+
+        # -- schema epoch: declared types from the staged footers
+        staged_schema = pq.ParquetFile(staged_files[0]).schema_arrow
+        declared = {
+            f.name: _spark_ddl_of_arrow_field(f)
+            for f in staged_schema
+            if f.name in self.extra_cols
+        }
+        all_extras, evolved = _evolved_schema_from_types(
+            manifest, declared, self.extra_cols
+        )
+        extras_spec = [
+            {"name": c["name"], "type": c["type"], "names": log._column_names(c)}
+            for c in all_extras
+        ]
+
+        # -- core physical types: the table's where it exists (staged
+        # values cast to it, LTZ↔NTZ value-preserving), else staged
+        if manifest is not None:
+            ts_ddl, item_ddl = _core_types_of(self.lake_dir, manifest)
+        else:
+            ts_ddl, item_ddl = None, None
+        if ts_ddl is None:
+            ts_ddl = _ddl_of_arrow(staged_schema.field("last_ts").type)
+            item_ddl = _ddl_of_arrow(staged_schema.field("item").type)
+        else:
+            staged_item = _ddl_of_arrow(staged_schema.field("item").type)
+            if staged_item != item_ddl:
+                raise ValueError(
+                    f"format('lake') write: batch item type {staged_item} "
+                    f"!= table item type {item_ddl} — item's physical type "
+                    "is pinned by the producer that created the table"
+                )
+
+        # -- staged rows, epoch-aligned (same path the reader runs)
+        staged = pa.concat_tables(
+            [
+                _aligned_file_table(
+                    f, extras_spec, ts_ddl, item_ddl, (), keep_tombstones=True
+                )
+                for f in staged_files
+            ]
+        )
+        self._enforce_constraints_duckdb(manifest, staged)
+        touched = sorted(staged.column("bucket").unique().to_pylist())
+        if not touched:
+            return
+
+        # -- current rows of the touched buckets (tombstones KEPT:
+        # the combine must let a stored delete beat older staged
+        # events), through the same alignment + DV mask as any read
+        sides = [staged]
+        if manifest is not None and not self.overwrite:
+            dvs = manifest.get("deletion_vectors", {})
+            for b in touched:
+                rel = manifest["buckets"].get(str(b))
+                if rel is None:
+                    continue
+                d = os.path.join(self.lake_dir, rel)
+                if not os.path.isdir(d):
+                    continue
+                for fn in sorted(os.listdir(d)):
+                    if fn.endswith(".parquet"):
+                        sides.append(
+                            _aligned_file_table(
+                                os.path.join(d, fn),
+                                extras_spec,
+                                ts_ddl,
+                                item_ddl,
+                                dvs.get(str(b), []),
+                                keep_tombstones=True,
+                            )
+                        )
+        combined = pa.concat_tables(sides)
+        merged = _lww_take_last(combined)
+
+        # -- stage the commit dir (pyarrow twin of _stage_commit),
+        # buckets written in parallel (Arrow releases the GIL)
+        version = (manifest["version"] if manifest else 0) + 1
+        commit_rel = f"commits/{version:010d}"
+        commit_abs = os.path.join(self.lake_dir, commit_rel)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_bucket(b: int) -> None:
+            import pyarrow.compute as pc
+
+            rows = merged.filter(pc.equal(merged.column("bucket"), b))
+            d = os.path.join(commit_abs, f"{log._PARTITION_COL}={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(rows, os.path.join(d, "part-00000.parquet"))
+
+        with ThreadPoolExecutor(max_workers=min(16, len(touched))) as ex:
+            list(ex.map(write_bucket, touched))
+
+        # -- the commit protocol itself: THE library function
+        log._flip_version(
+            self.lake_dir,
+            manifest,
+            commit_rel,
+            touched,
+            n_buckets,
+            self.retain_versions,
+            replace_all=self.overwrite,
+            extra={"columns": all_extras} if evolved else None,
+            txn=self.txn,
+        )
+
+    def _enforce_constraints_duckdb(self, manifest, staged) -> None:
+        """CHECK constraints over the staged batch's VISIBLE rows —
+        same enforcement point, same NULL-passes semantics, same
+        refusal error as ``merge._enforce_constraints``; evaluated by
+        DuckDB SQL in the session-less worker (constraint expressions
+        are plain comparisons/boolean SQL, portable by
+        construction)."""
+        cons = (manifest or {}).get("constraints", {})
+        if not cons:
+            return
+        import duckdb
+
+        from lapidus_spark.lake.log import ConstraintViolationError
+
+        con = duckdb.connect()
+        try:
+            con.register("batch", staged)
+            bad = {}
+            for name, expr in sorted(cons.items()):
+                n = con.sql(
+                    "SELECT count(*) FROM batch WHERE last_type != 'delete' "
+                    f"AND NOT coalesce(({expr}), TRUE)"
+                ).fetchone()[0]
+                if n:
+                    bad[name] = int(n)
+            if bad:
+                raise ConstraintViolationError(
+                    f"merge batch violates CHECK constraint(s) {bad} "
+                    f"({ {n: cons[n] for n in bad} }); commit refused, "
+                    "table unchanged"
+                )
+        finally:
+            con.close()
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        self._cleanup_staging()
+
+    def _cleanup_staging(self) -> None:
+        import shutil
+
+        staging = os.path.join(self.lake_dir, self.staging_rel)
+        try:
+            shutil.rmtree(staging)
+        except FileNotFoundError:
+            pass
+        # drop the _staging root when this was its last write
+        root = os.path.join(self.lake_dir, "_staging")
+        try:
+            os.rmdir(root)
+        except OSError:
+            pass
+
+
+def _core_types_of(lake_dir: str, manifest: dict) -> tuple:
+    """The table's physical (ts, item) DDL from one stored footer —
+    the same probe ``_epoch_ddl`` runs; (None, None) when no stored
+    file exists yet."""
+    import pyarrow.parquet as pq
+
+    from lapidus_spark.sources.lake_batch import _ddl_of_arrow
+
+    for b, rel in sorted(manifest["buckets"].items()):
+        d = os.path.join(lake_dir, rel)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                sch = pq.ParquetFile(os.path.join(d, fn)).schema_arrow
+                if "last_ts" in sch.names and "item" in sch.names:
+                    return (
+                        _ddl_of_arrow(sch.field("last_ts").type),
+                        _ddl_of_arrow(sch.field("item").type),
+                    )
+    return None, None
+
+
+def _lww_take_last(tbl):
+    """Vectorized last-write-wins over snapshot-shaped rows: sort
+    ascending by (entity_id, last_ts, last_seq) with NULLs FIRST (a
+    null stamp loses, matching Spark's struct ordering in
+    ``max_by``), then keep each entity's final row — one Arrow sort +
+    one numpy boundary scan, no per-row Python. Semilattice-equal to
+    ``merge._lww_combine`` by commutativity/associativity/idempotence
+    of the max."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("entity_id", "ascending"),
+            ("last_ts", "ascending"),
+            ("last_seq", "ascending"),
+        ],
+        null_placement="at_start",
+    )
+    s = tbl.take(idx)
+    ents = s.column("entity_id").combine_chunks()
+    # group boundary: row i wins iff entity[i] != entity[i+1]
+    eq_next = pc.equal(ents.slice(0, len(s) - 1), ents.slice(1)).to_numpy(
+        zero_copy_only=False
+    )
+    keep = np.ones(len(s), dtype=bool)
+    keep[:-1] = ~eq_next
+    return s.filter(pa.array(keep)).combine_chunks()

@@ -276,6 +276,86 @@ def _plan_version_steps(lake_dir: str, s: int, e: int, caller: str = "lake_cdf")
     return parts
 
 
+
+def _row_change_batches(m, ver: int) -> Iterator:
+    """rowChanges=true executor path: the row-level Delta-CDF
+    vocabulary over the consumer view (the executor-side twin of
+    ``lake_changes_rows``, same semantics test-pinned there —
+    SHARED by the streaming ``lake_cdf`` source and the batch
+    ``format("lake")`` changes relation, so a drained stream and a
+    catch-up batch read emit identical pre/post-image rows):
+    insert = appeared visible (new values); update = visible both
+    sides with changed (seq, ts) → pre-image row (OLD values) +
+    post-image row (new values); delete = went invisible (the
+    REMOVED content, not the tombstone). A tombstone refreshed by
+    a newer tombstone is absent→absent and emits nothing."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    present = ~m["last_seq_o"].isna()
+    old_vis = (present & m["last_type_o"].ne("delete")).to_numpy(dtype=bool)
+    # null-guarded: a RESTORE can leave the new side ABSENT
+    # (key vanished) — visible→absent is a delete with the old
+    # values as the pre-image, like the batch lake_changes_rows
+    new_vis = (
+        ~m["last_seq"].isna() & m["last_type"].ne("delete")
+    ).to_numpy(dtype=bool)
+    changed = (
+        old_vis
+        & new_vis
+        & (
+            m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
+            | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
+        )
+    )
+
+    def frame(mask, side: str, kind: str) -> pd.DataFrame | None:
+        sub = m[mask]
+        if sub.empty:
+            return None
+        return pd.DataFrame(
+            {
+                "entity_id": sub["entity_id"].to_numpy(),
+                "change_type": kind,
+                "last_seq": sub["last_seq" + side].astype("Int64").to_numpy(),
+                "last_ts": sub["last_ts" + side].to_numpy(),
+                "last_type": sub["last_type" + side].to_numpy(),
+                "item": sub["item" + side].to_numpy(),
+            }
+        )
+
+    frames = [
+        f
+        for f in (
+            frame(~old_vis & new_vis, "", "insert"),
+            frame(changed, "_o", "update_preimage"),
+            frame(changed, "", "update_postimage"),
+            frame(old_vis & ~new_vis, "_o", "delete"),
+        )
+        if f is not None
+    ]
+    if not frames:
+        return
+    out = pd.concat(frames, ignore_index=True)
+    ts = pc.assume_timezone(
+        pa.Array.from_pandas(out["last_ts"], type=pa.timestamp("us")), "UTC"
+    )
+    yield pa.record_batch(
+        [
+            pa.Array.from_pandas(out["entity_id"], type=pa.string()),
+            pa.Array.from_pandas(out["change_type"], type=pa.string()),
+            pa.Array.from_pandas(out["last_seq"], type=pa.int64()),
+            ts,
+            pa.Array.from_pandas(out["last_type"], type=pa.string()),
+            pa.Array.from_pandas(out["item"], type=pa.string()),
+            pa.array([ver] * len(out), type=pa.int32()),
+        ],
+        names=["entity_id", "change_type", "last_seq", "last_ts",
+               "last_type", "item", "ver"],
+    )
+
+
 class LakeCDFStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.lake_dir = options.get("path")
@@ -381,79 +461,7 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         yield _state_record_batch(out["m"], out["change_type"], partition.ver)
 
     def _row_change_batches(self, m, ver: int) -> Iterator:
-        """rowChanges=true executor path: the row-level Delta-CDF
-        vocabulary over the consumer view (the streaming twin of
-        ``lake_changes_rows``, same semantics test-pinned there):
-        insert = appeared visible (new values); update = visible both
-        sides with changed (seq, ts) → pre-image row (OLD values) +
-        post-image row (new values); delete = went invisible (the
-        REMOVED content, not the tombstone). A tombstone refreshed by
-        a newer tombstone is absent→absent and emits nothing."""
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        present = ~m["last_seq_o"].isna()
-        old_vis = (present & m["last_type_o"].ne("delete")).to_numpy(dtype=bool)
-        # null-guarded: a RESTORE can leave the new side ABSENT
-        # (key vanished) — visible→absent is a delete with the old
-        # values as the pre-image, like the batch lake_changes_rows
-        new_vis = (
-            ~m["last_seq"].isna() & m["last_type"].ne("delete")
-        ).to_numpy(dtype=bool)
-        changed = (
-            old_vis
-            & new_vis
-            & (
-                m["last_seq_o"].ne(m["last_seq"]).fillna(False).to_numpy(dtype=bool)
-                | (m["last_ts_o"] != m["last_ts"]).to_numpy(dtype=bool)
-            )
-        )
-
-        def frame(mask, side: str, kind: str) -> pd.DataFrame | None:
-            sub = m[mask]
-            if sub.empty:
-                return None
-            return pd.DataFrame(
-                {
-                    "entity_id": sub["entity_id"].to_numpy(),
-                    "change_type": kind,
-                    "last_seq": sub["last_seq" + side].astype("Int64").to_numpy(),
-                    "last_ts": sub["last_ts" + side].to_numpy(),
-                    "last_type": sub["last_type" + side].to_numpy(),
-                    "item": sub["item" + side].to_numpy(),
-                }
-            )
-
-        frames = [
-            f
-            for f in (
-                frame(~old_vis & new_vis, "", "insert"),
-                frame(changed, "_o", "update_preimage"),
-                frame(changed, "", "update_postimage"),
-                frame(old_vis & ~new_vis, "_o", "delete"),
-            )
-            if f is not None
-        ]
-        if not frames:
-            return
-        out = pd.concat(frames, ignore_index=True)
-        ts = pc.assume_timezone(
-            pa.Array.from_pandas(out["last_ts"], type=pa.timestamp("us")), "UTC"
-        )
-        yield pa.record_batch(
-            [
-                pa.Array.from_pandas(out["entity_id"], type=pa.string()),
-                pa.Array.from_pandas(out["change_type"], type=pa.string()),
-                pa.Array.from_pandas(out["last_seq"], type=pa.int64()),
-                ts,
-                pa.Array.from_pandas(out["last_type"], type=pa.string()),
-                pa.Array.from_pandas(out["item"], type=pa.string()),
-                pa.array([ver] * len(out), type=pa.int32()),
-            ],
-            names=["entity_id", "change_type", "last_seq", "last_ts",
-                   "last_type", "item", "ver"],
-        )
+        yield from _row_change_batches(m, ver)
 
     def commit(self, end: dict) -> None:
         self._floor = max(self._floor, int(end["version"]))

@@ -171,3 +171,49 @@ def test_option_validation(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_timestamp_as_of_resolves_tx_consistent_instants(spark, tmp_path):
+    """Catalog-level TIMESTAMP AS OF (round 13): entries stamp their
+    commit instant, so a tx-consistent multi-table snapshot is
+    instant-addressable — the catalog twin of the lake's
+    timestampAsOf, resolved by catalog_version_at (newest entry at or
+    before the instant)."""
+    cat = str(tmp_path / "cat")
+    _build_catalog(spark, cat)
+    register_catalog_batch(spark)
+    e2 = C.catalog_entry(cat, 2)
+    e3 = C.catalog_entry(cat)
+    assert float(e3["committed_at"]) > float(e2["committed_at"])
+    # an instant between tx 2 and tx 3 resolves to catalog version 2
+    mid = (float(e2["committed_at"]) + float(e3["committed_at"])) / 2
+    assert C.catalog_version_at(cat, mid) == 2
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).isoformat()
+    for tbl in ("by_user", "by_type"):
+        got = (
+            spark.read.format("catalog")
+            .option("path", cat)
+            .option("table", tbl)
+            .option("timestampAsOf", iso)
+            .load()
+        )
+        exp = C.read_catalog_table(spark, cat, tbl, catalog_version=2)
+        assert _rows(got, SNAP) == _rows(exp, SNAP), tbl
+    # at/after the live instant: the live entry
+    assert C.catalog_version_at(cat, float(e3["committed_at"])) == 3
+    # before the first retained stamp: fail fast, named error
+    with pytest.raises(ValueError, match="predates the oldest retained"):
+        C.catalog_version_at(cat, 0.0)
+    # mutual exclusion with catalogVersion
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("catalog")
+            .option("path", cat)
+            .option("table", "by_user")
+            .option("catalogVersion", "2")
+            .option("timestampAsOf", iso)
+            .load()
+            .collect()
+        )

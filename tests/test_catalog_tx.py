@@ -60,6 +60,7 @@ def _commit(spark, cat, txid, mod, rem):
 def test_catalog_commit_reader_and_time_travel(spark, tmp_path):
     cat = str(tmp_path / "cat")
     e1 = _commit(spark, cat, 1, 2, 0)
+    assert e1.pop("committed_at") > 0  # r13: entries stamp commit instants
     assert e1 == {"version": 1, "txid": 1, "tables": {"by_type": 1, "by_user": 1}}
     v1 = {t: _catalog_rows(spark, cat, t) for t in TABLES}
     e2 = _commit(spark, cat, 2, 2, 1)
