@@ -168,6 +168,8 @@ COHORT = [
     "lake_sql_write",
     # pre/post-image batch relation at 10M envelopes
     "lake_sql_changes_images",
+    # streaming DataSource sink at 10M envelopes
+    "stream_lake_sink_sql",
 ]
 DERIVED_TABLES = ("documents", "events")
 

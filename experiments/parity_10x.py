@@ -172,6 +172,9 @@ COHORT = [
     # the pre/post-image batch relation: per-(step, bucket) executor
     # diffs must emit the exact vocabulary at 10x file counts
     "lake_sql_changes_images",
+    # the streaming DataSource sink: per-micro-batch commit-worker
+    # merges must land the full-history LWW snapshot at 10x
+    "stream_lake_sink_sql",
 ]
 DERIVED_TABLES = ("documents", "embeddings", "orders", "lineitem", "events")
 

@@ -794,12 +794,38 @@ def vacuum_lake(
                         nfiles += 1
                     except OSError:
                         pass
+        # stale SQL-writer staging (round 13): a crashed
+        # df.write.format("lake") leaves its _staging/<uuid> dir
+        # behind (commit/abort normally clean it). Anything older
+        # than the grace window is provably dead — a live write's
+        # staged files keep fresh mtimes until its commit runs.
+        import shutil
+        import time as _time
+
+        staging_root = os.path.join(lake_dir, "_staging")
+        stale_staging = []
+        try:
+            for d in sorted(os.listdir(staging_root)):
+                p = os.path.join(staging_root, d)
+                try:
+                    newest = max(
+                        (os.path.getmtime(os.path.join(p, f))
+                         for f in os.listdir(p)),
+                        default=os.path.getmtime(p),
+                    )
+                except OSError:
+                    continue
+                if _time.time() - newest > grace_seconds:
+                    stale_staging.append(p)
+        except FileNotFoundError:
+            pass
         report = {
             "version": live_v,
             "floor": new_floor,
             "reclaimable_dirs": len(candidates),
             "reclaimable_files": nfiles,
             "reclaimable_bytes": nbytes,
+            "stale_staging_dirs": len(stale_staging),
             "dry_run": dry_run,
         }
         if dry_run:
@@ -809,6 +835,15 @@ def vacuum_lake(
                 lake_dir, {"format": 2, "version": live_v, "floor": new_floor}
             )
         _gc_unreferenced(lake_dir, retained[-1], grace_seconds=grace_seconds)
+        for p in stale_staging:
+            try:
+                shutil.rmtree(p)
+            except OSError:
+                pass
+        try:
+            os.rmdir(staging_root)
+        except OSError:
+            pass
         return report
     finally:
         try:

@@ -654,6 +654,11 @@ STREAM_EXPECTATIONS: dict[str, dict] = {
     # run as batch jobs inside the sink fn (the lake IS the state);
     # 3 batches with entities scattered across them
     "stream_merge_lake": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
+    # streaming DataSource SINK (writeStream.format("lake")): the
+    # streamed plan is a stateless scan into a python write; every
+    # merge happens in the sink's commit worker — one batch per
+    # replay file
+    "stream_lake_sink_sql": {"plan_ops": [], "max_exchanges": 0, "min_batches": 3},
     # streaming predicate MERGE: clause evaluation + two-pass merge
     # all inside foreachBatch — the streamed plan is a stateless
     # filtered scan, one batch per replay file

@@ -824,6 +824,15 @@ class LakeDataSource(DataSource):
 
         return LakeBatchWriter(self._opts(), schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        """``df.writeStream.format("lake")`` — per-micro-batch MERGE
+        through the same machinery; ``option("txnAppId", ...)`` makes
+        restarted-query redelivery exactly-once via (appId, batchId)
+        markers. See LakeStreamWriter."""
+        from lapidus_spark.sources.lake_write import LakeStreamWriter
+
+        return LakeStreamWriter(self._opts(), schema, overwrite)
+
 
 def register_lake_batch(spark) -> None:
     """Idempotent registration of the batch ``lake`` format (the

@@ -1406,6 +1406,91 @@ def stream_merge_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_lake_sink_sql",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT CAST(user_id AS VARCHAR) AS entity_id,
+           event_id AS last_seq,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                WHEN 'error' THEN 'delete' ELSE 'update' END AS last_type,
+           props AS item
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    operator="streaming DataSource SINK — df.writeStream.format('lake') "
+    "with (txnAppId, batchId) exactly-once markers (round 13)",
+    doc="The STREAMING twin of lake_sql_write, closing the interop "
+    "triangle: readStream.format('lake_cdf') (r11) → transformations "
+    "→ writeStream.format('lake') is now a full replication pipeline "
+    "with no library import. Every micro-batch MERGEs through the "
+    "batch writer's machinery — executor-side Arrow staging with the "
+    "Spark-parity xxhash64 bucket hash, then a locked commit-worker "
+    "combine reusing _resolve_base/_evolved_schema/_flip_version "
+    "verbatim — so the whole lake contract (OCC, CHECK constraints, "
+    "CDF, evolution, retention/GC) holds per trigger. EXACTLY-ONCE: "
+    "option('txnAppId') makes each micro-batch commit under the "
+    "marker (appId, batchId); Spark's batchId is stable across "
+    "checkpoint-resumed retries, so a restarted query redelivering "
+    "its last epoch is SKIPPED outright (Delta's foreachBatch "
+    "txnVersion=batchId idiom, built into the sink) — pinned by a "
+    "restart in tests/test_lake_write_source.py. This query replays "
+    "the events history as 3 micro-batches through the sink and "
+    "reads the lake back through the batch relation; the oracle is "
+    "the full-history LWW snapshot.",
+)
+def stream_lake_sink_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lapidus_spark.sources.lake_batch import register_lake_batch
+
+    register_lake_batch(spark)
+    clear_stream_run("stream_lake_sink_sql")
+    replay_dir = build_merge_replay(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(replay_dir)
+    )
+    env = normalize_events(raw).select("pk", "event_seq", "ts", "type", "item")
+    lake = tempfile.mkdtemp(prefix="lapidus_sink_sql_lake_")
+    shutil.rmtree(lake)
+    ckpt = tempfile.mkdtemp(prefix="lapidus_sink_sql_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            env.writeStream.format("lake")
+            .option("path", lake)
+            .option("retainVersions", "2")
+            .option("txnAppId", "stream_lake_sink_sql")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        record_stream_run("stream_lake_sink_sql", q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.format("lake")
+        .option("path", lake)
+        .load()
+        .select(
+            "entity_id",
+            "last_seq",
+            F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+            "last_type",
+            "item",
+        )
+    )
+
+
 #: versioned lake per (process, sf_dir): three merges — event_id%3
 #: batches 0,1,2 → versions 1,2,3 — with retain_versions=4 so every
 #: version's data survives GC for the time-travel/CDF queries.

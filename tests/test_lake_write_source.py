@@ -378,3 +378,116 @@ def test_layout_race_refuses(spark, tmp_path):
         w.commit([msg])
     # staging cleaned up on the failure path too
     assert glob.glob(os.path.join(lake, "_staging", "*")) == []
+
+
+def test_adopts_nondefault_pinned_layout(spark, tmp_path):
+    """A writer without an nBuckets option must ADOPT the table's
+    pinned layout even when it differs from the default — the slim
+    format-2 pointer carries no n_buckets, so the plan must resolve
+    it through the manifest (regression: the first cut read the
+    pointer and silently fell back to the default, refusing every
+    write into a non-default-layout table)."""
+    register_lake_batch(spark)
+    lake = str(tmp_path / "lake")
+    M.merge_batch_into_lake(_env(spark, 30), lake, n_buckets=4, retain_versions=4)
+    _write(_env(spark, 30, seq_shift=1000), lake, retainVersions="4")
+    m = M._read_manifest(lake)
+    assert m["version"] == 2 and m["n_buckets"] == 4
+    got = {r["entity_id"]: r["last_seq"] for r in
+           M.read_lake_snapshot(spark, lake).collect()}
+    assert got["k0000"] == 1000
+
+
+def test_stream_writer_exactly_once_and_twin_parity(spark, tmp_path):
+    """df.writeStream.format('lake') (round 13): every micro-batch
+    merges through the batch writer's machinery; with txnAppId each
+    batch commits under (appId, batchId), so a checkpoint-resumed
+    replay of the last epoch is SKIPPED — exactly-once through the
+    SQL surface. Result ≡ merging the same batches via the library."""
+    import glob as _glob
+    import os as _os
+
+    register_lake_batch(spark)
+    lake, lib = str(tmp_path / "lake"), str(tmp_path / "lib")
+    src_dir = str(tmp_path / "src")
+    _os.makedirs(src_dir)
+    # three arrival files = three micro-batches (maxFilesPerTrigger=1)
+    batches = [
+        _env(spark, 40, start=i * 200, seq_shift=i * 1000) for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b{i}")
+        _os.utime(
+            _glob.glob(f"{src_dir}/b{i}/*.parquet")[0], (1_700_000_000 + i, 1_700_000_000 + i)
+        )
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q = (
+        stream.writeStream.format("lake")
+        .option("path", lake)
+        .option("retainVersions", "6")
+        .option("txnAppId", "stream_writer_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = M._read_manifest(lake)
+    assert m["version"] == 3  # one commit per micro-batch
+    assert m["txns"]["stream_writer_test"] == 2  # batchIds 0, 1, 2
+    for b in batches:
+        M.merge_batch_into_lake(b, lib, n_buckets=8, retain_versions=6)
+    assert _snap(spark, lake) == _snap(spark, lib)
+    # restart the drained stream: no new data, no new commits, and a
+    # REPLAYED epoch would be marker-skipped (version must stay 3)
+    q2 = (
+        stream.writeStream.format("lake")
+        .option("path", lake)
+        .option("retainVersions", "6")
+        .option("txnAppId", "stream_writer_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert M._read_manifest(lake)["version"] == 3
+    # txnVersion is refused on the streaming path
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="derived from"):
+        (
+            stream.writeStream.format("lake")
+            .option("path", str(tmp_path / "other"))
+            .option("txnAppId", "x")
+            .option("txnVersion", "1")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+
+def test_vacuum_sweeps_stale_staging(spark, tmp_path):
+    """A crashed df.write leaves _staging/<uuid> behind; vacuum_lake
+    reclaims entries older than the grace window and spares fresh
+    ones (a live write's staged files are younger by construction)."""
+    import time
+
+    register_lake_batch(spark)
+    lake = str(tmp_path / "lake")
+    _write(_env(spark, 10), lake)
+    stale = os.path.join(lake, "_staging", "deadbeef")
+    fresh = os.path.join(lake, "_staging", "cafef00d")
+    os.makedirs(stale); os.makedirs(fresh)
+    for d in (stale, fresh):
+        with open(os.path.join(d, "part-x.parquet"), "wb") as fh:
+            fh.write(b"x")
+    old = time.time() - 7200
+    os.utime(os.path.join(stale, "part-x.parquet"), (old, old))
+    os.utime(stale, (old, old))
+    rep = M.vacuum_lake(lake, retain_versions=1, grace_seconds=3600)
+    assert rep["stale_staging_dirs"] == 1
+    assert not os.path.isdir(stale) and os.path.isdir(fresh)
