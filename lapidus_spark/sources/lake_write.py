@@ -217,11 +217,7 @@ class LakeBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         from lapidus_spark.lake import log
-        from lapidus_spark.lake.merge import (
-            _evolved_schema_from_types,
-            _resolve_base,
-            _txn_already_applied,
-        )
+        from lapidus_spark.lake.merge import _resolve_base, _txn_already_applied
 
         staged_files = [
             m.file for m in messages if m is not None and getattr(m, "rows", 0)
@@ -295,14 +291,21 @@ class LakeBatchWriter(DataSourceArrowWriter):
                     "is pinned by the producer that created the table"
                 )
 
-        # -- staged rows, epoch-aligned (same path the reader runs)
-        staged = pa.concat_tables(
-            [
-                _aligned_file_table(
-                    f, extras_spec, ts_ddl, item_ddl, (), keep_tombstones=True
-                )
-                for f in staged_files
-            ]
+        # -- staged rows, epoch-aligned (same path the reader runs),
+        # then the WITHIN-BATCH LWW (snapshot_stream's step): one row
+        # per entity, winner by (ts, seq). Constraints check the
+        # WINNERS — exactly merge._enforce_constraints' enforcement
+        # point; an in-batch loser is never validated on the Spark
+        # path and must not be refused here either.
+        staged = _lww_take_last(
+            pa.concat_tables(
+                [
+                    _aligned_file_table(
+                        f, extras_spec, ts_ddl, item_ddl, (), keep_tombstones=True
+                    )
+                    for f in staged_files
+                ]
+            )
         )
         self._enforce_constraints_duckdb(manifest, staged)
         touched = sorted(staged.column("bucket").unique().to_pylist())

@@ -491,3 +491,30 @@ def test_vacuum_sweeps_stale_staging(spark, tmp_path):
     rep = M.vacuum_lake(lake, retain_versions=1, grace_seconds=3600)
     assert rep["stale_staging_dirs"] == 1
     assert not os.path.isdir(stale) and os.path.isdir(fresh)
+
+
+def test_constraints_check_batch_winners_only(spark, tmp_path):
+    """Enforcement point parity: merge._enforce_constraints validates
+    the batch SNAPSHOT (within-batch LWW winners), so an event that
+    violates a CHECK but LOSES the in-batch LWW must not refuse the
+    commit — on either path."""
+    register_lake_batch(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = _env(spark, 30)
+    _write(base, a, retainVersions="6")
+    M.merge_batch_into_lake(base, b, n_buckets=8, retain_versions=6)
+    for lk in (a, b):
+        M.add_constraint(spark, lk, "seq_cap", "last_seq < 5000", retain_versions=6)
+    # k0001 gets a violating event (seq 9000) AND a newer valid winner
+    loser = _env(spark, 1, start=1, seq_shift=8999)   # seq 9000: violates
+    winner = _env(spark, 1, start=1, seq_shift=3000)  # seq 3001: wins on ts? no —
+    # LWW is by (ts, seq): make the VALID event the winner by stamping later
+    from pyspark.sql import functions as F2
+
+    winner = winner.withColumn("ts", F2.col("ts") + F2.expr("INTERVAL 1000 DAYS"))
+    batch = loser.unionByName(winner)
+    _write(batch, a, retainVersions="6")
+    M.merge_batch_into_lake(batch, b, n_buckets=None, retain_versions=6)
+    assert _snap(spark, a) == _snap(spark, b)
+    seqs = {e: s for (e, s, *_r) in _snap(spark, a)}
+    assert seqs["k0001"] == 3001  # the valid winner landed on both paths
