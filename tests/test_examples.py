@@ -53,3 +53,19 @@ def test_curate_stream_example_runs():
     assert funnel["admitted"] > 0 and funnel["dup_dropped"] > 0
     total = int(re.search(r"total intake: (\d+) docs", out).group(1))
     assert total == funnel["admitted"] + funnel["deferred"]
+
+
+def test_sql_lake_roundtrip_example_runs():
+    """The zero-import produce → consume → replicate round trip runs
+    on sf0.001 end to end (df.write format lake, SQL reads, rowChanges
+    feed, lake_cdf → lake streaming replication)."""
+    out = subprocess.run(
+        [sys.executable, "examples/sql_lake_roundtrip.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    ).stdout
+    assert "== snapshot ==" in out
+    assert "update_preimage" in out and "update_postimage" in out
+    assert "replica matches source: True" in out
