@@ -2780,7 +2780,7 @@ def build_sql_written_lake(spark: SparkSession, sf_dir: str) -> str:
            CASE WHEN event_type = 'error' THEN NULL ELSE props END AS item
     FROM ranked
     WHERE rn = 1 AND event_type <> 'error'
-      AND CAST(user_id AS VARCHAR) BETWEEN '20' AND '39'
+      AND CAST(user_id AS VARCHAR) BETWEEN '1' AND '4'
     """,
     operator="batch DataSource WRITE path — df.write.format('lake')."
     "mode('append') MERGE with txn markers (VERDICT r12 #1)",
@@ -2820,7 +2820,7 @@ def lake_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("lake")
         .option("path", lake)
         .load()
-        .filter(F.col("entity_id").between("20", "39"))
+        .filter(F.col("entity_id").between("1", "4"))
         .select(
             "entity_id",
             "last_seq",
