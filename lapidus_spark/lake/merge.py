@@ -94,6 +94,13 @@ def _lww_combine(envelopes_or_rows: DataFrame, extra_names: tuple = ()) -> DataF
 OCC_CONFLICTS = 0
 OCC_REBASES = 0
 
+#: measurement seam (round 13): force the legacy aggregate-then-
+#: combine staging shape so the single-exchange path can be A/B
+#: benchmarked INTERLEAVED in one process (serial A/B is hopeless on
+#: a noisy box — BENCH.md variance band). Never set outside
+#: experiments/.
+_FORCE_LEGACY_MERGE = False
+
 
 def merge_batch_into_lake(
     batch_df: DataFrame,
@@ -501,49 +508,55 @@ def merge_into_lake(
             when_matched, when_not_matched, when_not_matched_by_source, writable
         )
         src = source_df.withColumn("pk", F.col("pk").cast("string")).persist()
-        dup = (
-            src.groupBy("pk")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+        # ONE validation/planning pass (round 13, guide §1.2): the
+        # duplicate-key check, the NULL-stamp check (the per-row
+        # analog of the scalar _validate_stamp — an unstamped row
+        # would silently lose every LWW combine, the r10-advice
+        # defect class) and the touched-bucket set all come out of a
+        # single per-key aggregation instead of three sequential
+        # collect jobs over the cached source.
+        need_buckets = manifest is not None and not when_not_matched_by_source
+        per_key = [F.count("*").alias("__n")]
+        if stamp_cols is not None:
+            seq_name, ts_name = stamp_cols
+            per_key.append(
+                F.max(F.col(seq_name).isNull() | F.col(ts_name).isNull()).alias(
+                    "__bad"
+                )
+            )
+        g = src.groupBy("pk").agg(*per_key)
+        aggs = [
+            F.max("__n").alias("max_n"),
+            F.max_by("pk", F.col("__n")).alias("dup_pk"),
+        ]
+        if stamp_cols is not None:
+            aggs += [
+                F.sum(F.col("__bad").cast("int")).alias("n_bad"),
+                F.max_by("pk", F.col("__bad").cast("int")).alias("bad_pk"),
+            ]
+        if need_buckets:
+            aggs.append(
+                F.collect_set(
+                    F.pmod(F.xxhash64("pk"), F.lit(n_buckets)).cast("int")
+                ).alias("__buckets")
+            )
+        vrow = g.agg(*aggs).first()
+        if vrow["max_n"] is not None and int(vrow["max_n"]) > 1:
             raise ValueError(
-                f"merge_into_lake: source has duplicate key {dup[0]['pk']!r} "
+                f"merge_into_lake: source has duplicate key {vrow['dup_pk']!r} "
                 "— a target row must not receive two clause outcomes; "
                 "pre-aggregate the source to one row per pk"
             )
-        if stamp_cols is not None:
-            # the per-row analog of the scalar _validate_stamp: a NULL
-            # stamp would silently lose every LWW combine for its row
-            # (the r10-advice defect class) — fail fast instead
-            seq_name, ts_name = stamp_cols
-            bad = src.filter(
-                F.col(seq_name).isNull() | F.col(ts_name).isNull()
-            ).limit(1).collect()
-            if bad:
-                raise ValueError(
-                    f"merge_into_lake: source row with pk {bad[0]['pk']!r} "
-                    f"has a NULL stamp ({seq_name}/{ts_name}) — its writes "
-                    "would silently lose every LWW combine; stamp every "
-                    "source row or drop the unstamped ones explicitly"
-                )
+        if stamp_cols is not None and vrow["n_bad"]:
+            raise ValueError(
+                f"merge_into_lake: source row with pk {vrow['bad_pk']!r} "
+                f"has a NULL stamp ({seq_name}/{ts_name}) — its writes "
+                "would silently lose every LWW combine; stamp every "
+                "source row or drop the unstamped ones explicitly"
+            )
         target = None
         if manifest is not None:
-            if when_not_matched_by_source:
-                buckets = None  # full-table by definition
-            else:
-                buckets = {
-                    r["b"]
-                    for r in src.select(
-                        F.pmod(F.xxhash64("pk"), F.lit(n_buckets))
-                        .cast("int")
-                        .alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                }
+            buckets = set(vrow["__buckets"] or []) if need_buckets else None
             current = log._read_live(spark, lake_dir, manifest, buckets)
             if current is not None:
                 # matched = a VISIBLE live row; tombstoned entities are
@@ -756,18 +769,57 @@ def _resolve_base(lake_dir: str, n_buckets: int | None, adopt_legacy: bool):
     return manifest, n_buckets
 
 
+def _snapshot_shape(envelopes: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Envelope rows projected to the snapshot column shape WITHOUT
+    the per-entity aggregation — the raw-row side of the single-
+    exchange merge (round 13): because the LWW combine is associative
+    and idempotent over its (last_ts, last_seq) comparator,
+    ``_lww_combine(current ∪ raw_rows)`` equals
+    ``_lww_combine(current ∪ snapshot_stream(raw))`` row for row, and
+    feeding raw rows lets ONE hash aggregation (with map-side partial
+    aggregation collapsing in-batch duplicates before the exchange —
+    guide §2.3) replace the old two-step aggregate-then-combine."""
+    return envelopes.select(
+        F.col("pk").alias("entity_id"),
+        F.col("event_seq").alias("last_seq"),
+        F.col("ts").alias("last_ts"),
+        F.col("type").alias("last_type"),
+        "item",
+        *extra_cols,
+    )
+
+
 def _merged_for_batch(
-    spark, lake_dir: str, manifest: dict | None, updates, n_buckets: int, all_extras=()
+    spark,
+    lake_dir: str,
+    manifest: dict | None,
+    updates,
+    n_buckets: int,
+    all_extras=(),
+    touched: list | None = None,
 ):
     """Shared merge compute: the touched-bucket list (metadata-sized
     collect) and the LWW combine of the affected buckets' current
     rows with the batch — everything about a merge EXCEPT the commit
     protocol, so the locked/optimistic twins differ only in locking.
-    ``updates`` must already be persisted by the caller. ``all_extras``
-    is the POST-merge schema epoch (manifest columns + any accreted by
-    this batch); both sides null-fill to it before combining."""
+    ``all_extras`` is the POST-merge schema epoch (manifest columns +
+    any accreted by this batch); both sides null-fill to it before
+    combining.
+
+    ``touched`` pre-computed (round 13): callers on the single-
+    exchange path derive the touched buckets from the RAW batch (a
+    partial-aggregated distinct over ≤n_buckets ints — no wide
+    shuffle, no cache) and pass them in; ``updates`` then need not be
+    persisted, because exactly one downstream action (the staging
+    write) consumes it. When ``touched`` is None the legacy contract
+    holds: ``updates`` must already be persisted by the caller (the
+    constraint path, which reuses it across the validation aggregate
+    and the staging write)."""
     all_extras = list(all_extras)
-    touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+    if touched is None:
+        touched = sorted(
+            r["bucket"] for r in updates.select("bucket").distinct().collect()
+        )
     if not touched:
         return [], None
     current = log._read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
@@ -780,6 +832,25 @@ def _merged_for_batch(
     else:
         merged = _lww_combine(updates, names)
     return touched, merged
+
+
+def _touched_of_raw(batch_df: DataFrame, n_buckets: int) -> list:
+    """Touched-bucket list straight from the raw envelope batch: the
+    bucket is a pure function of ``pk`` (the identical
+    pmod(xxhash64(pk), n) the snapshot rows carry), and aggregation
+    preserves the key set, so the distinct set over raw rows equals
+    the distinct set over the aggregated snapshot. The job is a scan
+    plus a distinct over at most ``n_buckets`` integers — map-side
+    partial aggregation reduces every task's output to ≤ n_buckets
+    rows before the (tiny) exchange."""
+    return sorted(
+        r["bucket"]
+        for r in batch_df.select(
+            F.pmod(F.xxhash64("pk"), F.lit(n_buckets)).cast("int").alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )
 
 
 def _validate_extra_cols(extra_cols: tuple) -> None:
@@ -935,10 +1006,41 @@ def _merge_locked(
     manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
     if _txn_already_applied(manifest, txn):
         return  # replayed batch: the marker makes the no-op FREE
-    updates = snapshot_stream(batch_df, extra_cols).withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int"),
-    )
+    bucket_col = F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int")
+    cons = (manifest or {}).get("constraints", {})
+    if not cons and not _FORCE_LEGACY_MERGE:
+        # Single-exchange merge (round 13, guide §2.3/§2.4): no
+        # constraint aggregate needs the snapshot twice, so skip the
+        # cache and the separate aggregate-the-batch exchange — the
+        # touched buckets come from a partial-aggregated distinct over
+        # the RAW batch, and the staging write's one hash aggregation
+        # does the in-batch LWW and the combine-with-current together
+        # (map-side partial aggregation collapses in-batch duplicates
+        # before the exchange). Associativity of the LWW max makes the
+        # result row-identical to the old aggregate-then-combine.
+        updates = _snapshot_shape(batch_df, extra_cols).withColumn(
+            "bucket", bucket_col
+        )
+        all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
+        touched = _touched_of_raw(batch_df, n_buckets)
+        if not touched:
+            return
+        touched, merged = _merged_for_batch(
+            spark, lake_dir, manifest, updates, n_buckets, all_extras,
+            touched=touched,
+        )
+        _publish_version(
+            lake_dir,
+            manifest,
+            merged,
+            touched,
+            n_buckets,
+            retain_versions,
+            extra={"columns": all_extras} if evolved else None,
+            txn=txn,
+        )
+        return
+    updates = snapshot_stream(batch_df, extra_cols).withColumn("bucket", bucket_col)
     all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
     updates = updates.persist()
     try:
@@ -1197,16 +1299,34 @@ def merge_batch_optimistic(
                 base, nb = _resolve_base(lake_dir, n_buckets, adopt_legacy=False)
                 if _txn_already_applied(base, txn):
                     return base  # replayed batch: skip, zero Spark work
-                updates = snap.withColumn(
-                    "bucket", F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
-                ).persist()
+                bucket_col = F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
+                cons = (base or {}).get("constraints", {})
+                if cons:
+                    # constraint path: the snapshot feeds both the
+                    # validation aggregate and the staging write, so
+                    # cache it (legacy two-exchange shape)
+                    updates = snap.withColumn("bucket", bucket_col).persist()
+                else:
+                    # single-exchange staging (round 13 — see
+                    # _merge_locked): raw rows, no cache; the staging
+                    # write's one aggregation does in-batch LWW and
+                    # combine together
+                    updates = _snapshot_shape(batch_df, extra_cols).withColumn(
+                        "bucket", bucket_col
+                    )
                 all_extras, evolved = _evolved_schema(base, updates, extra_cols)
                 commit_rel = None
                 try:
-                    _enforce_constraints(base, updates, all_extras)
-                    touched, merged = _merged_for_batch(
-                        spark, lake_dir, base, updates, nb, all_extras
-                    )
+                    if cons:
+                        _enforce_constraints(base, updates, all_extras)
+                        touched, merged = _merged_for_batch(
+                            spark, lake_dir, base, updates, nb, all_extras
+                        )
+                    else:
+                        touched, merged = _merged_for_batch(
+                            spark, lake_dir, base, updates, nb, all_extras,
+                            touched=_touched_of_raw(batch_df, nb),
+                        )
                     if not touched:
                         return base
                     commit_rel = (
@@ -1232,7 +1352,8 @@ def merge_batch_optimistic(
                         continue
                     raise
                 finally:
-                    updates.unpersist()
+                    if cons:
+                        updates.unpersist()
             if _race_hook is not None:
                 _race_hook(attempt)
             _env_race_barrier(attempt)
