@@ -166,10 +166,30 @@ _TOUCHED_THIS_ROUND: tuple[str, ...] = (
     # (ADVICE r12 #1/#3) sit on the vacuum/GC path these drive —
     "lake_clone",
     "lake_vacuum_read",
-    # Demand: 6 touched (rank (0,-1)) + the round-13 new query
-    # (lake_sql_write — age 0) ≈ 7 of 50 slots; the remaining ~43 go
-    # to the oldest signals, heaviest first — covering the entire
-    # r8-tail cohort VERDICT r12 #5 names.
+    # Round-13 OPTIMIZATION pass: the merge commit path was
+    # restructured (single-exchange staging, fused predicate-merge
+    # validation — lake/merge.py), so every query that commits
+    # through merge_batch_into_lake / merge_batch_optimistic /
+    # merge_into_lake carries changed internals and its stale green
+    # signal is no evidence. All re-verified against the oracle at
+    # sf0.01 this round (OPTIMIZATION_r13.md); listed here so the
+    # driver window re-signs the most regression-prone of them.
+    "lake_txn_idempotent",
+    "lake_constraint_merge",
+    "lake_merge_predicates",
+    "lake_multi_table_tx",
+    "lake_snapshot_sync",
+    "lake_schema_evolution",
+    "lake_type_widening",
+    "stream_merge_lake",
+    "stream_merge_predicates",
+    "stream_lake_replicate",
+    "stream_lake_gold_update",
+    "stream_snapshot_sync",
+    # Demand: touched (rank (0,-1)) + the round-13 new queries
+    # (age 0) fill the front of the window; the remaining slots go
+    # to the oldest signals, heaviest first — still reaching into
+    # the r8-tail cohort VERDICT r12 #5 names.
 )
 
 
