@@ -215,9 +215,13 @@ def test_drop_reconciles_declared_stats_columns(spark, tmp_path):
         retain_versions=8,
         extra_cols=("shard",),
     )
+    # target_files_per_bucket=0 forces the rewrite: the single-exchange
+    # merge staging (round 13) lands one file per bucket on tiny
+    # batches (AQE coalescing), so the default target=1 would correctly
+    # see nothing degraded and never publish the declaring version.
     M.compact_lake(
         spark, lake, retain_versions=8, max_records_per_file=8,
-        stats_columns=("shard",),
+        target_files_per_bucket=0, stats_columns=("shard",),
     )
     assert M._read_manifest(lake)["stats_columns"] == ["shard"]
     M.drop_lake_column(lake, "shard", retain_versions=8)
