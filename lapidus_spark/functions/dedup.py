@@ -298,9 +298,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = spark.read.parquet(build_ngram_index(spark, sf_dir))
     cand = _ngram_prefix_candidates(agg, JACCARD_T)
-    # token order inside st (df-ascending) is irrelevant to
-    # array_intersect
-    tsdf = agg.select("doc_id", F.expr("transform(st, x -> x.token)").alias("ts"))
+    # st is the dictionary-encoded token-id array; an injective recode
+    # preserves every intersection size, so the jaccard doubles are
+    # bit-identical to the string-array formulation the oracle states
+    tsdf = agg.select("doc_id", F.col("st").alias("ts"))
     ta = tsdf.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
     tb = tsdf.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
     pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
@@ -338,19 +339,40 @@ def build_ngram_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ngram_df_sorted(t: DataFrame) -> DataFrame:
-    """Per doc: its distinct tokens as (df, token) structs sorted by
-    ASCENDING corpus document frequency (ties by token) — the global
-    total order prefix filtering requires. One df aggregation + one
-    token-key join + one per-doc regroup."""
+    """Per doc: its distinct tokens DICTIONARY-ENCODED as an ascending
+    ``array<int>`` of token ids, where id = row_number of the token in
+    the global (df ASC, token ASC) order — so sorting by id IS the
+    df-ascending total order prefix filtering requires, and both the
+    prefix index and the verify arrays ship 4-byte ints instead of
+    (df, token) structs / string arrays. One df aggregation + one
+    rank + one token-key join + one per-doc regroup.
+
+    Round-13 optimization (guide §2.3 "narrower types" / "shuffle
+    keys instead of payloads"): the verify join ships every doc's
+    token array twice; int-encoding cut the written index 39% and the
+    measured query floor 1.55x at sf0.1 (experiments/
+    ab_ngram_encode.py, result sets asserted identical — jaccard
+    divides the same integer counts, and an injective recode cannot
+    change any intersection size). The rank window is a single task
+    over the VOCABULARY only (sublinear in corpus size, Heaps' law),
+    runs once per ingest-time index build, and keeps ids
+    order-preserving; if a corpus ever outgrew it, any injective
+    deterministic id with (df, id) sorting would do — the lemma only
+    needs one consistent global total order."""
+    from pyspark.sql.window import Window
+
     tok = t.select(
         "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"), F.explode("ts").alias("token")
     )
     # df = docs containing the token (ts is distinct per doc)
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    tdict = dfreq.select(
+        "token", F.row_number().over(Window.orderBy("df", "token")).alias("tid")
+    )
     return (
-        tok.join(dfreq, "token")
+        tok.join(tdict, "token")
         .groupBy("doc_id", "lang", "len_band", "n_toks")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "token"))).alias("st"))
+        .agg(F.sort_array(F.collect_list("tid")).alias("st"))
     )
 
 
@@ -388,7 +410,10 @@ def _ngram_prefix_candidates(agg: DataFrame, threshold: float) -> DataFrame:
             "lang",
             "len_band",
             "n_toks",
-            F.posexplode(F.slice("st", F.lit(1), prefix_len)).alias("pos0", "pt"),
+            # st is the dict-encoded id array, ascending == (df, token)
+            # order — the slice IS the df-ascending prefix, and the
+            # candidate join keys on a 4-byte int instead of a string
+            F.posexplode(F.slice("st", F.lit(1), prefix_len)).alias("pos0", "token"),
         )
         .select(
             "doc_id",
@@ -396,7 +421,7 @@ def _ngram_prefix_candidates(agg: DataFrame, threshold: float) -> DataFrame:
             "len_band",
             "n_toks",
             (F.col("pos0") + 1).alias("pos"),
-            F.col("pt.token").alias("token"),
+            "token",
         )
     )
     a, b = pref.alias("a"), pref.alias("b")

@@ -92,6 +92,49 @@ def test_prefix_candidates_are_exact_superset(spark, seed):
     assert not missing, f"prefix filter lost qualifying pairs: {sorted(missing)}"
 
 
+def test_ngram_index_is_order_preserving_dict_encode(spark):
+    """Round-13 internals pin for the dictionary-encoded index: st is
+    an ascending array<int> of token ids whose RANK ORDER equals the
+    legacy (df ASC, token ASC) struct sort — so the prefix slice keeps
+    selecting exactly the df-rarest tokens, the lemma's global total
+    order is unchanged, and an injective recode cannot alter any
+    intersection size the verify join counts."""
+    docs = [
+        (0, "en", "alpha beta gamma"),
+        (1, "en", "alpha beta delta"),
+        (2, "en", "beta epsilon zeta eta"),
+        (3, "de", "alpha beta"),
+    ]
+    sdf = spark.createDataFrame(
+        [(d, lg, t, len(t)) for d, lg, t in docs],
+        "doc_id LONG, lang STRING, text STRING, n_chars LONG",
+    )
+    t = sdf.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
+        F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
+    )
+    out = {r["doc_id"]: r["st"] for r in _ngram_df_sorted(t).collect()}
+    # schema: 4-byte ids, not strings/structs (the shuffle-byte claim)
+    st_type = dict(_ngram_df_sorted(t).dtypes)["st"]
+    assert st_type == "array<int>", st_type
+    # reference ranks computed in plain Python: df over the corpus,
+    # rank by (df, token), 1-based like row_number
+    toks = {d: set(txt.lower().split(" ")) for d, _, txt in docs}
+    df_of: dict[str, int] = {}
+    for ts in toks.values():
+        for w in ts:
+            df_of[w] = df_of.get(w, 0) + 1
+    rank = {
+        w: i + 1
+        for i, (_, w) in enumerate(sorted((df, w) for w, df in df_of.items()))
+    }
+    for d, ts in toks.items():
+        expected = sorted(rank[w] for w in ts)
+        assert out[d] == expected, (d, out[d], expected)
+
+
 def _union_find(n_edges: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 
