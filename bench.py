@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line {"metric", "value", "unit", "queries", "sf"} — followed
+by a size-bounded digest twin of that line (same metric/value from
+the same timed pass) sized to fit the driver's bounded stdout-tail
+parser; see the note above the digest print and OPTIMIZATION_r13.md.
 
 Timing protocol: one warm JVM/session (the driver measures engine
 work, not JVM startup), each query materialized via a noop-style
@@ -260,6 +263,43 @@ def main() -> None:
             fh.write(payload + "\n")
     except OSError as e:
         print(f"# could not persist {out_path}: {e}", file=sys.stderr)
+
+    # Measurement-record fix (disclosed in OPTIMIZATION_r13.md): the
+    # driver parses its bench record from a bounded ~2000-char stdout
+    # TAIL. Round 1's 1998-char payload fit; every payload since
+    # round 2 outgrew the window, so BENCH_r{02..12}.json all record
+    # parsed:null — the driver has had no machine-readable bench for
+    # 11 rounds. The complete record cannot fit (the 186 query names
+    # alone are >3K chars), so emit a size-bounded DIGEST as the final
+    # stdout line: identical metric/value/unit/sf from the same timed
+    # pass, the slowest-N per-query entries that fit the window, and a
+    # pointer to the full record (the complete line above + the
+    # committed bench_out.json). Nothing is removed from the full
+    # payload; the digest is additive.
+    ranked = sorted(
+        ((k, v) for k, v in timings.items() if v is not None),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    digest = json.dumps({"metric": "total_query_wall_clock", "value": round(total, 4)})
+    for n_show in range(len(ranked), -1, -1):
+        candidate = json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in ranked[:n_show]},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "digest": True,
+                "queries_timed": len(timings),
+                "failed_queries": failures,
+                "full_record": "bench_out.json",
+            },
+            separators=(",", ":"),
+        )
+        if len(candidate) <= 1800:
+            digest = candidate
+            break
+    print(digest)
     spark.stop()
 
 
