@@ -43,6 +43,8 @@ def _build(spark, lake, declare=("band",)):
         spark,
         lake,
         retain_versions=4,
+        target_files_per_bucket=0,  # single-exchange merge staging
+        # lands 1 file/bucket on tiny batches: force the rewrite
         max_records_per_file=20,  # force multi-file buckets
         stats_columns=declare,
     )
