@@ -397,6 +397,8 @@ def test_rename_reconciles_declared_stats_columns(spark, tmp_path):
     )
     M.compact_lake(
         spark, lake, retain_versions=8, max_records_per_file=8,
+        target_files_per_bucket=0,  # single-exchange staging lands
+        # 1 file/bucket on tiny batches: force the declaring rewrite
         stats_columns=("shard",),
     )
     M.rename_lake_column(lake, "shard", "zone", retain_versions=8)
