@@ -280,7 +280,20 @@ def main() -> None:
         ((k, v) for k, v in timings.items() if v is not None),
         key=lambda kv: (-kv[1], kv[0]),
     )
-    digest = json.dumps({"metric": "total_query_wall_clock", "value": round(total, 4)})
+    # fallback (unreachable at current sizes — the n_show=0 candidate
+    # is ~200 bytes — but keep it structurally complete per ADVICE r13:
+    # unit/sf/failure count must survive even a degenerate shrink)
+    digest = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "digest": True,
+            "failed_queries": failures,
+        },
+        separators=(",", ":"),
+    )
     for n_show in range(len(ranked), -1, -1):
         candidate = json.dumps(
             {

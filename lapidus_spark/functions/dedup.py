@@ -338,6 +338,12 @@ def build_ngram_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+#: measurement seam (round 14): force the legacy single-partition
+#: vocabulary rank window so the distributed two-phase rank can be
+#: A/B'd interleaved in one process. Never set outside experiments/.
+_FORCE_LEGACY_RANK = False
+
+
 def _ngram_df_sorted(t: DataFrame) -> DataFrame:
     """Per doc: its distinct tokens DICTIONARY-ENCODED as an ascending
     ``array<int>`` of token ids, where id = row_number of the token in
@@ -353,26 +359,80 @@ def _ngram_df_sorted(t: DataFrame) -> DataFrame:
     measured query floor 1.55x at sf0.1 (experiments/
     ab_ngram_encode.py, result sets asserted identical — jaccard
     divides the same integer counts, and an injective recode cannot
-    change any intersection size). The rank window is a single task
-    over the VOCABULARY only (sublinear in corpus size, Heaps' law),
-    runs once per ingest-time index build, and keeps ids
-    order-preserving; if a corpus ever outgrew it, any injective
-    deterministic id with (df, id) sorting would do — the lemma only
-    needs one consistent global total order."""
-    from pyspark.sql.window import Window
-
+    change any intersection size). Round 14 (VERDICT r13 #1, guide
+    §2.2): the rank itself is now the distributed two-phase
+    ``_rank_vocab`` — no single-partition exchange anywhere in the
+    index build; ids are bit-identical to the legacy global
+    row_number (pinned by tests and the interleaved A/B)."""
     tok = t.select(
         "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"), F.explode("ts").alias("token")
     )
     # df = docs containing the token (ts is distinct per doc)
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
-    tdict = dfreq.select(
-        "token", F.row_number().over(Window.orderBy("df", "token")).alias("tid")
-    )
+    if _FORCE_LEGACY_RANK:
+        from pyspark.sql.window import Window
+
+        tdict = dfreq.select(
+            "token", F.row_number().over(Window.orderBy("df", "token")).alias("tid")
+        )
+    else:
+        tdict = _rank_vocab(dfreq)
     return (
         tok.join(tdict, "token")
         .groupBy("doc_id", "lang", "len_band", "n_toks")
         .agg(F.sort_array(F.collect_list("tid")).alias("st"))
+    )
+
+
+def _rank_vocab(dfreq: DataFrame) -> DataFrame:
+    """Distributed two-phase dense rank of the vocabulary in (df ASC,
+    token ASC) order — ``(token, tid)`` with tid bit-equal to
+    ``row_number().over(Window.orderBy("df", "token"))``.
+
+    The round-13 shape funneled the whole vocabulary through ONE task
+    (Window.orderBy with no partitionBy — the exact guide-§2.2
+    anti-pattern the plan audit's ``no_single_partition`` contract
+    exists to catch; it survived because the rank runs at index-BUILD
+    time, outside the query-plan pin). n-gram vocabularies at corpus
+    scale are billions of entries, so that one task is a hard scale
+    ceiling on the ingest build. Two-phase replacement:
+
+    1. range-partition the vocabulary by (df, token) and materialize
+       it once (localCheckpoint — pins partition membership so the
+       count and rank passes provably see identical placement, and
+       lets the blocks be GC-reclaimed without unpersist bookkeeping);
+    2. ONE tiny job counts rows per partition (map-side partial agg →
+       P integers to the driver); partition offsets are their running
+       sum — range partition ids are ordered, so offset(pid) is
+       exactly the number of vocabulary entries in earlier ranges;
+    3. rank = offset(pid) + row_number within the partition (a window
+       PARTITIONED by pid — parallel across P tasks, each bounded by
+       the range partitioner's balanced split, never the whole vocab).
+
+    Every stage is parallel in the vocabulary size; the only
+    single-point data is the P-integer offset map."""
+    from pyspark.sql.window import Window
+
+    spark = dfreq.sparkSession
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ranged = dfreq.repartitionByRange(p, "df", "token").localCheckpoint()
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offs, run = [], 0
+    for pid in range(p):
+        offs.append((pid, run))
+        run += int(counts.get(pid, 0))
+    off_df = spark.createDataFrame(offs, "pid INT, off BIGINT")
+    w = Window.partitionBy("pid").orderBy("df", "token")
+    return (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select("token", (F.col("off") + F.col("lr")).cast("int").alias("tid"))
     )
 
 

@@ -94,12 +94,21 @@ def _lww_combine(envelopes_or_rows: DataFrame, extra_names: tuple = ()) -> DataF
 OCC_CONFLICTS = 0
 OCC_REBASES = 0
 
-#: measurement seam (round 13): force the legacy aggregate-then-
-#: combine staging shape so the single-exchange path can be A/B
-#: benchmarked INTERLEAVED in one process (serial A/B is hopeless on
-#: a noisy box — BENCH.md variance band). Never set outside
-#: experiments/.
+#: measurement seam (round 13, widened round 14): force the legacy
+#: aggregate-then-combine staging shape — snapshot cached, constraints
+#: validated against the cache, touched buckets from a separate
+#: distinct job — on BOTH the locked and the optimistic commit paths,
+#: so the single-exchange shapes can be A/B benchmarked INTERLEAVED
+#: in one process (serial A/B is hopeless on a noisy box — BENCH.md
+#: variance band). Never set outside experiments/.
 _FORCE_LEGACY_MERGE = False
+
+#: measurement seam (round 14): force the round-13 predicate-merge
+#: reporting shape (dedicated groupBy-count job over the cached
+#: envelope; stored buckets re-read from parquet by the commit) so the
+#: observe()-based counts + persisted-pruned-read restructure can be
+#: A/B'd interleaved. Never set outside experiments/.
+_FORCE_LEGACY_PREDICATE = False
 
 
 def merge_batch_into_lake(
@@ -147,7 +156,17 @@ def merge_batch_into_lake(
     sink redelivering its last epoch wants at 100 TB (re-merging a
     replayed batch would otherwise rewrite its touched buckets to
     produce identical bytes). Versions must be monotonically
-    increasing per app."""
+    increasing per app.
+
+    ``batch_df`` must be DETERMINISTIC (re-evaluable to the same
+    rows): the single-exchange path evaluates it in two independent
+    actions (the touched-bucket distinct and the staging write), so a
+    batch whose keys derive from ``rand()`` or a non-replayable source
+    can yield a touched/written bucket mismatch, which
+    ``_stage_commit`` refuses with a RuntimeError rather than commit a
+    corrupt layout. foreachBatch micro-batches and storage-backed
+    frames satisfy this by construction; persist() a genuinely
+    nondeterministic batch before merging it."""
     _validate_merge_args(n_buckets, retain_versions)
     _validate_extra_cols(extra_cols)
     _validate_txn(txn)
@@ -492,6 +511,7 @@ def merge_into_lake(
     lock = _acquire_lock(lake_dir, wait_s=LOCKED_WAIT_S)
     src = None
     envelope = None
+    current_all = None
     try:
         manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
         if _txn_already_applied(manifest, txn):
@@ -557,11 +577,23 @@ def merge_into_lake(
         target = None
         if manifest is not None:
             buckets = set(vrow["__buckets"] or []) if need_buckets else None
-            current = log._read_live(spark, lake_dir, manifest, buckets)
-            if current is not None:
+            current_all = log._read_live(spark, lake_dir, manifest, buckets)
+            if current_all is not None:
+                if not _FORCE_LEGACY_PREDICATE:
+                    # ONE scan of the stored buckets per merge (round
+                    # 14, guide §2.4/§5): the clause join AND the
+                    # commit's union both consume this pruned read —
+                    # persisting it halves the stored-side parquet I/O
+                    # per merge (the commit previously re-read the same
+                    # touched buckets from disk). Covers every bucket
+                    # the commit can touch: envelope keys are drawn
+                    # from the source keys (whose buckets prune this
+                    # read) or, with by-source clauses, from the
+                    # full-table read. Moves no enforcement point.
+                    current_all = current_all.persist()
                 # matched = a VISIBLE live row; tombstoned entities are
                 # NOT MATCHED (their re-insert goes through insert clauses)
-                target = current.filter(F.col("last_type") != "delete")
+                target = current_all.filter(F.col("last_type") != "delete")
         epoch_item_type = None
         if target is not None:
             joined = src.alias("source").join(
@@ -693,32 +725,71 @@ def merge_into_lake(
             )
             .persist()
         )
-        by_tag = {
-            r["__action"]: int(r["n"])
-            for r in envelope.groupBy("__action").agg(F.count("*").alias("n")).collect()
-        }
+        # the cache has exactly two consumers either way: the commit's
+        # touched-bucket/validation action and the staging write (and,
+        # on the legacy seam, the counting job) — without it the clause
+        # join would run once per consumer.
         kinds = {t: k for _g, t, k, _c, _s in live_plan}
+        kind_of = {"update": "updated", "delete": "deleted", "insert": "inserted"}
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
-        for tag, n in by_tag.items():
-            counts[
-                {"update": "updated", "delete": "deleted", "insert": "inserted"}[
-                    kinds[tag]
-                ]
-            ] += n
-        if sum(counts.values()):
+        if _FORCE_LEGACY_PREDICATE:
+            by_tag = {
+                r["__action"]: int(r["n"])
+                for r in envelope.groupBy("__action")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for tag, n in by_tag.items():
+                counts[kind_of[kinds[tag]]] += n
+            if sum(counts.values()):
+                _merge_locked(
+                    spark,
+                    envelope.drop("__action"),
+                    lake_dir,
+                    n_buckets,
+                    retain_versions,
+                    tuple(carried),
+                    txn,
+                )
+        else:
+            # round 14 (guide §1.2, VERDICT r13 #2): the per-clause
+            # outcome counts ride the commit's OWN first action as
+            # observe() metrics instead of a dedicated groupBy/collect
+            # job — one fewer Spark job per merge (per TRIGGER on the
+            # streaming predicate sinks), with the refuse-before-write
+            # point unmoved. Counting is reporting, not enforcement.
+            # An empty envelope commits nothing inside _merge_locked
+            # (empty touched set), matching the legacy skip; the
+            # metrics are always populated because _merge_locked runs
+            # at least one action here (this function holds the writer
+            # lock and already consumed the txn marker check, so its
+            # early returns are unreachable).
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = envelope.observe(
+                obs,
+                *[
+                    F.count(F.when(F.col("__action") == t, 1)).alias(t)
+                    for t in kinds
+                ],
+            )
             _merge_locked(
                 spark,
-                envelope.drop("__action"),
+                observed.drop("__action"),
                 lake_dir,
                 n_buckets,
                 retain_versions,
                 tuple(carried),
                 txn,
+                current=current_all,
             )
+            for tag, n in obs.get.items():
+                counts[kind_of[kinds[tag]]] += int(n)
         m = log._read_manifest(lake_dir)
         return {"version": int(m["version"]) if m else 0, **counts}
     finally:
-        for df in (src, envelope):
+        for df in (src, envelope, current_all):
             if df is not None:
                 df.unpersist()
         try:
@@ -797,6 +868,7 @@ def _merged_for_batch(
     n_buckets: int,
     all_extras=(),
     touched: list | None = None,
+    current=None,
 ):
     """Shared merge compute: the touched-bucket list (metadata-sized
     collect) and the LWW combine of the affected buckets' current
@@ -813,8 +885,15 @@ def _merged_for_batch(
     persisted, because exactly one downstream action (the staging
     write) consumes it. When ``touched`` is None the legacy contract
     holds: ``updates`` must already be persisted by the caller (the
-    constraint path, which reuses it across the validation aggregate
-    and the staging write)."""
+    legacy-seam constraint path, which reuses it across the validation
+    aggregate and the staging write).
+
+    ``current`` pre-read (round 14): the predicate merge already holds
+    a persisted read of the live buckets covering every bucket this
+    batch can touch, read under the SAME ``manifest``; filtering it to
+    ``touched`` replaces the commit's second parquet scan of the same
+    buckets. ``None`` = read the touched buckets from the manifest
+    (every other caller)."""
     all_extras = list(all_extras)
     if touched is None:
         touched = sorted(
@@ -822,7 +901,10 @@ def _merged_for_batch(
         )
     if not touched:
         return [], None
-    current = log._read_live(spark, lake_dir, manifest, set(touched)) if manifest else None
+    if current is not None:
+        current = current.filter(F.col("bucket").isin([int(b) for b in touched]))
+    elif manifest:
+        current = log._read_live(spark, lake_dir, manifest, set(touched))
     names = tuple(c["name"] for c in all_extras)
     updates = _align_extras(updates, all_extras)
     if current is not None:
@@ -1002,66 +1084,83 @@ def _merge_locked(
     retain_versions: int,
     extra_cols: tuple = (),
     txn: tuple | None = None,
+    current=None,
 ) -> None:
+    """``current``: optional ALREADY-READ live frame covering at least
+    every bucket this batch touches, read under the manifest this
+    merge commits against (the predicate merge passes its persisted
+    pruned read — see ``_merged_for_batch``). ``None`` everywhere
+    else."""
     manifest, n_buckets = _resolve_base(lake_dir, n_buckets, adopt_legacy=True)
     if _txn_already_applied(manifest, txn):
         return  # replayed batch: the marker makes the no-op FREE
     bucket_col = F.pmod(F.xxhash64("entity_id"), F.lit(n_buckets)).cast("int")
     cons = (manifest or {}).get("constraints", {})
-    if not cons and not _FORCE_LEGACY_MERGE:
-        # Single-exchange merge (round 13, guide §2.3/§2.4): no
-        # constraint aggregate needs the snapshot twice, so skip the
-        # cache and the separate aggregate-the-batch exchange — the
-        # touched buckets come from a partial-aggregated distinct over
-        # the RAW batch, and the staging write's one hash aggregation
-        # does the in-batch LWW and the combine-with-current together
-        # (map-side partial aggregation collapses in-batch duplicates
-        # before the exchange). Associativity of the LWW max makes the
-        # result row-identical to the old aggregate-then-combine.
-        updates = _snapshot_shape(batch_df, extra_cols).withColumn(
+    if _FORCE_LEGACY_MERGE:
+        # legacy aggregate-then-combine shape (rounds ≤12; kept as the
+        # interleaved-A/B seam): aggregate the batch into a cached
+        # snapshot, validate constraints against the cache, derive the
+        # touched buckets in a separate distinct job, combine the cache
+        # with the stored rows in a second aggregation.
+        updates = snapshot_stream(batch_df, extra_cols).withColumn(
             "bucket", bucket_col
         )
         all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
-        touched = _touched_of_raw(batch_df, n_buckets)
-        if not touched:
-            return
-        touched, merged = _merged_for_batch(
-            spark, lake_dir, manifest, updates, n_buckets, all_extras,
-            touched=touched,
-        )
-        _publish_version(
-            lake_dir,
-            manifest,
-            merged,
-            touched,
-            n_buckets,
-            retain_versions,
-            extra={"columns": all_extras} if evolved else None,
-            txn=txn,
-        )
+        updates = updates.persist()
+        try:
+            _enforce_constraints(manifest, updates, all_extras)
+            touched, merged = _merged_for_batch(
+                spark, lake_dir, manifest, updates, n_buckets, all_extras
+            )
+            if not touched:
+                return
+            _publish_version(
+                lake_dir,
+                manifest,
+                merged,
+                touched,
+                n_buckets,
+                retain_versions,
+                extra={"columns": all_extras} if evolved else None,
+                txn=txn,
+            )
+        finally:
+            updates.unpersist()
         return
-    updates = snapshot_stream(batch_df, extra_cols).withColumn("bucket", bucket_col)
+    # Single-exchange merge (round 13; constraint path joined in round
+    # 14 — guide §2.3/§2.4): no cache, raw rows flow into the staging
+    # write's ONE hash aggregation (map-side partial aggregation
+    # collapses in-batch duplicates before the exchange; the LWW max
+    # is associative/idempotent, so the result is row-identical to the
+    # legacy aggregate-then-combine). Touched buckets come from a
+    # partial-aggregated distinct over the raw batch — or, on
+    # constrained tables, ride the SAME job as the CHECK validation
+    # (one per-key aggregation computes the batch's LWW winners, the
+    # violation counts over the visible winners, and the touched
+    # set; refusal still happens before any staging work, so the
+    # refuse-before-commit point is unmoved).
+    updates = _snapshot_shape(batch_df, extra_cols).withColumn("bucket", bucket_col)
     all_extras, evolved = _evolved_schema(manifest, updates, extra_cols)
-    updates = updates.persist()
-    try:
-        _enforce_constraints(manifest, updates, all_extras)
-        touched, merged = _merged_for_batch(
-            spark, lake_dir, manifest, updates, n_buckets, all_extras
-        )
-        if not touched:
-            return
-        _publish_version(
-            lake_dir,
-            manifest,
-            merged,
-            touched,
-            n_buckets,
-            retain_versions,
-            extra={"columns": all_extras} if evolved else None,
-            txn=txn,
-        )
-    finally:
-        updates.unpersist()
+    if cons:
+        touched = _validated_touched(updates, all_extras, cons)
+    else:
+        touched = _touched_of_raw(batch_df, n_buckets)
+    if not touched:
+        return
+    touched, merged = _merged_for_batch(
+        spark, lake_dir, manifest, updates, n_buckets, all_extras,
+        touched=touched, current=current,
+    )
+    _publish_version(
+        lake_dir,
+        manifest,
+        merged,
+        touched,
+        n_buckets,
+        retain_versions,
+        extra={"columns": all_extras} if evolved else None,
+        txn=txn,
+    )
 
 
 def _validate_stamp(spark, seq, ts, ts_type, seq_name: str, ts_name: str) -> None:
@@ -1104,6 +1203,40 @@ def _txn_already_applied(manifest: dict | None, txn: tuple | None) -> bool:
         return False
     recorded = manifest.get("txns", {}).get(str(txn[0]))
     return recorded is not None and int(recorded) >= int(txn[1])
+
+
+def _validated_touched(updates: DataFrame, all_extras, cons: dict) -> list:
+    """CHECK validation and the touched-bucket set in ONE job (round
+    14, guide §1.2/§2.3 — VERDICT r13 #5): a fresh per-key LWW
+    aggregation of the raw snapshot-shaped batch rows computes the
+    batch's winners (row-identical to the legacy cached snapshot —
+    the combine is the module's semilattice), the violation counts
+    over the VISIBLE winners, and the distinct bucket set, in one
+    pass. Raises before any staging work — the refuse-before-commit
+    enforcement point is unmoved; only the snapshot cache and the
+    separate touched-bucket job are gone. Tombstones are exempt from
+    the CHECKs (payload nulled by design — the outer CASE guards the
+    expression from ever evaluating on them) but still contribute
+    their buckets. SQL-standard CHECK semantics: NULL (unknown)
+    passes, only FALSE violates."""
+    names = tuple(c["name"] for c in all_extras)
+    winners = _lww_combine(_align_extras(updates, all_extras), names)
+    aggs = [
+        F.sum(
+            F.when(F.col("last_type") == "delete", 0).otherwise(
+                F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+            )
+        ).alias(n)
+        for n, e in sorted(cons.items())
+    ]
+    row = winners.agg(*aggs, F.collect_set("bucket").alias("__buckets")).first()
+    bad = {n: int(row[n]) for n in sorted(cons) if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"merge batch violates CHECK constraint(s) {bad} "
+            f"({ {n: cons[n] for n in bad} }); commit refused, table unchanged"
+        )
+    return sorted(row["__buckets"] or [])
 
 
 def _enforce_constraints(manifest: dict | None, updates: DataFrame, all_extras) -> None:
@@ -1269,7 +1402,11 @@ def merge_batch_optimistic(
     committed the marker mid-race turns this writer's flip into a
     skip instead of a double apply); the marker merges into the
     manifest's per-app watermark map first-class, so a REBASE onto a
-    moved manifest never clobbers a sibling app's watermark."""
+    moved manifest never clobbers a sibling app's watermark.
+
+    ``batch_df`` must be DETERMINISTIC (re-evaluable) — same contract
+    and same reason as ``merge_batch_into_lake``: the single-exchange
+    staging evaluates it in independent actions."""
     _validate_merge_args(n_buckets, retain_versions)
     _validate_extra_cols(extra_cols)
     _validate_txn(txn)
@@ -1301,26 +1438,32 @@ def merge_batch_optimistic(
                     return base  # replayed batch: skip, zero Spark work
                 bucket_col = F.pmod(F.xxhash64("entity_id"), F.lit(nb)).cast("int")
                 cons = (base or {}).get("constraints", {})
-                if cons:
-                    # constraint path: the snapshot feeds both the
-                    # validation aggregate and the staging write, so
-                    # cache it (legacy two-exchange shape)
+                legacy = _FORCE_LEGACY_MERGE
+                if legacy:
+                    # legacy shape (A/B seam, both constraint states):
+                    # cached snapshot, separate validation + touched jobs
                     updates = snap.withColumn("bucket", bucket_col).persist()
                 else:
-                    # single-exchange staging (round 13 — see
-                    # _merge_locked): raw rows, no cache; the staging
-                    # write's one aggregation does in-batch LWW and
-                    # combine together
+                    # single-exchange staging (round 13; constraints
+                    # joined round 14 — see _merge_locked): raw rows, no
+                    # cache; the staging write's one aggregation does
+                    # in-batch LWW and combine together; constrained
+                    # tables fuse validation + touched into one job
                     updates = _snapshot_shape(batch_df, extra_cols).withColumn(
                         "bucket", bucket_col
                     )
                 all_extras, evolved = _evolved_schema(base, updates, extra_cols)
                 commit_rel = None
                 try:
-                    if cons:
+                    if legacy:
                         _enforce_constraints(base, updates, all_extras)
                         touched, merged = _merged_for_batch(
                             spark, lake_dir, base, updates, nb, all_extras
+                        )
+                    elif cons:
+                        touched, merged = _merged_for_batch(
+                            spark, lake_dir, base, updates, nb, all_extras,
+                            touched=_validated_touched(updates, all_extras, cons),
                         )
                     else:
                         touched, merged = _merged_for_batch(
@@ -1352,7 +1495,7 @@ def merge_batch_optimistic(
                         continue
                     raise
                 finally:
-                    if cons:
+                    if legacy:
                         updates.unpersist()
             if _race_hook is not None:
                 _race_hook(attempt)

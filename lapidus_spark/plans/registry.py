@@ -145,51 +145,40 @@ def _signal_ages(root=None) -> dict[str, int]:
 #: never-driver-verified cohort (right after it). Re-derive each
 #: round from the round's diff.
 _TOUCHED_THIS_ROUND: tuple[str, ...] = (
-    # Round-13 window accounting. VERDICT r12 #5: 12 queries' latest
-    # driver signal is still r8 — the age ordering puts them in the
-    # window automatically once the touched cohort is accounted
-    # (they are the oldest cohort and fit in the ~38 free slots).
+    # Round-14 OPTIMIZATION pass (re-derived from this round's diff):
     #
-    # TOUCHED (stale green + round-13 code changes, so the old signal
-    # is no evidence): the batch lake relation's planner/executor
-    # changed — pushed-In value sets prune via Bloom sidecars (and
-    # the pushed-In field-name crash is fixed), the per-file aligned
-    # read was extracted for the writer, and the DV mask vectorized
-    # (VERDICT r12 #3/#4) —
-    "lake_sql_read",
-    "catalog_sql_read",
-    "lake_bloom_read",
-    # lake_skip_read grew IN-set pruning (in_values) and the
-    # out-of-int64 bound fallback; its row predicate path changed —
-    "lake_column_skipping",
-    # clone pins: in-flight grace window + transitive ancestor pins
-    # (ADVICE r12 #1/#3) sit on the vacuum/GC path these drive —
-    "lake_clone",
-    "lake_vacuum_read",
-    # Round-13 OPTIMIZATION pass: the merge commit path was
-    # restructured (single-exchange staging, fused predicate-merge
-    # validation — lake/merge.py), so every query that commits
-    # through merge_batch_into_lake / merge_batch_optimistic /
-    # merge_into_lake carries changed internals and its stale green
+    # lake/merge.py changed again — observe()-based predicate-merge
+    # outcome counts + persisted pruned stored-bucket read
+    # (merge_into_lake), fused validation+touched single-exchange
+    # staging on CONSTRAINED tables (both locked and optimistic
+    # paths) — so every query that commits through the predicate or
+    # constrained merge carries changed internals; their r13 green
     # signal is no evidence. All re-verified against the oracle at
-    # sf0.01 this round (OPTIMIZATION_r13.md); listed here so the
-    # driver window re-signs the most regression-prone of them.
-    "lake_txn_idempotent",
-    "lake_constraint_merge",
+    # sf0.01 this round in a vanilla session (OPTIMIZATION_r14.md).
     "lake_merge_predicates",
     "lake_multi_table_tx",
-    "lake_snapshot_sync",
-    "lake_schema_evolution",
-    "lake_type_widening",
-    "stream_merge_lake",
+    "lake_constraint_merge",
     "stream_merge_predicates",
     "stream_lake_replicate",
     "stream_lake_gold_update",
     "stream_snapshot_sync",
-    # Demand: touched (rank (0,-1)) + the round-13 new queries
-    # (age 0) fill the front of the window; the remaining slots go
-    # to the oldest signals, heaviest first — still reaching into
-    # the r8-tail cohort VERDICT r12 #5 names.
+    "lake_snapshot_sync",
+    "stream_merge_lake",
+    "lake_txn_idempotent",
+    "lake_schema_evolution",
+    "lake_type_widening",
+    # the DSv2 writer's commit combine is now per-bucket
+    # (sources/lake_write.py) — its consumers' internals changed:
+    "lake_sql_write",
+    "stream_lake_sink_sql",
+    # the ngram index build's vocabulary rank is distributed
+    # (functions/dedup.py) — the index CONTENT is pinned identical,
+    # but the build path changed:
+    "ext_dedup_ngram",
+    # the trained-PQ probe reads the persisted _codebook sidecar
+    # instead of re-running Lloyd training per execution
+    # (functions/similarity.py):
+    "ext_ann_pq_trained",
 )
 
 

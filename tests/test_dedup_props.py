@@ -135,6 +135,70 @@ def test_ngram_index_is_order_preserving_dict_encode(spark):
         assert out[d] == expected, (d, out[d], expected)
 
 
+@pytest.mark.parametrize("seed", [13, 4242])
+def test_distributed_rank_equals_legacy_single_partition_rank(spark, seed):
+    """Round-14 internals pin for the two-phase vocabulary rank
+    (VERDICT r13 #1): on a seeded random corpus with adversarial df
+    skew, the distributed rank's token ids are BIT-EQUAL to the
+    legacy global row_number window — and the distributed build plans
+    carry no single-partition exchange (while the legacy rank
+    provably does, which keeps this assertion meaningful)."""
+    from lapidus_spark.functions import dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    for i in range(50):
+        words = rng.sample(vocab, rng.randint(2, 14))
+        if rng.random() < 0.7:
+            words.append("the")
+        docs.append((i, rng.choice(["en", "de"]), " ".join(dict.fromkeys(words))))
+    sdf = spark.createDataFrame(
+        [(d, lg, t, len(t)) for d, lg, t in docs],
+        "doc_id LONG, lang STRING, text STRING, n_chars LONG",
+    )
+    t = sdf.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LENGTH_BAND).cast("long").alias("len_band"),
+        F.expr("array_distinct(split(lower(text), ' '))").alias("ts"),
+    )
+    dedup._FORCE_LEGACY_RANK = True
+    try:
+        legacy = {r["doc_id"]: r["st"] for r in _ngram_df_sorted(t).collect()}
+    finally:
+        dedup._FORCE_LEGACY_RANK = False
+    new = {r["doc_id"]: r["st"] for r in _ngram_df_sorted(t).collect()}
+    assert new == legacy
+
+    # plan shape: the distributed rank never funnels the vocabulary
+    # through one task; the legacy window does (the r13 scale ceiling)
+    tok = t.select(
+        "doc_id", "lang", "len_band", F.size("ts").alias("n_toks"),
+        F.explode("ts").alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+
+    def plan_of(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    p = max(2, spark.sparkContext.defaultParallelism)
+    assert "SinglePartition" not in plan_of(
+        dfreq.repartitionByRange(p, "df", "token")
+    )
+    assert "SinglePartition" not in plan_of(dedup._rank_vocab(dfreq))
+    from pyspark.sql.window import Window
+
+    legacy_tdict = dfreq.select(
+        "token", F.row_number().over(Window.orderBy("df", "token")).alias("tid")
+    )
+    assert "SinglePartition" in plan_of(legacy_tdict)
+
+
 def _union_find(n_edges: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 

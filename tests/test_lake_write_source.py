@@ -131,6 +131,53 @@ def test_lww_within_batch_and_tombstones(spark, tmp_path):
     assert "k0003" not in live2
 
 
+def test_per_bucket_combine_over_multifile_buckets(spark, tmp_path):
+    """Round-14 internals pin for the per-bucket commit pipeline: a
+    df.write onto a table whose buckets hold SEVERAL stored parquet
+    files (post-compaction split layout) — the combine must read
+    every file of each touched bucket, resolve LWW per bucket exactly
+    like the library merge (per-bucket LWW == global LWW restricted
+    to the bucket: entity→bucket is functional), retain stored
+    tombstones, and land one file per touched bucket."""
+    from lapidus_spark.lake.admin import compact_lake
+
+    register_lake_batch(spark)
+    sql_lake, lib_lake = str(tmp_path / "sql"), str(tmp_path / "lib")
+    base = _env(spark, 120)
+    tomb = _env(spark, 1, start=7, seq_shift=10_000).withColumn(
+        "type", F.lit("delete")
+    )
+    for lake in (sql_lake, lib_lake):
+        M.merge_batch_into_lake(base, lake, n_buckets=8, retain_versions=6)
+        M.merge_batch_into_lake(tomb, lake, n_buckets=None, retain_versions=6)
+        # force a SPLIT rewrite: every bucket now holds several files
+        compact_lake(
+            spark, lake, target_files_per_bucket=0, max_records_per_file=4,
+            retain_versions=6,
+        )
+        m = M._read_manifest(lake)
+        multi = [
+            b for b, rel in m["buckets"].items()
+            if len(glob.glob(os.path.join(lake, rel, "*.parquet"))) > 1
+        ]
+        assert multi, "fixture premise: compaction must split bucket files"
+    # movers + stale losers + an older event for the tombstoned key
+    b2 = _env(spark, 60, start=300, seq_shift=1000)
+    _write(b2, sql_lake, retainVersions="6")
+    M.merge_batch_into_lake(b2, lib_lake, n_buckets=None, retain_versions=6)
+    assert _snap(spark, sql_lake) == _snap(spark, lib_lake)
+    live = {r["entity_id"] for r in M.read_lake_snapshot(spark, sql_lake).collect()}
+    assert "k0007" not in live  # stored tombstone survived the combine
+    # the commit landed exactly one file per touched bucket
+    m = M._read_manifest(sql_lake)
+    commit_dirs = {
+        rel for rel in m["buckets"].values() if "commits/" in rel
+    }
+    latest = max(commit_dirs)
+    for d in glob.glob(os.path.join(sql_lake, latest, "pb=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
 def test_constraint_refusal_through_write_path(spark, tmp_path):
     """A CHECK constraint recorded on the table refuses a violating
     df.write batch with the same error and leaves the table
