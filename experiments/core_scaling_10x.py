@@ -40,7 +40,6 @@ QUERIES = [
     "ext_ann_pq_trained",
     "ext_dedup_ngram",
     "ext_semdedup",
-    "stream_dedup_exact",
     "stream_distinct_watermarked",
     "stream_funnel_state",
     "stream_lake_gold",
@@ -48,10 +47,14 @@ QUERIES = [
     "stream_lake_replicate",
     "stream_merge_lake",
     "stream_merge_predicates",
-    "stream_outer_attrib",
     "stream_snapshot_sync",
-    "stream_stream_join",
 ]
+# NOT in the cohort: stream_stream_join / stream_outer_attrib /
+# stream_dedup_exact replay via stream_events/stream_documents, whose
+# pathGlobFilter ("events*.parquet") matches single-FILE sf layouts —
+# a multi-split derived dir yields zero matching files, so their
+# "timings" here would measure an empty stream. Their scale story is
+# the state-commit floor profiled in profile_stream_heavy.py.
 
 
 def build_or_reuse_derived(spark, path: str) -> str:
@@ -87,7 +90,13 @@ def build_or_reuse_derived(spark, path: str) -> str:
             return t.withColumn(
                 "l_orderkey", F.col("l_orderkey") + F.lit(i * SHIFT)
             ).withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * SHIFT))
-        return t.withColumn("event_id", F.col("event_id") + F.lit(i * SHIFT))
+        # shifted ids AND shifted users (PARITY_10X's recipe): per-user
+        # event counts must stay at their 1x values or count-derived
+        # clause routing (e.g. lake_merge_predicates' cnt<=60 delete)
+        # changes outcomes at 10x
+        return t.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * SHIFT)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
 
     for name in ("documents", "embeddings", "orders", "lineitem", "events"):
         big = reduce(
